@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is timed end-to-end (plan build + execution to a count/collect
+of the result) after a warmup pass of the session. Designed to be a tight
+feedback loop for plan quality: total wall seconds across the headline
+set is the headline metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from rentals_data_pipeline_spark.plans import catalog  # noqa: E402
+from rentals_data_pipeline_spark.session import create_spark_session  # noqa: E402
+
+HEADLINE = [
+    "flagship_events_daily",
+    "agg_pricing_summary",
+    "join_star_revenue",
+    "topk_orders_per_customer",
+    "reshape_unpivot_measures",
+    "dedup_first_event",
+    "window_cumulative_sum",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = create_spark_session(
+        "bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    # Warm up the JVM + parquet footers so timings measure the plans.
+    catalog.QUERIES["agg_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    names = [n for n in HEADLINE if n in catalog.QUERIES]
+    for name in names:
+        t0 = time.perf_counter()
+        df = catalog.QUERIES[name](spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,521 @@
+"""Query catalog: every implemented operator exposed as a named query.
+
+Driver contract (``__spark_entry__``): each entry in ``QUERIES`` is a
+``(spark, sf_dir) -> DataFrame`` callable; ``ORACLE_SQL`` holds the
+ANSI-SQL equivalent DuckDB runs on the same parquet for the hash-compare
+correctness gate. Column names AND types are aligned on both sides;
+floating aggregates are rounded identically on both sides so the
+value-hash is stable across engines (summation-order drift).
+
+Organization mirrors SURVEY §2: windows, reshape, dedup, joins, aggs,
+then the LLM-pipeline extensions (registered from their own modules).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rentals_data_pipeline_spark.operators import relational as R
+from rentals_data_pipeline_spark.operators import reshape as RS
+from rentals_data_pipeline_spark.operators import window as W
+from rentals_data_pipeline_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a catalog query (and optionally its DuckDB oracle)."""
+
+    def _reg(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return _reg
+
+
+# ---------------------------------------------------------------------------
+# Flagship: events → daily series → DoD % change (lag) + in-day rank.
+# The reference's two signature windows (jobs/transform.py:122-158) over a
+# pre-aggregated series — at 100 TB the windows run on |event_type × day|
+# rows, not |events| rows, so the window shuffle is trivially small.
+# (Daily, not monthly: the events table spans 30 days, so daily gives the
+# lag a real series to walk.)
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = """
+WITH daily AS (
+    SELECT
+        event_type,
+        CAST(date_trunc('day', ts) AS DATE) AS day,
+        ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT
+    event_type,
+    day,
+    avg_value,
+    ROUND(
+        (avg_value - LAG(avg_value) OVER w) / NULLIF(LAG(avg_value) OVER w, 0) * 100,
+        2
+    ) AS pct_change,
+    CAST(RANK() OVER (PARTITION BY day ORDER BY avg_value DESC) AS INTEGER)
+        AS day_rank
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+def daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → (event_type, day, avg_value): the canonical long
+    time-series shape (reference A2 fixture analogue)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.round(F.avg("value"), 4).alias("avg_value"))
+
+
+@query("flagship_events_daily", _FLAGSHIP_ORACLE)
+def flagship_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoD % change per event_type + rank of event types within day —
+    the reference pipeline's analytical shape (lag + rank) end-to-end."""
+    return (
+        daily_series(spark, sf_dir)
+        .transform(
+            W.pct_change("avg_value", ["event_type"], "day", out_col="pct_change")
+        )
+        .transform(W.rank_in_group("avg_value", ["day"], out_col="day_rank"))
+        .withColumn("day_rank", F.col("day_rank").cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/W2 parity: lag-based period-over-period change alone.
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_period_change",
+    """
+WITH daily AS (
+    SELECT
+        user_id,
+        CAST(date_trunc('day', ts) AS DATE) AS day,
+        ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT
+    user_id,
+    day,
+    total_value,
+    ROUND(
+        (total_value - LAG(total_value) OVER w) / NULLIF(LAG(total_value) OVER w, 0)
+            * 100,
+        2
+    ) AS pct_change
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day)
+""",
+)
+def window_period_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference W1/W2 (lag → % change) on per-user daily totals."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("total_value"))
+    return daily.transform(
+        W.pct_change("total_value", ["user_id"], "day", out_col="pct_change")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 parity: rank with ties-share-rank-with-gaps; dense_rank variant.
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_rank_in_group",
+    """
+SELECT
+    c_mktsegment,
+    c_custkey,
+    c_acctbal,
+    CAST(RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS INTEGER)
+        AS bal_rank,
+    CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+        AS INTEGER) AS bal_dense_rank
+FROM customer
+""",
+)
+def window_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.select("c_mktsegment", "c_custkey", "c_acctbal")
+        .transform(
+            W.rank_in_group("c_acctbal", ["c_mktsegment"], out_col="bal_rank")
+        )
+        .transform(
+            W.rank_in_group(
+                "c_acctbal",
+                ["c_mktsegment"],
+                out_col="bal_dense_rank",
+                method="dense_rank",
+            )
+        )
+        .withColumn("bal_rank", F.col("bal_rank").cast("int"))
+        .withColumn("bal_dense_rank", F.col("bal_dense_rank").cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling & cumulative frames (engine extension of the Window surface).
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_rolling_avg",
+    """
+WITH daily AS (
+    SELECT
+        event_type,
+        CAST(date_trunc('day', ts) AS DATE) AS day,
+        ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT
+    event_type,
+    day,
+    avg_value,
+    ROUND(
+        AVG(avg_value) OVER (
+            PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+        ),
+        2
+    ) AS rolling_3d
+FROM daily
+""",
+)
+def window_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-period moving average over the daily series (rowsBetween frame)."""
+    return daily_series(spark, sf_dir).transform(
+        W.rolling(
+            "avg_value", ["event_type"], "day", preceding=2, out_col="rolling_3d"
+        )
+    )
+
+
+@query(
+    "window_cumulative_sum",
+    """
+WITH daily AS (
+    SELECT
+        user_id,
+        CAST(date_trunc('day', ts) AS DATE) AS day,
+        ROUND(SUM(value), 4) AS day_value
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT
+    user_id,
+    day,
+    day_value,
+    ROUND(
+        SUM(day_value) OVER (
+            PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ),
+        2
+    ) AS running_total
+FROM daily
+""",
+)
+def window_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("day_value"))
+    return daily.transform(
+        W.cumulative("day_value", ["user_id"], "day", out_col="running_total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R1 parity: unpivot (wide→long) — lineitem measures, then aggregated so
+# the compared result is compact and deterministic.
+# ---------------------------------------------------------------------------
+
+@query(
+    "reshape_unpivot_measures",
+    """
+SELECT l_returnflag, measure, ROUND(SUM(value), 2) AS total
+FROM (
+    SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+)
+GROUP BY l_returnflag, measure
+""",
+)
+def reshape_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    long = lineitem.transform(
+        RS.unpivot(
+            ids=["l_returnflag"],
+            values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            var_col="measure",
+            value_col="value",
+        )
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (long→wide): inverse of R1; explicit pivot values (no discovery job).
+# ---------------------------------------------------------------------------
+
+@query(
+    "reshape_pivot_event_types",
+    """
+SELECT
+    CAST(date_trunc('month', ts) AS DATE) AS month,
+    ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+    ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+    ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+    ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+    ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+FROM events
+GROUP BY 1
+""",
+)
+def reshape_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    long = events.select(
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+        "event_type",
+        "value",
+    )
+    wide = long.transform(
+        RS.pivot(
+            ["month"],
+            "event_type",
+            F.sum("value"),
+            pivot_values=["click", "purchase", "signup", "error", "view"],
+        )
+    )
+    return wide.select(
+        "month",
+        *[F.round(F.col(c), 2).alias(c) for c in ["click", "purchase", "signup", "error", "view"]],
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1 parity: deterministic keep-first dedup (row_number over tiebreaker).
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_first_event",
+    """
+SELECT user_id, event_type, event_id, value
+FROM (
+    SELECT
+        user_id, event_type, event_id, value,
+        ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id
+        ) AS rn
+    FROM events
+)
+WHERE rn = 1
+""",
+)
+def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.transform(
+        R.dedup_keep_first(
+            ["user_id", "event_type"], [F.col("ts").asc(), F.col("event_id").asc()]
+        )
+    ).select("user_id", "event_type", "event_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (W3/W4 + filter — the reference's rank is half of this).
+# ---------------------------------------------------------------------------
+
+@query(
+    "topk_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+    SELECT
+        o_custkey, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        ) AS rn
+    FROM orders
+)
+WHERE rn <= 3
+""",
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_custkey", "o_orderkey", "o_totalprice").transform(
+        W.top_k_per_group(
+            "o_totalprice", ["o_custkey"], k=3, tiebreakers=["o_orderkey"]
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins: star-schema revenue rollup (broadcast dims), semi, anti.
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_star_revenue",
+    """
+SELECT
+    r.r_name AS region,
+    n.n_name AS nation,
+    ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    COUNT(*) AS line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+""",
+)
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact→dims rollup. orders is fact-sized → sort-merge join against
+    lineitem (AQE may demote to broadcast at small SF); customer /
+    nation / region are dims → explicit broadcast, so the lineitem side
+    is never reshuffled for them."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    joined = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return joined.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+
+
+@query(
+    "join_semi_active_customers",
+    """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+""",
+)
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.transform(R.semi_join(open_orders, ["c_custkey"])).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti_no_big_order",
+    """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+)
+""",
+)
+def join_anti_no_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no order above 450k (anti join, non-empty at all SFs)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 450000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.transform(R.anti_join(big, ["c_custkey"])).select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation: TPC-H Q1-shaped pricing summary (map-side partial aggs).
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_pricing_summary",
+    """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    ROUND(SUM(l_quantity), 2) AS sum_qty,
+    ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+    ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+    ROUND(AVG(l_quantity), 4) AS avg_qty,
+    ROUND(AVG(l_extendedprice), 4) AS avg_price,
+    ROUND(AVG(l_discount), 4) AS avg_disc,
+    COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("2024-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

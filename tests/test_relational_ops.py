@@ -1,0 +1,53 @@
+"""Tests for relational core ops against the golden long fixture
+(reference: tests/test_transform.py:62-87)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rentals_data_pipeline_spark.operators import relational as R
+
+
+def test_drop_null_rows(spark, sample_long_df):
+    out = sample_long_df.transform(R.drop_null_rows(["median_rent"]))
+    assert out.count() == 17  # 19 - 2 planted nulls
+    assert out.filter(F.col("median_rent").isNull()).count() == 0
+
+
+def test_dedup_keep_first_deterministic(spark, sample_long_df):
+    out = sample_long_df.transform(
+        R.dedup_keep_first(
+            ["RegionID", "month"], [F.col("median_rent").asc_nulls_first()]
+        )
+    )
+    assert out.count() == 18  # 19 - 1 planted duplicate
+    keys = out.select("RegionID", "month").distinct().count()
+    assert keys == 18
+
+
+def test_project_cast_drops_unknown(spark):
+    df = spark.createDataFrame(
+        [("1", "x", "extra", "9.5")], ["RegionID", "RegionName", "SizeRank", "rent"]
+    )
+    out = df.transform(
+        R.project_cast(
+            {
+                "RegionID": T.IntegerType(),
+                "RegionName": T.StringType(),
+                "rent": T.DoubleType(),
+            }
+        )
+    )
+    assert out.columns == ["RegionID", "RegionName", "rent"]
+    row = out.first()
+    assert row["RegionID"] == 1 and row["rent"] == 9.5
+
+
+def test_semi_and_anti_join(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    right = spark.createDataFrame([(1,), (3,)], ["k"])
+    semi = left.transform(R.semi_join(right, ["k"]))
+    anti = left.transform(R.anti_join(right, ["k"]))
+    assert sorted(r["k"] for r in semi.collect()) == [1, 3]
+    assert [r["k"] for r in anti.collect()] == [2]
