@@ -1,0 +1,135 @@
+"""Reference-parity pipeline: wide time-series CSV → analytics parquet.
+
+The reference's end-to-end flow (jobs/transform.py:161-181 composed of
+enforce-schema → unpivot → parse-date → clean → dedup → MoM → rank,
+then the partitioned sink jobs/io_utils.py:88-107), generalized: column
+names, id/measure columns and partition keys come from a config dict
+(reference seam: config/pipeline.yaml). Composition is ``df.transform``
+chaining — each stage a pure DataFrame function from the operator
+library.
+
+Orchestration note: the reference wraps this in a 4-task Airflow DAG
+with per-task sessions (dags/rental_pipeline_dag.py:172-175). Here the
+runner is plain Python — one session, stages composed lazily so
+Catalyst optimizes across stage boundaries (the DAG's per-task
+parquet round-trip is an orchestration choice, not an engine one).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rentals_data_pipeline_spark.operators import quality as Q
+from rentals_data_pipeline_spark.operators import relational as R
+from rentals_data_pipeline_spark.operators import reshape as RS
+from rentals_data_pipeline_spark.operators import window as W
+from rentals_data_pipeline_spark.sources.csv import read_csv_typed
+from rentals_data_pipeline_spark.sources.schema import date_like_columns
+from rentals_data_pipeline_spark.sources.sink import write_partitioned_parquet
+
+DEFAULT_CONFIG: dict = {
+    "id_columns": {"RegionID": "int", "RegionName": "string", "StateName": "string"},
+    "region_key": "RegionID",
+    "group_key": "StateName",
+    "period_col": "month",
+    "value_col": "median_rent",
+    "change_col": "rent_change_mom",
+    "rank_col": "state_rent_rank",
+    "partition_by": ["StateName", "year"],
+    "dq": {
+        "null_pct": 0.1,
+        "min_rows": 100,
+        "value_range": [0, 50000],
+        "uniqueness_keys": ["RegionID", "month"],
+    },
+}
+
+_TYPES = {"int": T.IntegerType(), "string": T.StringType(), "double": T.DoubleType()}
+
+
+def build_stages(
+    wide_columns: list[str], config: dict = DEFAULT_CONFIG
+) -> list[Callable[[DataFrame], DataFrame]]:
+    """The pipeline as a list of pure DataFrame→DataFrame stages."""
+    ids = config["id_columns"]
+    value_cols = date_like_columns(wide_columns)
+    period, value = config["period_col"], config["value_col"]
+    projection = {c: _TYPES[t] for c, t in ids.items()}
+    projection.update({c: T.DoubleType() for c in value_cols})
+    return [
+        # enforce schema: select+cast ids, all period columns → double
+        R.project_cast(projection),
+        # wide → long
+        RS.unpivot(
+            ids=list(ids), values=value_cols, var_col="period_str", value_col=value
+        ),
+        # tolerant period parse (monthly or daily headers)
+        RS.parse_period_column("period_str", out_col=period),
+        # clean before windows: null measures would pollute lag/rank
+        R.drop_null_rows([value]),
+        # deterministic keep-first dedup on the series key
+        R.dedup_keep_first(
+            [config["region_key"], period], [F.col(value).asc_nulls_first()]
+        ),
+        # signature analytics: period-over-period % change + in-group rank
+        W.pct_change(
+            value, [config["region_key"]], period, out_col=config["change_col"]
+        ),
+        W.rank_in_group(
+            value, [config["group_key"], period], out_col=config["rank_col"]
+        ),
+    ]
+
+
+def run_pipeline(df: DataFrame, config: dict = DEFAULT_CONFIG) -> DataFrame:
+    """Compose all stages over an already-loaded wide DataFrame."""
+    for stage in build_stages(df.columns, config):
+        df = df.transform(stage)
+    return df
+
+
+def default_quality_checks(config: dict = DEFAULT_CONFIG) -> list[Q.DataQualityCheck]:
+    """The reference DAG's four checks from config thresholds
+    (dags/rental_pipeline_dag.py:137-142, config/pipeline.yaml:18-22)."""
+    dq = config["dq"]
+    lo, hi = dq["value_range"]
+    return [
+        Q.null_percentage_check(config["value_col"], dq["null_pct"]),
+        Q.row_count_check(dq["min_rows"]),
+        Q.range_check(config["value_col"], lo, hi),
+        Q.uniqueness_check(dq["uniqueness_keys"], severity="warn"),
+    ]
+
+
+def run_etl(
+    spark: SparkSession,
+    input_csv: str,
+    output_path: str,
+    config: dict = DEFAULT_CONFIG,
+    min_rows: int | None = None,
+) -> dict[str, object]:
+    """Full ETL: typed ingest → transforms → partitioned sink → DQ.
+
+    Returns the DQ tally; raises DataQualityError on fail-severity
+    failures (the reference fails the Airflow task the same way,
+    dags/rental_pipeline_dag.py:115-116).
+    """
+    fixed = {c: _TYPES[t] for c, t in config["id_columns"].items()}
+    wide = read_csv_typed(spark, input_csv, fixed_fields=fixed)
+    result = run_pipeline(wide, config)
+    write_partitioned_parquet(
+        result,
+        output_path,
+        partition_by=config["partition_by"],
+        derived={"year": F.year(F.col(config["period_col"]))},
+    )
+    checks = default_quality_checks(config)
+    if min_rows is not None:  # test-size override
+        checks = [c for c in checks if not c.name.startswith("row_count")]
+        checks.append(Q.row_count_check(min_rows))
+    out = spark.read.parquet(output_path)
+    return Q.run_quality_checks(out, checks)

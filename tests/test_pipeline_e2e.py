@@ -1,0 +1,81 @@
+"""End-to-end ZORI-parity pipeline test (reference:
+tests/test_transform.py:130-154): wide CSV in → partitioned parquet out
+→ DQ pass, with the reference's property assertions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rentals_data_pipeline_spark.plans import pipeline as P
+
+WIDE_HEADER = [
+    "RegionID",
+    "SizeRank",
+    "RegionName",
+    "RegionType",
+    "StateName",
+    "2024-01",
+    "2024-02",
+    "2024-03",
+]
+WIDE_ROWS = [
+    ("102001", "1", "New York", "msa", "NY", "3450.0", "3475.0", "3520.0"),
+    ("394913", "2", "San Francisco", "msa", "CA", "3150.0", "3200.0", None),
+    ("888000", "3", "Albany", "msa", "NY", "1800.0", "1810.0", "1820.0"),
+]
+
+
+@pytest.fixture()
+def wide_csv(tmp_path):
+    lines = [",".join(WIDE_HEADER)]
+    for row in WIDE_ROWS:
+        lines.append(",".join("" if v is None else v for v in row))
+    p = tmp_path / "wide.csv"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_run_pipeline_transform_only(spark, wide_csv):
+    from rentals_data_pipeline_spark.sources.csv import read_csv_typed
+    from rentals_data_pipeline_spark.plans.pipeline import _TYPES, DEFAULT_CONFIG
+
+    fixed = {c: _TYPES[t] for c, t in DEFAULT_CONFIG["id_columns"].items()}
+    wide = read_csv_typed(spark, wide_csv, fixed_fields=fixed)
+    out = P.run_pipeline(wide)
+
+    # exact output column set (reference tests/test_transform.py:136-140)
+    assert set(out.columns) == {
+        "RegionID",
+        "RegionName",
+        "StateName",
+        "month",
+        "median_rent",
+        "rent_change_mom",
+        "state_rent_rank",
+    }
+    rows = out.collect()
+    assert len(rows) == 8  # 9 cells - 1 null
+    assert all(r["median_rent"] is not None for r in rows)
+    # key uniqueness
+    assert out.select("RegionID", "month").distinct().count() == 8
+    # first month per region has null change; NY second month = +0.72
+    by = {(r["RegionID"], str(r["month"])): r for r in rows}
+    assert by[(102001, "2024-01-01")]["rent_change_mom"] is None
+    assert by[(102001, "2024-02-01")]["rent_change_mom"] == 0.72
+    # in-state rank: NY region ranks 1, Albany 2 in every NY month
+    assert by[(102001, "2024-01-01")]["state_rent_rank"] == 1
+    assert by[(888000, "2024-01-01")]["state_rent_rank"] == 2
+
+
+def test_run_etl_end_to_end(spark, wide_csv, tmp_path):
+    out_path = str(tmp_path / "processed")
+    tally = P.run_etl(spark, wide_csv, out_path, min_rows=5)
+    assert tally["failed"] == 0
+    result = spark.read.parquet(out_path)
+    # partition columns materialized hive-style
+    assert "year" in result.columns and "StateName" in result.columns
+    assert result.count() == 8
+    # partition pruning works: reading one state dir only
+    ny = spark.read.parquet(out_path).filter(F.col("StateName") == "NY")
+    assert ny.count() == 6

@@ -1,0 +1,81 @@
+"""DQ framework tests: reference boundary semantics
+(tests/test_data_quality.py:39-153) on the generic (id, region, rent)
+fixture, executed via the single-pass agg runner."""
+
+from __future__ import annotations
+
+import pytest
+
+from rentals_data_pipeline_spark.operators import quality as Q
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["id", "region", "rent"])
+
+
+def _base_rows(n=20):
+    return [(i, f"r{i % 4}", 1000.0 + i) for i in range(n)]
+
+
+def test_null_percentage_boundaries(spark):
+    rows = _base_rows(19) + [(99, "rx", None)]  # 1/20 = 5% nulls
+    ok = Q.run_quality_checks(_df(spark, rows), [Q.null_percentage_check("rent", 0.10)])
+    assert ok["passed"] == 1
+
+    rows = _base_rows(17) + [(97, "a", None), (98, "b", None), (99, "c", None)]  # 15%
+    with pytest.raises(Q.DataQualityError, match="null_percentage_rent"):
+        Q.run_quality_checks(_df(spark, rows), [Q.null_percentage_check("rent", 0.10)])
+
+
+def test_null_check_empty_df_passes(spark):
+    df = _df(spark, _base_rows(1)).filter("id < 0")
+    ok = Q.run_quality_checks(df, [Q.null_percentage_check("rent", 0.10)])
+    assert ok["passed"] == 1
+
+
+def test_row_count(spark):
+    assert (
+        Q.run_quality_checks(_df(spark, _base_rows(20)), [Q.row_count_check(10)])[
+            "passed"
+        ]
+        == 1
+    )
+    with pytest.raises(Q.DataQualityError):
+        Q.run_quality_checks(_df(spark, _base_rows(5)), [Q.row_count_check(10)])
+
+
+def test_range_inclusive_bounds_and_nulls_pass(spark):
+    rows = [(1, "a", 0.0), (2, "b", 50000.0), (3, "c", None)]
+    ok = Q.run_quality_checks(_df(spark, rows), [Q.range_check("rent", 0, 50000)])
+    assert ok["passed"] == 1
+    for bad in (-100.0, 50001.0):
+        with pytest.raises(Q.DataQualityError, match="range_rent"):
+            Q.run_quality_checks(
+                _df(spark, [(1, "a", bad)]), [Q.range_check("rent", 0, 50000)]
+            )
+
+
+def test_uniqueness_warns_without_raising(spark):
+    rows = [(1, "a", 1.0), (1, "b", 2.0), (2, "c", 3.0)]
+    res = Q.run_quality_checks(_df(spark, rows), [Q.uniqueness_check(["id"])])
+    assert res["warnings"] == 1 and res["failed"] == 0
+
+
+def test_runner_no_short_circuit_and_tally(spark):
+    df = _df(spark, _base_rows(5))
+    checks = [
+        Q.row_count_check(10),  # fails
+        Q.range_check("rent", 0, 50000),  # passes — must still run
+        Q.uniqueness_check(["id"]),  # passes
+    ]
+    with pytest.raises(Q.DataQualityError, match="1 DQ check"):
+        Q.run_quality_checks(df, checks)
+
+
+def test_custom_check_fn_escape_hatch(spark):
+    df = _df(spark, _base_rows(5))
+    custom = Q.DataQualityCheck(
+        name="has_region_r0",
+        check_fn=lambda d: d.filter("region = 'r0'").count() > 0,
+    )
+    assert Q.run_quality_checks(df, [custom])["passed"] == 1
