@@ -18,6 +18,7 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from rentals_data_pipeline_spark.plans import catalog  # noqa: E402
+from rentals_data_pipeline_spark.plans import relational_queries  # noqa: E402, F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

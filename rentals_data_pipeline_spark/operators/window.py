@@ -25,6 +25,8 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from rentals_data_pipeline_spark.functions.rounding import round_half_up
+
 Op = Callable[[DataFrame], DataFrame]
 
 
@@ -44,7 +46,7 @@ def pct_change(
         w = Window.partitionBy(*partition_by).orderBy(order_by)
         prev = F.lag(F.col(value_col), periods).over(w)
         prev = F.nullif(prev, F.lit(0))
-        change = F.round((F.col(value_col) - prev) / prev * 100.0, scale)
+        change = round_half_up((F.col(value_col) - prev) / prev * 100.0, scale)
         return df.withColumn(out_col, change)
 
     return _apply
@@ -91,7 +93,7 @@ def rolling(
         )
         col = agg(F.col(value_col)).over(w)
         if scale is not None:
-            col = F.round(col, scale)
+            col = round_half_up(col, scale)
         return df.withColumn(out_col, col)
 
     return _apply
@@ -115,7 +117,7 @@ def cumulative(
         )
         col = agg(F.col(value_col)).over(w)
         if scale is not None:
-            col = F.round(col, scale)
+            col = round_half_up(col, scale)
         return df.withColumn(out_col, col)
 
     return _apply

@@ -18,6 +18,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from rentals_data_pipeline_spark.functions.rounding import round_half_up as RND
+
 from rentals_data_pipeline_spark.operators import relational as R
 from rentals_data_pipeline_spark.operators import reshape as RS
 from rentals_data_pipeline_spark.operators import window as W
@@ -57,7 +59,7 @@ WITH daily AS (
     SELECT
         event_type,
         CAST(date_trunc('day', ts) AS DATE) AS day,
-        ROUND(AVG(value), 4) AS avg_value
+        FLOOR((AVG(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
     FROM events
     GROUP BY 1, 2
 )
@@ -65,10 +67,7 @@ SELECT
     event_type,
     day,
     avg_value,
-    ROUND(
-        (avg_value - LAG(avg_value) OVER w) / NULLIF(LAG(avg_value) OVER w, 0) * 100,
-        2
-    ) AS pct_change,
+    FLOOR(((avg_value - LAG(avg_value) OVER w) / NULLIF(LAG(avg_value) OVER w, 0) * 100) * 100.0 + 0.5) / 100.0 AS pct_change,
     CAST(RANK() OVER (PARTITION BY day ORDER BY avg_value DESC) AS INTEGER)
         AS day_rank
 FROM daily
@@ -83,7 +82,7 @@ def daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy(
         "event_type",
         F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
-    ).agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    ).agg(RND(F.avg("value"), 4).alias("avg_value"))
 
 
 @query("flagship_events_daily", _FLAGSHIP_ORACLE)
@@ -111,7 +110,7 @@ WITH daily AS (
     SELECT
         user_id,
         CAST(date_trunc('day', ts) AS DATE) AS day,
-        ROUND(SUM(value), 4) AS total_value
+        FLOOR((SUM(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
     FROM events
     GROUP BY 1, 2
 )
@@ -119,11 +118,8 @@ SELECT
     user_id,
     day,
     total_value,
-    ROUND(
-        (total_value - LAG(total_value) OVER w) / NULLIF(LAG(total_value) OVER w, 0)
-            * 100,
-        2
-    ) AS pct_change
+    FLOOR(((total_value - LAG(total_value) OVER w) / NULLIF(LAG(total_value) OVER w, 0)
+            * 100) * 100.0 + 0.5) / 100.0 AS pct_change
 FROM daily
 WINDOW w AS (PARTITION BY user_id ORDER BY day)
 """,
@@ -133,7 +129,7 @@ def window_period_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     daily = events.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
-    ).agg(F.round(F.sum("value"), 4).alias("total_value"))
+    ).agg(RND(F.sum("value"), 4).alias("total_value"))
     return daily.transform(
         W.pct_change("total_value", ["user_id"], "day", out_col="pct_change")
     )
@@ -188,7 +184,7 @@ WITH daily AS (
     SELECT
         event_type,
         CAST(date_trunc('day', ts) AS DATE) AS day,
-        ROUND(AVG(value), 4) AS avg_value
+        FLOOR((AVG(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
     FROM events
     GROUP BY 1, 2
 )
@@ -196,13 +192,10 @@ SELECT
     event_type,
     day,
     avg_value,
-    ROUND(
-        AVG(avg_value) OVER (
+    FLOOR((AVG(avg_value) OVER (
             PARTITION BY event_type ORDER BY day
             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-        ),
-        2
-    ) AS rolling_3d
+        )) * 100.0 + 0.5) / 100.0 AS rolling_3d
 FROM daily
 """,
 )
@@ -222,7 +215,7 @@ WITH daily AS (
     SELECT
         user_id,
         CAST(date_trunc('day', ts) AS DATE) AS day,
-        ROUND(SUM(value), 4) AS day_value
+        FLOOR((SUM(value)) * 10000.0 + 0.5) / 10000.0 AS day_value
     FROM events
     GROUP BY 1, 2
 )
@@ -230,13 +223,10 @@ SELECT
     user_id,
     day,
     day_value,
-    ROUND(
-        SUM(day_value) OVER (
+    FLOOR((SUM(day_value) OVER (
             PARTITION BY user_id ORDER BY day
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ),
-        2
-    ) AS running_total
+        )) * 100.0 + 0.5) / 100.0 AS running_total
 FROM daily
 """,
 )
@@ -244,7 +234,7 @@ def window_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     daily = events.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
-    ).agg(F.round(F.sum("value"), 4).alias("day_value"))
+    ).agg(RND(F.sum("value"), 4).alias("day_value"))
     return daily.transform(
         W.cumulative("day_value", ["user_id"], "day", out_col="running_total")
     )
@@ -258,7 +248,7 @@ def window_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "reshape_unpivot_measures",
     """
-SELECT l_returnflag, measure, ROUND(SUM(value), 2) AS total
+SELECT l_returnflag, measure, FLOOR((SUM(value)) * 100.0 + 0.5) / 100.0 AS total
 FROM (
     SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
     UNION ALL
@@ -282,7 +272,7 @@ def reshape_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return long.groupBy("l_returnflag", "measure").agg(
-        F.round(F.sum("value"), 2).alias("total")
+        RND(F.sum("value"), 2).alias("total")
     )
 
 
@@ -295,11 +285,11 @@ def reshape_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT
     CAST(date_trunc('month', ts) AS DATE) AS month,
-    ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
-    ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
-    ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
-    ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
-    ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+    FLOOR((SUM(CASE WHEN event_type = 'click' THEN value END)) * 100.0 + 0.5) / 100.0 AS click,
+    FLOOR((SUM(CASE WHEN event_type = 'purchase' THEN value END)) * 100.0 + 0.5) / 100.0 AS purchase,
+    FLOOR((SUM(CASE WHEN event_type = 'signup' THEN value END)) * 100.0 + 0.5) / 100.0 AS signup,
+    FLOOR((SUM(CASE WHEN event_type = 'error' THEN value END)) * 100.0 + 0.5) / 100.0 AS error,
+    FLOOR((SUM(CASE WHEN event_type = 'view' THEN value END)) * 100.0 + 0.5) / 100.0 AS view
 FROM events
 GROUP BY 1
 """,
@@ -321,7 +311,7 @@ def reshape_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return wide.select(
         "month",
-        *[F.round(F.col(c), 2).alias(c) for c in ["click", "purchase", "signup", "error", "view"]],
+        *[RND(F.col(c), 2).alias(c) for c in ["click", "purchase", "signup", "error", "view"]],
     )
 
 
@@ -391,7 +381,7 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
     r.r_name AS region,
     n.n_name AS nation,
-    ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
     COUNT(*) AS line_count
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -433,7 +423,7 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         F.col("r_name").alias("region"), F.col("n_name").alias("nation")
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        RND(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "revenue"
         ),
         F.count(F.lit(1)).alias("line_count"),
@@ -491,13 +481,13 @@ def join_anti_no_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
     l_returnflag,
     l_linestatus,
-    ROUND(SUM(l_quantity), 2) AS sum_qty,
-    ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-    ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-    ROUND(AVG(l_quantity), 4) AS avg_qty,
-    ROUND(AVG(l_extendedprice), 4) AS avg_price,
-    ROUND(AVG(l_discount), 4) AS avg_disc,
+    FLOOR((SUM(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+    FLOOR((SUM(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+    FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+    FLOOR((SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
+    FLOOR((AVG(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+    FLOOR((AVG(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+    FLOOR((AVG(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
     COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2024-09-02'
@@ -511,13 +501,13 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.filter(F.col("l_shipdate") <= F.lit("2024-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            RND(F.sum("l_quantity"), 2).alias("sum_qty"),
+            RND(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            RND(F.sum(disc_price), 2).alias("sum_disc_price"),
+            RND(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            RND(F.avg("l_quantity"), 4).alias("avg_qty"),
+            RND(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            RND(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

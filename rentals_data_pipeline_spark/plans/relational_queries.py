@@ -1,0 +1,401 @@
+"""M3 catalog batch: general relational completeness.
+
+Everything the reference lacks but a user of a general engine needs
+(SURVEY §2.4-2.9 "free in Spark" rows, made concrete and oracle-checked):
+rollup/cube/grouping-sets, set ops, scalar string/date/JSON suites,
+range (theta) joins, full outer joins, global sort+limit, HAVING,
+CASE bucketing, distinct counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rentals_data_pipeline_spark.functions.rounding import round_half_up as RND
+
+from rentals_data_pipeline_spark.plans.catalog import query
+from rentals_data_pipeline_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional aggregation: rollup / cube / grouping sets.
+# grouping_id bit order matches DuckDB's GROUPING(a, b) bitmask.
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_rollup_orders",
+    """
+SELECT
+    o_orderstatus,
+    o_orderpriority,
+    COUNT(*) AS n_orders,
+    FLOOR((SUM(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_price,
+    CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        RND(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+@query(
+    "agg_cube_lineitem",
+    """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    FLOOR((SUM(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+    COUNT(*) AS n_lines,
+    CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        RND(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+@query(
+    "agg_grouping_sets_orders",
+    """
+SELECT
+    o_orderstatus,
+    o_orderpriority,
+    COUNT(*) AS n_orders,
+    CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def agg_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping sets via Spark SQL over a temp view (the SQL
+    entry path — reference used selectExpr for its SQL fragment)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT
+            o_orderstatus,
+            o_orderpriority,
+            COUNT(*) AS n_orders,
+            CAST(grouping_id() AS INT) AS gid
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: union / intersect / except, tagged into one result.
+# ---------------------------------------------------------------------------
+
+@query(
+    "setops_customer_cohorts",
+    """
+WITH rich AS (
+    SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+),
+active AS (
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT 'union' AS cohort, c_custkey FROM (SELECT * FROM rich UNION SELECT * FROM active)
+UNION ALL
+SELECT 'intersect', c_custkey FROM (SELECT * FROM rich INTERSECT SELECT * FROM active)
+UNION ALL
+SELECT 'except', c_custkey FROM (SELECT * FROM rich EXCEPT SELECT * FROM active)
+""",
+)
+def setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rich = customer.filter(F.col("c_acctbal") > 7000).select("c_custkey")
+    active = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    tag = lambda df, t: df.select(F.lit(t).alias("cohort"), "c_custkey")  # noqa: E731
+    return (
+        tag(rich.union(active).distinct(), "union")
+        .unionByName(tag(rich.intersect(active), "intersect"))
+        .unionByName(tag(rich.exceptAll(active.intersect(rich)), "except"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar suites: strings (part), dates (orders), JSON (events.props).
+# ---------------------------------------------------------------------------
+
+@query(
+    "scalar_string_suite",
+    """
+SELECT
+    p_partkey,
+    UPPER(p_name) AS name_upper,
+    CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+    string_split(p_name, ' ')[1] AS first_word,
+    CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INTEGER) AS brand_num,
+    concat_ws('|', p_type, p_brand) AS type_brand,
+    REPLACE(p_name, ' ', '_') AS name_snake,
+    SUBSTRING(p_name, 1, 4) AS name_prefix,
+    CAST(strpos(p_name, 'widget') AS INTEGER) AS widget_pos
+FROM part
+""",
+)
+def scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int").alias("brand_num"),
+        F.concat_ws("|", "p_type", "p_brand").alias("type_brand"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.instr(F.col("p_name"), "widget").cast("int").alias("widget_pos"),
+    )
+
+
+@query(
+    "scalar_date_suite",
+    """
+SELECT
+    o_orderkey,
+    CAST(o_orderdate AS DATE) AS order_date,
+    CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+    CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
+    CAST(DAY(o_orderdate) AS INTEGER) AS dy,
+    CAST(QUARTER(o_orderdate) AS INTEGER) AS qtr,
+    CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INTEGER) AS dow,
+    CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS iso_week,
+    last_day(CAST(o_orderdate AS DATE)) AS month_end,
+    CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus_30d,
+    CAST(date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+        AS days_since_2024
+FROM orders
+""",
+)
+def scalar_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.year(d).cast("int").alias("yr"),
+        F.month(d).cast("int").alias("mo"),
+        F.dayofmonth(d).cast("int").alias("dy"),
+        F.quarter(d).cast("int").alias("qtr"),
+        # Spark: Sunday=1 … DuckDB: Sunday=0 — normalize to DuckDB's
+        (F.dayofweek(d) - 1).cast("int").alias("dow"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d, 30).alias("plus_30d"),
+        F.datediff(d, F.lit("2024-01-01").cast("date")).cast("int").alias(
+            "days_since_2024"
+        ),
+    )
+
+
+@query(
+    "scalar_json_extract",
+    """
+SELECT
+    event_type,
+    COUNT(*) AS n_events,
+    FLOOR((AVG(CAST(json_extract_string(props, '$.k') AS INTEGER))) * 10000.0 + 0.5) / 10000.0 AS avg_k,
+    MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the events.props string column —
+    stays JVM-side (get_json_object), no Python in the hot path."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        RND(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (theta) join: events → value bands via a broadcast tiny dim.
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_range_value_bands",
+    """
+SELECT b.band, COUNT(*) AS n_events, FLOOR((SUM(e.value)) * 100.0 + 0.5) / 100.0 AS total_value
+FROM events e
+JOIN (
+    VALUES ('low', 0.0, 50.0), ('mid', 50.0, 100.0),
+           ('high', 100.0, 250.0), ('extreme', 250.0, 1e9)
+) AS b(band, lo, hi)
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+""",
+)
+def join_range_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join against a 4-row bands dim — broadcast nested loop; the
+    fact side streams in place (never shuffled) at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 100.0), ("high", 100.0, 250.0), ("extreme", 250.0, 1e9)],
+        ["band", "lo", "hi"],
+    )
+    joined = events.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        RND(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join: per-user purchase vs click daily totals.
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_full_outer_user_activity",
+    """
+WITH p AS (
+    SELECT user_id, FLOOR((SUM(value)) * 100.0 + 0.5) / 100.0 AS purchase_total
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+c AS (
+    SELECT user_id, FLOOR((SUM(value)) * 100.0 + 0.5) / 100.0 AS click_total
+    FROM events WHERE event_type = 'click' GROUP BY user_id
+)
+SELECT
+    COALESCE(p.user_id, c.user_id) AS user_id,
+    p.purchase_total,
+    c.click_total
+FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
+""",
+)
+def join_full_outer_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def per_type(t: str, out: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == t)
+            .groupBy("user_id")
+            .agg(RND(F.sum("value"), 2).alias(out))
+        )
+
+    p = per_type("purchase", "purchase_total")
+    c = per_type("click", "click_total").withColumnRenamed("user_id", "c_user_id")
+    return p.join(c, p.user_id == c.c_user_id, "full_outer").select(
+        F.coalesce(p.user_id, c.c_user_id).alias("user_id"),
+        "purchase_total",
+        "click_total",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global sort + limit, HAVING, CASE bucketing, distinct counts.
+# ---------------------------------------------------------------------------
+
+@query(
+    "sort_global_top10_orders",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def sort_global_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark plans TakeOrderedAndProject — per-partition
+    heap + driver merge of N, never a full global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "agg_having_frequent_customers",
+    """
+SELECT o_custkey, COUNT(*) AS n_orders, FLOOR((SUM(o_totalprice)) * 100.0 + 0.5) / 100.0 AS lifetime_value
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) > 2
+""",
+)
+def agg_having_frequent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            RND(F.sum("o_totalprice"), 2).alias("lifetime_value"),
+        )
+        .filter(F.col("n_orders") > 2)
+    )
+
+
+@query(
+    "agg_case_bucketing",
+    """
+SELECT
+    CASE
+        WHEN c_acctbal < 0 THEN 'negative'
+        WHEN c_acctbal < 5000 THEN 'low'
+        ELSE 'high'
+    END AS bal_bucket,
+    COUNT(*) AS n_customers,
+    FLOOR((AVG(c_acctbal)) * 10000.0 + 0.5) / 10000.0 AS avg_bal
+FROM customer
+GROUP BY 1
+""",
+)
+def agg_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return customer.groupBy(bucket.alias("bal_bucket")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        RND(F.avg("c_acctbal"), 4).alias("avg_bal"),
+    )
+
+
+@query(
+    "agg_distinct_counts",
+    """
+SELECT
+    o_orderstatus,
+    COUNT(DISTINCT o_custkey) AS n_customers,
+    COUNT(DISTINCT o_orderpriority) AS n_priorities,
+    COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count_distinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
