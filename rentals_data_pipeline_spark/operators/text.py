@@ -1,0 +1,146 @@
+"""Text analysis for LLM-data pipelines — all JVM-side built-ins.
+
+Operators over a ``documents``-shaped table (doc_id, text, …): token
+counting (whitespace + BPE-ish regex), quality scoring, stopword-based
+language ID, and content fingerprinting (exact, bag-of-words, min-hash
+shingle). Everything here is built-in ``pyspark.sql.functions``
+expressions — string/array higher-order functions, no Python UDFs — so
+the hot path stays in whole-stage codegen at 100 TB.
+
+The mandated extension surface (BASELINE.json "text analysis"); no
+reference counterpart (the reference has zero string functions,
+SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rentals_data_pipeline_spark.functions.rounding import round_half_up
+
+Op = Callable[[DataFrame], DataFrame]
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small: the heuristic must be cheap and fully
+# expressible in both Spark and ANSI SQL (the oracle recomputes it).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en", "un"],
+    "de": ["der", "die", "das", "und", "ist", "von"],
+    "fr": ["le", "les", "des", "et", "du", "une", "dans"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    return F.split(col, r"\s+")
+
+
+def token_stats(text_col: str = "text") -> Op:
+    """Token counts: whitespace tokens, distinct tokens, BPE-ish
+    subword-unit count, average token length."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        n = F.size(toks)
+        return (
+            df.withColumn("n_tokens", n.cast("long"))
+            .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)).cast("long"))
+            .withColumn(
+                "n_bpe_units",
+                F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN)).cast("long"),
+            )
+            .withColumn(
+                "avg_token_len",
+                round_half_up(
+                    F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+                    / F.nullif(n, F.lit(0)),
+                    4,
+                ),
+            )
+        )
+
+    return _apply
+
+
+def quality_score(text_col: str = "text", out_col: str = "quality") -> Op:
+    """Heuristic document quality in [0,1]: length signal + lexical
+    diversity (type-token ratio) + English stopword density. The same
+    arithmetic is reproduced in the oracle SQL, so the formula uses
+    only +,*,/ and min."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        n = F.size(toks).cast("double")
+        ttr = F.size(F.array_distinct(toks)) / F.nullif(n, F.lit(0.0))
+        sw = F.size(
+            F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))
+        ) / F.nullif(n, F.lit(0.0))
+        length_sig = F.least(n / F.lit(100.0), F.lit(1.0))
+        score = 0.4 * length_sig + 0.3 * ttr + 0.3 * sw
+        return df.withColumn(out_col, round_half_up(score, 4))
+
+    return _apply
+
+
+def language_id(text_col: str = "text", out_col: str = "lang_pred") -> Op:
+    """Stopword-density language ID. Scores each candidate language by
+    the fraction of tokens in its stopword list; argmax wins with a
+    deterministic preference order on ties (en > es > de > fr)."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        n = F.nullif(F.size(toks).cast("double"), F.lit(0.0))
+
+        def in_set(ws: list[str]):
+            return lambda t: t.isin(*ws)
+
+        scores = {
+            lang: F.size(F.filter(toks, in_set(ws))) / n
+            for lang, ws in STOPWORDS.items()
+        }
+        best = F.greatest(*scores.values())
+        pred = F.lit("unknown")
+        # reversed so earlier languages win ties (last when() wins in
+        # a chain built outward-in)
+        for lang in reversed(list(STOPWORDS)):
+            pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+        pred = F.when(best > 0, pred).otherwise(F.lit("unknown"))
+        return df.withColumn(out_col, pred)
+
+    return _apply
+
+
+def fingerprints(text_col: str = "text", shingle_k: int = 8) -> Op:
+    """Three content fingerprints:
+
+    - ``fp_exact``: md5 of the raw text (exact-dup key).
+    - ``fp_bow``: md5 of the sorted distinct token bag — order-
+      insensitive near-dup key (same words, any order).
+    - ``fp_minshingle``: lexicographic min of md5 over all k-char
+      shingles — a 1-hash MinHash (rolling-hash family); equal texts
+      always agree, near-identical texts agree with prob ≈ Jaccard.
+
+    md5 (not xxhash) so the ANSI oracle reproduces values exactly.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        bow = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+        shingles = F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - {shingle_k - 1}, 1)),"
+            f" i -> md5(substring({text_col}, i, {shingle_k})))"
+        )
+        return (
+            df.withColumn("fp_exact", F.md5(F.col(text_col)))
+            .withColumn("fp_bow", F.md5(bow))
+            .withColumn("fp_minshingle", F.array_min(shingles))
+        )
+
+    return _apply

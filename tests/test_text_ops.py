@@ -1,0 +1,66 @@
+"""Golden-value unit tests for the text-analysis operators.
+
+Hand-computed expectations in the reference's golden style
+(reference tests/test_transform.py:90-108).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rentals_data_pipeline_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        ("d1", "the cat sat on the mat"),          # 6 tokens, 5 distinct
+        ("d2", "el gato y la casa de que"),        # spanish stopwords
+        ("d3", "zzz qqq xxx"),                     # no stopwords anywhere
+        ("d4", "a b a b a b"),                     # repetition
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_stats_golden(docs_df):
+    out = {r["doc_id"]: r for r in docs_df.transform(TX.token_stats()).collect()}
+    assert out["d1"]["n_tokens"] == 6
+    assert out["d1"]["n_distinct_tokens"] == 5
+    # "the cat sat on the mat" -> 6 letter-runs, no digits/punct
+    assert out["d1"]["n_bpe_units"] == 6
+    # chars without spaces = 17, / 6 tokens = 2.8333
+    assert out["d1"]["avg_token_len"] == pytest.approx(2.8333)
+    assert out["d4"]["n_distinct_tokens"] == 2
+
+
+def test_quality_score_golden(docs_df):
+    out = {r["doc_id"]: r for r in docs_df.transform(TX.quality_score()).collect()}
+    # d1: n=6, ttr=5/6, sw=2/6 ("the" twice) ->
+    # 0.4*min(6/100,1) + 0.3*(5/6) + 0.3*(2/6) = 0.024 + 0.25 + 0.1
+    assert out["d1"]["quality"] == pytest.approx(0.374)
+    # d3: n=3, ttr=1, sw=0 -> 0.4*0.03 + 0.3 = 0.312
+    assert out["d3"]["quality"] == pytest.approx(0.312)
+
+
+def test_language_id(docs_df):
+    out = {r["doc_id"]: r["lang_pred"] for r in docs_df.transform(TX.language_id()).collect()}
+    assert out["d1"] == "en"
+    assert out["d2"] == "es"
+    assert out["d3"] == "unknown"
+
+
+def test_fingerprints_dup_detection(spark):
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "the quick brown fox jumps over the lazy dog"),   # exact dup of a
+        ("c", "dog lazy the over jumps fox brown quick the"),   # same bag of words
+        ("d", "completely different text with other words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in df.transform(TX.fingerprints()).collect()}
+    assert out["a"]["fp_exact"] == out["b"]["fp_exact"]
+    assert out["a"]["fp_exact"] != out["c"]["fp_exact"]
+    assert out["a"]["fp_bow"] == out["c"]["fp_bow"]
+    assert out["a"]["fp_bow"] != out["d"]["fp_bow"]
+    # exact dups always share the min-shingle fingerprint
+    assert out["a"]["fp_minshingle"] == out["b"]["fp_minshingle"]
