@@ -1,0 +1,181 @@
+"""Catalog queries for the near-dup dedup extension (documents table).
+
+Every Spark query here runs the *scale path* (LSH banding / pigeonhole
+blocking — candidate generation by equi-join, never an O(n²) cross
+join), while the DuckDB oracle computes the same answer exhaustively.
+A hash match therefore certifies both the fingerprint math AND the
+candidate-generation recall:
+
+- MinHash banding (16 bands × 2 rows over 32 hashes): miss probability
+  for a Jaccard-0.9 pair is (1 - 0.9²)^16 < 4e-12 — statistically exact
+  at any test SF.
+- SimHash pigeonhole blocking (4 blocks of 8 bits, distance ≤ 1 ≤
+  blocks-1): recall exactly 1 by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from rentals_data_pipeline_spark.functions.rounding import round_half_up as RND
+from rentals_data_pipeline_spark.operators import dedup as DD
+from rentals_data_pipeline_spark.plans.catalog import query
+from rentals_data_pipeline_spark.sources.tables import load_table
+
+# DuckDB fragment: distinct word-3-gram shingle set per document.
+_ORACLE_SHINGLES = """
+d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+g AS (
+    SELECT doc_id,
+        CASE WHEN len(w) >= 3
+             THEN list_distinct(list_transform(
+                      generate_series(1, len(w) - 2),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+             ELSE [] END AS s
+    FROM d
+)
+"""
+
+# DuckDB fragment: 32-bit simhash per document (same md5-nibble family
+# as operators/dedup.py::simhash).
+_ORACLE_SIMHASH = """
+tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+    FROM documents
+),
+bits AS (
+    SELECT doc_id, i,
+        SUM(CASE WHEN substr(md5(w), i, 1)
+                 IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS sgn
+    FROM tok, generate_series(1, 32) AS t(i)
+    GROUP BY doc_id, i
+),
+sim AS (
+    SELECT doc_id,
+        string_agg(CASE WHEN sgn >= 0 THEN '1' ELSE '0' END, '' ORDER BY i)
+            AS simhash
+    FROM bits
+    GROUP BY doc_id
+)
+"""
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    f"""
+WITH {_ORACLE_SHINGLES},
+p AS (
+    SELECT
+        a.doc_id AS id_a,
+        b.doc_id AS id_b,
+        FLOOR((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0))
+              * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM p WHERE jaccard > 0.5
+""",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (word-3-gram Jaccard > 0.5) via MinHash + LSH
+    banding; the oracle brute-forces all O(n²) pairs, so a hash match
+    also certifies LSH recall."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.transform(DD.minhash_near_dup_pairs(threshold=0.5))
+
+
+@query(
+    "dedup_simhash_fingerprints",
+    f"""
+WITH {_ORACLE_SIMHASH}
+SELECT doc_id, simhash FROM sim
+""",
+)
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (term-frequency-weighted sign-of-sums
+    over md5 nibble bits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", DD.simhash(F.col("text"), 32).alias("simhash"))
+
+
+@query(
+    "dedup_simhash_hamming_pairs",
+    f"""
+WITH {_ORACLE_SIMHASH},
+p AS (
+    SELECT
+        a.doc_id AS id_a,
+        b.doc_id AS id_b,
+        CAST(len(list_filter(generate_series(1, 32),
+                 i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1)))
+             AS INT) AS hamming_distance
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming_distance FROM p WHERE hamming_distance <= 1
+""",
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs within SimHash Hamming distance 1, candidates by pigeonhole
+    blocking (4 × 8-bit blocks → recall exactly 1 for distance ≤ 3);
+    oracle brute-forces all pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.transform(
+        DD.simhash_hamming_pairs(nbits=32, blocks=4, max_distance=1)
+    ).withColumn("hamming_distance", F.col("hamming_distance").cast("int"))
+
+
+@query(
+    "dedup_ngram_jaccard_topk",
+    f"""
+WITH {_ORACLE_SHINGLES},
+probe AS (SELECT doc_id, s FROM g WHERE doc_id % 100 = 0),
+scored AS (
+    SELECT
+        p.doc_id AS probe_id,
+        c.doc_id AS match_id,
+        FLOOR((CAST(len(list_intersect(p.s, c.s)) AS DOUBLE)
+               / NULLIF(len(list_distinct(list_concat(p.s, c.s))), 0))
+              * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM probe p JOIN g c ON p.doc_id <> c.doc_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY probe_id ORDER BY jaccard DESC, match_id) AS rn
+    FROM scored
+)
+SELECT probe_id, match_id, jaccard FROM ranked WHERE rn <= 3
+""",
+)
+def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-similar documents (3-gram Jaccard) for each probe doc
+    (doc_id % 100 = 0). The probe set is tiny → broadcast against the
+    corpus, so the 'pairwise' scan is |probes| × |corpus|, not n²."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "doc_id", DD.token_ngram_set(F.col("text"), 3).alias("s")
+    )
+    probes = shingled.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("probe_id"), F.col("s").alias("probe_s")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(
+            shingled.select(F.col("doc_id").alias("match_id"), F.col("s")),
+            F.col("probe_id") != F.col("match_id"),
+        )
+        .select(
+            "probe_id",
+            "match_id",
+            RND(DD.jaccard(F.col("probe_s"), F.col("s")), 4).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("jaccard").desc(), F.col("match_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
