@@ -21,6 +21,7 @@ from rentals_data_pipeline_spark.plans import catalog  # noqa: E402
 from rentals_data_pipeline_spark.plans import relational_queries  # noqa: E402, F401
 from rentals_data_pipeline_spark.plans import text_queries  # noqa: E402, F401
 from rentals_data_pipeline_spark.plans import dedup_queries  # noqa: E402, F401
+from rentals_data_pipeline_spark.plans import similarity_queries  # noqa: E402, F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

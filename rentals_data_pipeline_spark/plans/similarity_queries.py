@@ -1,0 +1,137 @@
+"""Catalog queries for similarity search (embeddings table).
+
+``sim_cosine_topk`` and ``sim_embedding_near_dup_pairs`` are
+oracle-paired: DuckDB recomputes cosine from the same double-cast
+vectors (`list_dot_product` over DOUBLE[]), values rounded identically
+on both sides, ranking done on the rounded value with an id tiebreaker
+so the top-k frontier can't flip on sub-rounding float drift.
+
+``sim_srp_lsh_recall`` has no SQL oracle (the hyperplane constants +
+banding make the SQL unwieldy); it returns deterministic recall stats
+of the SRP-LSH candidate generator against in-Spark brute-force truth,
+golden-tested in tests/test_similarity_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rentals_data_pipeline_spark.functions.rounding import round_half_up as RND
+from rentals_data_pipeline_spark.operators import similarity as SIM
+from rentals_data_pipeline_spark.plans.catalog import query
+from rentals_data_pipeline_spark.sources.tables import load_table
+
+_ORACLE_COSINE_PAIRS = """
+e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+)
+"""
+
+
+@query(
+    "sim_cosine_topk",
+    f"""
+WITH {_ORACLE_COSINE_PAIRS},
+probe AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % 50 = 0),
+scored AS (
+    SELECT
+        p.probe_id,
+        c.vec_id AS match_id,
+        FLOOR((list_dot_product(p.pv, c.v)
+               / NULLIF(sqrt(list_dot_product(p.pv, p.pv))
+                        * sqrt(list_dot_product(c.v, c.v)), 0))
+              * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM probe p JOIN e c ON p.probe_id <> c.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY probe_id ORDER BY cosine DESC, match_id) AS rn
+    FROM scored
+)
+SELECT probe_id, match_id, cosine FROM ranked WHERE rn <= 5
+""",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: top-5 cosine neighbors for each probe vector
+    (vec_id % 50 = 0). Probes broadcast → single corpus scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("match_vec")
+    )
+    return SIM.brute_force_topk(probes, corpus, k=5)
+
+
+@query(
+    "sim_embedding_near_dup_pairs",
+    f"""
+WITH {_ORACLE_COSINE_PAIRS},
+p AS (
+    SELECT
+        a.vec_id AS id_a,
+        b.vec_id AS id_b,
+        FLOOR((list_dot_product(a.v, b.v)
+               / NULLIF(sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v)), 0))
+              * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine > 0.4
+""",
+)
+def sim_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine > 0.4), exact. The pair
+    join ships only (id, vector) — at 100 TB this runs per SRP bucket
+    (see sim_srp_lsh_recall) rather than all-pairs; here the corpus side
+    is ranged-joined on id to halve the pair space."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            RND(
+                SIM.cosine(SIM.as_double(F.col("va")), SIM.as_double(F.col("vb"))), 4
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") > 0.4)
+    )
+
+
+@query("sim_srp_lsh_recall")  # no SQL oracle: hyperplane constants; golden-tested
+def sim_srp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of SRP-LSH candidate generation (128 planes, 16 bands × 8)
+    against the exact cosine > 0.4 pair set: one row
+    (true_pairs, candidate_pairs, hits, recall). Deterministic —
+    hyperplanes are md5-derived, no RNG.
+
+    Config note: 16 bands of 8 sign bits is the production shape — for
+    true near-dups (cosine ≥ 0.9, θ ≤ 26°) recall is
+    1-(1-0.856^8)^16 ≈ 0.995 with a ~6% random-pair candidate rate.
+    This synthetic corpus has no pairs above cosine 0.51, so the
+    measured recall here exercises the far-pair regime (θ ≈ 66°) where
+    any LSH family is intentionally weak — the golden test pins the
+    deterministic value, not a quality bar."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = sim_embedding_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    cand = SIM.srp_lsh_candidate_pairs(emb, "vec_id", "embedding", 128, 8)
+    hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("true_pairs"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("candidate_pairs")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("hits")))
+        .select(
+            "true_pairs",
+            "candidate_pairs",
+            "hits",
+            RND(F.col("hits") / F.nullif(F.col("true_pairs"), F.lit(0)), 4).alias(
+                "recall"
+            ),
+        )
+    )

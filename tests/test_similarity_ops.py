@@ -1,0 +1,66 @@
+"""Unit + golden tests for the similarity-search operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rentals_data_pipeline_spark.operators import similarity as SIM
+from rentals_data_pipeline_spark.plans import similarity_queries as SQ
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_cosine_kernel_golden(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 1.0]), ([1.0, 2.0], [2.0, 4.0]), ([1.0, 0.0], [0.0, 1.0])],
+        ["a", "b"],
+    )
+    vals = [r[0] for r in df.select(SIM.cosine(F.col("a"), F.col("b"))).collect()]
+    assert vals[0] == pytest.approx(1 / math.sqrt(2))
+    assert vals[1] == pytest.approx(1.0)
+    assert vals[2] == pytest.approx(0.0)
+
+
+def test_cosine_zero_norm_is_null(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 1.0])], ["a", "b"])
+    assert df.select(SIM.cosine(F.col("a"), F.col("b"))).collect()[0][0] is None
+
+
+def test_brute_force_topk(spark):
+    probes = spark.createDataFrame(
+        [(0, [1.0, 0.0])], ["probe_id", "probe_vec"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.1]),    # nearly parallel -> best
+            (2, [1.0, 1.0]),    # 45 deg
+            (3, [0.0, 1.0]),    # orthogonal
+            (4, [-1.0, 0.0]),   # opposite
+        ],
+        ["match_id", "match_vec"],
+    )
+    rows = SIM.brute_force_topk(probes, corpus, k=2).orderBy(F.desc("cosine")).collect()
+    assert [r["match_id"] for r in rows] == [1, 2]
+    assert rows[0]["cosine"] == pytest.approx(0.995, abs=1e-3)
+
+
+def test_deterministic_planes_stable():
+    p1 = SIM.deterministic_planes(2, 4)
+    p2 = SIM.deterministic_planes(2, 4)
+    assert p1 == p2
+    assert all(-7.5 <= c <= 7.5 for row in p1 for c in row)
+    # different seeds decorrelate
+    assert SIM.deterministic_planes(2, 4, seed="x") != p1
+
+
+def test_srp_lsh_recall_golden(spark):
+    """Pins the deterministic SRP-LSH recall stats at sf0.001 (md5
+    hyperplanes, no RNG — any change means the family changed)."""
+    r = SQ.sim_srp_lsh_recall(spark, SF_DIR).collect()[0]
+    assert r["true_pairs"] == 66
+    assert r["candidate_pairs"] == 8752
+    assert r["hits"] == 19
+    assert r["recall"] == pytest.approx(0.2879)
