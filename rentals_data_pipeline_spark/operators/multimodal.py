@@ -1,0 +1,174 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media is modeled the way a 100 TB training-data lake stores it: an
+opaque ``binary`` payload column plus typed metadata columns, processed
+by Arrow-batched ``mapInPandas`` stages. The *decode* step (real image/
+audio codecs) is environment-gated — the libs aren't in this container —
+so it is STUBBED behind ``decode_media`` (raises ``NotImplementedError``
+with the contract documented); everything Spark-side is real and tested:
+
+- ``pack_media``: documents → media-shaped rows (payload bytes + typed
+  metadata). Deterministic fake payloads (utf-8 of the text) so every
+  downstream result is golden-testable.
+- ``media_metadata``: pure built-ins (length/md5/hex-magic) — the
+  cheap metadata pass that never deserializes payloads to Python.
+- ``byte_histogram_features``: the deterministic stand-in feature
+  extractor — 16-bin byte histogram per payload via ``mapInPandas``
+  (numpy over Arrow batches; the exact shape a real embedding/decoder
+  UDF has: binary in, fixed-dim float vector out).
+- ``frame_sample``: every-k-th fixed-size byte frame, as built-in
+  array-of-binary slicing — the frame-sampling plan shape for video,
+  minus the codec.
+
+At scale: metadata and frame sampling stay in whole-stage codegen;
+only feature extraction crosses to Python, in Arrow batches, and the
+payload column is pruned everywhere it isn't needed (Parquet column
+pruning does this for free when media sits in its own column).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pandas only crosses into executors inside mapInPandas
+    import pandas as pd
+
+Op = Callable[[DataFrame], DataFrame]
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+N_HISTOGRAM_BINS = 16
+
+
+def pack_media(
+    id_col: str = "doc_id", text_col: str = "text", out_payload: str = "payload"
+) -> Op:
+    """Turn a documents-shaped table into a media-shaped one:
+    (id, media_type, payload binary, typed metadata). The payload is
+    the utf-8 of the text — a deterministic fake blob; the metadata
+    columns carry the schema a real ingest would attach."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        mt = F.element_at(
+            F.array(*[F.lit(m) for m in MEDIA_TYPES]),
+            (F.col(id_col) % len(MEDIA_TYPES) + 1).cast("int"),
+        )
+        return df.select(
+            F.col(id_col),
+            mt.alias("media_type"),
+            F.encode(F.col(text_col), "utf-8").alias(out_payload),
+            F.struct(
+                F.lit("synthetic/v1").alias("codec"),
+                F.length(F.encode(F.col(text_col), "utf-8")).alias("n_bytes"),
+            ).alias("media_meta"),
+        )
+
+    return _apply
+
+
+def media_metadata(payload_col: str = "payload") -> Op:
+    """Metadata pass over binary payloads — built-ins only (no Python,
+    no payload deserialization): byte length, content md5, magic bytes
+    (hex of the first 4)."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        p = F.col(payload_col)
+        return (
+            df.withColumn("n_bytes", F.length(p).cast("long"))
+            .withColumn("content_md5", F.md5(p))
+            .withColumn("magic_hex", F.hex(F.substring(p, 1, 4)))
+        )
+
+    return _apply
+
+
+def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """STUB — real codec decode (PIL/libsndfile/ffmpeg) is unavailable
+    in this environment.
+
+    Contract when enabled: mapInPandas over (id, media_type, payload)
+    yielding one row per media item with columns
+    ``decoded: array<array<double>>`` (image: HxW luma; audio: 1xN pcm)
+    and ``decode_error: string`` (null on success — decode failures
+    must be rows, not task failures, at 100 TB).
+    """
+    raise NotImplementedError(
+        "media codecs not available in this environment; use "
+        "byte_histogram_features as the deterministic stand-in"
+    )
+
+
+def byte_histogram_features(
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    n_bins: int = N_HISTOGRAM_BINS,
+) -> Callable[[DataFrame], DataFrame]:
+    """Deterministic stand-in feature extractor: normalized ``n_bins``
+    byte-value histogram per payload, via Arrow-batched mapInPandas
+    (numpy bincount — vectorized, no per-row Python loops). This is the
+    exact plumbing shape of a real decode/embed UDF: binary in,
+    fixed-dim double vector out, schema declared up front."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    width = 256 // n_bins
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf[payload_col]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr // width, minlength=n_bins)[:n_bins]
+                total = hist.sum()
+                feats.append(
+                    (hist / total).astype(float).tolist()
+                    if total
+                    else [0.0] * n_bins
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.select(id_col, payload_col).mapInPandas(_extract, out_schema)
+
+    return _apply
+
+
+def frame_sample(
+    payload_col: str = "payload",
+    frame_size: int = 16,
+    stride: int = 4,
+    out_col: str = "frames",
+) -> Op:
+    """Every ``stride``-th fixed-size byte frame of the payload, as
+    array<binary> — the video frame-sampling plan shape (codec-free),
+    pure built-ins. Frame f starts at byte 1 + f·stride·frame_size."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        p = F.col(payload_col)
+        n_frames = F.floor(
+            (F.length(p) - F.lit(frame_size)) / F.lit(stride * frame_size)
+        ) + F.lit(1)
+        idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+        frames = F.transform(
+            idx,
+            lambda f: F.substring(
+                p, f * F.lit(stride * frame_size) + 1, F.lit(frame_size)
+            ),
+        )
+        return df.withColumn(
+            out_col, F.when(F.length(p) >= frame_size, frames).otherwise(F.array())
+        )
+
+    return _apply

@@ -1,0 +1,56 @@
+"""Catalog queries for the multimodal-column extension.
+
+``multimodal_metadata`` is oracle-paired (payloads are utf-8 of ASCII
+text, so DuckDB reproduces length/md5/magic from the text itself).
+``multimodal_byte_histogram`` exercises the Arrow/mapInPandas feature
+path — no SQL oracle (Python UDF stage); golden-tested in
+tests/test_multimodal_ops.py and rows-checked by the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rentals_data_pipeline_spark.operators import multimodal as MM
+from rentals_data_pipeline_spark.plans.catalog import query
+from rentals_data_pipeline_spark.sources.tables import load_table
+
+
+@query(
+    "multimodal_metadata",
+    """
+SELECT
+    doc_id,
+    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+        AS media_type,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+    md5(text) AS content_md5,
+    hex(encode(left(text, 4))) AS magic_hex
+FROM documents
+""",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata pass: pack documents into media rows,
+    then length/md5/magic via built-ins only (payload never crosses to
+    Python)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.transform(MM.pack_media())
+        .transform(MM.media_metadata())
+        .select("doc_id", "media_type", "n_bytes", "content_md5", "magic_hex")
+    )
+
+
+@query("multimodal_byte_histogram")  # mapInPandas stage: no SQL oracle
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bin byte histogram per payload through the Arrow-batched
+    mapInPandas feature path (the decode/embed UDF plumbing shape),
+    exploded to (doc_id, bin, frac) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.transform(MM.pack_media()).transform(
+        MM.byte_histogram_features()
+    )
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bin", "frac")
+    )
