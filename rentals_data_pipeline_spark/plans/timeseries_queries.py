@@ -1,0 +1,142 @@
+"""Catalog queries for time-window aggregation (events table).
+
+Batch-mode ``F.window`` / ``F.session_window`` (streaming/windows.py) —
+the same operators the streaming jobs use — checked against DuckDB via
+epoch arithmetic. Window-start timestamps are rebuilt as
+``TIMESTAMP '1970-01-01' + to_seconds(...)`` on the oracle side to stay
+tz-naive (DuckDB's to_timestamp returns TIMESTAMPTZ, which would
+stringify differently); Spark windows are epoch-aligned in the pinned
+UTC session, so the values agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rentals_data_pipeline_spark.functions.rounding import round_half_up as RND
+from rentals_data_pipeline_spark.plans.catalog import query
+from rentals_data_pipeline_spark.sources.tables import load_table
+from rentals_data_pipeline_spark.streaming import windows as TW
+
+_EPOCH = "TIMESTAMP '1970-01-01 00:00:00'"
+
+
+@query(
+    "ts_tumbling_hourly",
+    f"""
+SELECT
+    date_trunc('hour', ts) AS window_start,
+    date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+    event_type,
+    COUNT(*) AS n_events,
+    FLOOR((SUM(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def ts_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling counts/sums per event_type (epoch-aligned)."""
+    events = load_table(spark, sf_dir, "events")
+    out = events.transform(
+        TW.tumbling(
+            "ts",
+            "1 hour",
+            ["event_type"],
+            [
+                F.count(F.lit(1)).alias("n_events"),
+                RND(F.sum("value"), 4).alias("total_value"),
+            ],
+        )
+    )
+    return out
+
+
+@query(
+    "ts_sliding_10m_5m",
+    f"""
+WITH expanded AS (
+    SELECT
+        {_EPOCH} + to_seconds(
+            CAST(FLOOR(epoch(ts) / 300) * 300 - k.k * 300 AS BIGINT)
+        ) AS window_start,
+        event_type,
+        value
+    FROM events, (SELECT unnest([0, 1]) AS k) k
+)
+SELECT
+    window_start,
+    window_start + INTERVAL 10 MINUTE AS window_end,
+    event_type,
+    COUNT(*) AS n_events,
+    FLOOR((SUM(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
+FROM expanded
+GROUP BY 1, 2, 3
+""",
+)
+def ts_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event feeds exactly two
+    windows (duplication factor duration/slide = 2, carried through the
+    shuffle; keep the ratio small at scale)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.transform(
+        TW.sliding(
+            "ts",
+            "10 minutes",
+            "5 minutes",
+            ["event_type"],
+            [
+                F.count(F.lit(1)).alias("n_events"),
+                RND(F.sum("value"), 4).alias("total_value"),
+            ],
+        )
+    )
+
+
+@query(
+    "ts_session_windows",
+    """
+WITH marked AS (
+    SELECT
+        user_id,
+        ts,
+        value,
+        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  <= INTERVAL 30 MINUTE
+             THEN 0 ELSE 1 END AS new_session
+    FROM events
+),
+numbered AS (
+    SELECT *,
+        SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+    FROM marked
+)
+SELECT
+    user_id,
+    MIN(ts) AS session_start,
+    MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+    COUNT(*) AS n_events,
+    FLOOR((SUM(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+)
+def ts_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute inactivity gap). Spark's
+    session_window end is last-event + gap; the oracle's gaps-and-
+    islands construction mirrors that exactly."""
+    events = load_table(spark, sf_dir, "events")
+    return events.transform(
+        TW.session(
+            "ts",
+            "30 minutes",
+            ["user_id"],
+            [
+                F.count(F.lit(1)).alias("n_events"),
+                RND(F.sum("value"), 4).alias("total_value"),
+            ],
+        )
+    )

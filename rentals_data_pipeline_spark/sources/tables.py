@@ -22,6 +22,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     values.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin UTC whatever session the driver hands us: time-window starts /
+    # date_trunc must align with the (tz-naive) DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     ts_like = [
         f.name
@@ -29,9 +32,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if f.name in ("ts",) and f.dataType.simpleString() == "bigint"
     ]
     for c in ts_like:
-        df = df.withColumn(
-            c, F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long"))
-        )
+        # integer `div`, NOT `/`: float division of epoch-nanos (~1.7e18)
+        # exceeds double's 53-bit mantissa and drifts by hundreds of ns
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     return df
 
 

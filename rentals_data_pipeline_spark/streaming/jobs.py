@@ -1,0 +1,140 @@
+"""Structured Streaming entry points.
+
+``readStream`` file-source → the batch window operators from
+``streaming/windows.py`` → ``writeStream``. ``Trigger.AvailableNow``
+reproduces the reference's periodic-batch semantics (weekly full
+reprocess, dags/rental_pipeline_dag.py:52) as an incremental stream:
+each run drains whatever files arrived, exactly once, then stops —
+which is also what makes the stream/batch equivalence testable.
+
+``running_max_by_key`` shows the custom-stateful path
+(``applyInPandasWithState``): per-key state carried across micro-
+batches, Arrow-batched, GroupStateTimeout-free for the batch-drain
+pattern.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from rentals_data_pipeline_spark.streaming import windows as TW
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over an events-shaped parquet directory.
+    Explicit schema (streams can't infer); maxFilesPerTrigger bounds
+    micro-batch size so state and shuffle stay memory-sized at scale."""
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def windowed_counts(
+    events: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    group_by: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling event-time counts with a watermark: late events beyond
+    ``watermark`` are dropped and window state is evicted — the bounded-
+    state requirement for an unbounded stream. Works on batch frames
+    too (watermark is a no-op there), which is how the oracle checks it.
+    """
+    with_wm = events.withWatermark("ts", watermark)
+    return with_wm.transform(
+        TW.tumbling(
+            "ts",
+            duration,
+            list(group_by),
+            [F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")],
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+) -> None:
+    """Drain all available input exactly once into an in-memory table
+    named ``query_name``, then stop — the AvailableNow analogue of the
+    reference's scheduled batch. complete mode for windowed
+    aggregations; update for stateful operators."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+_RUNNING_MAX_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+_RUNNING_MAX_STATE = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("mx", T.DoubleType())]
+)
+
+
+def _running_max_fn(
+    key: tuple[Any, ...],
+    batches: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    n, mx = state.get if state.exists else (0, float("-inf"))
+    for pdf in batches:
+        n += len(pdf)
+        if len(pdf):
+            mx = max(mx, float(pdf["value"].max()))
+    state.update((n, mx))
+    yield pd.DataFrame({"user_id": [key[0]], "n_seen": [n], "max_value": [mx]})
+
+
+def running_max_by_key(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, max(value))
+    via applyInPandasWithState — state survives across micro-batches;
+    each batch emits the updated snapshot per key seen."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _running_max_fn,
+            outputStructType=_RUNNING_MAX_SCHEMA,
+            stateStructType=_RUNNING_MAX_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
