@@ -19,6 +19,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+import __spark_entry__  # noqa: E402, F401  (registers every query module)
 from rentals_data_pipeline_spark.plans import catalog  # noqa: E402
 from rentals_data_pipeline_spark.session import create_spark_session  # noqa: E402
 
@@ -30,6 +31,11 @@ HEADLINE = [
     "reshape_unpivot_measures",
     "dedup_first_event",
     "window_cumulative_sum",
+    # extension surface
+    "text_token_stats",
+    "dedup_minhash_lsh_pairs",
+    "sim_cosine_topk",
+    "ts_tumbling_hourly",
 ]
 
 

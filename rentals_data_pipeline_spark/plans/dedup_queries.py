@@ -6,9 +6,10 @@ join), while the DuckDB oracle computes the same answer exhaustively.
 A hash match therefore certifies both the fingerprint math AND the
 candidate-generation recall:
 
-- MinHash banding (16 bands × 2 rows over 32 hashes): miss probability
-  for a Jaccard-0.9 pair is (1 - 0.9²)^16 < 4e-12 — statistically exact
-  at any test SF.
+- MinHash banding (16 bands × 4 rows over 64 hashes): miss probability
+  for a Jaccard-0.9 pair is (1 - 0.9⁴)^16 ≈ 4e-8 — statistically exact
+  at any test SF, while admitting far fewer background candidates than
+  2-row bands (candidate rate ~p⁴ per band).
 - SimHash pigeonhole blocking (4 blocks of 8 bits, distance ≤ 1 ≤
   blocks-1): recall exactly 1 by construction.
 """
