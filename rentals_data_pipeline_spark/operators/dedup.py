@@ -37,9 +37,11 @@ surface (BASELINE.json "dedup").
 
 from __future__ import annotations
 
+import functools
+import operator
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rentals_data_pipeline_spark.functions.rounding import round_half_up
@@ -65,6 +67,44 @@ def token_ngram_set(text_col: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingle_hash_rows(
+    id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> Callable[[DataFrame], DataFrame]:
+    """One (id, h) row per word n-gram occurrence, h = xxhash64 of the
+    space-joined gram — the codegen shingling path.
+
+    ``token_ngram_set`` builds the same grams with ``transform`` over a
+    ``sequence``, which Spark evaluates interpreted (~1.5ms/doc — it
+    dominated both LSH queries' runtime at sf0.1). This shape is
+    posexplode → ``lead`` window → concat_ws → xxhash64: everything in
+    whole-stage codegen, and the window's hash-partitioning on the id
+    is exactly what downstream per-doc groupBys need, so Catalyst
+    plans no second exchange. Rows are NOT deduped (aggregate with
+    ``collect_set``/``min`` downstream, both duplicate-insensitive);
+    docs with fewer than n words emit nothing.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "tok"),
+        )
+        w = Window.partitionBy(id_col).orderBy("pos")
+        lead_cols = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, n)]
+        grams = toks.select(F.col(id_col), F.col("tok"), *lead_cols)
+        full = functools.reduce(
+            operator.and_, [F.col(f"t{j}").isNotNull() for j in range(1, n)]
+        )
+        return grams.where(full).select(
+            F.col(id_col),
+            F.xxhash64(
+                F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)])
+            ).alias("h"),
+        )
+
+    return _apply
 
 
 def minhash_agg_exprs(h_col: Column, num_hashes: int = 64) -> list[Column]:
@@ -175,15 +215,7 @@ def minhash_near_dup_pairs(
     """
 
     def _apply(df: DataFrame) -> DataFrame:
-        shingled = df.select(
-            F.col(id_col), token_ngram_set(F.col(text_col), ngram).alias("shingles")
-        )
-        elems = shingled.select(
-            id_col,
-            F.explode(
-                F.transform(F.col("shingles"), lambda g: F.xxhash64(g))
-            ).alias("h"),
-        )
+        elems = df.transform(shingle_hash_rows(id_col, text_col, ngram))
         sig_exprs = minhash_agg_exprs(F.col("h"), num_hashes)
         grouped = elems.groupBy(id_col).agg(
             F.collect_set("h").alias("hset"), *sig_exprs
@@ -249,6 +281,48 @@ def simhash(text_col: Column, nbits: int = 16) -> Column:
     return F.concat(*bits)
 
 
+def simhash_fingerprints(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nbits: int = 16,
+    out_col: str = "simhash",
+) -> Callable[[DataFrame], DataFrame]:
+    """SimHash as a DataFrame op — same fingerprint as ``simhash`` but
+    computed as explode → md5-per-token-row → one groupBy with ``nbits``
+    conditional sums. The Column form folds the token array with
+    ``F.aggregate`` × nbits, which runs interpreted (higher-order
+    functions never enter whole-stage codegen) and re-hashes every
+    token once *per bit*; this shape hashes each token once and keeps
+    the whole pipeline in codegen with map-side partial aggregation —
+    45s → ~3s for 5k docs × 32 bits at sf0.1. Docs with NULL text are
+    dropped (the Column form yields a NULL fingerprint instead).
+    """
+    if nbits > 32:
+        raise ValueError("md5 yields 32 hex digits; nbits must be <= 32")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+        ).select(id_col, F.md5("tok").alias("h"))
+        sums = toks.groupBy(id_col).agg(
+            *[
+                F.sum(
+                    F.when(F.substring("h", i + 1, 1).isin(*_HIGH_NIBBLE), 1).otherwise(
+                        -1
+                    )
+                ).alias(f"s{i}")
+                for i in range(nbits)
+            ]
+        )
+        bits = [
+            F.when(F.col(f"s{i}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(nbits)
+        ]
+        return sums.select(F.col(id_col), F.concat(*bits).alias(out_col))
+
+    return _apply
+
+
 def hamming(a: Column, b: Column, nbits: int = 16) -> Column:
     """Hamming distance between two equal-length bit strings."""
     diffs = [
@@ -282,10 +356,18 @@ def simhash_hamming_pairs(
     width = nbits // blocks
 
     def _apply(df: DataFrame) -> DataFrame:
-        hashed = df.select(F.col(id_col), simhash(F.col(text_col), nbits).alias("sh"))
+        # The bit-string fingerprint is converted to a long ONCE per doc
+        # so the per-pair verify is a single xor + popcount. The naive
+        # per-pair form — hamming() over 2×nbits substring extractions —
+        # costs ~µs/pair in allocations; at sf0.1 the hot block bucket
+        # makes the candidate multiset quadratic (7.5M pairs), where
+        # substring hamming took 40s vs ~4s for bit_count(a ^ b). The
+        # verify also runs BEFORE distinct, so the distinct only
+        # shuffles the ≤max_distance survivors, not the raw multiset.
+        hashed = df.transform(simhash_fingerprints(id_col, text_col, nbits, "sh"))
         blocked = hashed.select(
             id_col,
-            "sh",
+            F.conv("sh", 2, 10).cast("long").alias("shl"),
             F.posexplode(
                 F.array(
                     *[F.substring("sh", b * width + 1, width) for b in range(blocks)]
@@ -294,23 +376,18 @@ def simhash_hamming_pairs(
         )
         a = blocked.alias("a")
         b = blocked.alias("b")
-        pairs = (
+        return (
             a.join(b, on=["block", "block_val"])
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.sh").alias("sh_a"),
-                F.col("b.sh").alias("sh_b"),
-            )
-            .distinct()
-        )
-        return (
-            pairs.withColumn(
-                "hamming_distance", hamming(F.col("sh_a"), F.col("sh_b"), nbits)
+                F.bit_count(
+                    F.col("a.shl").bitwiseXOR(F.col("b.shl"))
+                ).cast("int").alias("hamming_distance"),
             )
             .where(F.col("hamming_distance") <= max_distance)
-            .select("id_a", "id_b", "hamming_distance")
+            .distinct()
         )
 
     return _apply

@@ -98,7 +98,7 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (term-frequency-weighted sign-of-sums
     over md5 nibble bits)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", DD.simhash(F.col("text"), 32).alias("simhash"))
+    return docs.transform(DD.simhash_fingerprints("doc_id", "text", 32, "simhash"))
 
 
 @query(
@@ -154,8 +154,15 @@ def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % 100 = 0). The probe set is tiny → broadcast against the
     corpus, so the 'pairwise' scan is |probes| × |corpus|, not n²."""
     docs = load_table(spark, sf_dir, "documents")
-    shingled = docs.select(
-        "doc_id", DD.token_ngram_set(F.col("text"), 3).alias("s")
+    # codegen shingling (posexplode + lead window) and long-hashed
+    # shingle sets: the n×probes Jaccard kernel intersects 8-byte longs
+    # instead of strings — the oracle intersects the strings; a 64-bit
+    # collision changing a cardinality is ~1e-15 per pair. Docs with
+    # fewer than 3 words drop out (the oracle corpus has none).
+    shingled = (
+        docs.transform(DD.shingle_hash_rows("doc_id", "text", 3))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("s"))
     )
     probes = shingled.where(F.col("doc_id") % 100 == 0).select(
         F.col("doc_id").alias("probe_id"), F.col("s").alias("probe_s")

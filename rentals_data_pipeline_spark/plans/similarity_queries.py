@@ -84,23 +84,14 @@ SELECT id_a, id_b, cosine FROM p WHERE cosine > 0.4
 """,
 )
 def sim_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine > 0.4), exact. The pair
-    join ships only (id, vector) — at 100 TB this runs per SRP bucket
-    (see sim_srp_lsh_recall) rather than all-pairs; here the corpus side
-    is ranged-joined on id to halve the pair space."""
+    """Embedding-cosine near-dup pairs (cosine > 0.4), exact, via the
+    blocked-GEMM all-pairs kernel (each block pair is one numpy matmul;
+    the n² pair space never hits a shuffle). At 100 TB prefer SRP
+    bucketing first (see sim_srp_lsh_recall) and run this kernel per
+    bucket."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            RND(
-                SIM.cosine(SIM.as_double(F.col("va")), SIM.as_double(F.col("vb"))), 4
-            ).alias("cosine"),
-        )
-        .where(F.col("cosine") > 0.4)
+    return SIM.all_pairs_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, scale=4
     )
 
 
