@@ -98,3 +98,73 @@ def anti_join(other: DataFrame, on: list[str] | Column) -> Op:
         return df.join(other, on=on, how="left_anti")
 
     return _apply
+
+
+def asof_join_backward(
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+) -> Op:
+    """Backward as-of left join: for each left row, attach the payload
+    of the latest right row with ``right_ts <= left_ts`` within the same
+    ``on`` keys (NULLs when no prior right row exists).
+
+    SURVEY §2.4's generalization of the reference's lag() prior-row
+    pattern (jobs/transform.py:122-140) to *two* tables. Implemented as
+    union + window — the scalable shape: both sides are tagged, unioned,
+    and a single partitionBy(on) orderBy(ts, side) sort lets
+    ``last(payload_struct, ignorenulls=True)`` carry the most recent
+    right payload forward into each left row. ONE shuffle + sort total,
+    vs a range self-join's quadratic per-key pair space. Right rows
+    order before left rows at equal ts, so an exactly-simultaneous right
+    row IS matched (DuckDB ASOF JOIN's >= semantics).
+
+    The payload rides in a struct so a NULL *field* in the matched right
+    row stays NULL instead of falling through to an older row
+    (``last(ignorenulls)`` skips NULL structs — and the struct is
+    non-null for every right row — but would skip NULL bare columns).
+    Among right rows with identical (keys, ts) the survivor is
+    plan-order dependent; add a tiebreaker column to ``right_ts``'s
+    ordering upstream if that matters.
+
+    ``payload`` maps right-side column → output column name.
+    """
+
+    def _apply(left: DataFrame) -> DataFrame:
+        lcols = left.columns
+        passthrough = [c for c in lcols if c not in on]
+        r2 = right.select(
+            *on,
+            F.col(right_ts).alias("_t"),
+            F.lit(0).alias("_side"),
+            F.struct(*[F.col(c) for c in payload]).alias("_p"),
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in passthrough
+            ],
+        )
+        l2 = left.select(
+            *on,
+            F.col(left_ts).alias("_t"),
+            F.lit(1).alias("_side"),
+            F.lit(None).cast(r2.schema["_p"].dataType).alias("_p"),
+            *passthrough,
+        )
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("_t", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            l2.unionByName(r2)
+            .withColumn("_last", F.last("_p", ignorenulls=True).over(w))
+            .where(F.col("_side") == 1)
+            .select(
+                *lcols,
+                *[F.col(f"_last.{c}").alias(out) for c, out in payload.items()],
+            )
+        )
+
+    return _apply

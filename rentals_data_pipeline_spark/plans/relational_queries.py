@@ -399,3 +399,41 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_orderpriority").alias("n_priorities"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "join_asof_last_error",
+    """
+SELECT
+    c.event_id,
+    c.user_id,
+    c.ts,
+    e.ts    AS err_ts,
+    e.value AS err_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+""",
+)
+def join_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click event picks up the timestamp and
+    value of the same user's most recent error at-or-before it (NULL if
+    none yet). Spark side is the union+window single-shuffle form
+    (operators/relational.py::asof_join_backward); DuckDB side is a
+    native ASOF LEFT JOIN."""
+    from rentals_data_pipeline_spark.operators.relational import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select("user_id", "ts", "value")
+    return clicks.transform(
+        asof_join_backward(
+            errors,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            payload={"ts": "err_ts", "value": "err_value"},
+        )
+    )

@@ -51,3 +51,29 @@ def test_semi_and_anti_join(spark):
     anti = left.transform(R.anti_join(right, ["k"]))
     assert sorted(r["k"] for r in semi.collect()) == [1, 3]
     assert [r["k"] for r in anti.collect()] == [2]
+
+
+def test_asof_join_backward_golden(spark):
+    """Hand-computed backward as-of: equal timestamps match, no prior
+    right row yields NULLs, NULL payload fields survive (struct trick)."""
+    from rentals_data_pipeline_spark.operators.relational import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (2, 5, "l3")], ["k", "t", "tag"]
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, None), (2, 7, 300.0)],
+        "k long, t long, v double",
+    )
+    out = {
+        r.tag: (r.rt, r.rv)
+        for r in left.transform(
+            asof_join_backward(
+                right, on=["k"], left_ts="t", right_ts="t",
+                payload={"t": "rt", "v": "rv"},
+            )
+        ).collect()
+    }
+    assert out["l1"] == (10, 100.0)   # equal ts matches
+    assert out["l2"] == (15, None)    # latest row wins even with NULL field
+    assert out["l3"] == (None, None)  # right row at t=7 is after left t=5
