@@ -168,3 +168,41 @@ def asof_join_backward(
         )
 
     return _apply
+
+
+def salted_join(
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> Op:
+    """Equi-join with the left side's hot keys spread across ``salt``
+    shuffle partitions.
+
+    For a skewed LEFT key (one key = a large fraction of rows), a plain
+    shuffle join lands the whole key on one task. Here each left row
+    gets a deterministic salt from its whole-row hash, and the right
+    side is replicated ``salt``× (explode over a sequence), so the join
+    key becomes (keys…, salt) and the hot key's rows split across
+    ``salt`` tasks. Replication multiplies the right side's shuffle
+    volume — use only when the right side is much smaller than the hot
+    key's row count, and prefer AQE's skew-join splitting
+    (spark.sql.adaptive.skewJoin, on by default in session.py) for
+    sort-merge shapes it already handles; salting remains necessary for
+    skewed *aggregation* keys and shuffled-hash paths AQE won't split.
+
+    Supports how ∈ {inner, left}: right-side-preserving joins would
+    emit one unmatched right row per salt replica.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left' only")
+
+    def _apply(left: DataFrame) -> DataFrame:
+        lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+        l2 = left.withColumn("_salt", lsalt.cast("int"))
+        r2 = right.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        return l2.join(r2, on=[*on, "_salt"], how=how).drop("_salt")
+
+    return _apply

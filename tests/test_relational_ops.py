@@ -77,3 +77,23 @@ def test_asof_join_backward_golden(spark):
     assert out["l1"] == (10, 100.0)   # equal ts matches
     assert out["l2"] == (15, None)    # latest row wins even with NULL field
     assert out["l3"] == (None, None)  # right row at t=7 is after left t=5
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted inner/left joins return exactly the plain join's rows —
+    salting only changes the physical key distribution."""
+    from rentals_data_pipeline_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ("hot", "cold")[: 1 + (i % 2)]],
+        ["k", "i"],
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("unmatched", "U")], ["k", "v"]
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r) for r in left.transform(salted_join(right, ["k"], how)).collect()
+        )
+        want = sorted(tuple(r) for r in left.join(right, ["k"], how).collect())
+        assert got == want, how
