@@ -133,3 +133,56 @@ def run_etl(
         checks.append(Q.row_count_check(min_rows))
     out = spark.read.parquet(output_path)
     return Q.run_quality_checks(out, checks)
+
+
+def load_config(path: str) -> dict:
+    """YAML → config dict, deep-merged over DEFAULT_CONFIG so a config
+    file only has to state what it changes (reference S7,
+    jobs/io_utils.py:56-66 — kept a plain driver-side utility)."""
+    import yaml
+
+    with open(path) as f:
+        loaded = yaml.safe_load(f) or {}
+
+    def merge(base: dict, over: dict) -> dict:
+        out = dict(base)
+        for k, v in over.items():
+            out[k] = (
+                merge(out[k], v)
+                if isinstance(v, dict) and isinstance(out.get(k), dict)
+                else v
+            )
+        return out
+
+    return merge(DEFAULT_CONFIG, loaded)
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI entry (reference O6, jobs/transform.py:184-211):
+    ``python -m rentals_data_pipeline_spark.plans.pipeline
+    --input wide.csv --output out_dir [--config pipeline.yaml]``."""
+    import argparse
+
+    from rentals_data_pipeline_spark.session import create_spark_session
+
+    p = argparse.ArgumentParser(description="wide CSV -> analytics parquet ETL")
+    p.add_argument("--input", required=True, help="wide-format CSV path")
+    p.add_argument("--output", required=True, help="partitioned parquet output dir")
+    p.add_argument("--config", default=None, help="YAML config (optional)")
+    args = p.parse_args(argv)
+
+    config = load_config(args.config) if args.config else DEFAULT_CONFIG
+    spark = create_spark_session(
+        config.get("app_name", "rentals-pipeline-spark"),
+        master=config.get("master") or None,
+    )
+    try:
+        tally = run_etl(spark, args.input, args.output, config)
+        print(tally)
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -79,3 +79,13 @@ def test_run_etl_end_to_end(spark, wide_csv, tmp_path):
     # partition pruning works: reading one state dir only
     ny = spark.read.parquet(out_path).filter(F.col("StateName") == "NY")
     assert ny.count() == 6
+
+
+def test_load_config_merges_over_defaults(tmp_path):
+    cfg_file = tmp_path / "c.yaml"
+    cfg_file.write_text("dq:\n  min_rows: 7\nvalue_col: rent\n")
+    cfg = P.load_config(str(cfg_file))
+    assert cfg["dq"]["min_rows"] == 7          # overridden
+    assert cfg["dq"]["null_pct"] == 0.1        # default survives deep merge
+    assert cfg["value_col"] == "rent"
+    assert cfg["region_key"] == "RegionID"
