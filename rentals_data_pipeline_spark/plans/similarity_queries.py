@@ -126,3 +126,19 @@ def sim_srp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query("sim_ivf_topk")  # no SQL oracle: IVF cell routing; golden-tested
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via IVF coarse quantization (16
+    deterministic cells, 4 probed per query) for the same probe set as
+    sim_cosine_topk. Rows-only driver check; recall against the exact
+    top-k is pinned by a golden test at sf0.001."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("match_vec")
+    )
+    return SIM.ivf_topk(probes, corpus, k=5, n_cells=16, n_probe=4)

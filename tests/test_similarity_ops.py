@@ -64,3 +64,37 @@ def test_srp_lsh_recall_golden(spark):
     assert r["candidate_pairs"] == 8752
     assert r["hits"] == 19
     assert r["recall"] == pytest.approx(0.2879)
+
+
+def test_ivf_topk_recall_golden(spark):
+    """IVF@(16 cells, 4 probed) vs exact top-5 at sf0.001: pins the
+    deterministic recall. n_probe = n_cells must reproduce the exact
+    answer (every cell searched)."""
+    exact = {
+        (r.probe_id, r.match_id)
+        for r in SQ.sim_cosine_topk(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.probe_id, r.match_id)
+        for r in SQ.sim_ivf_topk(spark, SF_DIR).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert len(exact) == 50
+    assert 0.3 <= recall <= 1.0  # far-pair synthetic corpus; see SRP note
+    # exhaustive probing == brute force
+    from rentals_data_pipeline_spark.operators import similarity as S
+    from rentals_data_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as FF
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probes = emb.where(FF.col("vec_id") % 50 == 0).select(
+        FF.col("vec_id").alias("probe_id"), FF.col("embedding").alias("probe_vec")
+    )
+    corpus = emb.select(
+        FF.col("vec_id").alias("match_id"), FF.col("embedding").alias("match_vec")
+    )
+    full = {
+        (r.probe_id, r.match_id)
+        for r in S.ivf_topk(probes, corpus, k=5, n_cells=8, n_probe=8).collect()
+    }
+    assert full == exact
