@@ -172,3 +172,56 @@ def frame_sample(
         )
 
     return _apply
+
+
+def resize_grid(
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    src_size: int = 32,
+    dst_size: int = 8,
+) -> Op:
+    """Deterministic stand-in for image resize: interpret the payload's
+    first src_size² bytes as a square luma grid (zero-padded if short)
+    and block-average it down to dst_size × dst_size, emitted as
+    ``resized: array<double>`` (row-major, length dst_size²).
+
+    The Spark-side plumbing — binary column in, Arrow-batched
+    mapInPandas, fixed-dim vector out, numpy reshape/mean with no
+    per-pixel Python — is exactly what a real decode→resize UDF needs;
+    only the "decode" (byte reinterpretation) is fake, per the
+    environment's no-codec constraint (see decode_media).
+    ``src_size`` must be a multiple of ``dst_size``.
+    """
+    if src_size % dst_size:
+        raise ValueError("src_size must be a multiple of dst_size")
+    block = src_size // dst_size
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("resized", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        n = src_size * src_size
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                arr = np.frombuffer(payload[:n], dtype=np.uint8)
+                if len(arr) < n:
+                    arr = np.pad(arr, (0, n - len(arr)))
+                grid = arr.reshape(src_size, src_size).astype(np.float64)
+                small = grid.reshape(
+                    dst_size, block, dst_size, block
+                ).mean(axis=(1, 3))
+                out.append(small.ravel().tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "resized": out})
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.select(id_col, payload_col).mapInPandas(_resize, out_schema)
+
+    return _apply

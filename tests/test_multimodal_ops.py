@@ -69,3 +69,21 @@ def test_frame_sample_short_payload(spark):
         MM.pack_media()
     )
     assert df.transform(MM.frame_sample(frame_size=16)).collect()[0]["frames"] == []
+
+
+def test_resize_grid_block_average(spark):
+    """4x4 byte grid -> 2x2 block means; short payloads zero-pad."""
+    from rentals_data_pipeline_spark.operators.multimodal import resize_grid
+
+    grid = bytes([0, 4, 8, 12,
+                  4, 8, 12, 16,
+                  100, 104, 108, 112,
+                  104, 108, 112, 116])
+    df = spark.createDataFrame([(1, grid), (2, b"\xff")], ["doc_id", "payload"])
+    rows = {
+        r.doc_id: r.resized
+        for r in df.transform(resize_grid(src_size=4, dst_size=2)).collect()
+    }
+    assert rows[1] == [4.0, 12.0, 104.0, 112.0]
+    assert rows[2][0] == 255 / 4  # one real byte + 3 zero-pad in block 0
+    assert rows[2][1:] == [0.0, 0.0, 0.0]
