@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "sim_cosine_topk",
     "ts_tumbling_hourly",
+    "join_asof_last_error",
 ]
 
 
