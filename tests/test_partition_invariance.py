@@ -1,0 +1,71 @@
+"""Partition-invariance properties: operator results must not depend on
+the physical layout of the input — the bug class that passes single-box
+tests and corrupts results on a 1000-executor cluster.
+
+The reference's dropDuplicates 'keeps first' is exactly such a hazard
+(shuffle-order dependent, SURVEY §7.4-1); these tests pin that the
+engine's deterministic variants really are layout-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import rentals_data_pipeline_spark.operators.dedup as DD
+from rentals_data_pipeline_spark.operators.relational import (
+    asof_join_backward,
+    dedup_keep_first,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _layouts(df):
+    yield df
+    yield df.repartition(7)
+    yield df.repartition(1)
+    yield df.orderBy(F.rand(seed=1))  # adversarial row order
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_dedup_keep_first_partition_invariant(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    op = dedup_keep_first(["user_id", "event_type"], [F.col("event_id")])
+    want = _rows(ev.transform(op))
+    for layout in _layouts(ev):
+        assert _rows(layout.transform(op)) == want
+
+
+def test_minhash_pairs_partition_invariant(spark):
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} a b c d e f g h{i % 2}") for i in range(40)]
+        + [(100, "x y z x y z x y z"), (101, "x y z x y z x y z")],
+        ["doc_id", "text"],
+    )
+    op = DD.minhash_near_dup_pairs(threshold=0.3)
+    want = _rows(docs.transform(op))
+    assert (100, 101, 1.0) in want
+    for layout in _layouts(docs):
+        assert _rows(layout.transform(op)) == want
+
+
+def test_asof_join_partition_invariant(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    op = asof_join_backward(
+        errors, on=["user_id"], left_ts="ts", right_ts="ts",
+        payload={"ts": "err_ts", "value": "err_value"},
+    )
+    want = _rows(clicks.transform(op))
+    for layout in _layouts(clicks):
+        assert _rows(layout.transform(op)) == want
