@@ -437,3 +437,29 @@ def join_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             payload={"ts": "err_ts", "value": "err_value"},
         )
     )
+
+
+@query(
+    "agg_percentiles_lineitem",
+    """
+SELECT
+    l_returnflag,
+    FLOOR((quantile_cont(l_extendedprice, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50_price,
+    FLOOR((quantile_cont(l_extendedprice, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90_price,
+    FLOOR((quantile_cont(l_quantity, 0.25)) * 10000.0 + 0.5) / 10000.0 AS p25_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per return flag. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` both use linear
+    interpolation over the sorted group, so values agree to rounding.
+    At 100 TB swap in ``approx_percentile`` (t-digest, no full sort) —
+    exact per-group percentile requires the group sorted."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        RND(F.percentile("l_extendedprice", 0.5), 4).alias("p50_price"),
+        RND(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+        RND(F.percentile("l_quantity", 0.25), 4).alias("p25_qty"),
+    )
