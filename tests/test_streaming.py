@@ -90,3 +90,83 @@ def test_watermark_is_noop_on_batch(spark):
     assert with_wm.count() == events.select(
         F.window("ts", "1 hour"), "event_type"
     ).distinct().count()
+
+
+def test_late_data_dropped_across_microbatches(spark, tmp_path):
+    """True watermark semantics: an event arriving in a later micro-batch,
+    older than the late-events watermark, is DROPPED — its already
+    finalized-and-emitted window is not re-opened. The same rows in a
+    single batch (watermark never advances mid-batch) count fully: the
+    drop is a cross-batch effect, which no batch-mode oracle can see.
+
+    Spark lags the late-events filter one batch behind eviction
+    (SPARK-24634: watermarkForLateEvents = previous batch's watermark),
+    so the late row arrives two batches after the watermark-advancing
+    event.
+    """
+    import datetime as dt
+    import os
+
+    from rentals_data_pipeline_spark.streaming.jobs import EVENTS_STREAM_SCHEMA
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    batch_a = [
+        (1, t(0, 1), 1, "a", 1.0, None),
+        (2, t(0, 2), 1, "a", 1.0, None),
+        (3, t(3, 0), 1, "a", 1.0, None),   # advances watermark to 02:50
+    ]
+    batch_b = [(4, t(3, 10), 1, "a", 1.0, None)]  # [00:00,00:10) evicted here
+    batch_c = [
+        (5, t(0, 5), 1, "a", 1.0, None),   # late: window end ≤ 02:50 -> dropped
+        (6, t(3, 30), 1, "a", 1.0, None),
+    ]
+
+    src = str(tmp_path / "late_src")
+    for rows in (batch_a, batch_b, batch_c):
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    # force deterministic batch order by mtime; the three part files are
+    # distinguishable by row count (3 / 1 / 2)
+    import pyarrow.parquet as pq
+
+    now = 1_700_000_000
+    age_by_rows = {len(batch_a): now, len(batch_b): now + 3600, len(batch_c): now + 7200}
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            n = pq.read_metadata(os.path.join(src, f)).num_rows
+            os.utime(os.path.join(src, f), (age_by_rows[n], age_by_rows[n]))
+
+    stream = SJ.read_events_stream(spark, src, max_files_per_trigger=1)
+    counts = SJ.windowed_counts(
+        stream, duration="10 minutes", watermark="10 minutes"
+    )
+    SJ.run_available_now(
+        counts, "late_counts", str(tmp_path / "ckpt_late"), output_mode="append"
+    )
+    got = {
+        (r["window_start"].strftime("%H:%M"), r["n_events"])
+        for r in spark.table("late_counts").collect()
+    }
+    assert ("00:00", 2) in got          # late event NOT counted
+    assert not any(w == "00:00" and n != 2 for w, n in got)
+
+    # control: identical rows, single batch -> late row counts
+    src2 = str(tmp_path / "all_src")
+    spark.createDataFrame(
+        batch_a + batch_b + batch_c, EVENTS_STREAM_SCHEMA
+    ).coalesce(1).write.parquet(src2)
+    stream2 = SJ.read_events_stream(spark, src2)
+    SJ.run_available_now(
+        SJ.windowed_counts(stream2, duration="10 minutes", watermark="10 minutes"),
+        "late_counts_ctl",
+        str(tmp_path / "ckpt_late2"),
+        output_mode="append",
+    )
+    ctl = {
+        (r["window_start"].strftime("%H:%M"), r["n_events"])
+        for r in spark.table("late_counts_ctl").collect()
+    }
+    assert ("00:00", 3) in ctl
