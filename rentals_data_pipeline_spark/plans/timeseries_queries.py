@@ -140,3 +140,46 @@ def ts_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
+
+
+@query(
+    "ts_hierarchical_rollup_daily",
+    """
+SELECT
+    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+    event_type,
+    COUNT(*) AS n_events,
+    FLOOR((SUM(value)) * 10000.0 + 0.5) / 10000.0 AS total_value,
+    FLOOR((FLOOR((SUM(value)) * 10000.0 + 0.5) / 10000.0 / COUNT(*))
+          * 10000.0 + 0.5) / 10000.0 AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def ts_hierarchical_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: daily aggregates computed
+    FROM the hourly rollup's partial aggregates (counts and sums
+    re-aggregate losslessly; avg is derived at the final level, never
+    averaged across partials). At 100 TB this is the continuous-
+    aggregate pattern — the hourly table is materialized once and every
+    coarser granularity reads 24 rows/day instead of the raw events;
+    the oracle aggregates the raw table directly, certifying the
+    two-level rollup is exact."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sv"),
+    )
+    # avg is derived from the ROUNDED total: sums of 2-decimal inputs
+    # never land on a 1e-4 rounding midpoint, so the rounded total is
+    # bit-identical across engines regardless of summation grouping,
+    # and rounded_total/n stays bit-identical — whereas rounding the
+    # raw quotient hits exact .5 midpoints (2-decimal sums / n) where
+    # the two engines' last-bit differences flip the result.
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(F.sum("n").alias("n_events"), RND(F.sum("sv"), 4).alias("total_value"))
+        .withColumn("avg_value", RND(F.col("total_value") / F.col("n_events"), 4))
+    )
