@@ -22,6 +22,7 @@ from pyspark.sql import Window
 
 from rentals_data_pipeline_spark.functions.rounding import round_half_up as RND
 from rentals_data_pipeline_spark.operators import dedup as DD
+from rentals_data_pipeline_spark.operators import relational as RL
 from rentals_data_pipeline_spark.plans.catalog import query
 from rentals_data_pipeline_spark.sources.tables import load_table
 
@@ -186,4 +187,29 @@ def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .drop("rn")
+    )
+
+
+@query(
+    "dedup_exact_documents",
+    """
+WITH h AS (
+    SELECT doc_id, md5(text) AS content_hash,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+)
+SELECT doc_id, content_hash FROM h WHERE rn = 1
+""",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup (the brief's hash-groupBy family): documents
+    grouped by md5(text), lowest doc_id survives. The hash-first shape
+    is the 100 TB form — the shuffle key is a 16-byte digest instead of
+    the document body, and the deterministic keep-first window replaces
+    shuffle-order-dependent dropDuplicates (SURVEY §7.4-1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_hash"))
+        .transform(RL.dedup_keep_first(["content_hash"], [F.col("doc_id")]))
+        .select("doc_id", "content_hash")
     )
