@@ -524,9 +524,10 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT
     COUNT(*) AS total_rows,
-    SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_quantity,
-    SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
-        AS oob_discount,
+    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS null_quantity,
+    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+        AS BIGINT) AS oob_discount,
     COUNT(DISTINCT (l_orderkey, l_linenumber)) AS distinct_keys
 FROM lineitem
 """,

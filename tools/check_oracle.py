@@ -28,7 +28,9 @@ def norm_cell(v: object) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # Full precision: %.6g would mask last-digit drift in large sums
+        # (e.g. revenue ~1e7 rounded to cents needs 9+ significant digits).
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
@@ -85,6 +87,24 @@ def main() -> int:
             failures.append(name)
             continue
         problems = []
+        # Driver-typing lint: the driver fetches the oracle through pandas,
+        # where DuckDB HUGEINT (e.g. SUM over integers wrapped in CASE)
+        # becomes float64 — "0.0" vs Spark's "0" breaks its value hash even
+        # though fetchall() agrees. Flag integral Spark columns that pandas
+        # widens to float on the oracle side.
+        spark_integral = {
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.simpleString() in ("int", "bigint", "smallint", "tinyint")
+        }
+        if spark_integral:
+            odtypes = con.execute(oracles[name]).df().dtypes
+            for cname, dt in odtypes.items():
+                if cname in spark_integral and str(dt).startswith("float"):
+                    problems.append(
+                        f"driver-typing: oracle col {cname!r} is {dt} in pandas "
+                        "but integral in Spark (CAST it AS BIGINT in the SQL)"
+                    )
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} != {len(orows)}")
         if sorted(scols) != sorted(ocols):
