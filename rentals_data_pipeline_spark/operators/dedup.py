@@ -13,11 +13,14 @@ built-ins so candidate generation stays in whole-stage codegen:
   with p ≈ 4e-8, so results are hash-comparable against an exhaustive
   oracle at test SFs.
 
-- **SimHash** (``simhash``, ``simhash_hamming_pairs``): 16-bit sign-of-sums
-  fingerprint over token hashes. Pairing uses pigeonhole blocking: the
-  16 bits split into 4 blocks of 4; any pair within Hamming distance 3
+- **SimHash** (``simhash``, ``simhash_hamming_pairs``): sign-of-sums
+  fingerprint over token hashes (up to 64 bits: md5 nibble-high bits
+  plus a salted second md5). Pairing uses pigeonhole blocking: the bits
+  split into equal blocks; any pair within Hamming distance blocks-1
   must agree on ≥ 1 whole block, so recall is exactly 1 (deterministic,
   unlike MinHash banding) while candidate generation is an equi-join.
+  The catalog runs 64 bits × 4 blocks → 16-bit blocks, 65 536 bucket
+  values, so buckets stay ~n/2^16 at corpus scale.
 
 - **Exact / n-gram Jaccard** primitives (``token_ngram_set``,
   ``jaccard``): the verification kernel shared by both families. Exact
@@ -255,24 +258,35 @@ def simhash(text_col: Column, nbits: int = 16) -> Column:
     """SimHash fingerprint as an ``nbits``-char '0'/'1' string.
 
     Bit i is the sign of Σ_tokens (±1), where the ±1 is the high bit of
-    hex digit i of md5(token) (each md5 nibble is uniform, and its high
-    bit is an unbiased coin). Token multiplicity is kept — SimHash
-    weights by term frequency. A string (not a long) so the oracle SQL
-    stays engine-portable.
+    hex digit i of an md5 over the token (each md5 nibble is uniform,
+    and its high bit is an unbiased coin). Token multiplicity is kept —
+    SimHash weights by term frequency. A string (not a long) so the
+    oracle SQL stays engine-portable.
+
+    One md5 supplies 32 nibble-high bits; bits 33-64 come from a second
+    salted hash, md5('1' || token), keeping every bit expressible in
+    DuckDB oracle SQL (md5 is the only hash both engines share).
     """
+    if nbits > 64:
+        raise ValueError("at most 64 bits (two md5 nibble-high-bit groups)")
+    toks = F.split(text_col, r"\s+")
+    md5_groups = [F.transform(toks, F.md5)]
     if nbits > 32:
-        raise ValueError("md5 yields 32 hex digits; nbits must be <= 32")
-    md5s = F.transform(F.split(text_col, r"\s+"), F.md5)
+        md5_groups.append(
+            F.transform(toks, lambda t: F.md5(F.concat(F.lit("1"), t)))
+        )
 
     def bit_sum(i: int) -> Column:
         # closure factory (not a default arg: pyspark inspects lambda
         # arity, so `lambda acc, h, i=i` would read as a 3-arg merge fn)
+        group, j = divmod(i, 32)
+
         def merge(acc: Column, h: Column) -> Column:
             return acc + F.when(
-                F.substring(h, i + 1, 1).isin(*_HIGH_NIBBLE), 1
+                F.substring(h, j + 1, 1).isin(*_HIGH_NIBBLE), 1
             ).otherwise(-1)
 
-        return F.aggregate(md5s, F.lit(0), merge)
+        return F.aggregate(md5_groups[group], F.lit(0), merge)
 
     bits = [
         F.when(bit_sum(i) >= 0, F.lit("1")).otherwise(F.lit("0"))
@@ -296,38 +310,48 @@ def simhash_fingerprints(
     the whole pipeline in codegen with map-side partial aggregation —
     45s → ~3s for 5k docs × 32 bits at sf0.1. Docs with NULL text are
     dropped (the Column form yields a NULL fingerprint instead).
+
+    Bits 1-32 are the nibble-high bits of md5(token); bits 33-64 come
+    from a second salted hash md5('1' || token) — md5 is the only hash
+    both Spark and DuckDB expose, so this is the widest fingerprint the
+    oracle can replicate.
     """
-    if nbits > 32:
-        raise ValueError("md5 yields 32 hex digits; nbits must be <= 32")
+    if nbits > 64:
+        raise ValueError("at most 64 bits (two md5 nibble-high-bit groups)")
+    n_groups = 1 if nbits <= 32 else 2
 
     def _apply(df: DataFrame) -> DataFrame:
-        # The 32 per-nibble high bits are extracted numerically: the md5
+        # The per-nibble high bits are extracted numerically: each md5
         # hex string is parsed once into three ≤60-bit longs (conv of
         # 15+15+2 hex digits — 16 would overflow signed 64), and each
         # bit is a shift+mask. The substring(h,i,1).isin(high_nibbles)
         # form allocated 32 single-char strings per token — 8M string
         # ops at sf0.1, 4.6s → 1.5s for the whole aggregation.
+        parse_exprs = []
+        for g in range(n_groups):
+            h = F.md5("tok") if g == 0 else F.md5(F.concat(F.lit(str(g)), F.col("tok")))
+            parse_exprs.extend(
+                F.conv(F.substring(h, start, width), 16, 10)
+                .cast("long")
+                .alias(f"g{g}{name}")
+                for name, start, width in (("v1", 1, 15), ("v2", 16, 15), ("v3", 31, 2))
+            )
         toks = df.select(
             F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
-        ).select(
-            id_col,
-            *[
-                F.conv(F.substring(F.md5("tok"), start, width), 16, 10)
-                .cast("long")
-                .alias(name)
-                for name, start, width in (("v1", 1, 15), ("v2", 16, 15), ("v3", 31, 2))
-            ],
-        )
+        ).select(id_col, *parse_exprs)
 
-        def nib_bit(j: int) -> Column:
-            # high bit of 1-indexed hex digit j: digit j's bits sit at
-            # position (last_digit - j)*4 .. +3 of its chunk's long
+        def nib_bit(i: int) -> Column:
+            # high bit of 1-indexed fingerprint bit i: group g's hex
+            # digit j; digit j's bits sit at position (last_digit - j)*4
+            # .. +3 of its chunk's long
+            g, j = divmod(i - 1, 32)
+            j += 1
             if j <= 15:
-                src, pos = "v1", (15 - j) * 4 + 3
+                src, pos = f"g{g}v1", (15 - j) * 4 + 3
             elif j <= 30:
-                src, pos = "v2", (30 - j) * 4 + 3
+                src, pos = f"g{g}v2", (30 - j) * 4 + 3
             else:
-                src, pos = "v3", (32 - j) * 4 + 3
+                src, pos = f"g{g}v3", (32 - j) * 4 + 3
             return F.shiftright(F.col(src), pos).bitwiseAND(F.lit(1))
 
         sums = toks.groupBy(id_col).agg(
@@ -372,6 +396,13 @@ def simhash_hamming_pairs(
     (block_idx, block_value) has recall exactly 1 for
     max_distance ≤ blocks - 1. Exact Hamming verify runs only on
     candidates. Returns (id_a, id_b, hamming_distance).
+
+    Block width is the scale lever: each block bucket holds ~n/2^width
+    docs, so candidates grow ~n²·blocks/2^width. 8-bit blocks (nbits=32,
+    blocks=4) saturate at corpus scale — 256 bucket values → 7.5M
+    candidates for just 5k docs at sf0.1. nbits=64 with blocks=4 gives
+    16-bit blocks (65 536 bucket values) — the same recall guarantee
+    with ~256× fewer collisions per bucket.
     """
     if max_distance > blocks - 1:
         raise ValueError("pigeonhole blocking needs max_distance <= blocks - 1")
@@ -387,9 +418,18 @@ def simhash_hamming_pairs(
         # verify also runs BEFORE distinct, so the distinct only
         # shuffles the ≤max_distance survivors, not the raw multiset.
         hashed = df.transform(simhash_fingerprints(id_col, text_col, nbits, "sh"))
+        if nbits <= 32:
+            shl = F.conv("sh", 2, 10).cast("long")
+        else:
+            # conv of a 64-char bit string can exceed signed-long range
+            # (cast → NULL); pack two ≤32-bit halves instead — the
+            # shiftleft wraps into two's complement, preserving bits.
+            shl = F.shiftleft(
+                F.conv(F.substring("sh", 1, nbits - 32), 2, 10).cast("long"), 32
+            ).bitwiseOR(F.conv(F.substring("sh", nbits - 31, 32), 2, 10).cast("long"))
         blocked = hashed.select(
             id_col,
-            F.conv("sh", 2, 10).cast("long").alias("shl"),
+            shl.alias("shl"),
             F.posexplode(
                 F.array(
                     *[F.substring("sh", b * width + 1, width) for b in range(blocks)]

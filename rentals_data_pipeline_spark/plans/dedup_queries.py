@@ -10,8 +10,10 @@ candidate-generation recall:
   for a Jaccard-0.9 pair is (1 - 0.9⁴)^16 ≈ 4e-8 — statistically exact
   at any test SF, while admitting far fewer background candidates than
   2-row bands (candidate rate ~p⁴ per band).
-- SimHash pigeonhole blocking (4 blocks of 8 bits, distance ≤ 1 ≤
-  blocks-1): recall exactly 1 by construction.
+- SimHash pigeonhole blocking (4 blocks of 16 bits over a 64-bit
+  fingerprint, distance ≤ 3 = blocks-1): recall exactly 1 by
+  construction, and 65 536 bucket values per block keep candidate
+  buckets ~n/2^16 at corpus scale.
 """
 
 from __future__ import annotations
@@ -40,8 +42,9 @@ g AS (
 )
 """
 
-# DuckDB fragment: 32-bit simhash per document (same md5-nibble family
-# as operators/dedup.py::simhash).
+# DuckDB fragment: 64-bit simhash per document (same md5-nibble family
+# as operators/dedup.py::simhash — bits 1-32 from md5(w), bits 33-64
+# from the salted md5('1' || w); md5 is the only hash both engines share).
 _ORACLE_SIMHASH = """
 tok AS (
     SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
@@ -49,9 +52,11 @@ tok AS (
 ),
 bits AS (
     SELECT doc_id, i,
-        SUM(CASE WHEN substr(md5(w), i, 1)
+        SUM(CASE WHEN substr(CASE WHEN i <= 32 THEN md5(w)
+                             ELSE md5('1' || w) END,
+                 ((i - 1) % 32) + 1, 1)
                  IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS sgn
-    FROM tok, generate_series(1, 32) AS t(i)
+    FROM tok, generate_series(1, 64) AS t(i)
     GROUP BY doc_id, i
 ),
 sim AS (
@@ -96,10 +101,10 @@ SELECT doc_id, simhash FROM sim
 """,
 )
 def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document (term-frequency-weighted sign-of-sums
-    over md5 nibble bits)."""
+    """64-bit SimHash per document (term-frequency-weighted sign-of-sums
+    over the nibble-high bits of md5(w) and salted md5('1' || w))."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.transform(DD.simhash_fingerprints("doc_id", "text", 32, "simhash"))
+    return docs.transform(DD.simhash_fingerprints("doc_id", "text", 64, "simhash"))
 
 
 @query(
@@ -110,21 +115,22 @@ p AS (
     SELECT
         a.doc_id AS id_a,
         b.doc_id AS id_b,
-        CAST(len(list_filter(generate_series(1, 32),
+        CAST(len(list_filter(generate_series(1, 64),
                  i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1)))
              AS INT) AS hamming_distance
     FROM sim a JOIN sim b ON a.doc_id < b.doc_id
 )
-SELECT id_a, id_b, hamming_distance FROM p WHERE hamming_distance <= 1
+SELECT id_a, id_b, hamming_distance FROM p WHERE hamming_distance <= 3
 """,
 )
 def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs within SimHash Hamming distance 1, candidates by pigeonhole
-    blocking (4 × 8-bit blocks → recall exactly 1 for distance ≤ 3);
-    oracle brute-forces all pairs."""
+    """Pairs within SimHash Hamming distance 3, candidates by pigeonhole
+    blocking (4 × 16-bit blocks → recall exactly 1 for distance ≤ 3,
+    65 536 bucket values per block so buckets stay small at corpus
+    scale); oracle brute-forces all pairs."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.transform(
-        DD.simhash_hamming_pairs(nbits=32, blocks=4, max_distance=1)
+        DD.simhash_hamming_pairs(nbits=64, blocks=4, max_distance=3)
     ).withColumn("hamming_distance", F.col("hamming_distance").cast("int"))
 
 
