@@ -79,24 +79,34 @@ def brute_force_topk(
     match_id: str = "match_id",
     match_vec: str = "match_vec",
     scale: int = 4,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Exact top-k by cosine: broadcast the probe set against the corpus
     (one corpus scan, no shuffle for the join; one small shuffle for the
     per-probe ranking). Ranking uses the ROUNDED cosine with an id
     tiebreaker so the top-k frontier is engine-deterministic even when
     two candidates differ below the rounding scale.
+
+    ``kernel="arrow"`` scores each Arrow batch in one numpy pass;
+    ``kernel="fold"`` is the column-expression spec (zip_with +
+    aggregate fold) — identical rounded output, but interpreted
+    per-row, so keep it off hot paths. (Divergence: a zero-norm vector
+    is null under the fold, NaN under numpy — unreachable on non-zero
+    embeddings.)
     """
+    if kernel == "arrow":
+        if scale != 4:
+            raise ValueError("arrow kernel rounds at 1e-4 (scale=4)")
+        cos_col = cosine_udf()(F.col(probe_vec), F.col(match_vec))
+    else:
+        cos_col = round_half_up(
+            cosine(as_double(F.col(probe_vec)), as_double(F.col(match_vec))),
+            scale,
+        )
     scored = (
         F.broadcast(probes)
         .join(corpus, F.col(probe_id) != F.col(match_id))
-        .select(
-            probe_id,
-            match_id,
-            round_half_up(
-                cosine(as_double(F.col(probe_vec)), as_double(F.col(match_vec))),
-                scale,
-            ).alias("cosine"),
-        )
+        .select(probe_id, match_id, cos_col.alias("cosine"))
     )
     w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(), F.col(match_id))
     return (
@@ -186,7 +196,14 @@ def srp_lsh_candidate_pairs(
     the same shape as MinHash LSH — so cost tracks the bucket sizes,
     not n². Verify candidates with the exact ``cosine`` afterwards.
     """
+    df = df.where(F.col(vec_col).isNotNull())
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None or first["d"] is None:
+        # empty corpus (or all-null vectors): no dimension to probe —
+        # return an empty pairs frame with the right schema
+        return df.select(
+            F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b")
+        ).limit(0)
     planes = deterministic_planes(n_planes, int(first["d"]), seed)
     keys = srp_band_keys_udf(planes, rows_per_band)
     banded = df.select(
@@ -281,6 +298,53 @@ def all_pairs_cosine_pairs(
     return (
         tagged.groupBy("gi", "gj")
         .applyInPandas(lambda _key, pdf: _gemm(pdf), schema=out_schema)
+    )
+
+
+def srp_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 64,
+    rows_per_band: int = 2,
+    seed: str = "srp",
+) -> DataFrame:
+    """The composed scale path for embedding near-dup: SRP-LSH candidate
+    generation → Arrow cosine verify → threshold. Returns
+    (id_a, id_b, cosine) with id_a < id_b — same contract as
+    ``all_pairs_cosine_pairs``, but the pair space is bucket-join-sized
+    instead of n², so FLOPs track near-dup density, not corpus².
+
+    Banding picks the recall/selectivity point. For a pair at cosine c
+    the per-plane agreement is p = 1 - arccos(c)/π and the miss
+    probability is (1 - p^r)^(planes/r). The default 32 bands × 2 rows
+    is sized for the *far-pair* regime this synthetic corpus lives in
+    (max cosine ≈ 0.51, θ ≈ 60°: miss ≈ 1e-8) — recall is certifiable
+    against the exhaustive oracle, which is the point of the catalog
+    query. At production near-dup thresholds (c ≥ 0.9, θ ≤ 26°) use
+    16 bands × 8 rows: recall ≈ 0.995 with ~6% random-pair candidate
+    rate, where the LSH pruning actually pays.
+    """
+    cand = srp_lsh_candidate_pairs(
+        df, id_col, vec_col, n_planes, rows_per_band, seed
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    return (
+        cand.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            cosine_udf()(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+        .where(F.col("cosine") > threshold)
     )
 
 

@@ -95,6 +95,39 @@ def sim_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_srp_near_dup_pairs",
+    f"""
+WITH {_ORACLE_COSINE_PAIRS},
+p AS (
+    SELECT
+        a.vec_id AS id_a,
+        b.vec_id AS id_b,
+        FLOOR((list_dot_product(a.v, b.v)
+               / NULLIF(sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v)), 0))
+              * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine > 0.4
+""",
+)
+def sim_srp_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100-TB path for embedding near-dup: SRP-LSH
+    candidate generation (equi-join on band buckets, never n² pairs
+    materialized) → Arrow cosine verify → threshold. The oracle
+    brute-forces ALL pairs exhaustively, so a hash match certifies
+    SRP recall end-to-end, not just the verify kernel — the same trick
+    dedup_minhash_lsh_pairs pulls. Banding (32 bands × 2 rows) is
+    sized for this corpus's far-pair regime; see
+    operators/similarity.py::srp_near_dup_pairs for the
+    recall/selectivity math and the production (16×8) shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.srp_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, n_planes=64, rows_per_band=2
+    )
+
+
 @query("sim_srp_lsh_recall")  # no SQL oracle: hyperplane constants; golden-tested
 def sim_srp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of SRP-LSH candidate generation (128 planes, 16 bands × 8)

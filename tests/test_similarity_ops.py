@@ -47,6 +47,68 @@ def test_brute_force_topk(spark):
     assert rows[0]["cosine"] == pytest.approx(0.995, abs=1e-3)
 
 
+def test_brute_force_topk_kernels_agree(spark):
+    """The Arrow kernel and the fold (spec) kernel produce the same
+    rounded frontier at sf0.001."""
+    from rentals_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probes = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("match_vec")
+    )
+    arrow = sorted(map(tuple, SIM.brute_force_topk(probes, corpus, k=5).collect()))
+    fold = sorted(
+        map(tuple, SIM.brute_force_topk(probes, corpus, k=5, kernel="fold").collect())
+    )
+    assert arrow == fold
+
+
+def test_srp_near_dup_matches_exact(spark):
+    """Composed SRP near-dup path reproduces the exact all-pairs result
+    at sf0.001 (recall certified by construction of the banding)."""
+    from rentals_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = sorted(
+        map(
+            tuple,
+            SIM.all_pairs_cosine_pairs(
+                emb, "vec_id", "embedding", threshold=0.4
+            ).collect(),
+        )
+    )
+    srp = sorted(
+        map(
+            tuple,
+            SIM.srp_near_dup_pairs(
+                emb, "vec_id", "embedding", threshold=0.4, n_planes=64, rows_per_band=2
+            ).collect(),
+        )
+    )
+    assert srp == exact
+    assert len(exact) > 0
+
+
+def test_srp_candidates_empty_corpus(spark):
+    """Empty (or all-null-vector) corpus: dimension probe returns None;
+    the operator must return an empty pairs frame, not crash."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert SIM.srp_lsh_candidate_pairs(empty, "vec_id", "embedding").count() == 0
+    allnull = spark.createDataFrame([(1, None), (2, None)], schema)
+    assert SIM.srp_lsh_candidate_pairs(allnull, "vec_id", "embedding").count() == 0
+
+
 def test_deterministic_planes_stable():
     p1 = SIM.deterministic_planes(2, 4)
     p2 = SIM.deterministic_planes(2, 4)
