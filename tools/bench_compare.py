@@ -1,0 +1,83 @@
+"""Round-over-round bench regression guard.
+
+Diffs the two newest ``BENCH_r*.json`` files (or two paths given on the
+command line) per query and fails (exit 1) when any query — or the
+headline total — regresses by more than the threshold (default 1.5x).
+Queries present in only one round are reported but never fail the gate,
+since adding headline queries is expected round-over-round.
+
+Usage:
+    python tools/bench_compare.py                 # newest two BENCH_r*.json
+    python tools/bench_compare.py OLD.json NEW.json [--threshold 1.5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def find_rounds() -> list[Path]:
+    def round_no(p: Path) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", p.name)
+        return int(m.group(1)) if m else -1
+
+    return sorted(REPO.glob("BENCH_r*.json"), key=round_no)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old", nargs="?", help="baseline bench json")
+    ap.add_argument("new", nargs="?", help="candidate bench json")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    args = ap.parse_args()
+
+    if args.old and args.new:
+        old_p, new_p = Path(args.old), Path(args.new)
+    else:
+        rounds = find_rounds()
+        if len(rounds) < 2:
+            print(f"only {len(rounds)} BENCH_r*.json present — nothing to compare")
+            return 0
+        old_p, new_p = rounds[-2], rounds[-1]
+
+    old = json.loads(old_p.read_text())
+    new = json.loads(new_p.read_text())
+    print(f"comparing {old_p.name} -> {new_p.name} (threshold {args.threshold}x)")
+
+    failures = []
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    for name in sorted(set(oq) | set(nq)):
+        if name not in oq:
+            print(f"  NEW   {name}: {nq[name]:.3f}s (no baseline)")
+            continue
+        if name not in nq:
+            print(f"  GONE  {name}: was {oq[name]:.3f}s")
+            continue
+        ratio = nq[name] / oq[name] if oq[name] > 0 else float("inf")
+        flag = "FAIL" if ratio > args.threshold else "ok"
+        print(f"  {flag:<5} {name}: {oq[name]:.3f}s -> {nq[name]:.3f}s ({ratio:.2f}x)")
+        if ratio > args.threshold:
+            failures.append((name, ratio))
+
+    t_ratio = new["value"] / old["value"] if old.get("value") else float("inf")
+    print(f"  total: {old['value']:.3f}s -> {new['value']:.3f}s ({t_ratio:.2f}x)")
+    if t_ratio > args.threshold:
+        failures.append(("TOTAL", t_ratio))
+
+    if failures:
+        print(f"{len(failures)} regression(s) over {args.threshold}x:")
+        for name, ratio in failures:
+            print(f"  {name}: {ratio:.2f}x")
+        return 1
+    print("no regressions")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
