@@ -17,7 +17,10 @@ parquet round-trip is an orchestration choice, not an engine one).
 
 from __future__ import annotations
 
+import logging
+import time
 from collections.abc import Callable
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -105,34 +108,145 @@ def default_quality_checks(config: dict = DEFAULT_CONFIG) -> list[Q.DataQualityC
     ]
 
 
+_logger = logging.getLogger(__name__)
+
+
+@dataclass
+class RetryPolicy:
+    """The reference DAG's failure-handling semantics as an engine
+    seam (dags/rental_pipeline_dag.py:24-47): ``retries`` additional
+    attempts after the first, ``retry_delay`` seconds between attempts,
+    ``on_retry`` fired per failed-but-retryable attempt, ``on_failure``
+    fired once when all attempts are exhausted (Airflow's
+    ``on_failure_callback``). Callbacks receive a context dict
+    (task_id, attempt, max_attempts, exception) mirroring the Airflow
+    context the reference logs from; callback errors are logged, never
+    raised (a broken alert hook must not mask the task error).
+    ``sleep`` is injectable so tests don't wait wall-clock.
+    """
+
+    retries: int = 1
+    retry_delay: float = 300.0  # reference: timedelta(minutes=5)
+    on_retry: Callable[[dict], None] | None = None
+    on_failure: Callable[[dict], None] | None = None
+    sleep: Callable[[float], None] = field(default=time.sleep, repr=False)
+
+
+def _fire(cb: Callable[[dict], None] | None, ctx: dict) -> None:
+    if cb is None:
+        return
+    try:
+        cb(ctx)
+    except Exception:  # noqa: BLE001 — alerting must not mask the task error
+        _logger.exception("callback for task %s raised", ctx.get("task_id"))
+
+
+class NonRetryableError(Exception):
+    """Wrap an error to mark it non-retryable: ``run_with_retries``
+    fires ``on_failure`` once and re-raises the wrapped error without
+    burning retry attempts (used for deterministic failures like DQ
+    threshold violations, where a re-run cannot change the outcome)."""
+
+    def __init__(self, error: BaseException):
+        super().__init__(str(error))
+        self.error = error
+
+
+def run_with_retries(
+    fn: Callable[[], object], task_id: str, policy: RetryPolicy | None = None
+):
+    """Run ``fn`` under the retry policy; return its result or re-raise
+    its final exception after firing ``on_failure``."""
+    policy = policy or RetryPolicy()
+    max_attempts = 1 + max(0, policy.retries)
+    for attempt in range(1, max_attempts + 1):
+        try:
+            return fn()
+        except NonRetryableError as wrapped:
+            exc = wrapped.error
+            _logger.error(
+                "task failed (non-retryable): task=%s attempt=%d error=%s",
+                task_id, attempt, exc,
+            )
+            _fire(
+                policy.on_failure,
+                {
+                    "task_id": task_id,
+                    "attempt": attempt,
+                    "max_attempts": max_attempts,
+                    "exception": exc,
+                },
+            )
+            raise exc from None
+        except Exception as exc:  # noqa: BLE001 — retry any task error
+            ctx = {
+                "task_id": task_id,
+                "attempt": attempt,
+                "max_attempts": max_attempts,
+                "exception": exc,
+            }
+            if attempt < max_attempts:
+                _logger.warning(
+                    "task %s failed (attempt %d/%d), retrying in %.0fs: %s",
+                    task_id, attempt, max_attempts, policy.retry_delay, exc,
+                )
+                _fire(policy.on_retry, ctx)
+                policy.sleep(policy.retry_delay)
+            else:
+                _logger.error(
+                    "task failed: task=%s attempt=%d/%d error=%s",
+                    task_id, attempt, max_attempts, exc,
+                )
+                _fire(policy.on_failure, ctx)
+                raise
+
+
 def run_etl(
     spark: SparkSession,
     input_csv: str,
     output_path: str,
     config: dict = DEFAULT_CONFIG,
     min_rows: int | None = None,
+    retry_policy: RetryPolicy | None = None,
 ) -> dict[str, object]:
     """Full ETL: typed ingest → transforms → partitioned sink → DQ.
 
     Returns the DQ tally; raises DataQualityError on fail-severity
     failures (the reference fails the Airflow task the same way,
-    dags/rental_pipeline_dag.py:115-116).
+    dags/rental_pipeline_dag.py:115-116). Pass ``retry_policy`` for the
+    reference DAG's retry/on-failure semantics; DataQualityError is
+    never retried (a threshold violation is deterministic — re-running
+    the same data cannot fix it, and double-firing DQ alerts is worse
+    than one honest failure).
     """
-    fixed = {c: _TYPES[t] for c, t in config["id_columns"].items()}
-    wide = read_csv_typed(spark, input_csv, fixed_fields=fixed)
-    result = run_pipeline(wide, config)
-    write_partitioned_parquet(
-        result,
-        output_path,
-        partition_by=config["partition_by"],
-        derived={"year": F.year(F.col(config["period_col"]))},
-    )
-    checks = default_quality_checks(config)
-    if min_rows is not None:  # test-size override
-        checks = [c for c in checks if not c.name.startswith("row_count")]
-        checks.append(Q.row_count_check(min_rows))
-    out = spark.read.parquet(output_path)
-    return Q.run_quality_checks(out, checks)
+
+    def _etl() -> dict[str, object]:
+        fixed = {c: _TYPES[t] for c, t in config["id_columns"].items()}
+        wide = read_csv_typed(spark, input_csv, fixed_fields=fixed)
+        result = run_pipeline(wide, config)
+        write_partitioned_parquet(
+            result,
+            output_path,
+            partition_by=config["partition_by"],
+            derived={"year": F.year(F.col(config["period_col"]))},
+        )
+        checks = default_quality_checks(config)
+        if min_rows is not None:  # test-size override
+            checks = [c for c in checks if not c.name.startswith("row_count")]
+            checks.append(Q.row_count_check(min_rows))
+        out = spark.read.parquet(output_path)
+        return Q.run_quality_checks(out, checks)
+
+    if retry_policy is None:
+        return _etl()
+
+    def _guarded() -> dict[str, object]:
+        try:
+            return _etl()
+        except Q.DataQualityError as exc:
+            raise NonRetryableError(exc) from exc
+
+    return run_with_retries(_guarded, "run_etl", retry_policy)
 
 
 def load_config(path: str) -> dict:

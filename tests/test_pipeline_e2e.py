@@ -81,6 +81,86 @@ def test_run_etl_end_to_end(spark, wide_csv, tmp_path):
     assert ny.count() == 6
 
 
+def test_retry_transient_failure_then_success():
+    """Reference DAG semantics (dags/rental_pipeline_dag.py:24-28):
+    1 retry after 5 min. A transient failure on attempt 1 must be
+    retried after exactly retry_delay; on_retry fires, on_failure
+    doesn't."""
+    calls, slept, retried, failed = [], [], [], []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("transient")
+        return "ok"
+
+    policy = P.RetryPolicy(
+        retries=1,
+        retry_delay=300.0,
+        on_retry=retried.append,
+        on_failure=failed.append,
+        sleep=slept.append,
+    )
+    assert P.run_with_retries(flaky, "t", policy) == "ok"
+    assert len(calls) == 2
+    assert slept == [300.0]
+    assert [c["attempt"] for c in retried] == [1]
+    assert failed == []
+
+
+def test_retry_exhaustion_fires_on_failure():
+    """All attempts failing → on_failure fires once with the final
+    context (reference _on_failure_callback logs dag/task/error,
+    dags/rental_pipeline_dag.py:31-47) and the error propagates."""
+    failed = []
+    policy = P.RetryPolicy(
+        retries=2, retry_delay=1.0, on_failure=failed.append, sleep=lambda s: None
+    )
+
+    def always_fails():
+        raise ValueError("boom")
+
+    with pytest.raises(ValueError, match="boom"):
+        P.run_with_retries(always_fails, "etl", policy)
+    assert len(failed) == 1
+    assert failed[0]["task_id"] == "etl"
+    assert failed[0]["attempt"] == failed[0]["max_attempts"] == 3
+    assert isinstance(failed[0]["exception"], ValueError)
+
+
+def test_callback_error_does_not_mask_task_error():
+    policy = P.RetryPolicy(
+        retries=0,
+        on_failure=lambda ctx: (_ for _ in ()).throw(RuntimeError("alert down")),
+        sleep=lambda s: None,
+    )
+    with pytest.raises(ValueError, match="real"):
+        P.run_with_retries(lambda: (_ for _ in ()).throw(ValueError("real")), "t", policy)
+
+
+def test_dq_failure_is_not_retried(spark, wide_csv, tmp_path):
+    """A DQ threshold violation is deterministic — run_etl must fail
+    immediately (no retry attempts burned, no sleep) while still firing
+    on_failure for alerting."""
+    from rentals_data_pipeline_spark.operators.quality import DataQualityError
+
+    slept, failed = [], []
+    policy = P.RetryPolicy(
+        retries=3, retry_delay=60.0, on_failure=failed.append, sleep=slept.append
+    )
+    with pytest.raises(DataQualityError):
+        P.run_etl(
+            spark,
+            wide_csv,
+            str(tmp_path / "out"),
+            min_rows=1_000_000,  # unmeetable row-count threshold
+            retry_policy=policy,
+        )
+    assert slept == []  # never retried
+    assert len(failed) == 1
+    assert isinstance(failed[0]["exception"], DataQualityError)
+
+
 def test_load_config_merges_over_defaults(tmp_path):
     cfg_file = tmp_path / "c.yaml"
     cfg_file.write_text("dq:\n  min_rows: 7\nvalue_col: rent\n")
