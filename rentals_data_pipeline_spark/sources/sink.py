@@ -13,6 +13,7 @@ let AQE size the shuffle.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def write_partitioned_parquet(
@@ -22,22 +23,59 @@ def write_partitioned_parquet(
     derived: dict[str, Column] | None = None,
     mode: str = "overwrite",
     compression: str = "snappy",
+    target_files_per_partition: int | None = None,
+    max_records_per_file: int | None = None,
 ) -> None:
     """Write hive-partitioned snappy parquet, scale-safe.
 
     ``derived`` adds computed partition columns first (the reference
     derives ``year`` from ``month`` — jobs/io_utils.py:101).
+
+    File-size control — the reference's ``coalesce(1)`` intent
+    (jobs/io_utils.py:102: "exactly one tidy file per dir") without its
+    single-task write:
+
+    - ``target_files_per_partition=N`` shuffles on (partition cols,
+      deterministic salt = hash of all data cols mod N) so each dir is
+      written by at most N tasks → at most N files per dir, with
+      N-way write parallelism *within* each dir. ``=1`` reproduces the
+      reference layout exactly, still writing dirs in parallel (the
+      serialization coalesce(1) forced was across the whole job, not
+      per dir).
+    - ``max_records_per_file`` caps rows per file via the writer option
+      (Spark splits a task's output at the cap) — the guard against a
+      skewed dir producing one giant file when N is small.
     """
     for name, expr in (derived or {}).items():
         df = df.withColumn(name, expr)
     if partition_by:
         # One shuffle keyed on the partition columns → each dir written
-        # by the tasks owning its rows; AQE coalesces small partitions.
-        df = df.repartition(*partition_by)
+        # by tasks that own all its rows; AQE coalesces small partitions.
+        keys = [F.col(c) for c in partition_by]
+        if target_files_per_partition is not None:
+            if target_files_per_partition < 1:
+                raise ValueError("target_files_per_partition must be >= 1")
+            data_cols = [c for c in df.columns if c not in partition_by]
+            if data_cols:
+                # Deterministic salt (no rand(): retries/speculative tasks
+                # must re-produce identical placement) splitting each dir
+                # across at most N writer tasks.
+                keys.append(
+                    F.pmod(
+                        F.hash(*[F.col(c) for c in data_cols]),
+                        F.lit(target_files_per_partition),
+                    )
+                )
+        df = df.repartition(*keys)
         writer = df.write.mode(mode).option("compression", compression)
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
         writer.partitionBy(*partition_by).parquet(path)
     else:
-        df.write.mode(mode).option("compression", compression).parquet(path)
+        writer = df.write.mode(mode).option("compression", compression)
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(path)
 
 
 def write_bucketed_table(

@@ -1,0 +1,82 @@
+"""File-size control on the partitioned sink.
+
+The reference compacts each partition dir to exactly one file via
+``coalesce(1)`` (reference: jobs/io_utils.py:102) — a single-task write
+that serializes the whole job at scale. ``write_partitioned_parquet``
+reproduces the *layout* intent (bounded files per dir) while keeping the
+write parallel: per-dir deterministic salting caps the number of writer
+tasks per dir, and ``maxRecordsPerFile`` caps file size from the other
+direction.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from rentals_data_pipeline_spark.sources.sink import write_partitioned_parquet
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _files_per_dir(root: Path) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for d in sorted(root.glob("*=*")):
+        out[d.name] = len(list(d.glob("*.parquet")))
+    return out
+
+
+def test_target_files_per_partition_one_matches_reference_layout(spark, tmp_path):
+    """N=1 → exactly one file per partition dir (the reference's layout)."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    out = tmp_path / "by_status"
+    write_partitioned_parquet(
+        orders, str(out), ["o_orderstatus"], target_files_per_partition=1
+    )
+    counts = _files_per_dir(out)
+    assert counts, "no partition dirs written"
+    assert all(n == 1 for n in counts.values()), counts
+    # round-trip intact
+    assert spark.read.parquet(str(out)).count() == orders.count()
+
+
+def test_target_files_per_partition_caps_file_count(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    out = tmp_path / "capped"
+    write_partitioned_parquet(
+        orders, str(out), ["o_orderstatus"], target_files_per_partition=3
+    )
+    counts = _files_per_dir(out)
+    assert counts and all(n <= 3 for n in counts.values()), counts
+    assert spark.read.parquet(str(out)).count() == orders.count()
+
+
+def test_max_records_per_file_splits_large_tasks(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    out = tmp_path / "split"
+    write_partitioned_parquet(
+        orders,
+        str(out),
+        ["o_orderstatus"],
+        target_files_per_partition=1,
+        max_records_per_file=100,
+    )
+    # Every file obeys the cap even though each dir had a single writer task.
+    for f in Path(out).glob("*/*.parquet"):
+        assert spark.read.parquet(str(f)).count() <= 100, f
+    assert spark.read.parquet(str(out)).count() == orders.count()
+
+
+def test_derived_partition_column_still_applies(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    out = tmp_path / "derived"
+    write_partitioned_parquet(
+        orders,
+        str(out),
+        ["o_year"],
+        derived={"o_year": F.year("o_orderdate")},
+        target_files_per_partition=2,
+    )
+    counts = _files_per_dir(out)
+    assert counts and all(n <= 2 for n in counts.values()), counts
