@@ -42,11 +42,41 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_byte_histogram")  # mapInPandas stage: no SQL oracle
+@query(
+    "multimodal_byte_histogram",
+    """
+WITH pos AS (
+    SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+    FROM documents
+),
+counts AS (
+    SELECT doc_id, ord(substr(text, i, 1)) // 16 AS bin, COUNT(*) AS c
+    FROM pos
+    GROUP BY 1, 2
+),
+totals AS (SELECT doc_id, length(text) AS n FROM documents),
+bins AS (SELECT unnest(range(0, 16)) AS bin)
+SELECT
+    t.doc_id,
+    CAST(b.bin AS INT) AS bin,
+    CASE WHEN t.n = 0 THEN 0.0
+         ELSE COALESCE(c.c, 0) / t.n END AS frac
+FROM totals t
+CROSS JOIN bins b
+LEFT JOIN counts c ON c.doc_id = t.doc_id AND c.bin = b.bin
+""",
+)
 def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bin byte histogram per payload through the Arrow-batched
     mapInPandas feature path (the decode/embed UDF plumbing shape),
-    exploded to (doc_id, bin, frac) rows."""
+    exploded to (doc_id, bin, frac) rows.
+
+    Oracle-paired: payloads are utf-8 of ASCII text (pack_media), so
+    DuckDB reproduces each byte as ``ord()`` of the character and the
+    exact histogram by grouping on ``ord // 16``; the dense left-join
+    against all 16 bins mirrors numpy ``bincount(minlength=16)``. Both
+    sides divide the same exact integers in IEEE double, so the
+    unrounded fractions hash identically."""
     docs = load_table(spark, sf_dir, "documents")
     feats = docs.transform(MM.pack_media()).transform(
         MM.byte_histogram_features()
