@@ -87,13 +87,26 @@ def brute_force_topk(
     tiebreaker so the top-k frontier is engine-deterministic even when
     two candidates differ below the rounding scale.
 
-    ``kernel="arrow"`` scores each Arrow batch in one numpy pass;
-    ``kernel="fold"`` is the column-expression spec (zip_with +
-    aggregate fold) — identical rounded output, but interpreted
-    per-row, so keep it off hot paths. (Divergence: a zero-norm vector
-    is null under the fold, NaN under numpy — unreachable on non-zero
-    embeddings.)
+    ``kernel="gemm"`` (the scale path) never materializes the
+    probe×corpus pair space: the probe matrix rides into a
+    ``mapInPandas`` closure (bounded driver collect — the probe set is
+    small by contract, same pattern as the IVF centroids), each corpus
+    Arrow batch is scored against ALL probes in one numpy matmul, and
+    only the per-batch top-k per probe survives to the final global
+    window — shuffle volume is n_batches × |probes| × k rows, not
+    |probes| × |corpus|. ``kernel="arrow"`` joins then scores each
+    (probe, candidate) row pairwise; ``kernel="fold"`` is the
+    column-expression spec (zip_with + aggregate fold) — identical
+    rounded output, but interpreted per-row, so keep it off hot paths.
+    (Divergence: a zero-norm vector is null under the fold, NaN under
+    numpy — unreachable on non-zero embeddings.)
     """
+    if kernel == "gemm":
+        if scale != 4:
+            raise ValueError("gemm kernel rounds at 1e-4 (scale=4)")
+        return _topk_gemm(
+            probes, corpus, k, probe_id, probe_vec, match_id, match_vec
+        )
     if kernel == "arrow":
         if scale != 4:
             raise ValueError("arrow kernel rounds at 1e-4 (scale=4)")
@@ -111,6 +124,65 @@ def brute_force_topk(
     w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(), F.col(match_id))
     return (
         scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _topk_gemm(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    probe_id: str,
+    probe_vec: str,
+    match_id: str,
+    match_vec: str,
+) -> DataFrame:
+    """GEMM tier of ``brute_force_topk``: one (batch × dim) @
+    (dim × probes) matmul per corpus Arrow batch, per-batch top-k per
+    probe (on the ROUNDED cosine with the match-id tiebreaker — the
+    same total order as the final window, so pre-pruning cannot change
+    the global top-k), then a tiny global window over the survivors."""
+    pr = probes.select(probe_id, probe_vec).collect()
+    out_schema = f"{probe_id} long, {match_id} long, cosine double"
+    if not pr:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    pids = np.array([r[0] for r in pr], dtype=np.int64)
+    pmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in pr])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pn = pmat / np.linalg.norm(pmat, axis=1, keepdims=True)
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf[match_id].to_numpy(dtype=np.int64)
+            cmat = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[match_vec]]
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+                sims = np.floor((cn @ pn.T) * 1e4 + 0.5) / 1e4  # batch × probes
+            out_p, out_m, out_c = [], [], []
+            for j in range(len(pids)):
+                col = sims[:, j]
+                keep = cids != pids[j]  # self-exclusion
+                cand_ids, cand_cos = cids[keep], col[keep]
+                # total order (cosine desc, match_id asc) == final window
+                order = np.lexsort((cand_ids, -cand_cos))[:k]
+                out_p.extend([pids[j]] * len(order))
+                out_m.extend(cand_ids[order])
+                out_c.extend(cand_cos[order])
+            yield pd.DataFrame(
+                {probe_id: out_p, match_id: out_m, "cosine": out_c}
+            )
+
+    survivors = corpus.select(match_id, match_vec).mapInPandas(
+        _score, out_schema
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(), F.col(match_id))
+    return (
+        survivors.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .drop("rn")
     )

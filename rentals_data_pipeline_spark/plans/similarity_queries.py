@@ -55,7 +55,10 @@ SELECT probe_id, match_id, cosine FROM ranked WHERE rn <= 5
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ANN baseline: top-5 cosine neighbors for each probe vector
-    (vec_id % 50 = 0). Probes broadcast → single corpus scan."""
+    (vec_id % 50 = 0), via the GEMM kernel — one matmul per corpus
+    Arrow batch against the whole probe matrix; only per-batch top-k
+    survivors reach the final window (never the probe×corpus pair
+    space)."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
@@ -63,7 +66,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         F.col("vec_id").alias("match_id"), F.col("embedding").alias("match_vec")
     )
-    return SIM.brute_force_topk(probes, corpus, k=5)
+    return SIM.brute_force_topk(probes, corpus, k=5, kernel="gemm")
 
 
 @query(

@@ -63,7 +63,51 @@ def test_brute_force_topk_kernels_agree(spark):
     fold = sorted(
         map(tuple, SIM.brute_force_topk(probes, corpus, k=5, kernel="fold").collect())
     )
+    gemm = sorted(
+        map(tuple, SIM.brute_force_topk(probes, corpus, k=5, kernel="gemm").collect())
+    )
     assert arrow == fold
+    assert arrow == gemm
+
+
+def test_topk_gemm_small_batches_prune_correctly(spark):
+    """Per-batch top-k pre-pruning must not change the global frontier:
+    force many tiny Arrow batches so the top-k for each probe is
+    scattered across batches, and compare against the join kernel."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        from rentals_data_pipeline_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        probes = emb.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+        )
+        corpus = emb.select(
+            F.col("vec_id").alias("match_id"),
+            F.col("embedding").alias("match_vec"),
+        ).repartition(8)
+        gemm = sorted(
+            map(
+                tuple,
+                SIM.brute_force_topk(probes, corpus, k=5, kernel="gemm").collect(),
+            )
+        )
+        join = sorted(
+            map(tuple, SIM.brute_force_topk(probes, corpus, k=5).collect())
+        )
+        assert gemm == join
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_topk_gemm_empty_probes(spark):
+    probes = spark.createDataFrame([], "probe_id long, probe_vec array<float>")
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "match_id long, match_vec array<float>"
+    )
+    assert SIM.brute_force_topk(probes, corpus, k=3, kernel="gemm").count() == 0
 
 
 def test_srp_near_dup_matches_exact(spark):
