@@ -37,6 +37,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "ts_tumbling_hourly",
     "join_asof_last_error",
+    "pipeline_corpus_curation",
 ]
 
 
