@@ -95,6 +95,31 @@ def run_available_now(
     q.awaitTermination()
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark``.
+
+    Plain ``dropDuplicates`` on a stream keeps every key it has ever
+    seen — state grows without bound. Within-watermark dedup keeps a
+    key's state only while a duplicate could still arrive inside the
+    watermark delay, then evicts it: the streaming counterpart of the
+    batch exact-dedup family (D1/``dedup_exact_documents``) that an
+    ingest pipeline runs in front of the corpus store. Duplicates whose
+    event times differ by less than the delay are guaranteed deduped;
+    a key re-arriving after eviction is treated as new (the documented
+    at-least-once boundary — downstream batch dedup remains the final
+    authority, this stage just keeps the volume down cheaply).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 _RUNNING_MAX_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

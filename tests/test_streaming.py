@@ -170,3 +170,67 @@ def test_late_data_dropped_across_microbatches(spark, tmp_path):
         for r in spark.table("late_counts_ctl").collect()
     }
     assert ("00:00", 3) in ctl
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark across micro-batches: a duplicate
+    key arriving in a later batch within the watermark delay is dropped;
+    once the watermark passes the key's state it is evicted and a much
+    later re-arrival is treated as new (bounded state — the property
+    plain dropDuplicates lacks on a stream)."""
+    import datetime as dt
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rentals_data_pipeline_spark.streaming.jobs import EVENTS_STREAM_SCHEMA
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    batch_a = [
+        (1, t(0, 0), 1, "a", 1.0, None),
+        (2, t(0, 1), 1, "a", 1.0, None),
+    ]
+    batch_b = [
+        (1, t(0, 2), 1, "a", 9.0, None),   # dup within watermark -> dropped
+        (3, t(1, 0), 1, "a", 1.0, None),   # advances watermark to 00:50
+    ]
+    batch_c = [(4, t(2, 0), 1, "a", 1.0, None)]  # watermark 01:50, key 1 evicted
+    batch_d = [(1, t(2, 10), 1, "a", 7.0, None)]  # re-arrival after eviction
+
+    src = str(tmp_path / "dedup_src")
+    batches = (batch_a, batch_b, batch_c, batch_d)
+    for rows in batches:
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    # deterministic micro-batch order via mtime; files distinguishable by
+    # (row count, first event_id) -> use row payload: count rows
+    now = 1_700_000_000
+    sig_to_age = {}
+    for i, rows in enumerate(batches):
+        sig_to_age[(len(rows), rows[0][0])] = now + i * 3600
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            p = os.path.join(src, f)
+            tbl = pq.read_table(p, columns=["event_id"])
+            sig = (tbl.num_rows, tbl["event_id"][0].as_py())
+            os.utime(p, (sig_to_age[sig], sig_to_age[sig]))
+
+    stream = SJ.read_events_stream(spark, src, max_files_per_trigger=1)
+    SJ.run_available_now(
+        SJ.dedup_stream(stream, keys=("event_id",), watermark="10 minutes"),
+        "dedup_out",
+        str(tmp_path / "ckpt_dedup"),
+        output_mode="append",
+    )
+    got = [(r["event_id"], r["value"]) for r in spark.table("dedup_out").collect()]
+    # within-watermark duplicate dropped: the 9.0 copy of key 1 never appears
+    assert (1, 9.0) not in got
+    assert (1, 1.0) in got
+    # unique keys pass through exactly once
+    for k in (2, 3, 4):
+        assert sum(1 for kk, _ in got if kk == k) == 1
+    # bounded state: the post-eviction re-arrival of key 1 is emitted as new
+    assert (1, 7.0) in got
