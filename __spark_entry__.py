@@ -24,6 +24,7 @@ from rentals_data_pipeline_spark.plans import dedup_queries  # noqa: E402, F401
 from rentals_data_pipeline_spark.plans import similarity_queries  # noqa: E402, F401
 from rentals_data_pipeline_spark.plans import multimodal_queries  # noqa: E402, F401
 from rentals_data_pipeline_spark.plans import curation_queries  # noqa: E402, F401
+from rentals_data_pipeline_spark.plans import sampling_queries  # noqa: E402, F401
 from rentals_data_pipeline_spark.plans import timeseries_queries  # noqa: E402, F401
 
 

@@ -1,0 +1,113 @@
+"""Deterministic sampling and dataset splitting.
+
+Training-data pipelines need *repeatable* sampling: the same document
+must land in the same split on every run, every engine, and every
+partitioning — otherwise train/val contamination silently shifts
+between runs. ``F.rand(seed)`` cannot give that guarantee (it is seeded
+per-partition, so a repartition reshuffles every assignment); a content
+hash can.
+
+The bucket function is the first 8 hex digits of ``md5(seed || key)``
+parsed as an integer — md5 because it is the one hash both Spark and
+ANSI-SQL engines share (the same reasoning as the fingerprint family,
+operators/text.py::fingerprints), which keeps every operator here fully
+oracle-pairable. All expressions are JVM built-ins in whole-stage
+codegen; the per-row cost is one md5 over a short key, and sampling
+predicates sit directly on the scan so pushdown prunes before any
+shuffle.
+
+Extension surface (no reference counterpart).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+Op = Callable[[DataFrame], DataFrame]
+
+N_SPLIT_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, n_buckets: int, seed: str = "") -> Column:
+    """Deterministic uniform bucket in [0, n_buckets): parse the first
+    8 hex digits (32 bits) of md5(seed || key) and take them mod
+    ``n_buckets``. Independent of partitioning, task retries, and
+    engine — DuckDB reproduces it as ('0x' || substr(md5(..), 1, 8))::BIGINT."""
+    h = F.md5(F.concat(F.lit(seed), key.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets
+    ).cast("int")
+
+
+def deterministic_sample(
+    key_col: str, fraction: float, seed: str = ""
+) -> Op:
+    """Keep rows whose hash bucket (out of ``N_SPLIT_BUCKETS``) falls
+    below ``fraction`` — a repeatable Bernoulli-style sample. The
+    predicate is a pure row-local expression, so Catalyst pushes it to
+    the scan side and the dropped rows never reach a shuffle."""
+    cut = int(round(fraction * N_SPLIT_BUCKETS))
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.where(
+            hash_bucket(F.col(key_col), N_SPLIT_BUCKETS, seed) < cut
+        )
+
+    return _apply
+
+
+def train_val_test_split(
+    key_col: str,
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    labels: Sequence[str] = ("train", "val", "test"),
+    seed: str = "split",
+    out_col: str = "split",
+) -> Op:
+    """Assign each row a split label by hash-bucket thresholds: the
+    deterministic, leakage-free version of randomSplit. A given key
+    gets the same label on every run and in every engine; growing the
+    corpus never moves an existing key between splits."""
+    if len(weights) != len(labels):
+        raise ValueError("weights and labels must have equal length")
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError("weights must sum to 1")
+    cuts = []
+    acc = 0.0
+    for w in weights:
+        acc += w
+        cuts.append(int(round(acc * N_SPLIT_BUCKETS)))
+
+    def _apply(df: DataFrame) -> DataFrame:
+        b = hash_bucket(F.col(key_col), N_SPLIT_BUCKETS, seed)
+        # build outward-in so earlier labels win their bucket range
+        assign = F.lit(labels[-1])
+        for cut, label in zip(cuts[:-1][::-1], labels[:-1][::-1]):
+            assign = F.when(b < cut, F.lit(label)).otherwise(assign)
+        return df.withColumn(out_col, assign)
+
+    return _apply
+
+
+def stratified_take(
+    strata: list[str], key_col: str, n_per_stratum: int, seed: str = ""
+) -> Op:
+    """Deterministic reservoir: the ``n_per_stratum`` rows of each
+    stratum with the smallest (hash, key) — a stable, engine-independent
+    'random' subset per group. Executes as a keyed window with
+    WindowGroupLimit (map-side partial top-k before the shuffle), so
+    the full stratum never crosses the wire — the scale-safe shape for
+    per-class downsampling at 100 TB."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        b = hash_bucket(F.col(key_col), N_SPLIT_BUCKETS, seed)
+        w = Window.partitionBy(*strata).orderBy(b.asc(), F.col(key_col).asc())
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n_per_stratum)
+            .drop("__rn")
+        )
+
+    return _apply

@@ -1,0 +1,85 @@
+"""Catalog queries for deterministic sampling / dataset splitting.
+
+All three are fully oracle-paired: the md5-bucket arithmetic
+(operators/sampling.py::hash_bucket) is reproduced in DuckDB as
+``('0x' || substr(md5(seed || key), 1, 8))::BIGINT % n``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rentals_data_pipeline_spark.operators import sampling as SP
+from rentals_data_pipeline_spark.plans.catalog import query
+from rentals_data_pipeline_spark.sources.tables import load_table
+
+_BUCKET = (
+    "(('0x' || substr(md5({seed} || CAST({key} AS VARCHAR)), 1, 8))::BIGINT"
+    " % 10000)"
+)
+
+
+@query(
+    "sample_split_documents",
+    f"""
+WITH b AS (
+    SELECT doc_id,
+           {_BUCKET.format(seed="'split'", key="doc_id")} AS bucket
+    FROM documents
+)
+SELECT
+    doc_id,
+    CASE WHEN bucket < 8000 THEN 'train'
+         WHEN bucket < 9000 THEN 'val'
+         ELSE 'test' END AS split
+FROM b
+""",
+)
+def sample_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment for every document —
+    deterministic by content-independent key hash, so assignments are
+    stable across runs, partitionings, and corpus growth."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.transform(
+        SP.train_val_test_split("doc_id", (0.8, 0.1, 0.1))
+    ).select("doc_id", "split")
+
+
+@query(
+    "sample_deterministic_documents",
+    f"""
+SELECT doc_id
+FROM documents
+WHERE {_BUCKET.format(seed="''", key="doc_id")} < 1000
+""",
+)
+def sample_deterministic_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeatable 10% Bernoulli-style sample of the corpus: the
+    hash-bucket predicate is row-local, so it pushes to the scan and
+    non-sampled rows never leave it."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.transform(SP.deterministic_sample("doc_id", 0.10))
+
+
+@query(
+    "sample_stratified_events",
+    f"""
+WITH r AS (
+    SELECT event_id, event_type,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY {_BUCKET.format(seed="''", key="event_id")}, event_id
+           ) AS rn
+    FROM events
+)
+SELECT event_id, event_type FROM r WHERE rn <= 100
+""",
+)
+def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum reservoir: the 100 events per
+    event_type with the smallest (hash, id) — per-class downsampling
+    that runs as WindowGroupLimit (map-side top-k before the one
+    shuffle)."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    return events.transform(SP.stratified_take(["event_type"], "event_id", 100))

@@ -1,0 +1,59 @@
+"""Deterministic sampling: stability, proportions, plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rentals_data_pipeline_spark.operators import sampling as SP
+from rentals_data_pipeline_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_split_stable_under_repartitioning(spark):
+    """The property rand(seed) lacks: assignments must not move when
+    the data is partitioned differently."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    split = SP.train_val_test_split("doc_id")
+    a = {r["doc_id"]: r["split"] for r in docs.transform(split).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in docs.repartition(13).transform(split).collect()
+    }
+    assert a == b
+
+
+def test_split_proportions_and_exclusivity(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    counts = dict(
+        docs.transform(SP.train_val_test_split("doc_id"))
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    n = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / n > 0.7
+    assert counts["val"] / n < 0.2 and counts["test"] / n < 0.2
+
+
+def test_sample_is_subset_and_stable(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    s1 = {r["doc_id"] for r in docs.transform(SP.deterministic_sample("doc_id", 0.2)).collect()}
+    s2 = {r["doc_id"] for r in docs.repartition(7).transform(SP.deterministic_sample("doc_id", 0.2)).collect()}
+    assert s1 == s2
+    # nested fractions: a 10% sample is a subset of the 20% sample
+    s_small = {r["doc_id"] for r in docs.transform(SP.deterministic_sample("doc_id", 0.1)).collect()}
+    assert s_small <= s1
+
+
+def test_stratified_take_exact_counts_and_plan(spark):
+    events = load_table(spark, SF_DIR, "events").select("event_id", "event_type")
+    taken = events.transform(SP.stratified_take(["event_type"], "event_id", 10))
+    per = dict(taken.groupBy("event_type").count().collect())
+    full = dict(events.groupBy("event_type").count().collect())
+    for k, tot in full.items():
+        assert per[k] == min(10, tot)
+    # map-side partial top-k: WindowGroupLimit appears below the exchange
+    plan = taken._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
