@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rentals_data_pipeline_spark.functions.rounding import round_half_up
@@ -115,6 +115,69 @@ def language_id(text_col: str = "text", out_col: str = "lang_pred") -> Op:
         return df.withColumn(out_col, pred)
 
     return _apply
+
+
+def token_frequencies(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary: one row per distinct token with total
+    occurrences and document frequency. Explode → one token-keyed
+    aggregation (map-side partial combine keeps the shuffle at
+    vocab-size, not corpus-size); count_distinct(doc) rides the same
+    grouping."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+    )
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe: Column | None = None,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf with a
+    *rational* idf (score = tf · N / df, no logarithm): log-free keeps
+    every arithmetic step an exact IEEE operation on integers, so an
+    ANSI oracle reproduces the rounded scores bit-exactly (the same
+    portability stance as quality_score). Ranking is (score desc,
+    token asc) on the ROUNDED score — an engine-stable frontier.
+
+    Shape at scale: two token-keyed aggregations (tf per doc·token, df
+    per token) joined on token, N broadcast from a 1-row aggregate,
+    then a per-doc WindowGroupLimit top-k. ``probe`` restricts which
+    documents get ranked (applied on the tf branch only — document
+    frequency and N stay corpus-wide), so scoring cost tracks the probe
+    set, not the corpus."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    probe_tok = tok.where(probe) if probe is not None else tok
+    tf = probe_tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_corpus"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "token",
+            round_half_up(
+                F.col("tf") * F.col("n_corpus") / F.col("df"), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def fingerprints(text_col: str = "text", shingle_k: int = 8) -> Op:

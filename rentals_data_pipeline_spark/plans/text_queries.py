@@ -104,6 +104,71 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_vocabulary_top100",
+    """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+    FROM documents
+),
+v AS (
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM tok GROUP BY 1
+)
+SELECT token, n_occurrences, n_docs
+FROM v
+ORDER BY n_occurrences DESC, token
+LIMIT 100
+""",
+)
+def text_vocabulary_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: the 100 most frequent tokens with total
+    occurrences and document frequency (ties broken by token, so the
+    limit frontier is deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        TX.token_frequencies(docs)
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(100)
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+    FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_corpus FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.token,
+           FLOOR((tf.tf * n.n_corpus / dfreq.df) * 10000.0 + 0.5) / 10000.0
+               AS tfidf
+    FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    WHERE tf.doc_id % 100 = 0
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+    FROM scored
+)
+SELECT doc_id, token, tfidf FROM r WHERE rn <= 3
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per probe document (doc_id % 100 = 0)
+    by rational-idf tf-idf (tf · N / df — log-free so the oracle
+    reproduces the rounded score exactly). The probe predicate applies
+    to the tf branch only; df and N stay corpus-wide."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.tf_idf_top_terms(docs, k=3, probe=F.col("doc_id") % 100 == 0)
+
+
+@query(
     "text_fingerprints",
     """
 SELECT

@@ -7,6 +7,7 @@ Hand-computed expectations in the reference's golden style
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from rentals_data_pipeline_spark.operators import text as TX
 
@@ -64,3 +65,55 @@ def test_fingerprints_dup_detection(spark):
     assert out["a"]["fp_bow"] != out["d"]["fp_bow"]
     # exact dups always share the min-shingle fingerprint
     assert out["a"]["fp_minshingle"] == out["b"]["fp_minshingle"]
+
+
+def test_token_frequencies_golden(spark):
+    rows = [
+        (1, "a b a"),
+        (2, "a c"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["token"]: r for r in TX.token_frequencies(df).collect()}
+    assert out["a"]["n_occurrences"] == 3 and out["a"]["n_docs"] == 2
+    assert out["b"]["n_occurrences"] == 1 and out["b"]["n_docs"] == 1
+    assert out["c"]["n_occurrences"] == 1 and out["c"]["n_docs"] == 1
+
+
+def test_tf_idf_top_terms_golden(spark):
+    """tf-idf = tf * N / df (rational idf). Corpus of 4 docs: 'rare'
+    appears twice in doc 1 only -> 2*4/1 = 8.0, beating the ubiquitous
+    'common' (1*4/4 = 1.0)."""
+    rows = [
+        (1, "common rare rare"),
+        (2, "common x"),
+        (3, "common y"),
+        (4, "common z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    top = TX.tf_idf_top_terms(df, k=1).collect()
+    by_doc = {r["doc_id"]: r for r in top}
+    assert by_doc[1]["token"] == "rare" and by_doc[1]["tfidf"] == 8.0
+    # docs 2-4: their unique token (4.0) beats 'common' (1.0)
+    assert by_doc[2]["token"] == "x" and by_doc[2]["tfidf"] == 4.0
+
+
+def test_tf_idf_probe_keeps_corpus_wide_df(spark):
+    """Restricting ranking to a probe set must not change the scores:
+    df and N stay corpus-wide."""
+    rows = [
+        (1, "common rare rare"),
+        (2, "common x"),
+        (3, "common y"),
+        (4, "common z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = {
+        (r["doc_id"], r["token"]): r["tfidf"]
+        for r in TX.tf_idf_top_terms(df, k=2).collect()
+        if r["doc_id"] == 1
+    }
+    probed = {
+        (r["doc_id"], r["token"]): r["tfidf"]
+        for r in TX.tf_idf_top_terms(df, k=2, probe=F.col("doc_id") == 1).collect()
+    }
+    assert probed == full and len(probed) == 2
