@@ -46,8 +46,13 @@ def main() -> int:
             return 0
         old_p, new_p = rounds[-2], rounds[-1]
 
-    old = json.loads(old_p.read_text())
-    new = json.loads(new_p.read_text())
+    def load(p: Path) -> dict:
+        d = json.loads(p.read_text())
+        # the round driver wraps bench.py's line under "parsed"
+        return d.get("parsed", d) if "queries" not in d else d
+
+    old = load(old_p)
+    new = load(new_p)
     print(f"comparing {old_p.name} -> {new_p.name} (threshold {args.threshold}x)")
 
     failures = []
