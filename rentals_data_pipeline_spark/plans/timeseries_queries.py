@@ -183,3 +183,26 @@ def ts_hierarchical_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n_events"), RND(F.sum("sv"), 4).alias("total_value"))
         .withColumn("avg_value", RND(F.col("total_value") / F.col("n_events"), 4))
     )
+
+
+@query("sketch_distinct_users_rollup")  # rows-only: DataSketches HLL
+# register values have no ANSI oracle; mergeability + accuracy are
+# pinned by tests/test_sketch_ops.py
+def sketch_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per day estimated from PERSISTABLE per-day HLL
+    sketches, plus the whole-corpus rollup estimated by unioning those
+    same sketches (one 'total' row, day = NULL) — never re-scanning the
+    events. The continuous-aggregate pattern for COUNT(DISTINCT):
+    exact distincts don't re-aggregate across grains, sketches do
+    (register-max union == sketch of the union, exactly)."""
+    from rentals_data_pipeline_spark.operators import sketches as SK
+
+    events = load_table(spark, sf_dir, "events")
+    daily = SK.distinct_sketches(
+        events.withColumn("day", F.date_trunc("day", "ts")), ["day"], "user_id"
+    )
+    per_day = SK.rollup_estimates(daily, ["day"])
+    total = SK.rollup_estimates(daily, []).withColumn(
+        "day", F.lit(None).cast("timestamp")
+    )
+    return per_day.unionByName(total).select("day", "n_distinct_est")
