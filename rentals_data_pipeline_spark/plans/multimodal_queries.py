@@ -84,3 +84,78 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", F.posexplode("features").alias("bin", "frac")
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+WITH m AS (
+    SELECT doc_id, text, length(text) AS n
+    FROM documents
+)
+SELECT
+    doc_id,
+    CAST(CASE WHEN n >= 16 THEN FLOOR((n - 16) / 64) + 1 ELSE 0 END AS INT)
+        AS n_frames,
+    CASE WHEN n >= 16 THEN hex(encode(substr(text, 1, 16))) END AS frame0_hex,
+    CASE WHEN n >= 16 + 64 THEN hex(encode(substr(text, 65, 16))) END
+        AS frame1_hex
+FROM m
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plan shape (video minus the codec): every 4th
+    16-byte frame of each payload via built-in array slicing — the
+    whole op stays in whole-stage codegen. Output pins the frame count
+    and the first two frames (hex) per document; the oracle recomputes
+    the slicing arithmetic from the text the payload encodes."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.transform(MM.pack_media()).transform(
+        MM.frame_sample(frame_size=16, stride=4)
+    )
+    frames = F.col("frames")
+    return media.select(
+        "doc_id",
+        F.size(frames).alias("n_frames"),
+        F.hex(F.element_at(frames, 1)).alias("frame0_hex"),
+        F.hex(F.element_at(frames, 2)).alias("frame1_hex"),
+    )
+
+
+@query(
+    "multimodal_resize_grid",
+    """
+WITH cells AS (
+    SELECT d.doc_id, d.text, length(d.text) AS n, cell.i AS cell
+    FROM documents d, (SELECT unnest(range(0, 64)) AS i) cell
+),
+px AS (
+    -- source pixel (r, c) of cell (cell//8, cell%8) block (sr, sc):
+    -- byte index = (cell//8*4 + sub//4)*32 + (cell%8*4 + sub%4)
+    SELECT doc_id, cell,
+        CASE WHEN ((cell // 8 * 4 + sub.i // 4) * 32
+                   + (cell % 8 * 4 + sub.i % 4)) < n
+             THEN ord(substr(text,
+                  (cell // 8 * 4 + sub.i // 4) * 32
+                  + (cell % 8 * 4 + sub.i % 4) + 1, 1))
+             ELSE 0 END AS v
+    FROM cells, (SELECT unnest(range(0, 16)) AS i) sub
+)
+SELECT doc_id, CAST(cell AS INT) AS cell, SUM(v) / 16.0 AS luma
+FROM px
+GROUP BY 1, 2
+""",
+)
+def multimodal_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plan shape: interpret the first 32x32 payload bytes
+    as a luma grid (zero-padded) and block-average down to 8x8 via the
+    Arrow mapInPandas kernel, exploded to (doc_id, cell, luma) rows.
+    The oracle recomputes every block mean from ord() arithmetic —
+    certifying the numpy kernel's values bit-exactly (exact integer
+    sums / 16 in IEEE double on both sides)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.transform(MM.pack_media())
+    resized = media.transform(MM.resize_grid(src_size=32, dst_size=8))
+    return resized.select(
+        "doc_id", F.posexplode("resized").alias("cell", "luma")
+    )
