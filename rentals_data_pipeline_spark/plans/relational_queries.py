@@ -463,3 +463,91 @@ def agg_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         RND(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
         RND(F.percentile("l_quantity", 0.25), 4).alias("p25_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Window distribution functions + exact math scalars.
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_distribution_suite",
+    """
+SELECT
+    o_orderkey,
+    o_orderstatus,
+    CAST(NTILE(4) OVER w AS INT) AS quartile,
+    PERCENT_RANK() OVER w AS pct_rank,
+    CUME_DIST() OVER w AS cume,
+    LEAD(o_totalprice) OVER w AS next_price,
+    FIRST_VALUE(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING) AS min_price,
+    NTH_VALUE(o_totalprice, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS third_price
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution/navigation window functions over a deterministic
+    total order (price, then key — a tiebreaker makes ntile/lead
+    engine-stable): ntile quartiles, percent_rank and cume_dist (both
+    exact rationals, so unrounded doubles hash identically), lead, and
+    first/nth value over the full-partition frame."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(wf).alias("min_price"),
+        F.nth_value("o_totalprice", 3).over(wf).alias("third_price"),
+    )
+
+
+@query(
+    "scalar_math_suite",
+    """
+SELECT
+    l_orderkey,
+    l_linenumber,
+    ABS(l_quantity - 25.0) AS abs_dev,
+    CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS ceil_bucket,
+    CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
+    SQRT(l_quantity) AS root_qty,
+    FMOD(l_quantity, 7.0) AS qty_mod7,
+    CAST(SIGN(l_quantity - 25.0) AS INT) AS dev_sign,
+    GREATEST(l_discount, l_tax) AS max_rate,
+    LEAST(l_discount, l_tax) AS min_rate
+FROM lineitem
+WHERE l_linenumber = 1
+""",
+)
+def scalar_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface restricted to exactly-representable IEEE
+    operations (abs/ceil/floor/sqrt — correctly rounded per IEEE-754 —
+    fmod, sign, greatest/least): every value hashes identically across
+    engines without rounding. exp/ln/pow are deliberately excluded
+    from oracle-checked suites — libm results differ in the last ulp
+    between engines (same stance as quality_score's log-free formula).
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(q - 25.0).alias("abs_dev"),
+        F.ceil(q / 7.0).alias("ceil_bucket"),
+        F.floor(F.col("l_extendedprice") / 1000.0).alias("price_k"),
+        F.sqrt(q).alias("root_qty"),
+        (q % 7.0).alias("qty_mod7"),
+        F.signum(q - 25.0).cast("int").alias("dev_sign"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
