@@ -170,6 +170,42 @@ def asof_join_backward(
     return _apply
 
 
+def salted_agg(
+    keys: list[str],
+    partial_aggs: list[tuple[Column, str]],
+    final_aggs: list[Column],
+    salt: int = 16,
+) -> Op:
+    """Two-phase aggregation for skewed group keys: phase 1 aggregates
+    on (keys…, salt) — the hot key's rows split across ``salt`` tasks —
+    phase 2 combines the per-salt partials on the bare keys, touching
+    at most ``salt`` rows per key.
+
+    ``partial_aggs`` are (expression, name) computed per (key, salt);
+    ``final_aggs`` combine the named partial columns (sum of counts,
+    sum of sums, max of maxes — any algebraic aggregate re-aggregates
+    losslessly; averages must be derived from sum/count at the final
+    level, never averaged across partials).
+
+    Note Spark's hash aggregation already does map-side partial
+    combine, which handles most skew for *low-cardinality* aggregates;
+    explicit salting matters when per-key state is too big to combine
+    map-side (collect_set/collect_list shapes) or when a downstream
+    window/sort on the same key inherits the skew.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        s = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
+        partial = (
+            df.withColumn("_salt", s.cast("int"))
+            .groupBy(*keys, "_salt")
+            .agg(*[e.alias(n) for e, n in partial_aggs])
+        )
+        return partial.groupBy(*keys).agg(*final_aggs)
+
+    return _apply
+
+
 def salted_join(
     right: DataFrame,
     on: list[str],

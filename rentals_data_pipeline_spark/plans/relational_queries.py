@@ -551,3 +551,43 @@ def scalar_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("l_discount", "l_tax").alias("max_rate"),
         F.least("l_discount", "l_tax").alias("min_rate"),
     )
+
+
+@query(
+    "agg_salted_events_by_type",
+    """
+SELECT
+    event_type,
+    COUNT(*) AS n_events,
+    FLOOR((SUM(value)) * 10000.0 + 0.5) / 10000.0 AS total_value,
+    FLOOR((FLOOR((SUM(value)) * 10000.0 + 0.5) / 10000.0 / COUNT(*))
+          * 10000.0 + 0.5) / 10000.0 AS avg_value
+FROM events
+GROUP BY 1
+""",
+)
+def agg_salted_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: event_type has ~5 values over
+    the whole corpus, so a single-phase shuffle lands each type on one
+    task. salted_agg splits each type across 16 salt partitions for
+    the partial pass and combines at most 16 partial rows per type in
+    the final pass; the oracle's plain GROUP BY certifies the
+    two-phase result is exact (count/sum re-aggregate losslessly; avg
+    derived from the rounded final total, same convention as the
+    hierarchical rollup)."""
+    from rentals_data_pipeline_spark.operators.relational import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    return events.select("event_type", "value").transform(
+        salted_agg(
+            ["event_type"],
+            partial_aggs=[
+                (F.count(F.lit(1)), "n"),
+                (F.sum("value"), "sv"),
+            ],
+            final_aggs=[
+                F.sum("n").alias("n_events"),
+                RND(F.sum("sv"), 4).alias("total_value"),
+            ],
+        )
+    ).withColumn("avg_value", RND(F.col("total_value") / F.col("n_events"), 4))
