@@ -205,17 +205,17 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(src)
-    # deterministic micro-batch order via mtime; files distinguishable by
-    # (row count, first event_id) -> use row payload: count rows
+    # deterministic micro-batch order via mtime; files identified by
+    # their full sorted event_id tuple (unique per batch)
     now = 1_700_000_000
     sig_to_age = {}
     for i, rows in enumerate(batches):
-        sig_to_age[(len(rows), rows[0][0])] = now + i * 3600
+        sig_to_age[tuple(sorted(r[0] for r in rows))] = now + i * 3600
     for f in os.listdir(src):
         if f.endswith(".parquet"):
             p = os.path.join(src, f)
             tbl = pq.read_table(p, columns=["event_id"])
-            sig = (tbl.num_rows, tbl["event_id"][0].as_py())
+            sig = tuple(sorted(tbl["event_id"].to_pylist()))
             os.utime(p, (sig_to_age[sig], sig_to_age[sig]))
 
     stream = SJ.read_events_stream(spark, src, max_files_per_trigger=1)
