@@ -453,3 +453,67 @@ def simhash_hamming_pairs(
         )
 
     return _apply
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair list by min-label
+    propagation: every node starts labeled with its own id; each round
+    every node takes the min of its label and its neighbors' labels;
+    at fixpoint the label is the component's minimum id — the canonical
+    cluster representative for duplicate-cluster collapse.
+
+    Distributed-iteration mechanics that matter at scale:
+
+    - The driver loop controls ONLY iteration count and the scalar
+      convergence probe (a limit(1).count() of changed labels); label
+      and edge data never leave the executors.
+    - Each round's result is ``localCheckpoint``-ed: without lineage
+      truncation an iterative DataFrame plan doubles per round and
+      planning time explodes long before data size matters.
+    - Rounds needed = graph diameter. Near-dup graphs are
+      quasi-cliques (tiny diameter), so propagation converges in a few
+      rounds; for high-diameter graphs swap in the large-star /
+      small-star algorithm (alternating conditional joins, same
+      operator contract, O(log n) rounds).
+
+    Returns (id, cluster_id) for every node that appears in ``pairs``
+    (singletons carry no dedup decision and are omitted by design).
+    """
+    sym = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    edges = sym.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))

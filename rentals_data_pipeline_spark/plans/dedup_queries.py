@@ -219,3 +219,48 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(RL.dedup_keep_first(["content_hash"], [F.col("doc_id")]))
         .select("doc_id", "content_hash")
     )
+
+
+@query(
+    "dedup_duplicate_clusters",
+    f"""
+WITH RECURSIVE {_ORACLE_SHINGLES},
+p AS (
+    SELECT
+        a.doc_id AS id_a,
+        b.doc_id AS id_b
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE FLOOR((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0))
+                * 10000.0 + 0.5) / 10000.0 > 0.5
+),
+e AS (
+    SELECT id_a AS src, id_b AS dst FROM p
+    UNION ALL
+    SELECT id_b, id_a FROM p
+),
+reach(id, label) AS (
+    SELECT DISTINCT src, src FROM e
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id
+)
+SELECT id AS doc_id, MIN(label) AS cluster_id
+FROM reach
+GROUP BY id
+""",
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components of the word-3-gram
+    Jaccard > 0.5 near-dup graph, each doc labeled with its component's
+    min doc_id (the canonical representative — collapse = keep
+    cluster_id, drop the rest). Spark runs min-label propagation
+    (operators/dedup.py::connected_components); the oracle computes the
+    same components by recursive min-label reachability over the
+    exhaustively recomputed pair graph (thresholding the identically
+    rounded jaccard), so the hash match certifies pair recall AND the
+    clustering fixpoint."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.transform(DD.minhash_near_dup_pairs(threshold=0.5))
+    return DD.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )

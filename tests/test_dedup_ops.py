@@ -66,3 +66,29 @@ def test_jaccard_kernel(spark):
     r = df.collect()[0]
     assert r.j == 0.5
     assert r.j_empty is None
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain (diameter 4 — forces multiple propagation rounds),
+    a separate pair, and the pair list's singletons-excluded contract."""
+    from rentals_data_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_converges_early(spark):
+    """max_iter larger than diameter must not change the result."""
+    from rentals_data_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(7, 3), (3, 9)], ["id_a", "id_b"])
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pairs, max_iter=30).collect()
+    }
+    assert got == {3: 3, 7: 3, 9: 3}
