@@ -489,13 +489,20 @@ def ivf_topk(
     """
     cents = [
         row["_v"]
-        for row in corpus.select(
+        for row in corpus.where(F.col(match_vec).isNotNull())
+        .select(
             F.col(match_vec).alias("_v"), F.xxhash64(F.col(match_id)).alias("_r")
         )
         .orderBy("_r", match_id)
         .limit(n_cells)
         .collect()
     ]
+    if not cents:
+        # empty corpus (or all-null vectors): no cells to build — empty
+        # result with the output schema
+        return corpus.sparkSession.createDataFrame(
+            [], f"{probe_id} long, {match_id} long, cosine double"
+        )
     corpus_cells = corpus.select(
         match_id,
         match_vec,
