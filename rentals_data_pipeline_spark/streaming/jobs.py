@@ -95,6 +95,34 @@ def run_available_now(
     q.awaitTermination()
 
 
+def run_available_now_to_parquet(
+    stream_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Drain all available input exactly once into a parquet directory —
+    the production sink (the memory sink in ``run_available_now`` is
+    for tests). The file sink is append-only and exactly-once: the
+    checkpoint records which source files each batch consumed and the
+    sink's _spark_metadata commits each batch's output files
+    atomically, so a crashed run resumes without duplicating or losing
+    rows. Append output mode means watermark-finalized results only —
+    the right contract for an incremental batch feeding a downstream
+    table."""
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    q = writer.start()
+    q.awaitTermination()
+
+
 def dedup_stream(
     events: DataFrame,
     keys: tuple[str, ...] = ("event_id",),

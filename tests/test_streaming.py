@@ -234,3 +234,84 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         assert sum(1 for kk, _ in got if kk == k) == 1
     # bounded state: the post-eviction re-arrival of key 1 is emitted as new
     assert (1, 7.0) in got
+
+
+def test_stream_to_parquet_sink_exactly_once(spark, tmp_path):
+    """File-sink path: AvailableNow drain of windowed counts into
+    parquet equals the batch computation for every watermark-FINALIZED
+    window (append mode withholds windows still open at end-of-stream —
+    exactly the incremental-batch contract), and a SECOND run over the
+    same checkpoint writes nothing new (exactly-once resume).
+
+    The source arrives as three time-ordered slices (mtime-ordered
+    files): in-order arrival means nothing is dropped as late, so the
+    finalized windows must match batch exactly."""
+    import datetime as dt
+    import os
+
+    events = load_table(spark, SF_DIR, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 3
+    src = str(tmp_path / "ordered_src")
+    cuts = [lo + span, lo + 2 * span]
+    slices = [
+        events.where(F.col("ts") < cuts[0]),
+        events.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        events.where(F.col("ts") >= cuts[1]),
+    ]
+    now = 1_700_000_000
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("append").parquet(src)
+    # order the part files by their min ts via mtime
+    import pyarrow.parquet as pq
+
+    files = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    keyed = []
+    for f in files:
+        t = pq.read_table(os.path.join(src, f), columns=["ts"])
+        keyed.append((min(t["ts"].to_pylist()), f))
+    for i, (_, f) in enumerate(sorted(keyed)):
+        p = os.path.join(src, f)
+        os.utime(p, (now + i * 3600, now + i * 3600))
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt_pq")
+
+    def run():
+        stream = SJ.read_events_stream(spark, src, max_files_per_trigger=1)
+        SJ.run_available_now_to_parquet(
+            SJ.windowed_counts(stream), out, ckpt
+        )
+
+    run()
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .withColumn("total_value", F.round("total_value", 6))
+        .collect()
+    }
+    batch = spark.read.parquet(src)
+    expected = {
+        tuple(r)
+        for r in SJ.windowed_counts(batch)
+        .withColumn("total_value", F.round("total_value", 6))
+        .collect()
+    }
+    # final watermark = max event time - the 2h delay; every emitted row
+    # must be a correct batch row, and every batch window finalized
+    # strictly before the watermark must have been emitted
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - dt.timedelta(hours=2)
+    assert got <= expected and len(got) > 0
+    missing = expected - got
+    assert all(row[1] >= wm for row in missing), sorted(missing)[:3]
+    assert any(True for _ in got)
+
+    run()  # no new input: must be a no-op, not duplicate appends
+    again = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .withColumn("total_value", F.round("total_value", 6))
+        .collect()
+    }
+    assert again == got
