@@ -25,6 +25,7 @@ def write_partitioned_parquet(
     compression: str = "snappy",
     target_files_per_partition: int | None = None,
     max_records_per_file: int | None = None,
+    dynamic_overwrite: bool = False,
 ) -> None:
     """Write hive-partitioned snappy parquet, scale-safe.
 
@@ -45,6 +46,12 @@ def write_partitioned_parquet(
     - ``max_records_per_file`` caps rows per file via the writer option
       (Spark splits a task's output at the cap) — the guard against a
       skewed dir producing one giant file when N is small.
+
+    ``dynamic_overwrite=True`` makes ``mode="overwrite"`` replace ONLY
+    the partition dirs present in ``df`` (partitionOverwriteMode=
+    dynamic) — the idempotent-backfill contract: re-running one day's
+    job rewrites that day's dirs and leaves every other partition
+    untouched, where static overwrite would truncate the whole table.
     """
     for name, expr in (derived or {}).items():
         df = df.withColumn(name, expr)
@@ -68,6 +75,10 @@ def write_partitioned_parquet(
                 )
         df = df.repartition(*keys)
         writer = df.write.mode(mode).option("compression", compression)
+        if dynamic_overwrite:
+            # per-write option; overrides the session-level
+            # spark.sql.sources.partitionOverwriteMode
+            writer = writer.option("partitionOverwriteMode", "dynamic")
         if max_records_per_file is not None:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
         writer.partitionBy(*partition_by).parquet(path)

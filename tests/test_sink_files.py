@@ -80,3 +80,52 @@ def test_derived_partition_column_still_applies(spark, tmp_path):
     )
     counts = _files_per_dir(out)
     assert counts and all(n <= 2 for n in counts.values()), counts
+
+
+def test_dynamic_overwrite_backfills_one_partition(spark):
+    """Idempotent backfill: overwriting with a frame containing only one
+    partition's rows must replace only that dir, not truncate the
+    table. (Static overwrite would leave just the one partition.)"""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        out = f"{td}/by_status"
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        write_partitioned_parquet(orders, out, ["o_orderstatus"])
+        full = spark.read.parquet(out).count()
+
+        # backfill the 'F' partition with doubled o_totalprice
+        patch = orders.where("o_orderstatus = 'F'").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        write_partitioned_parquet(
+            patch, out, ["o_orderstatus"], dynamic_overwrite=True
+        )
+        after = spark.read.parquet(out)
+        assert after.count() == full  # other partitions intact
+        # and the backfilled partition actually changed
+        orig_f = orders.where("o_orderstatus = 'F'").agg(
+            F.sum("o_totalprice")
+        ).collect()[0][0]
+        new_f = after.where("o_orderstatus = 'F'").agg(
+            F.sum("o_totalprice")
+        ).collect()[0][0]
+        assert abs(new_f - 2 * orig_f) < 1e-6
+
+
+def test_static_overwrite_truncates_table(spark):
+    """Contrast case documenting the default: static overwrite replaces
+    the whole table with the written frame."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        out = f"{td}/by_status"
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        write_partitioned_parquet(orders, out, ["o_orderstatus"])
+        patch = orders.where("o_orderstatus = 'F'")
+        write_partitioned_parquet(patch, out, ["o_orderstatus"])
+        statuses = {
+            r["o_orderstatus"]
+            for r in spark.read.parquet(out).select("o_orderstatus").distinct().collect()
+        }
+        assert statuses == {"F"}
