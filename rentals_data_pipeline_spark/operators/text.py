@@ -180,6 +180,93 @@ def tf_idf_top_terms(
     )
 
 
+def chunk_documents(
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Op:
+    """Split each document into fixed-token-count chunks with overlap —
+    the sequence-prep step before LLM training: windows of
+    ``chunk_tokens`` whitespace tokens starting every
+    ``chunk_tokens - overlap`` tokens (the final partial window is
+    kept). Pure built-ins: the token array is sliced per chunk index
+    and re-joined, everything in whole-stage codegen, exploded to one
+    row per (doc, chunk).
+
+    Emits (id, chunk_idx, chunk_text, n_chunk_tokens)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        n = F.size(toks)
+        # chunk starts: 1, 1+stride, ... while start <= n (1-indexed)
+        n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+            F.floor((n - 1) / stride) + 1
+        )
+        # sequence(0, -1) would count DOWN ([0, -1]); guard zero-chunk docs
+        idx = F.when(
+            n_chunks > 0, F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+        ).otherwise(F.array().cast("array<long>"))
+        chunks = F.transform(
+            idx,
+            lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+        )
+        return (
+            df.select(
+                F.col(id_col),
+                F.posexplode(chunks).alias("chunk_idx", "chunk_toks"),
+            )
+            .select(
+                id_col,
+                "chunk_idx",
+                F.array_join("chunk_toks", " ").alias("chunk_text"),
+                F.size("chunk_toks").cast("long").alias("n_chunk_tokens"),
+            )
+        )
+
+    return _apply
+
+
+def pack_chunks_into_bins(
+    bin_tokens: int,
+    order_by: list[str],
+    partition_by: list[str] | None = None,
+    count_col: str = "n_chunk_tokens",
+    out_col: str = "bin_id",
+) -> Op:
+    """Boundary packing: walk chunks in a deterministic order and
+    assign bin = ceil(running token total / budget) — one window
+    cumulative sum, no per-bin state, no driver loop, reproducible on
+    any physical layout because the assignment is a pure function of
+    the ordered prefix sums.
+
+    This is the *approximate* packing distributed systems actually use:
+    a bin can overshoot the budget by less than one chunk when a chunk
+    straddles a boundary (exact greedy packing with reset is a
+    non-associative scan — inherently sequential, so it cannot
+    parallelize). Undershoot never happens: bins are contiguous and
+    dense.
+
+    ``partition_by`` shards the packing (e.g. per split, per language):
+    each shard packs independently, which is also what keeps the sort
+    from becoming one global task at 100 TB. Output bins are then
+    unique per (shard, bin_id)."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*(partition_by or [])).orderBy(*order_by)
+        run = F.sum(count_col).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(
+            out_col, F.ceil(run / F.lit(bin_tokens)).cast("long")
+        )
+
+    return _apply
+
+
 def fingerprints(text_col: str = "text", shingle_k: int = 8) -> Op:
     """Three content fingerprints:
 

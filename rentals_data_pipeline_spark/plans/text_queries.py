@@ -189,3 +189,116 @@ FROM documents
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", "text").transform(TX.fingerprints()).drop("text")
+
+
+@query(
+    "text_chunk_documents",
+    """
+WITH t AS (
+    SELECT doc_id, string_split_regex(text, '\\s+') AS toks,
+           len(string_split_regex(text, '\\s+')) AS n
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n, toks, i.i AS chunk_idx
+    FROM t, (SELECT unnest(range(0, 1000)) AS i) i
+    WHERE t.n > 0 AND i.i < FLOOR((n - 1) / 56) + 1
+)
+SELECT
+    doc_id,
+    CAST(chunk_idx AS BIGINT) AS chunk_idx,
+    md5(array_to_string(list_slice(toks, chunk_idx * 56 + 1,
+                                   LEAST(chunk_idx * 56 + 64, n)), ' '))
+        AS chunk_md5,
+    CAST(LEAST(chunk_idx * 56 + 64, n) - (chunk_idx * 56 + 1) + 1 AS BIGINT)
+        AS n_chunk_tokens
+FROM c
+""",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence prep: 64-token chunks with 8-token overlap (stride 56),
+    one row per (doc, chunk) with the chunk content pinned by md5 —
+    the oracle recomputes every chunk via 1-based inclusive list
+    slicing. All built-ins; the chunk windows never leave codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "text")
+        .transform(TX.chunk_documents(chunk_tokens=64, overlap=8))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.md5("chunk_text").alias("chunk_md5"),
+            "n_chunk_tokens",
+        )
+    )
+
+
+@query(
+    "text_pack_chunks_by_split",
+    """
+WITH t AS (
+    SELECT doc_id, string_split_regex(text, '\\s+') AS toks,
+           len(string_split_regex(text, '\\s+')) AS n
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n, chunk_idx.i AS chunk_idx,
+           CAST(LEAST(chunk_idx.i * 56 + 64, n) - (chunk_idx.i * 56 + 1) + 1
+                AS BIGINT) AS n_chunk_tokens
+    FROM t, (SELECT unnest(range(0, 1000)) AS i) chunk_idx
+    WHERE t.n > 0 AND chunk_idx.i < FLOOR((n - 1) / 56) + 1
+),
+s AS (
+    SELECT *,
+        CASE WHEN (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 10000) < 8000 THEN 'train'
+             WHEN (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 10000) < 9000 THEN 'val'
+             ELSE 'test' END AS split
+    FROM c
+)
+SELECT
+    doc_id,
+    CAST(chunk_idx AS BIGINT) AS chunk_idx,
+    split,
+    CAST(CEIL(SUM(n_chunk_tokens) OVER (
+        PARTITION BY split ORDER BY doc_id, chunk_idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 512.0) AS BIGINT)
+        AS bin_id
+FROM s
+""",
+)
+def text_pack_chunks_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch packing, sharded by dataset split: chunk every
+    document, assign each doc its deterministic train/val/test split,
+    then pack chunks into ~512-token bins per split with one window
+    cumulative sum (bins are contiguous; a bin overshoots by less than
+    one chunk only when a chunk straddles the boundary — the
+    approximate packing that parallelizes; exact greedy-with-reset is
+    a sequential scan). Composes three extension families — chunking,
+    deterministic splitting, window packing — in one fused plan."""
+    from rentals_data_pipeline_spark.operators import sampling as SP
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select("doc_id", "text").transform(
+        TX.chunk_documents(chunk_tokens=64, overlap=8)
+    )
+    split = docs.select("doc_id").transform(
+        SP.train_val_test_split("doc_id", (0.8, 0.1, 0.1))
+    )
+    packed = (
+        chunks.join(split, "doc_id")
+        .transform(
+            TX.pack_chunks_into_bins(
+                bin_tokens=512,
+                order_by=["doc_id", "chunk_idx"],
+                partition_by=["split"],
+            )
+        )
+    )
+    return packed.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "split",
+        "bin_id",
+    )

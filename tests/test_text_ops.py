@@ -117,3 +117,45 @@ def test_tf_idf_probe_keeps_corpus_wide_df(spark):
         for r in TX.tf_idf_top_terms(df, k=2, probe=F.col("doc_id") == 1).collect()
     }
     assert probed == full and len(probed) == 2
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    """10 tokens, chunks of 4 with overlap 1 (stride 3): starts at
+    tokens 1,4,7,10 -> windows [1-4],[4-7],[7-10],[10] (partial tail)."""
+    text = " ".join(f"w{i}" for i in range(1, 11))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        (r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in df.transform(
+            TX.chunk_documents(chunk_tokens=4, overlap=1)
+        ).collect()
+    )
+    assert rows == [
+        (0, "w1 w2 w3 w4", 4),
+        (1, "w4 w5 w6 w7", 4),
+        (2, "w7 w8 w9 w10", 4),
+        (3, "w10", 1),
+    ]
+
+
+def test_pack_chunks_bins_are_contiguous_and_bounded(spark):
+    """Boundary packing: bins contiguous per shard, each bin's total
+    under budget + one max chunk, and assignment repartition-stable."""
+    rows = [(d, i, 60) for d in range(4) for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "chunk_idx", "n_chunk_tokens"])
+    pack = TX.pack_chunks_into_bins(
+        bin_tokens=128, order_by=["doc_id", "chunk_idx"]
+    )
+    out = df.transform(pack).collect()
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r["bin_id"], []).append(r["n_chunk_tokens"])
+    # contiguous ids from 1
+    assert sorted(by_bin) == list(range(1, len(by_bin) + 1))
+    for tot in (sum(v) for v in by_bin.values()):
+        assert tot <= 128 + 60  # budget + <1 chunk overshoot
+    # layout invariance
+    out2 = df.repartition(7).transform(pack).collect()
+    assert {(r["doc_id"], r["chunk_idx"], r["bin_id"]) for r in out} == {
+        (r["doc_id"], r["chunk_idx"], r["bin_id"]) for r in out2
+    }
