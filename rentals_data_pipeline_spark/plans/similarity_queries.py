@@ -178,3 +178,69 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("match_id"), F.col("embedding").alias("match_vec")
     )
     return SIM.ivf_topk(probes, corpus, k=5, n_cells=16, n_probe=4)
+
+
+@query(
+    "pipeline_embedding_curation",
+    f"""
+WITH RECURSIVE {_ORACLE_COSINE_PAIRS},
+p AS (
+    SELECT
+        a.vec_id AS id_a,
+        b.vec_id AS id_b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE FLOOR((list_dot_product(a.v, b.v)
+                 / NULLIF(sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v)), 0))
+                * 10000.0 + 0.5) / 10000.0 > 0.4
+),
+ed AS (
+    SELECT id_a AS src, id_b AS dst FROM p
+    UNION ALL
+    SELECT id_b, id_a FROM p
+),
+reach(id, label) AS (
+    SELECT DISTINCT src, src FROM ed
+    UNION
+    SELECT ed.dst, r.label FROM reach r JOIN ed ON ed.src = r.id
+),
+cc AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+keep AS (
+    SELECT e.vec_id
+    FROM e LEFT JOIN cc ON e.vec_id = cc.id
+    WHERE cc.id IS NULL OR cc.cluster_id = e.vec_id
+)
+SELECT
+    vec_id,
+    CASE WHEN (('0x' || substr(md5('split' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10000) < 8000 THEN 'train'
+         WHEN (('0x' || substr(md5('split' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10000) < 9000 THEN 'val'
+         ELSE 'test' END AS split
+FROM keep
+""",
+)
+def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus curation, the similarity-side flagship: SRP-LSH
+    near-dup candidate pairs (never n² in a shuffle) → Arrow cosine
+    verify → connected-components clustering (min-label propagation) →
+    keep only each cluster's min-id representative → deterministic
+    train/val/test split of the survivors. The oracle recomputes the
+    exhaustive pair graph, the clustering fixpoint via a recursive CTE,
+    and the split arithmetic — one hash match certifies SRP recall,
+    the clustering, and the dedup-collapse policy end-to-end."""
+    from rentals_data_pipeline_spark.operators import sampling as SP
+    from rentals_data_pipeline_spark.operators.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.srp_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, n_planes=64, rows_per_band=2
+    ).select("id_a", "id_b")
+    clusters = connected_components(pairs)
+    keep = (
+        emb.select("vec_id")
+        .join(clusters, emb["vec_id"] == clusters["id"], "left")
+        .where(F.col("id").isNull() | (F.col("cluster_id") == F.col("vec_id")))
+        .select("vec_id")
+    )
+    return keep.transform(SP.train_val_test_split("vec_id", (0.8, 0.1, 0.1)))
