@@ -38,6 +38,7 @@ HEADLINE = [
     "ts_tumbling_hourly",
     "join_asof_last_error",
     "pipeline_corpus_curation",
+    "pipeline_embedding_curation",
 ]
 
 

@@ -1,15 +1,19 @@
 """Catalog queries for similarity search (embeddings table).
 
-``sim_cosine_topk`` and ``sim_embedding_near_dup_pairs`` are
-oracle-paired: DuckDB recomputes cosine from the same double-cast
-vectors (`list_dot_product` over DOUBLE[]), values rounded identically
-on both sides, ranking done on the rounded value with an id tiebreaker
-so the top-k frontier can't flip on sub-rounding float drift.
+Oracle-paired: ``sim_cosine_topk`` (GEMM kernel), the two near-dup
+pair queries (exact blocked GEMM and the composed SRP scale path —
+both against the same exhaustive oracle, so the SRP hash match
+certifies recall), and ``pipeline_embedding_curation`` (pairs →
+connected components → representative collapse → split; the oracle
+replays the fixpoint with a recursive CTE). DuckDB recomputes cosine
+from the same double-cast vectors (``list_dot_product`` over
+DOUBLE[]), values rounded identically on both sides, ranking done on
+the rounded value with an id tiebreaker so frontiers can't flip on
+sub-rounding float drift.
 
-``sim_srp_lsh_recall`` has no SQL oracle (the hyperplane constants +
-banding make the SQL unwieldy); it returns deterministic recall stats
-of the SRP-LSH candidate generator against in-Spark brute-force truth,
-golden-tested in tests/test_similarity_ops.py.
+Rows-only (golden-tested instead): ``sim_srp_lsh_recall`` (hyperplane
+constants make the SQL unwieldy) and ``sim_ivf_topk`` (approximate by
+design).
 """
 
 from __future__ import annotations
@@ -221,20 +225,28 @@ FROM keep
 """,
 )
 def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-corpus curation, the similarity-side flagship: SRP-LSH
-    near-dup candidate pairs (never n² in a shuffle) → Arrow cosine
-    verify → connected-components clustering (min-label propagation) →
-    keep only each cluster's min-id representative → deterministic
-    train/val/test split of the survivors. The oracle recomputes the
-    exhaustive pair graph, the clustering fixpoint via a recursive CTE,
-    and the split arithmetic — one hash match certifies SRP recall,
-    the clustering, and the dedup-collapse policy end-to-end."""
+    """Embedding-corpus curation, the similarity-side flagship:
+    near-dup pairs via the exact blocked-GEMM kernel →
+    connected-components clustering (pointer-jumping min-label
+    propagation) → keep only each cluster's min-id representative →
+    deterministic train/val/test split of the survivors. The oracle
+    recomputes the exhaustive pair graph, the clustering fixpoint via
+    a recursive CTE, and the split arithmetic — one hash match
+    certifies the pair set, the clustering, and the collapse policy
+    end-to-end.
+
+    Pair-stage choice: at the 0.4 threshold (θ ≈ 66°, the far-pair
+    regime) SRP banding needs 2-row bands for recall, whose 4-value
+    buckets go quadratic — the measured crossover at this corpus size
+    favors the exact blocked GEMM (sim_srp_near_dup_pairs remains the
+    composed scale path for true near-dup thresholds, where banding
+    prunes instead of exploding)."""
     from rentals_data_pipeline_spark.operators import sampling as SP
     from rentals_data_pipeline_spark.operators.dedup import connected_components
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = SIM.srp_near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.4, n_planes=64, rows_per_band=2
+    pairs = SIM.all_pairs_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, scale=4
     ).select("id_a", "id_b")
     clusters = connected_components(pairs)
     keep = (
