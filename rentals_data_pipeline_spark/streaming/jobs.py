@@ -95,6 +95,66 @@ def run_available_now(
     q.awaitTermination()
 
 
+def quality_gated_stream_to_parquet(
+    stream_df: DataFrame,
+    checks: list,
+    output_dir: str,
+    checkpoint_dir: str,
+    on_violation: str = "fail",
+) -> list[dict]:
+    """Stream → per-micro-batch DQ gate → parquet: the streaming
+    counterpart of the reference's post-load quality stage
+    (dags/rental_pipeline_dag.py DQ task), via ``foreachBatch``.
+
+    Every micro-batch runs the declarative check suite (one agg pass —
+    operators/quality.py::run_quality_checks) BEFORE its rows land.
+    ``on_violation="fail"`` stops the stream on a failing batch —
+    nothing from that batch is committed, and the checkpoint restarts
+    AT the failing batch after the upstream issue is fixed (gate
+    semantics). ``"skip"`` quarantines the whole batch (drops it from
+    the sink, records the violation) and keeps draining — triage
+    semantics. Returns the per-batch DQ result dicts.
+
+    foreachBatch is the right seam: the gate is plain batch code (same
+    checks, same single-agg execution), and the sink write happens
+    inside the same epoch, so gating and landing stay atomic per batch.
+    """
+    from rentals_data_pipeline_spark.operators.quality import (
+        DataQualityError,
+        run_quality_checks,
+    )
+
+    if on_violation not in ("fail", "skip"):
+        raise ValueError("on_violation must be 'fail' or 'skip'")
+    results: list[dict] = []
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            res = run_quality_checks(batch_df, checks)
+        except DataQualityError:
+            if on_violation == "fail":
+                raise
+            results.append({"batch_id": batch_id, "passed": False})
+            return
+        res["batch_id"] = batch_id
+        res["passed"] = True
+        results.append(res)
+        batch_df.write.mode("append").parquet(output_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    except Exception:
+        if on_violation == "fail":
+            raise
+    return results
+
+
 def run_available_now_to_parquet(
     stream_df: DataFrame,
     output_dir: str,

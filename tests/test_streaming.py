@@ -315,3 +315,81 @@ def test_stream_to_parquet_sink_exactly_once(spark, tmp_path):
         .collect()
     }
     assert again == got
+
+
+def _dq_batches(spark, tmp_path):
+    """Three mtime-ordered batches; the middle one violates a
+    null-percentage check on user_id."""
+    import datetime as dt
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rentals_data_pipeline_spark.streaming.jobs import EVENTS_STREAM_SCHEMA
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    batches = [
+        [(1, t(0), 1, "a", 1.0, None), (2, t(1), 2, "a", 1.0, None)],
+        [(3, t(2), None, "a", 1.0, None), (4, t(3), None, "a", 1.0, None)],
+        [(5, t(4), 5, "a", 1.0, None)],
+    ]
+    src = str(tmp_path / "dq_src")
+    for rows in batches:
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    now = 1_700_000_000
+    sig_to_age = {
+        tuple(sorted(r[0] for r in rows)): now + i * 3600
+        for i, rows in enumerate(batches)
+    }
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            p = os.path.join(src, f)
+            sig = tuple(sorted(pq.read_table(p, columns=["event_id"])["event_id"].to_pylist()))
+            os.utime(p, (sig_to_age[sig], sig_to_age[sig]))
+    return src
+
+
+def test_quality_gate_skip_quarantines_bad_batch(spark, tmp_path):
+    from rentals_data_pipeline_spark.operators.quality import null_percentage_check
+
+    src = _dq_batches(spark, tmp_path)
+    out = str(tmp_path / "dq_out")
+    stream = SJ.read_events_stream(spark, src, max_files_per_trigger=1)
+    results = SJ.quality_gated_stream_to_parquet(
+        stream,
+        [null_percentage_check("user_id", 0.5)],
+        out,
+        str(tmp_path / "dq_ckpt"),
+        on_violation="skip",
+    )
+    landed = {r["event_id"] for r in spark.read.parquet(out).collect()}
+    assert landed == {1, 2, 5}  # bad batch (3, 4) quarantined
+    assert [r["passed"] for r in sorted(results, key=lambda r: r["batch_id"])] == [
+        True,
+        False,
+        True,
+    ]
+
+
+def test_quality_gate_fail_stops_stream(spark, tmp_path):
+    import pytest as _pytest
+
+    from rentals_data_pipeline_spark.operators.quality import null_percentage_check
+
+    src = _dq_batches(spark, tmp_path)
+    out = str(tmp_path / "dq_out2")
+    stream = SJ.read_events_stream(spark, src, max_files_per_trigger=1)
+    with _pytest.raises(Exception):
+        SJ.quality_gated_stream_to_parquet(
+            stream,
+            [null_percentage_check("user_id", 0.5)],
+            out,
+            str(tmp_path / "dq_ckpt2"),
+            on_violation="fail",
+        )
+    landed = {r["event_id"] for r in spark.read.parquet(out).collect()}
+    assert landed == {1, 2}  # stopped at the violating batch
