@@ -26,6 +26,7 @@ def write_partitioned_parquet(
     target_files_per_partition: int | None = None,
     max_records_per_file: int | None = None,
     dynamic_overwrite: bool = False,
+    sort_within_by: list[str] | None = None,
 ) -> None:
     """Write hive-partitioned snappy parquet, scale-safe.
 
@@ -52,6 +53,13 @@ def write_partitioned_parquet(
     dynamic) — the idempotent-backfill contract: re-running one day's
     job rewrites that day's dirs and leaves every other partition
     untouched, where static overwrite would truncate the whole table.
+
+    ``sort_within_by`` sorts rows inside each write task before
+    writing, which narrows every parquet row group's min/max
+    statistics on those columns — the data-skipping lever: a reader
+    filtering on a sorted column prunes whole row groups from the
+    scan. Pay the sort once at write time, save it on every downstream
+    range-filtered read.
     """
     for name, expr in (derived or {}).items():
         df = df.withColumn(name, expr)
@@ -74,6 +82,8 @@ def write_partitioned_parquet(
                     )
                 )
         df = df.repartition(*keys)
+        if sort_within_by:
+            df = df.sortWithinPartitions(*partition_by, *sort_within_by)
         writer = df.write.mode(mode).option("compression", compression)
         if dynamic_overwrite:
             # per-write option; overrides the session-level
@@ -83,6 +93,8 @@ def write_partitioned_parquet(
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
         writer.partitionBy(*partition_by).parquet(path)
     else:
+        if sort_within_by:
+            df = df.sortWithinPartitions(*sort_within_by)
         writer = df.write.mode(mode).option("compression", compression)
         if max_records_per_file is not None:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)

@@ -129,3 +129,48 @@ def test_static_overwrite_truncates_table(spark):
             for r in spark.read.parquet(out).select("o_orderstatus").distinct().collect()
         }
         assert statuses == {"F"}
+
+
+def test_sort_within_write_narrows_rowgroup_stats(spark):
+    """Sorted writes produce disjoint per-file l_quantity ranges (the
+    min/max footer stats a reader's range filter prunes on); unsorted
+    writes overlap. One write task + maxRecordsPerFile makes the files
+    sequential slices of the sort order."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").repartition(1)
+
+    def ranges(path):
+        out = []
+        for f in Path(path).glob("*.parquet"):
+            md = pq.read_metadata(str(f))
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "l_quantity"
+                )
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            out.append((min(mins), max(maxs)))
+        return sorted(out)
+
+    with tempfile.TemporaryDirectory() as td:
+        write_partitioned_parquet(
+            li, f"{td}/sorted", [], max_records_per_file=500,
+            sort_within_by=["l_quantity"],
+        )
+        write_partitioned_parquet(
+            li, f"{td}/unsorted", [], max_records_per_file=500,
+        )
+        sr, ur = ranges(f"{td}/sorted"), ranges(f"{td}/unsorted")
+        assert len(sr) > 2
+        # sorted: consecutive file ranges never interleave
+        for (lo1, hi1), (lo2, hi2) in zip(sr, sr[1:]):
+            assert hi1 <= lo2
+        # unsorted control: at least one pair overlaps
+        assert any(hi1 > lo2 for (lo1, hi1), (lo2, hi2) in zip(ur, ur[1:]))
