@@ -11,7 +11,7 @@ UTC session, so the values agree exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rentals_data_pipeline_spark.functions.rounding import round_half_up as RND
@@ -206,3 +206,74 @@ def sketch_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", F.lit(None).cast("timestamp")
     )
     return per_day.unionByName(total).select("day", "n_distinct_est")
+
+
+@query(
+    "ts_gap_fill_hourly",
+    """
+WITH bounds AS (
+    SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+    FROM events
+),
+h AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+t AS (SELECT DISTINCT event_type FROM events),
+agg AS (
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n,
+           FLOOR((SUM(value)) * 10000.0 + 0.5) / 10000.0 AS tv
+    FROM events GROUP BY 1, 2
+),
+spine AS (SELECT h.hour, t.event_type FROM h CROSS JOIN t)
+SELECT
+    CAST(spine.hour AS TIMESTAMP) AS hour,
+    spine.event_type,
+    CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_events,
+    last_value(agg.tv IGNORE NULLS) OVER (
+        PARTITION BY spine.event_type ORDER BY spine.hour
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
+FROM spine LEFT JOIN agg
+    ON spine.hour = agg.hour AND spine.event_type = agg.event_type
+""",
+)
+def ts_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling — the hypertable feature plain GROUP BY can't give:
+    a DENSE hourly spine per event_type (sequence-exploded from the
+    global bounds × the broadcast type dimension), hours with no
+    events zero-filled for counts and forward-filled (last non-null,
+    the locf idiom) for the running value. Spine generation is one
+    1-row aggregate + explode; the join is spine-sized, not
+    events-sized."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = events.select("event_type").distinct()
+    spine = hours.crossJoin(F.broadcast(types))
+    agg = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        RND(F.sum("value"), 4).alias("tv"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(agg, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.last("tv", ignorenulls=True).over(w).alias("carried_value"),
+        )
+    )
