@@ -591,3 +591,105 @@ def agg_salted_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     ).withColumn("avg_value", RND(F.col("total_value") / F.col("n_events"), 4))
+
+
+# ---------------------------------------------------------------------------
+# Product analytics: funnel + cohort retention.
+# ---------------------------------------------------------------------------
+
+@query(
+    "analytics_funnel_stages",
+    """
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view'
+    GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.ts >= s1.t1
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+    GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+    SELECT 1 AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM s2
+    UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM s3
+) f
+""",
+)
+def analytics_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: a user advances a stage
+    only with an event at-or-after their previous stage's first event.
+    Three user-keyed conditional-min aggregations chained by joins —
+    every shuffle is on user_id, so at scale the stages co-partition
+    and AQE reuses the exchange layout."""
+    events = load_table(spark, sf_dir, "events")
+
+    def first_at_or_after(prev: DataFrame, etype: str, tcol: str, prev_t: str) -> DataFrame:
+        return (
+            events.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where(F.col("ts") >= F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    s1 = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_at_or_after(s1, "click", "t2", "t1")
+    s3 = first_at_or_after(s2, "purchase", "t3", "t2")
+    return (
+        s1.agg(F.lit(1).alias("stage"), F.count(F.lit(1)).cast("long").alias("n_users"))
+        .unionByName(
+            s2.agg(F.lit(2).alias("stage"), F.count(F.lit(1)).cast("long").alias("n_users"))
+        )
+        .unionByName(
+            s3.agg(F.lit(3).alias("stage"), F.count(F.lit(1)).cast("long").alias("n_users"))
+        )
+    )
+
+
+@query(
+    "analytics_retention_cohorts",
+    """
+WITH first_day AS (
+    SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS TIMESTAMP) AS cohort_day
+    FROM events GROUP BY user_id
+)
+SELECT
+    f.cohort_day,
+    CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS INT)
+        AS day_offset,
+    CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN first_day f ON e.user_id = f.user_id
+WHERE date_diff('day', f.cohort_day, date_trunc('day', e.ts)) BETWEEN 0 AND 7
+GROUP BY 1, 2
+""",
+)
+def analytics_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    distinct on each of the next 7 day-offsets. One user-keyed
+    aggregation for cohort assignment, one events-side join on
+    user_id, one (cohort, offset) count-distinct."""
+    events = load_table(spark, sf_dir, "events")
+    first_day = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    joined = events.join(first_day, "user_id").withColumn(
+        "day_offset",
+        F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).cast("int"),
+    )
+    return (
+        joined.where(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
