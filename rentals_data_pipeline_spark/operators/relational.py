@@ -170,6 +170,63 @@ def asof_join_backward(
     return _apply
 
 
+def asof_join_forward(
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+) -> Op:
+    """Forward as-of left join: for each left row, attach the payload
+    of the EARLIEST right row with ``right_ts >= left_ts`` within the
+    same ``on`` keys (NULLs when no later right row exists). Mirror of
+    ``asof_join_backward``: same union + single window-sort shape (one
+    shuffle), but the frame looks forward (currentRow →
+    unboundedFollowing, ``first(ignorenulls)``) and left rows order
+    BEFORE right rows at equal ts so an exactly-simultaneous right row
+    IS matched (DuckDB forward-ASOF's <= semantics)."""
+
+    def _apply(left: DataFrame) -> DataFrame:
+        lcols = left.columns
+        passthrough = [c for c in lcols if c not in on]
+        r2 = right.select(
+            *on,
+            F.col(right_ts).alias("_t"),
+            F.lit(1).alias("_side"),
+            F.struct(*[F.col(c) for c in payload]).alias("_p"),
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in passthrough
+            ],
+        )
+        l2 = left.select(
+            *on,
+            F.col(left_ts).alias("_t"),
+            F.lit(0).alias("_side"),
+            F.lit(None).cast(r2.schema["_p"].dataType).alias("_p"),
+            *passthrough,
+        )
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("_t", "_side")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        return (
+            l2.unionByName(r2)
+            .withColumn("_next", F.first("_p", ignorenulls=True).over(w))
+            .where(F.col("_side") == 0)
+            .select(
+                *lcols,
+                *[
+                    F.col(f"_next.{src}").alias(dst)
+                    for src, dst in payload.items()
+                ],
+            )
+        )
+
+    return _apply
+
+
 def salted_agg(
     keys: list[str],
     partial_aggs: list[tuple[Column, str]],

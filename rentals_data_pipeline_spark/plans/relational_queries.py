@@ -693,3 +693,41 @@ def analytics_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
     )
+
+
+@query(
+    "join_asof_next_error",
+    """
+SELECT
+    c.event_id,
+    c.user_id,
+    c.ts,
+    e.ts    AS err_ts,
+    e.value AS err_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id AND c.ts <= e.ts
+""",
+)
+def join_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click event picks up the timestamp and
+    value of the same user's NEXT error at-or-after it (NULL if none
+    follows) — completes the as-of family alongside the backward
+    variant; same single-shuffle union+window shape, frame reversed.
+    DuckDB side is a native forward ASOF LEFT JOIN (<=)."""
+    from rentals_data_pipeline_spark.operators.relational import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select("user_id", "ts", "value")
+    return clicks.transform(
+        asof_join_forward(
+            errors,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            payload={"ts": "err_ts", "value": "err_value"},
+        )
+    )
