@@ -70,10 +70,19 @@ def main() -> int:
         if ratio > args.threshold:
             failures.append((name, ratio))
 
-    t_ratio = new["value"] / old["value"] if old.get("value") else float("inf")
-    print(f"  total: {old['value']:.3f}s -> {new['value']:.3f}s ({t_ratio:.2f}x)")
+    # gate the total over SHARED queries only — adding headline queries
+    # must not read as a regression; full totals print informationally
+    shared = set(oq) & set(nq)
+    o_tot = sum(oq[n] for n in shared)
+    n_tot = sum(nq[n] for n in shared)
+    t_ratio = n_tot / o_tot if o_tot > 0 else float("inf")
+    print(
+        f"  shared total ({len(shared)} queries): {o_tot:.3f}s -> {n_tot:.3f}s"
+        f" ({t_ratio:.2f}x); full totals {old.get('value', 0):.3f}s ->"
+        f" {new.get('value', 0):.3f}s"
+    )
     if t_ratio > args.threshold:
-        failures.append(("TOTAL", t_ratio))
+        failures.append(("TOTAL(shared)", t_ratio))
 
     if failures:
         print(f"{len(failures)} regression(s) over {args.threshold}x:")
