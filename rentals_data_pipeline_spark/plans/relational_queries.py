@@ -731,3 +731,35 @@ def join_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             payload={"ts": "err_ts", "value": "err_value"},
         )
     )
+
+
+@query(
+    "scalar_variant_json",
+    """
+SELECT
+    event_id,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+    CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+         THEN 'even' ELSE 'odd' END AS k_parity
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+""",
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    parse_json once, then typed variant_get extraction and filtering —
+    the open-schema path for JSON columns whose shape isn't known at
+    ingest (vs get_json_object string re-parsing per access; variant
+    parses once into a binary-encoded value). The oracle recomputes
+    with DuckDB JSON functions; values are exact integers."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.select("event_id", F.parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "long")
+    return (
+        v.select("event_id", k.alias("k"))
+        .where(F.col("k") >= 50)
+        .withColumn(
+            "k_parity",
+            F.when(F.col("k") % 2 == 0, "even").otherwise("odd"),
+        )
+    )
