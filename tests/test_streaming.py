@@ -393,3 +393,34 @@ def test_quality_gate_fail_stops_stream(spark, tmp_path):
         )
     landed = {r["event_id"] for r in spark.read.parquet(out).collect()}
     assert landed == {1, 2}  # stopped at the violating batch
+
+
+def test_quality_gate_resumes_at_failing_batch(spark, tmp_path):
+    """Gate semantics across restarts: after a fail-stop, a re-run over
+    the SAME checkpoint resumes at the violating batch (not from the
+    beginning, not after it) — here re-run with the skip policy, which
+    quarantines that batch and drains the rest."""
+    from rentals_data_pipeline_spark.operators.quality import null_percentage_check
+
+    src = _dq_batches(spark, tmp_path)
+    out = str(tmp_path / "dq_out3")
+    ckpt = str(tmp_path / "dq_ckpt3")
+    checks = [null_percentage_check("user_id", 0.5)]
+
+    stream = SJ.read_events_stream(spark, src, max_files_per_trigger=1)
+    with pytest.raises(Exception):
+        SJ.quality_gated_stream_to_parquet(
+            stream, checks, out, ckpt, on_violation="fail"
+        )
+    assert {r["event_id"] for r in spark.read.parquet(out).collect()} == {1, 2}
+
+    stream2 = SJ.read_events_stream(spark, src, max_files_per_trigger=1)
+    results = SJ.quality_gated_stream_to_parquet(
+        stream2, checks, out, ckpt, on_violation="skip"
+    )
+    landed = {r["event_id"] for r in spark.read.parquet(out).collect()}
+    assert landed == {1, 2, 5}  # batch 1 not re-landed, batch 2 skipped, batch 3 landed
+    assert [r["passed"] for r in sorted(results, key=lambda r: r["batch_id"])] == [
+        False,
+        True,
+    ]
