@@ -1,0 +1,73 @@
+"""Plan-shape regression tests for the headline queries.
+
+PLANS.md documents the physical shape each flagship must keep; these
+assertions make a shape regression (lost broadcast, extra shuffle,
+dropped map-side top-k, Python creeping into a codegen path) fail in
+CI instead of surfacing as a 100 TB incident.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _shape(spark, name):
+    df = entry.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "shuffles": len(
+            re.findall(
+                r"Exchange (?:hash|range)partitioning|Exchange SinglePartition",
+                plan,
+            )
+        ),
+        "broadcasts": len(re.findall(r"BroadcastExchange", plan)),
+        "bhj": len(re.findall(r"BroadcastHashJoin", plan)),
+        "smj": len(re.findall(r"SortMergeJoin", plan)),
+        "wgl": len(re.findall(r"WindowGroupLimit", plan)),
+        "python": len(
+            re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)
+        ),
+        "plan": plan,
+    }
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    s = _shape(spark, "join_star_revenue")
+    assert s["bhj"] == 4, s["plan"]       # all four dims broadcast
+    assert s["smj"] == 0, s["plan"]       # fact side never sort-merges a dim
+    assert s["shuffles"] <= 1, s["plan"]  # one fact-side shuffle at most
+
+
+def test_corpus_curation_shape(spark):
+    s = _shape(spark, "pipeline_corpus_curation")
+    assert s["shuffles"] == 2, s["plan"]  # one per dedup key, nothing else
+    assert s["wgl"] >= 2, s["plan"]       # map-side keep-first pruning alive
+    assert s["python"] == 0, s["plan"]    # whole pipeline stays JVM-side
+
+
+def test_cosine_topk_gemm_shape(spark):
+    s = _shape(spark, "sim_cosine_topk")
+    assert s["python"] == 1, s["plan"]    # exactly one Arrow stage (the GEMM)
+    assert s["shuffles"] <= 1, s["plan"]  # only the final tiny ranking shuffle
+    assert s["wgl"] >= 1, s["plan"]       # per-batch pre-pruning feeds WGL
+
+
+def test_flagship_windows_run_on_aggregated_series(spark):
+    """The windows must consume the daily aggregate, not raw events:
+    the window sort's input reaches it through the aggregation."""
+    s = _shape(spark, "flagship_events_daily")
+    assert s["python"] == 0, s["plan"]
+    assert s["shuffles"] <= 3, s["plan"]  # agg + two window sorts
+
+
+def test_stratified_sample_keeps_window_group_limit(spark):
+    s = _shape(spark, "sample_stratified_events")
+    assert s["wgl"] >= 1, s["plan"]
+    assert s["shuffles"] == 1, s["plan"]
