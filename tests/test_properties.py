@@ -104,3 +104,79 @@ def test_hash_bucket_range_and_determinism(spark, keys, n_buckets):
     }
     assert out1 == out2
     assert all(0 <= b < n_buckets for b in out1.values())
+
+
+ASOF_LEFT = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)),  # (key, ts)
+    min_size=1, max_size=15,
+)
+ASOF_RIGHT = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 999)),
+    min_size=0, max_size=15,
+    unique_by=lambda r: (r[0], r[1]),  # one payload per (key, ts): tie-free
+)
+
+
+@given(left=ASOF_LEFT, right=ASOF_RIGHT, nparts=st.integers(1, 3))
+@settings(**_SETTINGS)
+def test_asof_joins_match_brute_force(spark, left, right, nparts):
+    """Both as-of directions equal the per-row brute-force definition
+    (backward: latest right_ts <= ts; forward: earliest right_ts >= ts)
+    for any data, ties included, under any partitioning."""
+    from rentals_data_pipeline_spark.operators.relational import (
+        asof_join_backward,
+        asof_join_forward,
+    )
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], ["k", "ts", "rowid"]
+    ).repartition(nparts)
+    rdf = spark.createDataFrame(right, "k long, ts long, v long")
+
+    back = {
+        r["rowid"]: r["bv"]
+        for r in ldf.transform(
+            asof_join_backward(rdf, ["k"], "ts", "ts", {"v": "bv"})
+        ).collect()
+    }
+    fwd = {
+        r["rowid"]: r["fv"]
+        for r in ldf.transform(
+            asof_join_forward(rdf, ["k"], "ts", "ts", {"v": "fv"})
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        prior = [(rt, v) for rk, rt, v in right if rk == k and rt <= t]
+        nxt = [(rt, v) for rk, rt, v in right if rk == k and rt >= t]
+        assert back[i] == (max(prior)[1] if prior else None), (k, t)
+        assert fwd[i] == (min(nxt)[1] if nxt else None), (k, t)
+
+
+@given(
+    n_tokens=st.integers(1, 60),
+    chunk=st.integers(2, 16),
+    overlap=st.integers(0, 8),
+)
+@settings(**_SETTINGS)
+def test_chunks_reassemble_to_document(spark, n_tokens, chunk, overlap):
+    """Dropping each chunk's leading overlap (except the first) and
+    concatenating reproduces the original token stream exactly — no
+    token lost or duplicated by the windowing."""
+    from hypothesis import assume
+
+    from rentals_data_pipeline_spark.operators.text import chunk_documents
+
+    assume(overlap < chunk)
+    toks = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+    rows = sorted(
+        (r["chunk_idx"], r["chunk_text"])
+        for r in df.transform(
+            chunk_documents(chunk_tokens=chunk, overlap=overlap)
+        ).collect()
+    )
+    rebuilt = []
+    for idx, text in rows:
+        part = text.split(" ")
+        rebuilt.extend(part if idx == 0 else part[overlap:])
+    assert rebuilt == toks
