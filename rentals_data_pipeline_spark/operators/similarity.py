@@ -460,6 +460,47 @@ def ivf_assign_udf(centroids: list[list[float]], n_probe: int = 1):
     return _assign
 
 
+def kmeans_refine_centroids(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    iters: int,
+    vec_col: str,
+) -> list[list[float]]:
+    """Distributed Lloyd iterations over an initial centroid list:
+    assign every vector to its nearest centroid (one broadcast matmul
+    per Arrow batch — the same ``ivf_assign_udf`` the query path uses),
+    recompute each centroid as its cell's elementwise mean (posexplode
+    → (cell, dim) groupBy — one shuffle of n·d rows per iteration), and
+    collect only the n_cells × dim result. Deterministic given the
+    deterministic init; empty cells keep their previous centroid. The
+    standard k-means||-style refinement loop expressed in DataFrame
+    ops: per-iteration driver traffic is just the centroid matrix."""
+    cents = centroids
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.element_at(ivf_assign_udf(cents, 1)(F.col(vec_col)), 1).alias(
+                "cell"
+            ),
+            F.col(vec_col).alias("_v"),
+        )
+        sums = (
+            assigned.select("cell", F.posexplode("_v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = r["s"] / r["n"]
+        cents = [
+            [by_cell[c][d] for d in sorted(by_cell[c])]
+            if c in by_cell
+            else cents[c]
+            for c in range(len(cents))
+        ]
+    return cents
+
+
 def ivf_topk(
     probes: DataFrame,
     corpus: DataFrame,
@@ -470,6 +511,7 @@ def ivf_topk(
     probe_vec: str = "probe_vec",
     match_id: str = "match_id",
     match_vec: str = "match_vec",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-flavored approximate top-k: coarse-quantize the corpus into
     ``n_cells`` cells, search only each probe's ``n_probe`` nearest
@@ -503,6 +545,11 @@ def ivf_topk(
         return corpus.sparkSession.createDataFrame(
             [], f"{probe_id} long, {match_id} long, cosine double"
         )
+    if refine_iters:
+        # optional Lloyd refinement: centroids move to their cells'
+        # means, rebalancing cell populations (recall vs n_probe
+        # trade-off is corpus-dependent; measure before enabling)
+        cents = kmeans_refine_centroids(corpus, cents, refine_iters, match_vec)
     corpus_cells = corpus.select(
         match_id,
         match_vec,

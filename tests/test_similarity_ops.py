@@ -204,3 +204,50 @@ def test_ivf_topk_recall_golden(spark):
         for r in S.ivf_topk(probes, corpus, k=5, n_cells=8, n_probe=8).collect()
     }
     assert full == exact
+
+
+def test_kmeans_refine_centroids_contract(spark):
+    """One Lloyd iteration: every returned centroid equals the
+    elementwise mean of the vectors assigned to it under the PREVIOUS
+    centroids; empty cells keep their old centroid; the refinement is
+    deterministic."""
+    import numpy as np
+
+    # two tight clusters around (1,0) and (0,1); init centroids near
+    # each, plus one far-away centroid that captures nothing
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.1]),
+            (2, [1.0, -0.1]),
+            (3, [0.1, 1.0]),
+            (4, [-0.1, 1.0]),
+        ],
+        "match_id long, match_vec array<double>",
+    )
+    init = [[1.0, 0.0], [0.0, 1.0], [-1.0, -1.0]]
+    out = SIM.kmeans_refine_centroids(corpus, init, 1, "match_vec")
+    np.testing.assert_allclose(out[0], [1.0, 0.0])   # mean of (1,.1),(1,-.1)
+    np.testing.assert_allclose(out[1], [0.0, 1.0])   # mean of (.1,1),(-.1,1)
+    assert out[2] == [-1.0, -1.0]                    # empty cell retained
+    assert SIM.kmeans_refine_centroids(corpus, init, 1, "match_vec") == out
+
+
+def test_ivf_refine_iters_still_returns_topk(spark):
+    """The refined path produces a valid top-k frame (k rows per probe
+    present in the corpus) and stays deterministic."""
+    from rentals_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probes = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("match_vec")
+    )
+    a = sorted(map(tuple, SIM.ivf_topk(probes, corpus, k=5, n_cells=8, n_probe=2, refine_iters=2).collect()))
+    b = sorted(map(tuple, SIM.ivf_topk(probes, corpus, k=5, n_cells=8, n_probe=2, refine_iters=2).collect()))
+    assert a == b and len(a) > 0
+    per_probe = {}
+    for pid, mid, cos in a:
+        per_probe.setdefault(pid, set()).add(mid)
+    assert all(len(v) == 5 for v in per_probe.values())
