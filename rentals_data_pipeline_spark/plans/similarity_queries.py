@@ -251,7 +251,9 @@ def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = connected_components(pairs)
     keep = (
         emb.select("vec_id")
-        .join(clusters, emb["vec_id"] == clusters["id"], "left")
+        # clusters ≈ near-dup members only — orders of magnitude smaller
+        # than the corpus; broadcast so the corpus side never shuffles
+        .join(F.broadcast(clusters), emb["vec_id"] == clusters["id"], "left")
         .where(F.col("id").isNull() | (F.col("cluster_id") == F.col("vec_id")))
         .select("vec_id")
     )
