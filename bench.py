@@ -39,6 +39,10 @@ HEADLINE = [
     "join_asof_last_error",
     "pipeline_corpus_curation",
     "pipeline_embedding_curation",
+    "text_tfidf_top_terms",
+    "ts_gap_fill_hourly",
+    "sample_stratified_events",
+    "analytics_funnel_stages",
 ]
 
 

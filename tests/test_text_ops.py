@@ -159,3 +159,26 @@ def test_pack_chunks_bins_are_contiguous_and_bounded(spark):
     assert {(r["doc_id"], r["chunk_idx"], r["bin_id"]) for r in out} == {
         (r["doc_id"], r["chunk_idx"], r["bin_id"]) for r in out2
     }
+
+
+def test_text_ops_handle_unicode(spark):
+    """Non-ASCII text (accents, CJK, emoji) must flow through every
+    text operator without crashing, with token counts by whitespace
+    (codepoint-aware, not byte-based)."""
+    rows = [
+        (1, "café au lait — très bien"),
+        (2, "深度 学习 模型"),
+        (3, "emoji 🚀 test 🚀"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    stats = {r["doc_id"]: r for r in df.transform(TX.token_stats()).collect()}
+    assert stats[1]["n_tokens"] == 6  # the em-dash is its own token
+    assert stats[2]["n_tokens"] == 3
+    assert stats[3]["n_tokens"] == 4
+    # quality, language-ID, fingerprints, chunking all execute
+    df.transform(TX.quality_score()).collect()
+    df.transform(TX.language_id()).collect()
+    fp = {r["doc_id"]: r for r in df.transform(TX.fingerprints()).collect()}
+    assert len({fp[i]["fp_exact"] for i in (1, 2, 3)}) == 3
+    chunks = df.transform(TX.chunk_documents(chunk_tokens=2, overlap=0)).collect()
+    assert sum(1 for c in chunks if c["doc_id"] == 2) == 2  # 3 tokens -> 2 chunks
