@@ -101,6 +101,67 @@ def write_partitioned_parquet(
         writer.parquet(path)
 
 
+def merge_upsert_partitioned(
+    spark,
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: list[str],
+) -> None:
+    """Keyed upsert (MERGE) into a hive-partitioned parquet table
+    without a table format: rows in ``updates`` replace same-key rows
+    and new keys append, touching ONLY the partitions the updates land
+    in.
+
+    Plan shape, all scale-bounded by the update batch — the full table
+    is never read or rewritten:
+
+    1. the affected partition values are collected from ``updates``
+       (bounded: one row per touched partition);
+    2. the existing rows of ONLY those partitions are read back —
+       the IN-filter on the partition column prunes at the dir level;
+    3. survivors = existing LEFT ANTI JOIN updates on ``keys``
+       (updates are small per batch → broadcast);
+    4. survivors ∪ updates overwrite just those partitions
+       (partitionOverwriteMode=dynamic).
+
+    Requires updates to be key-unique (last-writer-wins dedup is the
+    caller's policy decision). An update that MOVES a key to a new
+    partition leaves the old copy in the old partition — at 100 TB
+    cross-partition moves need a tombstone pass; keep partition columns
+    immutable under upsert (the usual contract).
+    """
+    if not partition_by:
+        raise ValueError("merge_upsert_partitioned requires partition columns")
+    import os
+
+    affected = [
+        tuple(r)
+        for r in updates.select(*partition_by).distinct().collect()
+    ]
+    if not affected:
+        return
+    exists = os.path.exists(path)
+    if exists:
+        existing = spark.read.parquet(path)
+        cond = F.lit(False)
+        for vals in affected:
+            row_match = F.lit(True)
+            for c, v in zip(partition_by, vals):
+                row_match = row_match & (F.col(c) == F.lit(v))
+            cond = cond | row_match
+        survivors = (
+            existing.where(cond)
+            .join(F.broadcast(updates.select(*keys)), keys, "left_anti")
+        )
+        merged = survivors.unionByName(updates.select(*existing.columns))
+    else:
+        merged = updates
+    write_partitioned_parquet(
+        merged, path, partition_by, mode="overwrite", dynamic_overwrite=exists
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

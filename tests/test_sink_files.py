@@ -174,3 +174,64 @@ def test_sort_within_write_narrows_rowgroup_stats(spark):
             assert hi1 <= lo2
         # unsorted control: at least one pair overlaps
         assert any(hi1 > lo2 for (lo1, hi1), (lo2, hi2) in zip(ur, ur[1:]))
+
+
+def test_merge_upsert_updates_and_inserts(spark):
+    """Upsert: same-key rows replaced, new keys appended, untouched
+    partitions byte-identical (their files are not rewritten)."""
+    import os
+    import tempfile
+
+    from rentals_data_pipeline_spark.sources.sink import merge_upsert_partitioned
+
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/tbl"
+        base = spark.createDataFrame(
+            [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 30.0)],
+            "id long, part string, v double",
+        )
+        merge_upsert_partitioned(spark, base, path, ["id"], ["part"])
+        b_files_before = {
+            f: os.path.getmtime(f"{path}/part=B/{f}")
+            for f in os.listdir(f"{path}/part=B")
+            if f.endswith(".parquet")
+        }
+
+        updates = spark.createDataFrame(
+            [(2, "A", 99.0), (4, "A", 40.0)], "id long, part string, v double"
+        )
+        merge_upsert_partitioned(spark, updates, path, ["id"], ["part"])
+
+        rows = {
+            (r["id"], r["part"], r["v"])
+            for r in spark.read.parquet(path).collect()
+        }
+        assert rows == {
+            (1, "A", 10.0),
+            (2, "A", 99.0),   # updated
+            (3, "B", 30.0),   # untouched partition
+            (4, "A", 40.0),   # inserted
+        }
+        b_files_after = {
+            f: os.path.getmtime(f"{path}/part=B/{f}")
+            for f in os.listdir(f"{path}/part=B")
+            if f.endswith(".parquet")
+        }
+        assert b_files_after == b_files_before  # partition B never rewritten
+
+
+def test_merge_upsert_first_write_bootstraps(spark):
+    import tempfile
+
+    from rentals_data_pipeline_spark.sources.sink import merge_upsert_partitioned
+
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/tbl"
+        merge_upsert_partitioned(
+            spark,
+            spark.createDataFrame([(1, "A", 1.0)], "id long, part string, v double"),
+            path,
+            ["id"],
+            ["part"],
+        )
+        assert spark.read.parquet(path).count() == 1
