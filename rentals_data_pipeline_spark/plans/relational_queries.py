@@ -763,3 +763,41 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("k") % 2 == 0, "even").otherwise("odd"),
         )
     )
+
+
+@query(
+    "scd2_user_value_history",
+    """
+SELECT
+    user_id,
+    ts AS valid_from,
+    LEAD(ts) OVER w AS valid_to,
+    value,
+    CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+FROM events
+WHERE event_type = 'signup' OR event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history construction from a change stream: each
+    user's state rows get [valid_from, valid_to) interval columns via
+    one window lead (event_id tiebreaker makes simultaneous changes
+    deterministic) and an is_current flag on the open interval — the
+    warehouse dimension-history pattern as a single-shuffle window."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.where(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            "value",
+            F.when(F.lead("ts").over(w).isNull(), 1).otherwise(0).alias(
+                "is_current"
+            ),
+        )
+    )
