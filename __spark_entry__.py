@@ -34,40 +34,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in dict order (CORRECTNESS_r02 == first 50 of the round-2 catalog, exactly).
-# With >50 catalog queries we therefore order by certification need:
-# queries never yet hash-certified first, then ones certified in only one
-# prior round, and the twice-certified stable core last.  Any catalog query
-# not named below (i.e. added this round) is newest -> checked first.
-# Certification history: CORRECTNESS_r01.json / CORRECTNESS_r02.json.
+# in dict order (CORRECTNESS_r02/r03 == first 50 of each round's catalog).
+# With >50 catalog queries we therefore order by certification need.
+# Round-4 order (history: CORRECTNESS_r01..r03.json): the query fixed this
+# round first, then the rows-only trio, then the 21 r1+r2-certified queries
+# that round 3's rotation skipped (two rounds stale), then r3-certified
+# queries subordered fewest-certifications-first.  Any catalog query not
+# named below (i.e. added this round) is newest -> checked first.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # never certified (missed the round-2 cap)
-    "dedup_duplicate_clusters", "sim_srp_near_dup_pairs",
-    "pipeline_embedding_curation", "multimodal_frame_sample",
-    "multimodal_resize_grid", "pipeline_corpus_curation",
-    "sample_split_documents", "sample_deterministic_documents",
-    "sample_stratified_events", "sketch_distinct_users_rollup",
-    "ts_gap_fill_hourly",
-    # certified in round 1 only
-    "sim_cosine_topk", "sim_embedding_near_dup_pairs", "sim_srp_lsh_recall",
-    "sim_ivf_topk", "multimodal_metadata", "multimodal_byte_histogram",
-    "ts_tumbling_hourly", "ts_sliding_10m_5m", "ts_session_windows",
-    "ts_hierarchical_rollup_daily",
-    # certified in round 2 only
-    "window_distribution_suite", "scalar_math_suite",
-    "agg_salted_events_by_type", "analytics_funnel_stages",
-    "analytics_retention_cohorts", "join_asof_next_error",
-    "scalar_variant_json", "scd2_user_value_history",
-    "text_vocabulary_top100", "text_tfidf_top_terms",
-    "text_chunk_documents", "text_pack_chunks_by_split",
-    # certified in both prior rounds (stable core, checked last)
-    "flagship_events_daily", "window_period_change", "window_rank_in_group",
-    "window_rolling_avg", "window_cumulative_sum",
-    "reshape_unpivot_measures", "reshape_pivot_event_types",
-    "dedup_first_event", "topk_orders_per_customer", "join_star_revenue",
-    "join_semi_active_customers", "join_anti_no_big_order",
-    "agg_pricing_summary", "quality_metrics_lineitem", "agg_rollup_orders",
-    "agg_cube_lineitem", "agg_grouping_sets_orders",
+    # red in r3, fixed this round (ANSI-on element_at) — re-certify first
+    "multimodal_frame_sample",
+    # rows-only by design (no_oracle rows>0 every round; cheap)
+    "sketch_distinct_users_rollup", "sim_srp_lsh_recall", "sim_ivf_topk",
+    # certified r1+r2 but skipped by round 3's rotation (two rounds stale)
     "setops_customer_cohorts", "scalar_string_suite", "scalar_date_suite",
     "scalar_json_extract", "join_range_value_bands",
     "join_full_outer_user_activity", "sort_global_top10_orders",
@@ -77,6 +56,33 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_language_id", "text_fingerprints", "dedup_minhash_lsh_pairs",
     "dedup_simhash_fingerprints", "dedup_simhash_hamming_pairs",
     "dedup_ngram_jaccard_topk", "dedup_exact_documents",
+    # certified once, in r3 only
+    "dedup_duplicate_clusters", "sim_srp_near_dup_pairs",
+    "pipeline_embedding_curation", "multimodal_resize_grid",
+    "pipeline_corpus_curation", "sample_split_documents",
+    "sample_deterministic_documents", "sample_stratified_events",
+    "ts_gap_fill_hourly",
+    # certified twice (r1 + r3)
+    "sim_cosine_topk", "sim_embedding_near_dup_pairs",
+    "multimodal_metadata", "multimodal_byte_histogram",
+    "ts_tumbling_hourly", "ts_sliding_10m_5m", "ts_session_windows",
+    "ts_hierarchical_rollup_daily",
+    # certified twice (r2 + r3)
+    "window_distribution_suite", "scalar_math_suite",
+    "agg_salted_events_by_type", "analytics_funnel_stages",
+    "analytics_retention_cohorts", "join_asof_next_error",
+    "scalar_variant_json", "scd2_user_value_history",
+    "text_vocabulary_top100", "text_tfidf_top_terms",
+    "text_chunk_documents", "text_pack_chunks_by_split",
+    # certified three times (r1 + r2 + r3) — freshest, checked last
+    "quality_metrics_lineitem", "flagship_events_daily",
+    "window_period_change", "window_rank_in_group", "window_rolling_avg",
+    "window_cumulative_sum", "reshape_unpivot_measures",
+    "reshape_pivot_event_types", "dedup_first_event",
+    "topk_orders_per_customer", "join_star_revenue",
+    "join_semi_active_customers", "join_anti_no_big_order",
+    "agg_pricing_summary", "agg_rollup_orders", "agg_cube_lineitem",
+    "agg_grouping_sets_orders",
 )
 
 

@@ -3,16 +3,20 @@
 Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
 
-Each query is timed end-to-end (plan build + execution to a count/collect
-of the result) after a warmup pass of the session. Designed to be a tight
-feedback loop for plan quality: total wall seconds across the headline
-set is the headline metric.
+Each query is timed end-to-end (plan build + execution to a collect of
+the result); the reported per-query number is the MEDIAN of
+``$SPARK_GRAFT_BENCH_RUNS`` (default 3) passes after a session warmup —
+round 3 showed one-shot timings at sf0.1 carry a ~1.5x environment noise
+band, so single-pass numbers are not comparable across rounds. Total
+wall seconds (sum of medians) across the headline set is the headline
+metric.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -59,13 +63,17 @@ def main() -> None:
     # Warm up the JVM + parquet footers so timings measure the plans.
     catalog.QUERIES["agg_pricing_summary"](spark, sf_dir).count()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     names = [n for n in HEADLINE if n in catalog.QUERIES]
     for name in names:
-        t0 = time.perf_counter()
-        df = catalog.QUERIES[name](spark, sf_dir)
-        df.collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        passes = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = catalog.QUERIES[name](spark, sf_dir)
+            df.collect()
+            passes.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(passes), 3)
 
     total = round(sum(timings.values()), 3)
     print(

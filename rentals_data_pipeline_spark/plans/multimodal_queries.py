@@ -117,8 +117,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select(
         "doc_id",
         F.size(frames).alias("n_frames"),
-        F.hex(F.element_at(frames, 1)).alias("frame0_hex"),
-        F.hex(F.element_at(frames, 2)).alias("frame1_hex"),
+        F.hex(F.try_element_at(frames, F.lit(1))).alias("frame0_hex"),
+        F.hex(F.try_element_at(frames, F.lit(2))).alias("frame1_hex"),
     )
 
 

@@ -184,9 +184,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(probes, corpus, k=5, n_cells=16, n_probe=4)
 
 
-@query(
-    "pipeline_embedding_curation",
-    f"""
+_CURATION_ORACLE = f"""
 WITH RECURSIVE {_ORACLE_COSINE_PAIRS},
 p AS (
     SELECT
@@ -222,32 +220,47 @@ SELECT
                % 10000) < 9000 THEN 'val'
          ELSE 'test' END AS split
 FROM keep
-""",
-)
-def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-corpus curation, the similarity-side flagship:
-    near-dup pairs via the exact blocked-GEMM kernel →
+"""
+
+
+def embedding_curation(
+    spark: SparkSession, sf_dir: str, pair_strategy: str = "gemm"
+) -> DataFrame:
+    """Embedding-corpus curation: near-dup pairs (pluggable strategy) →
     connected-components clustering (pointer-jumping min-label
     propagation) → keep only each cluster's min-id representative →
-    deterministic train/val/test split of the survivors. The oracle
-    recomputes the exhaustive pair graph, the clustering fixpoint via
-    a recursive CTE, and the split arithmetic — one hash match
-    certifies the pair set, the clustering, and the collapse policy
-    end-to-end.
+    deterministic train/val/test split of the survivors.
 
-    Pair-stage choice: at the 0.4 threshold (θ ≈ 66°, the far-pair
-    regime) SRP banding needs 2-row bands for recall, whose 4-value
-    buckets go quadratic — the measured crossover at this corpus size
-    favors the exact blocked GEMM (sim_srp_near_dup_pairs remains the
-    composed scale path for true near-dup thresholds, where banding
-    prunes instead of exploding)."""
+    ``pair_strategy`` picks the pair stage; everything downstream is
+    identical, and both strategies are hash-certified against the SAME
+    recursive-CTE oracle (which replays whatever pair set the 0.4
+    threshold produces — so an SRP recall miss would surface as a hash
+    mismatch, not silently pass):
+
+    - ``"gemm"`` — exact blocked all-pairs GEMM. The certification
+      config at this corpus's 0.4 threshold (θ ≈ 66°, far-pair regime,
+      where SRP's 2-row bands go quadratic — measured crossover favors
+      exact).
+    - ``"srp"`` — SRP-LSH candidates → Arrow cosine verify. The 100-TB
+      path: pair-space tracks bucket sizes, not corpus²; at production
+      near-dup thresholds (cosine ≥ 0.85) this is the only strategy
+      that survives a 100× scale-up.
+    """
     from rentals_data_pipeline_spark.operators import sampling as SP
     from rentals_data_pipeline_spark.operators.dedup import connected_components
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = SIM.all_pairs_cosine_pairs(
-        emb, "vec_id", "embedding", threshold=0.4, scale=4
-    ).select("id_a", "id_b")
+    if pair_strategy == "gemm":
+        pairs = SIM.all_pairs_cosine_pairs(
+            emb, "vec_id", "embedding", threshold=0.4, scale=4
+        ).select("id_a", "id_b")
+    elif pair_strategy == "srp":
+        pairs = SIM.srp_near_dup_pairs(
+            emb, "vec_id", "embedding",
+            threshold=0.4, n_planes=64, rows_per_band=2,
+        ).select("id_a", "id_b")
+    else:
+        raise ValueError(f"unknown pair_strategy {pair_strategy!r}")
     clusters = connected_components(pairs)
     keep = (
         emb.select("vec_id")
@@ -258,3 +271,21 @@ def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
     )
     return keep.transform(SP.train_val_test_split("vec_id", (0.8, 0.1, 0.1)))
+
+
+@query("pipeline_embedding_curation", _CURATION_ORACLE)
+def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-side flagship, exact-GEMM pair stage (the oracle
+    certification config — one hash match certifies the pair set, the
+    clustering fixpoint, and the collapse policy end-to-end). See
+    ``embedding_curation`` for the strategy trade-off."""
+    return embedding_curation(spark, sf_dir, pair_strategy="gemm")
+
+
+@query("pipeline_embedding_curation_srp", _CURATION_ORACLE)
+def pipeline_embedding_curation_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-side flagship through the SRP-LSH pair stage — the
+    100-TB configuration, hash-certified against the SAME exhaustive
+    recursive-CTE oracle as the GEMM variant, so the flagship's scale
+    path is itself end-to-end certified (round-3 verdict item #5)."""
+    return embedding_curation(spark, sf_dir, pair_strategy="srp")

@@ -102,6 +102,54 @@ def test_topk_gemm_small_batches_prune_correctly(spark):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
 
+def test_topk_gemm_probe_blocking(spark):
+    """Chunking the probe matrix into bounded blocks (the 100×-scale
+    driver-memory fix) must be invisible in the result: a 3-vector
+    block size that forces many blocks reproduces the single-block
+    frontier exactly."""
+    from rentals_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probes = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("match_vec")
+    )
+    assert probes.count() > 3  # multi-block is actually exercised
+    blocked = sorted(
+        map(
+            tuple,
+            SIM.brute_force_topk(
+                probes, corpus, k=5, kernel="gemm", probe_block_size=3
+            ).collect(),
+        )
+    )
+    single = sorted(
+        map(
+            tuple,
+            SIM.brute_force_topk(probes, corpus, k=5, kernel="gemm").collect(),
+        )
+    )
+    assert blocked == single
+
+
+def test_embedding_curation_strategies_agree(spark):
+    """The flagship's two pair strategies (exact GEMM vs SRP-LSH) must
+    produce the same curated corpus at this threshold — the property
+    that lets the SRP variant certify against the same oracle."""
+    gemm = sorted(
+        map(tuple, SQ.embedding_curation(spark, SF_DIR, "gemm").collect())
+    )
+    srp = sorted(
+        map(tuple, SQ.embedding_curation(spark, SF_DIR, "srp").collect())
+    )
+    assert gemm == srp
+    assert len(gemm) > 0
+    with pytest.raises(ValueError):
+        SQ.embedding_curation(spark, SF_DIR, "bogus")
+
+
 def test_topk_gemm_empty_probes(spark):
     probes = spark.createDataFrame([], "probe_id long, probe_vec array<float>")
     corpus = spark.createDataFrame(

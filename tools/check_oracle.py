@@ -52,7 +52,15 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = create_spark_session("oracle-check", shuffle_partitions=8)
+    # Mirror the driver's gate: Spark 4 defaults to ANSI-on and the
+    # driver does not opt out, so the engine's permissive session config
+    # never applies there. Certifying under ANSI-on locally catches
+    # out-of-bounds element_at / overflow casts before the driver does.
+    spark = create_spark_session(
+        "oracle-check",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.ansi.enabled": "true"},
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
