@@ -474,8 +474,14 @@ def connected_components(
     Distributed-iteration mechanics that matter at scale:
 
     - The driver loop controls ONLY iteration count and the scalar
-      convergence probe (a limit(1).count() of changed labels); label
-      and edge data never leave the executors.
+      convergence probe; label and edge data never leave the executors.
+      The probe is the SUM of labels (decimal(38,0) — no overflow at
+      any node count): labels are per-node non-increasing under
+      min-propagation over a fixed node set, so the sum strictly
+      decreases until fixpoint — one scan + scalar agg per round
+      instead of a new-vs-old label equi-join (which was a fourth
+      shuffle per round, pure fixed overhead on the tiny label
+      frames that dominate this loop's cost at bench scale).
     - Each round's result is ``localCheckpoint``-ed: without lineage
       truncation an iterative DataFrame plan doubles per round and
       planning time explodes long before data size matters.
@@ -495,6 +501,8 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    _label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_label_sum).collect()[0][0]
     for _ in range(max_iter):
         msgs = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("label")
@@ -525,14 +533,9 @@ def connected_components(
         # resolution errors (key not found: id#...) on complex input
         # lineage; the eager materialization costs ~10% per round
         new_labels = jumped.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(_label_sum).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select("id", F.col("label").alias("cluster_id"))
