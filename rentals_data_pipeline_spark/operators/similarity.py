@@ -107,7 +107,14 @@ def brute_force_topk(
     rounded output, but interpreted per-row, so keep it off hot paths.
     (Divergence: a zero-norm vector is null under the fold, NaN under
     numpy — unreachable on non-zero embeddings.)
+
+    NULL vectors (routine in petabyte corpora: failed embedders, late
+    columns) carry no similarity signal and are dropped on both sides
+    up front — without this the numpy kernels would abort the stage on
+    the first null Arrow batch.
     """
+    probes = probes.where(F.col(probe_vec).isNotNull())
+    corpus = corpus.where(F.col(match_vec).isNotNull())
     if kernel == "gemm":
         if scale != 4:
             raise ValueError("gemm kernel rounds at 1e-4 (scale=4)")
@@ -356,8 +363,10 @@ def all_pairs_cosine_pairs(
     the result is invariant to summation order and hash-comparable with
     a sequential-fold oracle. Zero-norm vectors produce no pairs (their
     cosine is undefined — the fold kernel yields NULL, numpy yields
-    nan; both are excluded by the threshold).
+    nan; both are excluded by the threshold). NULL vectors are dropped
+    up front (no similarity signal; they would abort the numpy stage).
     """
+    df = df.where(F.col(vec_col).isNotNull())
     bi = F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).cast("int")
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), bi.alias("_b"))
     # role a: groups (bi, j) for j in [bi, blocks-1]; role b: (i, bi) for i in [0, bi]
@@ -582,6 +591,10 @@ def ivf_topk(
         return corpus.sparkSession.createDataFrame(
             [], f"{probe_id} long, {match_id} long, cosine double"
         )
+    # null vectors: no cell assignment possible — drop on both sides
+    # (they would abort the assignment UDF's numpy stack)
+    corpus = corpus.where(F.col(match_vec).isNotNull())
+    probes = probes.where(F.col(probe_vec).isNotNull())
     if refine_iters:
         # optional Lloyd refinement: centroids move to their cells'
         # means, rebalancing cell populations (recall vs n_probe

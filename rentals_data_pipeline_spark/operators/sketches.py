@@ -1,4 +1,4 @@
-"""Mergeable distinct-count sketches (DataSketches HLL built-ins).
+"""Mergeable sketches: HLL distinct counts + fixed-width histograms.
 
 The 100 TB pattern for COUNT(DISTINCT): exact distinct counting at a
 coarser grain cannot reuse finer-grain results (distincts don't add),
@@ -15,11 +15,23 @@ All JVM built-ins (``hll_sketch_agg`` / ``hll_union_agg`` /
 deterministic for given input but engine-specific, so the catalog
 query is rows-only checked (no ANSI oracle can reproduce DataSketches
 register values); correctness is golden-tested instead.
+
+The same mergeability pattern for QUANTILES: fixed-width histogram
+sketches. Per-fine-bucket (group, bin, cnt) rows are built once
+(one scan, map-side combine), merge by summing counts (merge of parts
+== histogram of the whole, exactly), and any quantile at any coarser
+grain is answered from the merged bins with error bounded by one bin
+width — never a re-scan, never a full sort. Unlike KLL/t-digest the
+sketch is deterministic, engine-independent integer counting, so the
+whole pipeline (binning, merge, quantile selection) is hash-certified
+against an ANSI-SQL oracle, not just golden-tested. Bin width should
+be a power of two (or otherwise exactly representable) so the
+``floor((v - lo) / width)`` arithmetic is IEEE-identical everywhere.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_LGK = 12  # 4 KiB registers, ~1.6% relative error
@@ -48,3 +60,74 @@ def rollup_estimates(
     if keys:
         return sketches.groupBy(*keys).agg(agg)
     return sketches.agg(agg)
+
+
+def histogram_sketch(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Fixed-width histogram of ``value_col`` per ``keys`` group as
+    sparse (keys..., bin, cnt) rows — the persistable fine-grain
+    quantile sketch. Values clamp into the edge bins, NULLs are
+    excluded; one groupBy with map-side combine, all codegen."""
+    width = (hi - lo) / nbins
+    b = F.least(
+        F.lit(nbins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*keys, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_histograms(hists: DataFrame, keys: list[str]) -> DataFrame:
+    """Roll histogram sketches up to a coarser grain by summing counts
+    per bin — merge of parts equals the histogram of the whole,
+    exactly. ``keys`` may be a subset of (or derived from) the sketch
+    frame's group columns."""
+    agg = F.sum("cnt").alias("cnt")
+    if keys:
+        return hists.groupBy(*keys, "bin").agg(agg)
+    return hists.groupBy("bin").agg(agg)
+
+
+def histogram_quantiles(
+    hists: DataFrame,
+    keys: list[str],
+    quantiles: dict[str, float],
+    lo: float,
+    hi: float,
+    nbins: int,
+    total_col: str = "n_rows",
+) -> DataFrame:
+    """Per-group quantile estimates from (merged) histogram rows: for
+    each named quantile q, the upper edge of the first bin whose
+    cumulative count reaches q × total — within one bin width above
+    the true quantile, deterministically. A window cumsum over ≤nbins
+    rows per group plus one conditional-min agg; no sort of the raw
+    data ever happens."""
+    width = (hi - lo) / nbins
+    wg = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    cum = F.sum("cnt").over(wg.orderBy("bin"))
+    total = F.sum("cnt").over(wg)
+    staged = hists.select(*keys, "bin", cum.alias("_cum"), total.alias("_total"))
+    aggs = [F.max("_total").cast("bigint").alias(total_col)] + [
+        (
+            F.lit(lo)
+            + F.lit(width)
+            * (
+                F.min(F.when(F.col("_cum") >= F.lit(q) * F.col("_total"), F.col("bin")))
+                + F.lit(1)
+            )
+        ).alias(name)
+        for name, q in quantiles.items()
+    ]
+    if keys:
+        return staged.groupBy(*keys).agg(*aggs)
+    return staged.agg(*aggs)

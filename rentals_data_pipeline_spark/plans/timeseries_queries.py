@@ -209,6 +209,69 @@ def sketch_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sketch_histogram_quantiles",
+    """
+WITH b AS (
+    SELECT
+        CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        CAST(LEAST(63, GREATEST(0, FLOOR(o_totalprice / 8000.0))) AS INT) AS bin
+    FROM orders
+    WHERE o_totalprice IS NOT NULL
+),
+daily AS (SELECT month, day, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2, 3),
+monthly AS (SELECT month, bin, SUM(cnt) AS cnt FROM daily GROUP BY 1, 2),
+cum AS (
+    SELECT month, bin, cnt,
+        SUM(cnt) OVER (PARTITION BY month ORDER BY bin) AS c,
+        SUM(cnt) OVER (PARTITION BY month) AS t
+    FROM monthly
+)
+SELECT
+    month,
+    CAST(MAX(t) AS BIGINT) AS n_orders,
+    0.0 + 8000.0 * (MIN(CASE WHEN c >= 0.5 * t THEN bin END) + 1) AS p50_est,
+    0.0 + 8000.0 * (MIN(CASE WHEN c >= 0.9 * t THEN bin END) + 1) AS p90_est,
+    0.0 + 8000.0 * (MIN(CASE WHEN c >= 0.99 * t THEN bin END) + 1) AS p99_est
+FROM cum
+GROUP BY month
+""",
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches: per-DAY fixed-width histograms of
+    order totals (64 × 8000-wide bins — exact integer counting, built
+    once with map-side combine), merged to MONTH by summing bins, then
+    p50/p90/p99 estimated from the merged bins (upper bin edge —
+    within one bin width of truth). The continuous-aggregate pattern
+    for percentiles at 100 TB: any coarser grain re-aggregates the
+    persisted bins instead of re-sorting raw data. Every stage is
+    deterministic integer/IEEE arithmetic, so unlike KLL/t-digest the
+    full sketch→merge→quantile pipeline is hash-certified against the
+    oracle."""
+    from rentals_data_pipeline_spark.operators import sketches as SK
+
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day"),
+        "o_totalprice",
+    )
+    daily = SK.histogram_sketch(
+        keyed, ["month", "day"], "o_totalprice", lo=0.0, hi=512000.0, nbins=64
+    )
+    monthly = SK.merge_histograms(daily, ["month"])
+    return SK.histogram_quantiles(
+        monthly,
+        ["month"],
+        {"p50_est": 0.5, "p90_est": 0.9, "p99_est": 0.99},
+        lo=0.0,
+        hi=512000.0,
+        nbins=64,
+        total_col="n_orders",
+    )
+
+
+@query(
     "ts_gap_fill_hourly",
     """
 WITH bounds AS (

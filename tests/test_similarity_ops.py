@@ -158,6 +158,30 @@ def test_topk_gemm_empty_probes(spark):
     assert SIM.brute_force_topk(probes, corpus, k=3, kernel="gemm").count() == 0
 
 
+def test_similarity_kernels_ignore_null_vectors(spark):
+    """NULL embeddings (failed embedder rows — routine at corpus scale)
+    must be dropped, not abort the numpy stage."""
+    probes = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (9, None)], "probe_id long, probe_vec array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (2, None), (3, [0.0, 1.0])],
+        "match_id long, match_vec array<double>",
+    )
+    for kernel in ("gemm", "arrow", "fold"):
+        rows = SIM.brute_force_topk(probes, corpus, k=2, kernel=kernel).collect()
+        assert sorted(r["match_id"] for r in rows) == [1, 3]
+        assert all(r["probe_id"] == 0 for r in rows)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (2, None), (3, [1.0, 0.2])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = SIM.all_pairs_cosine_pairs(emb, threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 3)]
+    ivf = SIM.ivf_topk(probes, corpus, k=2, n_cells=2, n_probe=2).collect()
+    assert sorted({r["match_id"] for r in ivf}) == [1, 3]
+
+
 def test_srp_near_dup_matches_exact(spark):
     """Composed SRP near-dup path reproduces the exact all-pairs result
     at sf0.001 (recall certified by construction of the banding)."""

@@ -56,3 +56,50 @@ def test_per_group_estimates_accurate(spark):
     assert set(est) == set(exact)
     for day, n in exact.items():
         assert abs(est[day] - n) / max(n, 1) < 0.05, (day, n, est[day])
+
+
+LO, HI, NBINS = 0.0, 512000.0, 64
+
+
+def _orders_binned(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    return orders.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day"),
+        "o_totalprice",
+    )
+
+
+def test_histogram_merge_of_parts_equals_whole(spark):
+    """Summing per-day histogram bins to month must give EXACTLY the
+    direct per-month histogram — the property that makes the bins a
+    persistable quantile sketch."""
+    keyed = _orders_binned(spark)
+    daily = SK.histogram_sketch(keyed, ["month", "day"], "o_totalprice", LO, HI, NBINS)
+    merged = sorted(
+        map(tuple, SK.merge_histograms(daily, ["month"]).collect())
+    )
+    direct = sorted(
+        map(
+            tuple,
+            SK.histogram_sketch(keyed, ["month"], "o_totalprice", LO, HI, NBINS).collect(),
+        )
+    )
+    assert merged == direct
+
+
+def test_histogram_quantile_within_one_bin_of_exact(spark):
+    """The upper-bin-edge estimate must sit within one bin width above
+    the exact percentile (and never below it)."""
+    keyed = _orders_binned(spark)
+    hist = SK.histogram_sketch(keyed, [], "o_totalprice", LO, HI, NBINS)
+    est = SK.histogram_quantiles(
+        hist, [], {"p50_est": 0.5, "p99_est": 0.99}, LO, HI, NBINS
+    ).collect()[0]
+    exact = keyed.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    ).collect()[0]
+    width = (HI - LO) / NBINS
+    for e, x in ((est["p50_est"], exact["p50"]), (est["p99_est"], exact["p99"])):
+        assert x <= e <= x + width, (e, x)
