@@ -299,3 +299,63 @@ def salted_join(
         return l2.join(r2, on=[*on, "_salt"], how=how).drop("_salt")
 
     return _apply
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Overlap join of half-open intervals [start, end) — the operator
+    Spark lacks natively (a naive ``l_start < r_end AND r_start <
+    l_end`` theta join is a broadcast-nested-loop: quadratic work and a
+    broadcast of one whole side).
+
+    Scale shape: each interval explodes to the fixed-width buckets it
+    spans (``bucket_width`` in the column's native unit — seconds for
+    timestamps via unix seconds, days for dates via day numbers), the
+    pair space is generated by an equi-join on (bucket [, ``on``
+    keys]), and the overlap predicate verifies exactly. Replication
+    factor is interval_span/bucket_width per row, shuffle is an
+    equi-join — never n². Pick ``bucket_width`` ≈ the typical interval
+    span: much smaller multiplies replication, much larger multiplies
+    candidate pairs per bucket.
+
+    An overlapping pair shares every bucket in the overlap range; to
+    emit it exactly once WITHOUT a distinct shuffle, the join keeps a
+    pair only in the bucket containing max(l_start, r_start) — the
+    first overlapped bucket, unique per pair (the standard dedup-free
+    bucketed interval join; DuckDB/Trino plan the same shape for range
+    joins).
+
+    Columns must be pre-projected to disjoint names (standard for the
+    pair-output operators here); starts/ends must be integral (unix
+    seconds / day numbers) so bucket arithmetic is exact.
+    """
+    on = on or []
+
+    def buckets(start: str, end: str) -> Column:
+        # [start, end): last contained point is end-1; floor (not
+        # truncate-toward-zero) so pre-1970 epochs bucket correctly
+        return F.sequence(
+            F.floor(F.col(start) / bucket_width).cast("long"),
+            F.floor((F.col(end) - 1) / bucket_width).cast("long"),
+        )
+
+    lb = left.withColumn("_bucket", F.explode(buckets(l_start, l_end)))
+    rb = right.withColumn("_bucket", F.explode(buckets(r_start, r_end)))
+    pair_start = F.greatest(F.col(l_start), F.col(r_start))
+    return (
+        lb.join(rb, on=[*on, "_bucket"])
+        .where(
+            (F.col(l_start) < F.col(r_end))
+            & (F.col(r_start) < F.col(l_end))
+            & (F.col("_bucket") == F.floor(pair_start / bucket_width).cast("long"))
+        )
+        .drop("_bucket")
+    )

@@ -267,6 +267,83 @@ def join_range_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interval overlap join: concurrent 7-day order windows per customer.
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_interval_overlap_orders",
+    """
+WITH o AS (
+    SELECT
+        o_custkey,
+        o_orderkey,
+        datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s
+    FROM orders
+)
+SELECT
+    a.o_custkey,
+    a.o_orderkey AS okey_a,
+    b.o_orderkey AS okey_b,
+    CAST(LEAST(a.s + 7, b.s + 7) - GREATEST(a.s, b.s) AS INT) AS overlap_days
+FROM o a
+JOIN o b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey < b.o_orderkey
+ AND a.s < b.s + 7
+ AND b.s < a.s + 7
+""",
+)
+def join_interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap self-join: pairs of orders by the same customer
+    whose 7-day windows [order day, +7) overlap, with the overlap
+    length in days. Runs through the bucketed interval join
+    (operators/relational.py::interval_overlap_join): intervals explode
+    to 7-day buckets, pairs come from an equi-join on (custkey,
+    bucket), and each pair is emitted exactly once in the bucket of
+    max(starts) — no distinct, no theta join, scale tracks pairs per
+    bucket instead of n². The oracle brute-forces the theta join."""
+    from rentals_data_pipeline_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast("date")
+    base = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("s"),
+    )
+    left = base.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("okey_a"),
+        F.col("s").alias("start_a"),
+        (F.col("s") + 7).alias("end_a"),
+    )
+    right = base.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("okey_b"),
+        F.col("s").alias("start_b"),
+        (F.col("s") + 7).alias("end_b"),
+    )
+    return (
+        interval_overlap_join(
+            left, right, "start_a", "end_a", "start_b", "end_b",
+            bucket_width=7, on=["o_custkey"],
+        )
+        .where(F.col("okey_a") < F.col("okey_b"))
+        .select(
+            "o_custkey",
+            "okey_a",
+            "okey_b",
+            (
+                F.least(F.col("end_a"), F.col("end_b"))
+                - F.greatest(F.col("start_a"), F.col("start_b"))
+            ).cast("int").alias("overlap_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Full outer join: per-user purchase vs click daily totals.
 # ---------------------------------------------------------------------------
 

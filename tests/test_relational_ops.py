@@ -97,3 +97,44 @@ def test_salted_join_matches_plain_join(spark):
         )
         want = sorted(tuple(r) for r in left.join(right, ["k"], how).collect())
         assert got == want, how
+
+
+def test_interval_overlap_join_semantics(spark):
+    """Half-open overlap semantics, exactly-once emission for pairs
+    spanning many buckets, and negative (pre-epoch) starts."""
+    from rentals_data_pipeline_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [
+            ("a", 0, 100),     # spans many width-7 buckets
+            ("b", 10, 20),
+            ("c", -30, -10),   # pre-epoch
+            ("d", 5, 6),
+        ],
+        "lid string, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("x", 90, 95),    # overlaps a only — deep inside a's span
+            ("y", 20, 30),    # touches b's end: half-open -> NO overlap
+            ("z", -15, 40),   # overlaps a, b, c, d
+        ],
+        "rid string, rs long, re long",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_width=7
+        ).collect()
+    )
+    want = sorted(
+        (lr["lid"], rr["rid"])
+        for lr in left.collect()
+        for rr in right.collect()
+        if lr["ls"] < rr["re"] and rr["rs"] < lr["le"]
+    )
+    assert got == want
+    assert ("b", "y") not in got  # adjacency is not overlap
+    assert got.count(("a", "z")) == 1  # many shared buckets, one row
