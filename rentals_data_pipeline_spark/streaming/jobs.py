@@ -74,6 +74,40 @@ def windowed_counts(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[tuple[str, str]],
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join within an event-time interval: a right
+    row matches a left row with the same ``keys`` when it lands in
+    ``[left_ts, left_ts + max_delay]``. BOTH sides carry watermarks and
+    the join condition bounds event time in BOTH directions — that pair
+    of constraints is what lets Spark compute how long to buffer each
+    side's state and evict it, keeping state bounded on an unbounded
+    stream (an unconstrained stream-stream join buffers everything
+    forever). Works identically on batch frames (watermarks are no-ops
+    there), which is how the equivalence test certifies it.
+
+    Column names must be disjoint across sides (pre-project, same
+    contract as the pair-output batch operators); ``keys`` maps
+    left-side to right-side join columns as (left_col, right_col)
+    pairs.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (rw[right_ts] >= lw[left_ts]) & (
+        rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}")
+    )
+    for lcol, rcol in keys:
+        cond = (lw[lcol] == rw[rcol]) & cond
+    return lw.join(rw, cond)
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,

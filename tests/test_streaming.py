@@ -10,6 +10,7 @@ state across micro-batches.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from rentals_data_pipeline_spark.sources.tables import load_table
@@ -424,3 +425,71 @@ def test_quality_gate_resumes_at_failing_batch(spark, tmp_path):
         False,
         True,
     ]
+
+
+@pytest.fixture(scope="module")
+def events_dir_chronological(spark, tmp_path_factory):
+    """events sf0.001 written as 3 files in CHRONOLOGICAL chunks
+    (sequential writes → increasing mtimes → the file source streams
+    them in event-time order). Stream-stream joins require roughly
+    time-ordered arrival: a randomly partitioned file makes every
+    micro-batch span the whole month, so the watermark jumps to
+    max-2h after batch 1 and correctly evicts the state that later
+    batches' matches would need."""
+    path = str(tmp_path_factory.mktemp("events_chrono"))
+    ev = load_table(spark, SF_DIR, "events").orderBy("ts")
+    n = ev.count()
+    rows = ev.withColumn("_rn", F.row_number().over(Window.orderBy("ts")))
+    for i in range(3):
+        chunk = rows.where(
+            (F.col("_rn") > i * n / 3) & (F.col("_rn") <= (i + 1) * n / 3)
+        ).drop("_rn")
+        chunk.coalesce(1).write.mode("append").parquet(path)
+    return path
+
+
+def test_stream_stream_interval_join_matches_batch(
+    spark, events_dir_chronological, tmp_path
+):
+    """Stream-stream inner join (purchase -> follow-up click by the
+    same user within 1 hour) drained via AvailableNow must equal the
+    same interval join run as plain batch — certifying the watermarked
+    two-sided state logic, not just the predicate."""
+    events_dir = events_dir_chronological
+
+    def sides(df):
+        purchases = df.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("p_event"),
+            F.col("ts").alias("p_ts"),
+        )
+        clicks = df.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("c_event"),
+            F.col("ts").alias("c_ts"),
+        )
+        return purchases, clicks
+
+    batch = spark.read.parquet(events_dir)
+    bp, bc = sides(batch)
+    expected = sorted(
+        (r["p_event"], r["c_event"])
+        for r in SJ.interval_join_streams(
+            bp, bc, [("p_user", "c_user")], "p_ts", "c_ts", "1 hour"
+        ).collect()
+    )
+    assert len(expected) > 0
+
+    stream = SJ.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    sp, sc = sides(stream)
+    joined = SJ.interval_join_streams(
+        sp, sc, [("p_user", "c_user")], "p_ts", "c_ts", "1 hour"
+    )
+    SJ.run_available_now(
+        joined, "stream_interval_join", str(tmp_path / "ckpt"), output_mode="append"
+    )
+    got = sorted(
+        (r["p_event"], r["c_event"])
+        for r in spark.table("stream_interval_join").collect()
+    )
+    assert got == expected
