@@ -878,3 +878,56 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: Morton-code cells for multi-column data skipping.
+# The oracle SQL replays the exact interleave (generated term list, fully
+# parenthesized — DuckDB's bit-op precedence differs from SQL intuition).
+# ---------------------------------------------------------------------------
+
+def _zorder_oracle_terms(col_exprs: list[str], bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        for ci, cexpr in enumerate(col_exprs):
+            pos = i * len(col_exprs) + ci
+            terms.append(f"((({cexpr}) >> {i}) & 1) << {pos}")
+    return " | ".join(f"({t})" for t in terms)
+
+
+_Z_UQ = "(user_id % 256)"
+_Z_VQ = "LEAST(255, GREATEST(0, CAST(FLOOR((value - 0.0) / 512.0 * 256) AS BIGINT)))"
+
+@query(
+    "layout_zorder_cells",
+    f"""
+WITH q AS (
+    SELECT
+        {_Z_UQ} AS uq,
+        {_Z_VQ} AS vq
+    FROM events
+),
+z AS (SELECT {_zorder_oracle_terms(["uq", "vq"], 8)} AS zval FROM q)
+SELECT zval, COUNT(*) AS n_events
+FROM z
+GROUP BY zval
+""",
+)
+def layout_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) cell assignment over (user_id, value): quantize
+    both dimensions to 8 bits, interleave into a 16-bit Z-value — the
+    clustering key ``write_zordered_parquet`` sorts by so parquet
+    row-group min/max stats stay narrow in BOTH dimensions and
+    multi-column filters prune. Pure shift/OR codegen; the aggregate
+    certifies the interleave arithmetic over every row against a
+    generated-term oracle."""
+    from rentals_data_pipeline_spark.operators import layout as LAY
+
+    events = load_table(spark, sf_dir, "events")
+    uq = F.pmod(F.col("user_id"), F.lit(256)).cast("long")
+    vq = LAY.quantize(F.col("value"), 0.0, 512.0, 8)
+    return (
+        events.select(LAY.zorder_value([uq, vq], bits=8).alias("zval"))
+        .groupBy("zval")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
