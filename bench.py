@@ -47,6 +47,15 @@ HEADLINE = [
     "ts_gap_fill_hourly",
     "sample_stratified_events",
     "analytics_funnel_stages",
+    # round-4 additions (pipeline_embedding_curation_srp deliberately
+    # excluded: at this corpus's 0.4 threshold the 2-row SRP bands are
+    # the documented anti-regime — ~31s at sf0.1 vs the GEMM variant's
+    # ~5s, which is why the flagship defaults to GEMM here; the SRP
+    # stage's scale value is at production thresholds, certified by its
+    # own oracle row, not by this benchmark)
+    "sketch_histogram_quantiles",
+    "join_interval_overlap_orders",
+    "layout_zorder_cells",
 ]
 
 

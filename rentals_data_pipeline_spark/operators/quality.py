@@ -31,6 +31,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from rentals_data_pipeline_spark.functions.rounding import round_half_up
+
 logger = logging.getLogger(__name__)
 
 
@@ -171,3 +173,91 @@ def run_quality_checks(
             f"{len(failed_names)} DQ check(s) failed: {', '.join(failed_names)}"
         )
     return results
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """ANALYZE-style one-pass column profile: one output row per
+    profiled column with (n_rows, n_nulls, n_distinct, numeric
+    min/max/mean, string min/max). The DQ framework's single-pass-agg
+    discipline applied to discovery instead of checks: every statistic
+    for every column computes in ONE aggregation job over one scan,
+    then the single wide row explodes to long form (inline of structs —
+    still codegen).
+
+    ``exact_distinct=False`` swaps COUNT(DISTINCT) for HLL
+    ``approx_count_distinct`` — at 100 TB, N exact distincts expand the
+    scan N-fold (Spark's Expand operator), while the approx path keeps
+    one pass with bytes-sized state; exact is the default because it is
+    what the oracle can certify.
+
+    Numeric means round the SUM before dividing (2 decimals — stable
+    for currency-grain inputs regardless of summation order) so the
+    profile is hash-comparable across engines; timestamp min/max are
+    reported as dates in ISO string form.
+    """
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    cols = columns or list(fields)
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        t = fields[c]
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        distinct = (
+            F.count_distinct(F.col(c))
+            if exact_distinct
+            else F.approx_count_distinct(c)
+        )
+        aggs.append(distinct.alias(f"{c}__nd"))
+        if t in numeric:
+            aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
+            if t in ("float", "double"):
+                mean = round_half_up(
+                    round_half_up(F.sum(c), 2) / F.count(c), 4
+                )
+            else:
+                mean = round_half_up(F.sum(c) / F.count(c), 4)
+            aggs.append(mean.alias(f"{c}__mean"))
+        elif t.startswith("timestamp") or t == "date":
+            aggs.append(
+                F.min(F.col(c).cast("date")).cast("string").alias(f"{c}__smin")
+            )
+            aggs.append(
+                F.max(F.col(c).cast("date")).cast("string").alias(f"{c}__smax")
+            )
+        elif t == "string":
+            aggs.append(F.min(c).alias(f"{c}__smin"))
+            aggs.append(F.max(c).alias(f"{c}__smax"))
+        # other types: counts only
+
+    one = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+
+    def _field(name: str, col: Column) -> Column:
+        return col.alias(name)
+
+    rows = []
+    for c in cols:
+        t = fields[c]
+        has_num = t in numeric
+        has_str = t == "string" or t.startswith("timestamp") or t == "date"
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"{c}__nn")).alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                (F.col(f"{c}__min") if has_num else null_d).alias("min_num"),
+                (F.col(f"{c}__max") if has_num else null_d).alias("max_num"),
+                (F.col(f"{c}__mean") if has_num else null_d).alias("mean_num"),
+                (F.col(f"{c}__smin") if has_str else null_s).alias("min_str"),
+                (F.col(f"{c}__smax") if has_str else null_s).alias("max_str"),
+            )
+        )
+    return one.select(F.inline(F.array(*rows)))

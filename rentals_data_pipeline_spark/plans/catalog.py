@@ -543,3 +543,72 @@ def quality_metrics_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_keys"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style table profile: one pass, one row per column.
+# ---------------------------------------------------------------------------
+
+def _profile_oracle_branch(c: str, kind: str) -> str:
+    base = (
+        f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
+        f"COUNT(*) - COUNT({c}) AS n_nulls, "
+        f"COUNT(DISTINCT {c}) AS n_distinct, "
+    )
+    if kind == "int":
+        return base + (
+            f"CAST(MIN({c}) AS DOUBLE) AS min_num, "
+            f"CAST(MAX({c}) AS DOUBLE) AS max_num, "
+            f"FLOOR((CAST(SUM({c}) AS DOUBLE) / COUNT({c})) * 10000.0 + 0.5)"
+            " / 10000.0 AS mean_num, "
+            "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str "
+            "FROM orders"
+        )
+    if kind == "double":
+        return base + (
+            f"CAST(MIN({c}) AS DOUBLE) AS min_num, "
+            f"CAST(MAX({c}) AS DOUBLE) AS max_num, "
+            f"FLOOR(((FLOOR((SUM({c})) * 100.0 + 0.5) / 100.0) / COUNT({c}))"
+            " * 10000.0 + 0.5) / 10000.0 AS mean_num, "
+            "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str "
+            "FROM orders"
+        )
+    if kind == "ts":
+        return base + (
+            "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, "
+            "CAST(NULL AS DOUBLE) AS mean_num, "
+            f"CAST(CAST(MIN({c}) AS DATE) AS VARCHAR) AS min_str, "
+            f"CAST(CAST(MAX({c}) AS DATE) AS VARCHAR) AS max_str FROM orders"
+        )
+    return base + (
+        "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, "
+        "CAST(NULL AS DOUBLE) AS mean_num, "
+        f"MIN({c}) AS min_str, MAX({c}) AS max_str FROM orders"
+    )
+
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    _profile_oracle_branch(c, kind)
+    for c, kind in [
+        ("o_orderkey", "int"),
+        ("o_custkey", "int"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    ]
+)
+
+@query("profile_orders_columns", _PROFILE_ORACLE)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style profile of every orders column — counts, nulls,
+    exact distincts, numeric min/max/rounded-mean, string/date min/max
+    — computed in ONE aggregation pass over one scan
+    (operators/quality.py::profile_table), exploded to a row per
+    column. The oracle recomputes each column's statistics as a
+    UNION ALL of per-column aggregates; the hash match certifies the
+    single-pass wide agg against six independent ones."""
+    from rentals_data_pipeline_spark.operators.quality import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(orders)

@@ -79,3 +79,30 @@ def test_custom_check_fn_escape_hatch(spark):
         check_fn=lambda d: d.filter("region = 'r0'").count() > 0,
     )
     assert Q.run_quality_checks(df, [custom])["passed"] == 1
+
+
+def test_profile_table_single_pass_stats(spark):
+    from rentals_data_pipeline_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (2, None, 30.0)],
+        "k long, s string, v double",
+    )
+    prof = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(prof) == {"k", "s", "v"}
+    k = prof["k"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (3, 0, 2)
+    assert (k["min_num"], k["max_num"]) == (1.0, 2.0)
+    assert abs(k["mean_num"] - 1.6667) < 1e-9
+    s = prof["s"]
+    assert (s["n_nulls"], s["n_distinct"]) == (1, 2)
+    assert (s["min_str"], s["max_str"]) == ("a", "b")
+    assert s["min_num"] is None
+    v = prof["v"]
+    assert (v["n_nulls"], v["min_num"], v["max_num"]) == (1, 10.0, 30.0)
+    # approx path keeps the same shape (estimates, not certified values)
+    approx = {
+        r["col_name"]: r
+        for r in profile_table(df, exact_distinct=False).collect()
+    }
+    assert approx["k"]["n_distinct"] > 0
