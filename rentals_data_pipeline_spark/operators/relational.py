@@ -359,3 +359,54 @@ def interval_overlap_join(
         )
         .drop("_bucket")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare: list[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Change-data-capture between two snapshots of a keyed table:
+    classify every key as ``inserted`` (new only), ``deleted`` (old
+    only), ``changed`` (both, any ``compare`` column differs under
+    null-safe comparison), or ``unchanged`` (filtered out unless
+    requested). One full outer join on the keys — co-partitioned
+    shuffle both sides, no collect, no row hashing (null-safe column
+    comparison is exact and engine-neutral, so the oracle can replay
+    it; a content hash would couple the diff to one engine's hash).
+
+    Returns (keys..., change_type). At 100 TB this is the incremental-
+    load primitive: feed ``inserted`` + ``changed`` rows to
+    ``merge_upsert_partitioned`` and tombstone ``deleted`` keys.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"_oc_{c}") for c in compare],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        *[F.col(c).alias(f"_nc_{c}") for c in compare],
+    )
+    cond = [o[f"_ok_{k}"] == n[f"_nk_{k}"] for k in keys]
+    joined = o.join(n, cond, "full_outer")
+    in_old = joined[f"_ok_{keys[0]}"].isNotNull()
+    in_new = joined[f"_nk_{keys[0]}"].isNotNull()
+    differs = F.lit(False)
+    for c in compare:
+        differs = differs | ~joined[f"_oc_{c}"].eqNullSafe(joined[f"_nc_{c}"])
+    out = joined.select(
+        *[
+            F.coalesce(joined[f"_ok_{k}"], joined[f"_nk_{k}"]).alias(k)
+            for k in keys
+        ],
+        F.when(~in_old, "inserted")
+        .when(~in_new, "deleted")
+        .when(differs, "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    if not include_unchanged:
+        out = out.where(F.col("change_type") != "unchanged")
+    return out

@@ -931,3 +931,67 @@ def layout_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("zval")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC: snapshot diff — the incremental-load primitive.
+# ---------------------------------------------------------------------------
+
+@query(
+    "cdc_orders_snapshot_diff",
+    """
+WITH old AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 10 <> 0
+),
+new AS (
+    SELECT
+        o_orderkey,
+        o_orderstatus,
+        o_totalprice,
+        CASE WHEN o_orderkey % 13 = 0 THEN 'CHANGED' ELSE o_orderpriority END
+            AS o_orderpriority
+    FROM orders WHERE o_orderkey % 7 <> 0
+)
+SELECT
+    COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+    CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+         WHEN n.o_orderkey IS NULL THEN 'deleted'
+         ELSE 'changed' END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+   OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+""",
+)
+def cdc_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two deterministic snapshot views of
+    orders (rows dropped on each side simulate inserts/deletes, a
+    rewritten priority on keys % 13 simulates updates): one full outer
+    join classifies every key as inserted / deleted / changed under
+    null-safe column comparison
+    (operators/relational.py::snapshot_diff). The incremental-load
+    front end for merge_upsert_partitioned; the oracle replays the
+    classification with IS DISTINCT FROM."""
+    from rentals_data_pipeline_spark.operators.relational import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    old = orders.where(F.col("o_orderkey") % 10 != 0).select(*cols)
+    new = (
+        orders.where(F.col("o_orderkey") % 7 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 13 == 0, "CHANGED")
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+        )
+    )
+    return snapshot_diff(
+        old, new,
+        keys=["o_orderkey"],
+        compare=["o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )

@@ -138,3 +138,29 @@ def test_interval_overlap_join_semantics(spark):
     assert got == want
     assert ("b", "y") not in got  # adjacency is not overlap
     assert got.count(("a", "z")) == 1  # many shared buckets, one row
+
+
+def test_snapshot_diff_classification(spark):
+    from rentals_data_pipeline_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", None), (3, "C", 3.0), (4, "d", 9.0), (5, "e", 5.0)],
+        "k long, s string, v double",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    # 2 unchanged (null-safe: None == None) and filtered out
+    assert got == {1: "deleted", 3: "changed", 4: "changed", 5: "inserted"}
+    with_unchanged = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(
+            old, new, ["k"], ["s", "v"], include_unchanged=True
+        ).collect()
+    }
+    assert with_unchanged[2] == "unchanged"
