@@ -71,3 +71,46 @@ def test_stratified_sample_keeps_window_group_limit(spark):
     s = _shape(spark, "sample_stratified_events")
     assert s["wgl"] >= 1, s["plan"]
     assert s["shuffles"] == 1, s["plan"]
+
+
+def test_histogram_sketch_shape(spark):
+    """Raw data is scanned once and never sorted: daily binning, the
+    monthly merge, and the quantile windows are all aggregations over
+    already-tiny bin frames."""
+    s = _shape(spark, "sketch_histogram_quantiles")
+    assert s["python"] == 0, s["plan"]
+    assert s["shuffles"] <= 3, s["plan"]  # daily bins, monthly merge, window
+    assert s["plan"].count("Scan parquet") <= 1, s["plan"]
+
+
+def test_interval_overlap_join_shape(spark):
+    """Pair space must come from an equi-join (hash or sort-merge on
+    (keys, bucket)) — never a BroadcastNestedLoopJoin theta join."""
+    s = _shape(spark, "join_interval_overlap_orders")
+    assert "BroadcastNestedLoopJoin" not in s["plan"], s["plan"]
+    assert s["bhj"] + s["smj"] >= 1, s["plan"]
+    assert s["python"] == 0, s["plan"]
+
+
+def test_zorder_cells_shape(spark):
+    """The Morton interleave must stay pure codegen: no Python stage,
+    one scan, one aggregation shuffle."""
+    s = _shape(spark, "layout_zorder_cells")
+    assert s["python"] == 0, s["plan"]
+    assert s["shuffles"] <= 1, s["plan"]
+
+
+def test_profile_table_single_scan(spark):
+    """The whole profile (all six columns' stats incl. exact distincts)
+    must read the table once — the Expand-based multi-distinct plan,
+    not six scans."""
+    s = _shape(spark, "profile_orders_columns")
+    assert s["python"] == 0, s["plan"]
+    assert s["plan"].count("Scan parquet") == 1, s["plan"]
+
+
+def test_cdc_snapshot_diff_shape(spark):
+    """One join, no Python, co-partitioned sides."""
+    s = _shape(spark, "cdc_orders_snapshot_diff")
+    assert s["python"] == 0, s["plan"]
+    assert s["bhj"] + s["smj"] + s["plan"].count("ShuffledHashJoin") == 1, s["plan"]
