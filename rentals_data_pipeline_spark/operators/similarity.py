@@ -558,6 +558,7 @@ def ivf_topk(
     match_id: str = "match_id",
     match_vec: str = "match_vec",
     refine_iters: int = 0,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """IVF-flavored approximate top-k: coarse-quantize the corpus into
     ``n_cells`` cells, search only each probe's ``n_probe`` nearest
@@ -574,6 +575,12 @@ def ivf_topk(
     driver — n_cells × dim floats — and shipped inside the assignment
     UDF closure; assignment is one matmul per Arrow batch. Recall
     depends on (n_cells, n_probe); exact when n_probe = n_cells.
+
+    ``broadcast_probes=True`` (default) replicates the probe side to
+    every executor — right for query-sized probe sets. When the probe
+    set scales with the corpus, pass ``False``: the cell join becomes a
+    shuffled equi-join on the cell id, both sides co-partitioned — the
+    same scale escape hatch as ``brute_force_topk``'s probe blocking.
     """
     cents = [
         row["_v"]
@@ -610,9 +617,9 @@ def ivf_topk(
         probe_vec,
         F.explode(ivf_assign_udf(cents, n_probe)(F.col(probe_vec))).alias("cell"),
     )
+    probe_side = F.broadcast(probe_cells) if broadcast_probes else probe_cells
     scored = (
-        F.broadcast(probe_cells)
-        .join(corpus_cells, "cell")
+        probe_side.join(corpus_cells, "cell")
         .where(F.col(probe_id) != F.col(match_id))
         .select(
             probe_id,

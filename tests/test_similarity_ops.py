@@ -323,3 +323,26 @@ def test_ivf_refine_iters_still_returns_topk(spark):
     for pid, mid, cos in a:
         per_probe.setdefault(pid, set()).add(mid)
     assert all(len(v) == 5 for v in per_probe.values())
+
+
+def test_ivf_topk_shuffled_probe_path_matches_broadcast(spark):
+    """The non-broadcast probe routing (the large-probe-set scale path)
+    must return the identical result."""
+    from rentals_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probes = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("match_vec")
+    )
+    kw = dict(k=5, n_cells=8, n_probe=3)
+    bc = sorted(map(tuple, SIM.ivf_topk(probes, corpus, **kw).collect()))
+    sh = sorted(
+        map(
+            tuple,
+            SIM.ivf_topk(probes, corpus, broadcast_probes=False, **kw).collect(),
+        )
+    )
+    assert bc == sh and len(bc) > 0
