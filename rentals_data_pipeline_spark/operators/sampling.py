@@ -111,3 +111,41 @@ def stratified_take(
         )
 
     return _apply
+
+
+def weighted_sample_topk(
+    key_col: str, weight_col: str, n: int, seed: str = ""
+) -> Op:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES): each row draws u = (hash32+1)/2^32 from its content
+    hash and is ranked by ln(u)/weight — the log of the classic
+    u^(1/w) key, same order, better conditioning — and the global
+    top-``n`` priorities win. Inclusion probability is exactly the
+    sequential weighted draw's; determinism comes from the md5-derived
+    u (same row → same u on any partitioning, run, or cluster).
+
+    The scale shape is a global top-n (TakeOrdered: per-partition heap,
+    driver merges n·n_partitions candidates — no full sort). Rows with
+    NULL or non-positive weight carry no sampling mass and are dropped.
+
+    Rows-only in the catalog: ln() is engine-last-bit territory, which
+    the oracle-pairing discipline bans (see verify notes) — properties
+    are pinned by tests instead (determinism, weight bias, n ≥ rows).
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        # full 32-bit parse (not hash_bucket — its int cast can't hold
+        # 2^32 bucket values); +1 keeps u in (0, 1] so ln(u) is finite
+        h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+        h32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+        u = (h32.cast("double") + F.lit(1.0)) / F.lit(float(1 << 32))
+        priority = F.log(u) / F.col(weight_col)
+        return (
+            df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+            .withColumn("_pri", priority)
+            .orderBy(F.col("_pri").desc(), F.col(key_col))
+            .limit(n)
+            .drop("_pri")
+        )
+
+    return _apply

@@ -83,3 +83,21 @@ def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle)."""
     events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
     return events.transform(SP.stratified_take(["event_type"], "event_id", 100))
+
+
+@query("sample_weighted_documents")  # rows-only: ln() in the priority —
+# engine-last-bit territory the oracle-pairing discipline bans; the
+# sampler's properties are pinned by tests/test_sampling_ops.py
+def sample_weighted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling for training data: 50 documents drawn
+    without replacement with probability proportional to length
+    (Efraimidis–Spirakis priorities over md5-derived uniforms —
+    deterministic across runs, partitionings, and engines). The common
+    curation move of oversampling long/high-quality documents, as a
+    repeatable operator."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("weight")
+    )
+    return docs.transform(
+        SP.weighted_sample_topk("doc_id", "weight", 50)
+    ).select("doc_id", "weight")

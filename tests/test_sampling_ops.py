@@ -57,3 +57,27 @@ def test_stratified_take_exact_counts_and_plan(spark):
     # map-side partial top-k: WindowGroupLimit appears below the exchange
     plan = taken._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_weighted_sample_properties(spark):
+    from rentals_data_pipeline_spark.operators import sampling as SP
+
+    # 200 light rows (w=1) + 200 heavy rows (w=25)
+    rows = [(i, 1.0) for i in range(200)] + [(i, 25.0) for i in range(200, 400)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    pick = lambda d: sorted(  # noqa: E731
+        r["k"] for r in d.transform(SP.weighted_sample_topk("k", "w", 60)).collect()
+    )
+    got = pick(df)
+    assert len(got) == 60
+    # deterministic under repartitioning
+    assert pick(df.repartition(13)) == got
+    # heavy rows (25x weight) dominate the sample
+    heavy = sum(1 for k in got if k >= 200)
+    assert heavy > 45, heavy
+    # n >= rows -> everything with positive weight survives
+    small = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, None), (4, 2.0)], "k long, w double"
+    )
+    all_rows = small.transform(SP.weighted_sample_topk("k", "w", 10)).collect()
+    assert sorted(r["k"] for r in all_rows) == [1, 4]  # zero/null weight dropped
