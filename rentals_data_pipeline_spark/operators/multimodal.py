@@ -225,3 +225,51 @@ def resize_grid(
         return df.select(id_col, payload_col).mapInPandas(_resize, out_schema)
 
     return _apply
+
+
+def audio_energy(
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    window: int = 64,
+) -> Op:
+    """Deterministic stand-in for audio feature extraction: interpret
+    payload bytes as unsigned 8-bit PCM samples and emit per-window RMS
+    energy as ``energy: array<double>`` (one value per full ``window``
+    of samples; a trailing partial window is dropped, zero-length
+    payloads yield an empty array).
+
+    Same Arrow/mapInPandas plumbing contract as ``resize_grid``; the
+    arithmetic (integer squares summed exactly, divide by a power-of-two
+    window, IEEE sqrt) is bit-reproducible in ANSI SQL, so unlike most
+    DSP this kernel is hash-certifiable end-to-end.
+    """
+    if window & (window - 1):
+        raise ValueError("window must be a power of two (exact division)")
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("energy", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _energy(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                n_full = len(arr) // window
+                if n_full == 0:
+                    out.append([])
+                    continue
+                w = arr[: n_full * window].reshape(n_full, window)
+                out.append(np.sqrt((w * w).sum(axis=1) / window).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "energy": out})
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.select(id_col, payload_col).mapInPandas(_energy, out_schema)
+
+    return _apply

@@ -159,3 +159,41 @@ def multimodal_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select(
         "doc_id", F.posexplode("resized").alias("cell", "luma")
     )
+
+
+@query(
+    "multimodal_audio_energy",
+    """
+WITH d AS (
+    SELECT doc_id, text, length(text) // 64 AS n_win FROM documents
+),
+w AS (
+    SELECT doc_id, text, CAST(win.i AS INT) AS win
+    FROM d, (SELECT unnest(range(0, 10000)) AS i) win
+    WHERE win.i < n_win
+),
+s AS (
+    SELECT w.doc_id, w.win,
+        SUM(ord(substr(w.text, w.win * 64 + i.i + 1, 1))
+            * ord(substr(w.text, w.win * 64 + i.i + 1, 1))) AS ss
+    FROM w, (SELECT unnest(range(0, 64)) AS i) i
+    GROUP BY 1, 2
+)
+SELECT doc_id, win, sqrt(CAST(ss AS DOUBLE) / 64.0) AS rms
+FROM s
+""",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped feature pass: per-64-sample-window RMS energy over
+    payload bytes through the Arrow mapInPandas kernel
+    (operators/multimodal.py::audio_energy), exploded to
+    (doc_id, win, rms) rows. Exact-arithmetic DSP — integer squares
+    summed exactly, power-of-two division, IEEE sqrt — so the oracle
+    recomputes every value bit-identically from ord(): the one kind of
+    signal processing a hash gate can certify."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.transform(MM.pack_media())
+    feats = media.transform(MM.audio_energy(window=64))
+    return feats.select(
+        "doc_id", F.posexplode("energy").alias("win", "rms")
+    )

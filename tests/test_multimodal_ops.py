@@ -87,3 +87,31 @@ def test_resize_grid_block_average(spark):
     assert rows[1] == [4.0, 12.0, 104.0, 112.0]
     assert rows[2][0] == 255 / 4  # one real byte + 3 zero-pad in block 0
     assert rows[2][1:] == [0.0, 0.0, 0.0]
+
+
+def test_audio_energy_golden(spark):
+    from rentals_data_pipeline_spark.operators import multimodal as MM
+    import math
+
+    # 64 'A's (ord 65) -> one window, rms = 65; 100 bytes -> still 1 window
+    df = spark.createDataFrame(
+        [(1, "A" * 64), (2, "A" * 100), (3, "ab"), (4, "")],
+        "doc_id long, text string",
+    )
+    media = df.transform(MM.pack_media())
+    got = {
+        r["doc_id"]: r["energy"]
+        for r in media.transform(MM.audio_energy(window=64)).collect()
+    }
+    assert got[1] == [65.0]
+    assert got[2] == [65.0]  # trailing partial window dropped
+    assert got[3] == [] and got[4] == []
+    mixed = spark.createDataFrame([(9, "AB" * 32)], "doc_id long, text string")
+    rms = mixed.transform(MM.pack_media()).transform(
+        MM.audio_energy(window=64)
+    ).collect()[0]["energy"][0]
+    assert rms == math.sqrt((32 * 65 * 65 + 32 * 66 * 66) / 64)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MM.audio_energy(window=60)
