@@ -168,9 +168,8 @@ WITH d AS (
     SELECT doc_id, text, length(text) // 64 AS n_win FROM documents
 ),
 w AS (
-    SELECT doc_id, text, CAST(win.i AS INT) AS win
-    FROM d, (SELECT unnest(range(0, 10000)) AS i) win
-    WHERE win.i < n_win
+    SELECT doc_id, text, CAST(unnest(range(0, n_win)) AS INT) AS win
+    FROM d
 ),
 s AS (
     SELECT w.doc_id, w.win,
