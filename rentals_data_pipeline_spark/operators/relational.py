@@ -335,9 +335,15 @@ def interval_overlap_join(
 
     Columns must be pre-projected to disjoint names (standard for the
     pair-output operators here); starts/ends must be integral (unix
-    seconds / day numbers) so bucket arithmetic is exact.
+    seconds / day numbers) so bucket arithmetic is exact. EMPTY
+    intervals (start >= end, incl. NULL bounds) are dropped up front:
+    the textbook overlap predicate ``s1 < e2 AND s2 < e1`` wrongly
+    calls an empty [x, x) "overlapping" anything containing x, and a
+    degenerate interval's bucket sequence would run backwards.
     """
     on = on or []
+    left = left.where(F.col(l_start) < F.col(l_end))
+    right = right.where(F.col(r_start) < F.col(r_end))
 
     def buckets(start: str, end: str) -> Column:
         # [start, end): last contained point is end-1; floor (not

@@ -138,6 +138,14 @@ def test_interval_overlap_join_semantics(spark):
     assert got == want
     assert ("b", "y") not in got  # adjacency is not overlap
     assert got.count(("a", "z")) == 1  # many shared buckets, one row
+    # empty/degenerate intervals carry no extent: never overlap
+    empty_l = spark.createDataFrame([("e", 15, 15)], "lid string, ls long, le long")
+    assert (
+        interval_overlap_join(
+            empty_l, right, "ls", "le", "rs", "re", bucket_width=7
+        ).count()
+        == 0
+    )
 
 
 def test_snapshot_diff_classification(spark):
