@@ -264,3 +264,59 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.connected_components(pairs).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    f"""
+WITH RECURSIVE {_ORACLE_SHINGLES},
+p AS (
+    SELECT
+        a.doc_id AS id_a,
+        b.doc_id AS id_b
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE FLOOR((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0))
+                * 10000.0 + 0.5) / 10000.0 > 0.5
+),
+e AS (
+    SELECT id_a AS src, id_b AS dst FROM p
+    UNION ALL
+    SELECT id_b, id_a FROM p
+),
+reach(id, label) AS (
+    SELECT DISTINCT src, src FROM e
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id
+),
+cc AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY 1)
+SELECT CAST(cluster_size AS INT) AS cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM sizes
+GROUP BY cluster_size
+""",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the statistic that drives
+    dedup POLICY at scale (a corpus dominated by size-2 clusters wants
+    pairwise collapse; heavy-tail mega-clusters signal boilerplate that
+    needs template removal, not representative-keeping). Two tiny
+    aggregations over the connected-components output; the oracle
+    extends the duplicate-clusters recursive CTE, so the hash match
+    certifies the full pair→CC→distribution chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.transform(DD.minhash_near_dup_pairs(threshold=0.5))
+    sizes = (
+        DD.connected_components(pairs)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy(F.col("cluster_size").cast("int").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn(
+            "n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("bigint")
+        )
+    )
