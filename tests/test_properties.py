@@ -180,3 +180,88 @@ def test_chunks_reassemble_to_document(spark, n_tokens, chunk, overlap):
         part = text.split(" ")
         rebuilt.extend(part if idx == 0 else part[overlap:])
     assert rebuilt == toks
+
+
+INTERVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),   # id
+        st.integers(min_value=-50, max_value=50),  # start
+        st.integers(min_value=1, max_value=40),    # span (non-empty)
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(
+    left=INTERVALS,
+    right=INTERVALS,
+    width=st.integers(min_value=1, max_value=20),
+)
+@settings(**_SETTINGS)
+def test_interval_overlap_join_equals_brute_force(spark, left, right, width):
+    """For ANY interval sets and ANY bucket width, the bucketed join
+    equals the brute-force overlap predicate — exactly once per pair."""
+    from rentals_data_pipeline_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    ldf = spark.createDataFrame(
+        [(i, s, s + n) for i, s, n in left], "lid long, ls long, le long"
+    )
+    rdf = spark.createDataFrame(
+        [(i, s, s + n) for i, s, n in right], "rid long, rs long, re long"
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf, "ls", "le", "rs", "re", bucket_width=width
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, ls, ln in left
+        for ri, rs, rn in right
+        if ls < rs + rn and rs < ls + ln
+    )
+    assert got == want
+
+
+SNAP = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),                   # key
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),  # value
+    ),
+    max_size=9,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(old=SNAP, new=SNAP)
+@settings(**_SETTINGS)
+def test_snapshot_diff_equals_set_arithmetic(spark, old, new):
+    """snapshot_diff classification == plain dict/set arithmetic for
+    ANY pair of keyed snapshots, including NULL values."""
+    from rentals_data_pipeline_spark.operators.relational import snapshot_diff
+
+    odf = spark.createDataFrame(old, "k long, v long")
+    ndf = spark.createDataFrame(new, "k long, v long")
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(
+            odf, ndf, ["k"], ["v"], include_unchanged=True
+        ).collect()
+    }
+    om, nm = dict(old), dict(new)
+    want = {}
+    for k in set(om) | set(nm):
+        if k not in om:
+            want[k] = "inserted"
+        elif k not in nm:
+            want[k] = "deleted"
+        elif om[k] != nm[k]:
+            want[k] = "changed"
+        else:
+            want[k] = "unchanged"
+    assert got == want
