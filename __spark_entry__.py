@@ -34,55 +34,61 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in dict order (CORRECTNESS_r02/r03 == first 50 of each round's catalog).
-# With >50 catalog queries we therefore order by certification need.
-# Round-4 order (history: CORRECTNESS_r01..r03.json): the query fixed this
-# round first, then the rows-only trio, then the 21 r1+r2-certified queries
-# that round 3's rotation skipped (two rounds stale), then r3-certified
-# queries subordered fewest-certifications-first.  Any catalog query not
-# named below (i.e. added this round) is newest -> checked first.
+# in dict order.  With >50 catalog queries we order by certification need.
+# Round-5 order (history: CORRECTNESS_r01..r04.json):
+#   1. the 30 queries the r4 rotation skipped — certified only in r2/r3,
+#      two rounds stale; re-certify first so no certification is ever more
+#      than two rounds old;
+#   2. r4-certified queries whose backing modules are EDITED this round
+#      (relational/multimodal/quality/similarity/layout + curation plans) —
+#      an edited module voids the prior hash certification;
+#   3. rows-only + r4-certified queries on untouched modules (their r4
+#      certification still binds; byte-identical code).
+# Any catalog query not named below (i.e. added this round) is newest ->
+# checked first, before group 1.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # red in r3, fixed this round (ANSI-on element_at) — re-certify first
-    "multimodal_frame_sample",
-    # rows-only by design (no_oracle rows>0 every round; cheap)
-    "sketch_distinct_users_rollup", "sim_srp_lsh_recall", "sim_ivf_topk",
-    # certified r1+r2 but skipped by round 3's rotation (two rounds stale)
-    "setops_customer_cohorts", "scalar_string_suite", "scalar_date_suite",
-    "scalar_json_extract", "join_range_value_bands",
-    "join_full_outer_user_activity", "sort_global_top10_orders",
-    "agg_having_frequent_customers", "agg_case_bucketing",
-    "agg_distinct_counts", "join_asof_last_error",
-    "agg_percentiles_lineitem", "text_token_stats", "text_quality_score",
-    "text_language_id", "text_fingerprints", "dedup_minhash_lsh_pairs",
-    "dedup_simhash_fingerprints", "dedup_simhash_hamming_pairs",
-    "dedup_ngram_jaccard_topk", "dedup_exact_documents",
-    # certified once, in r3 only
-    "dedup_duplicate_clusters", "sim_srp_near_dup_pairs",
-    "pipeline_embedding_curation", "multimodal_resize_grid",
-    "pipeline_corpus_curation", "sample_split_documents",
-    "sample_deterministic_documents", "sample_stratified_events",
-    "ts_gap_fill_hourly",
-    # certified twice (r1 + r3)
-    "sim_cosine_topk", "sim_embedding_near_dup_pairs",
-    "multimodal_metadata", "multimodal_byte_histogram",
-    "ts_tumbling_hourly", "ts_sliding_10m_5m", "ts_session_windows",
-    "ts_hierarchical_rollup_daily",
-    # certified twice (r2 + r3)
-    "window_distribution_suite", "scalar_math_suite",
-    "agg_salted_events_by_type", "analytics_funnel_stages",
-    "analytics_retention_cohorts", "join_asof_next_error",
-    "scalar_variant_json", "scd2_user_value_history",
-    "text_vocabulary_top100", "text_tfidf_top_terms",
-    "text_chunk_documents", "text_pack_chunks_by_split",
-    # certified three times (r1 + r2 + r3) — freshest, checked last
-    "quality_metrics_lineitem", "flagship_events_daily",
+    # -- group 1: certified r2/r3 only, skipped by round 4's rotation -----
+    "flagship_events_daily", "quality_metrics_lineitem",
     "window_period_change", "window_rank_in_group", "window_rolling_avg",
-    "window_cumulative_sum", "reshape_unpivot_measures",
-    "reshape_pivot_event_types", "dedup_first_event",
-    "topk_orders_per_customer", "join_star_revenue",
+    "window_cumulative_sum", "window_distribution_suite",
+    "reshape_unpivot_measures", "reshape_pivot_event_types",
+    "dedup_first_event", "topk_orders_per_customer", "join_star_revenue",
     "join_semi_active_customers", "join_anti_no_big_order",
-    "agg_pricing_summary", "agg_rollup_orders", "agg_cube_lineitem",
-    "agg_grouping_sets_orders",
+    "join_asof_next_error", "agg_pricing_summary", "agg_rollup_orders",
+    "agg_cube_lineitem", "agg_grouping_sets_orders",
+    "agg_salted_events_by_type", "analytics_funnel_stages",
+    "analytics_retention_cohorts", "scd2_user_value_history",
+    "scalar_math_suite", "scalar_variant_json", "text_vocabulary_top100",
+    "text_tfidf_top_terms", "text_chunk_documents",
+    "text_pack_chunks_by_split", "ts_hierarchical_rollup_daily",
+    # -- group 2: r4-certified but backing module edited in round 5 -------
+    "cdc_orders_snapshot_diff", "join_interval_overlap_orders",
+    "join_full_outer_user_activity", "join_range_value_bands",
+    "join_asof_last_error", "profile_orders_columns",
+    "multimodal_audio_energy", "multimodal_frame_sample",
+    "multimodal_resize_grid", "multimodal_metadata",
+    "multimodal_byte_histogram", "sim_cosine_topk",
+    "sim_embedding_near_dup_pairs", "sim_srp_near_dup_pairs",
+    "pipeline_embedding_curation", "pipeline_embedding_curation_srp",
+    "pipeline_corpus_curation", "layout_zorder_cells",
+    # -- group 3: certification still binding (untouched modules) ---------
+    # rows-only by design (no_oracle rows>0; golden tests pin semantics)
+    "sketch_distinct_users_rollup", "sim_srp_lsh_recall", "sim_ivf_topk",
+    "sample_weighted_documents",
+    # r4 hash-certified on modules untouched this round
+    "dedup_cluster_size_histogram", "sketch_histogram_quantiles",
+    "dedup_duplicate_clusters", "sample_deterministic_documents",
+    "sample_split_documents", "sample_stratified_events",
+    "ts_gap_fill_hourly", "agg_case_bucketing", "agg_distinct_counts",
+    "agg_having_frequent_customers", "agg_percentiles_lineitem",
+    "dedup_exact_documents", "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_topk", "dedup_simhash_fingerprints",
+    "dedup_simhash_hamming_pairs", "scalar_date_suite",
+    "scalar_json_extract", "scalar_string_suite",
+    "setops_customer_cohorts", "sort_global_top10_orders",
+    "text_fingerprints", "text_language_id", "text_quality_score",
+    "text_token_stats", "ts_session_windows", "ts_sliding_10m_5m",
+    "ts_tumbling_hourly",
 )
 
 
