@@ -235,8 +235,10 @@ def audio_energy(
     """Deterministic stand-in for audio feature extraction: interpret
     payload bytes as unsigned 8-bit PCM samples and emit per-window RMS
     energy as ``energy: array<double>`` (one value per full ``window``
-    of samples; a trailing partial window is dropped, zero-length
-    payloads yield an empty array).
+    of samples; a trailing partial window is dropped, zero-length and
+    NULL payloads yield an empty array — NULL media are routine in
+    petabyte corpora and must not crash the kernel, matching the
+    similarity kernels' NULL-vector treatment).
 
     Same Arrow/mapInPandas plumbing contract as ``resize_grid``; the
     arithmetic (integer squares summed exactly, divide by a power-of-two
@@ -260,6 +262,9 @@ def audio_energy(
         for pdf in batches:
             out = []
             for payload in pdf[payload_col]:
+                if payload is None:
+                    out.append([])
+                    continue
                 arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
                 n_full = len(arr) // window
                 if n_full == 0:

@@ -194,10 +194,12 @@ def profile_table(
     one pass with bytes-sized state; exact is the default because it is
     what the oracle can certify.
 
-    Numeric means round the SUM before dividing (2 decimals — stable
-    for currency-grain inputs regardless of summation order) so the
-    profile is hash-comparable across engines; timestamp min/max are
-    reported as dates in ISO string form.
+    Numeric means are hash-comparable across engines: floating-point
+    columns are cast to ``decimal(38,6)`` per value BEFORE summing, so
+    the sum is exact and order/partitioning-invariant at any row count
+    (a rounded SUM(double) drifts by ~ulp(sum)*O(n) and can cross a
+    rounding boundary at large scale); integer sums are exact natively.
+    Timestamp min/max are reported as dates in ISO string form.
     """
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     cols = columns or list(fields)
@@ -217,8 +219,9 @@ def profile_table(
             aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
             aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
             if t in ("float", "double"):
+                exact_sum = F.sum(F.col(c).cast("decimal(38,6)"))
                 mean = round_half_up(
-                    round_half_up(F.sum(c), 2) / F.count(c), 4
+                    exact_sum.cast("double") / F.count(c), 4
                 )
             else:
                 mean = round_half_up(F.sum(c) / F.count(c), 4)

@@ -383,6 +383,12 @@ def snapshot_diff(
     comparison is exact and engine-neutral, so the oracle can replay
     it; a content hash would couple the diff to one engine's hash).
 
+    NULL key components are treated as ordinary key values: the join
+    condition is null-safe (``eqNullSafe``), so a NULL-keyed row in
+    ``old`` matches a NULL-keyed row in ``new`` instead of surfacing as
+    a spurious inserted+deleted pair, and side presence is tracked by
+    literal marker columns — never by key-column nullability.
+
     Returns (keys..., change_type). At 100 TB this is the incremental-
     load primitive: feed ``inserted`` + ``changed`` rows to
     ``merge_upsert_partitioned`` and tombstone ``deleted`` keys.
@@ -390,15 +396,17 @@ def snapshot_diff(
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in keys],
         *[F.col(c).alias(f"_oc_{c}") for c in compare],
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
         *[F.col(k).alias(f"_nk_{k}") for k in keys],
         *[F.col(c).alias(f"_nc_{c}") for c in compare],
+        F.lit(True).alias("_in_new"),
     )
-    cond = [o[f"_ok_{k}"] == n[f"_nk_{k}"] for k in keys]
+    cond = [o[f"_ok_{k}"].eqNullSafe(n[f"_nk_{k}"]) for k in keys]
     joined = o.join(n, cond, "full_outer")
-    in_old = joined[f"_ok_{keys[0]}"].isNotNull()
-    in_new = joined[f"_nk_{keys[0]}"].isNotNull()
+    in_old = joined["_in_old"].isNotNull()
+    in_new = joined["_in_new"].isNotNull()
     differs = F.lit(False)
     for c in compare:
         differs = differs | ~joined[f"_oc_{c}"].eqNullSafe(joined[f"_nc_{c}"])

@@ -568,7 +568,8 @@ def _profile_oracle_branch(c: str, kind: str) -> str:
         return base + (
             f"CAST(MIN({c}) AS DOUBLE) AS min_num, "
             f"CAST(MAX({c}) AS DOUBLE) AS max_num, "
-            f"FLOOR(((FLOOR((SUM({c})) * 100.0 + 0.5) / 100.0) / COUNT({c}))"
+            f"FLOOR((CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE)"
+            f" / COUNT({c}))"
             " * 10000.0 + 0.5) / 10000.0 AS mean_num, "
             "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str "
             "FROM orders"

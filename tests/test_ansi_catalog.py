@@ -6,18 +6,24 @@ ANSI-on default and never opts out — so any out-of-bounds
 ``element_at``, overflow cast, or unguarded division that is silent
 ANSI-off becomes a runtime error exactly where certification happens
 (round-3 verdict: ``multimodal_frame_sample`` detonated this way).
-This sweep executes the full catalog at sf0.001 with
-``spark.sql.ansi.enabled=true`` so the class of bug is caught in
-``tests/`` instead of in CORRECTNESS_r{N}.json.
+This sweep executes the full catalog with
+``spark.sql.ansi.enabled=true`` at sf0.01 — the SAME scale the driver
+gate certifies at, because ANSI errors are data-dependent (an overflow
+cast or out-of-bounds element_at can first appear on rows that only
+exist at the larger scale) — so the class of bug is caught in
+``tests/`` instead of in CORRECTNESS_r{N}.json.  Override with
+``SPARK_GRAFT_ANSI_SF_DIR`` for a faster local loop.
 """
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
 import __spark_entry__ as entry
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_ANSI_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="module")

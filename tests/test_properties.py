@@ -230,10 +230,14 @@ def test_interval_overlap_join_equals_brute_force(spark, left, right, width):
 
 SNAP = st.lists(
     st.tuples(
-        st.integers(min_value=0, max_value=8),                   # key
+        # key — None models a NULL key: matched null-safely across sides,
+        # never misread as side-absence (presence markers, not key nulls)
+        st.one_of(
+            st.none(), st.integers(min_value=0, max_value=8)
+        ),
         st.one_of(st.none(), st.integers(min_value=0, max_value=3)),  # value
     ),
-    max_size=9,
+    max_size=10,
     unique_by=lambda r: r[0],
 )
 
@@ -242,7 +246,8 @@ SNAP = st.lists(
 @settings(**_SETTINGS)
 def test_snapshot_diff_equals_set_arithmetic(spark, old, new):
     """snapshot_diff classification == plain dict/set arithmetic for
-    ANY pair of keyed snapshots, including NULL values."""
+    ANY pair of keyed snapshots, including NULL keys and NULL values
+    (a NULL key is one ordinary key value under null-safe equality)."""
     from rentals_data_pipeline_spark.operators.relational import snapshot_diff
 
     odf = spark.createDataFrame(old, "k long, v long")
