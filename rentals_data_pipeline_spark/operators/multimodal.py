@@ -2,10 +2,12 @@
 
 Media is modeled the way a 100 TB training-data lake stores it: an
 opaque ``binary`` payload column plus typed metadata columns, processed
-by Arrow-batched ``mapInPandas`` stages. The *decode* step (real image/
-audio codecs) is environment-gated — the libs aren't in this container —
-so it is STUBBED behind ``decode_media`` (raises ``NotImplementedError``
-with the contract documented); everything Spark-side is real and tested:
+by Arrow-batched ``mapInPandas`` stages. ``decode_media`` is a REAL
+decode path for the one container stdlib can parse (RIFF/WAVE PCM via
+``wave``; ``pack_wav`` builds genuine WAV payloads to feed it); image/
+video codecs stay environment-gated — no PIL/ffmpeg in this container —
+and surface as ``unsupported codec`` error ROWS, never task failures.
+Everything Spark-side is real and tested:
 
 - ``pack_media``: documents → media-shaped rows (payload bytes + typed
   metadata). Deterministic fake payloads (utf-8 of the text) so every
@@ -87,20 +89,136 @@ def media_metadata(payload_col: str = "payload") -> Op:
     return _apply
 
 
-def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """STUB — real codec decode (PIL/libsndfile/ffmpeg) is unavailable
-    in this environment.
-
-    Contract when enabled: mapInPandas over (id, media_type, payload)
-    yielding one row per media item with columns
-    ``decoded: array<array<double>>`` (image: HxW luma; audio: 1xN pcm)
-    and ``decode_error: string`` (null on success — decode failures
-    must be rows, not task failures, at 100 TB).
+def pack_wav(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_payload: str = "payload",
+    sample_rate: int = 8000,
+) -> Op:
+    """Build REAL RIFF/WAVE containers (8-bit unsigned PCM, mono) whose
+    data chunk is the utf-8 of the text — a genuine codec payload, not
+    a fake blob, so ``decode_media`` exercises a real container parse.
+    NULL text packs to NULL payload (the decode stage must surface it
+    as an error row, never a task failure). Arrow-batched mapInPandas;
+    stdlib ``wave`` writes the 44-byte header per row — cheap relative
+    to payload bytes, and the only Python-side packing in the module.
     """
-    raise NotImplementedError(
-        "media codecs not available in this environment; use "
-        "byte_histogram_features as the deterministic stand-in"
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(out_payload, T.BinaryType()),
+        ]
     )
+
+    def _pack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import wave as wavelib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                if text is None:
+                    payloads.append(None)
+                    continue
+                buf = io.BytesIO()
+                with wavelib.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(sample_rate)
+                    w.writeframes(text.encode("utf-8"))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.select(id_col, text_col).mapInPandas(_pack, out_schema)
+
+    return _apply
+
+
+def decode_media(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Real media decode for the one container stdlib can parse:
+    RIFF/WAVE with 8-bit unsigned or 16-bit signed PCM, mono or
+    multi-channel. mapInPandas over (id, payload) yielding one row per
+    media item with ``n_channels``, ``sample_rate``,
+    ``decoded: array<array<double>>`` (one inner array per channel,
+    de-interleaved; 8-bit values 0..255, 16-bit -32768..32767) and
+    ``decode_error: string`` (NULL on success). Decode failures — NULL
+    payloads, foreign magic bytes, truncated containers, unsupported
+    sample widths — are ROWS, not task failures: at 100 TB a corrupt
+    blob must never kill a stage. Other codecs (JPEG/FLAC/MP4) stay
+    environment-gated: no image/av libs in this container, so they
+    surface as ``unsupported codec`` error rows with the magic recorded
+    for triage.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("decoded", T.ArrayType(T.ArrayType(T.DoubleType()))),
+            T.StructField("decode_error", T.StringType()),
+        ]
+    )
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import wave as wavelib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            cols: dict[str, list] = {
+                id_col: list(pdf[id_col]),
+                "n_channels": [],
+                "sample_rate": [],
+                "decoded": [],
+                "decode_error": [],
+            }
+
+            def emit(nch=None, sr=None, decoded=None, err=None):
+                cols["n_channels"].append(nch)
+                cols["sample_rate"].append(sr)
+                cols["decoded"].append(decoded)
+                cols["decode_error"].append(err)
+
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    emit(err="null payload")
+                    continue
+                raw = bytes(payload)
+                if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                    emit(err=f"unsupported codec: magic={raw[:4].hex()}")
+                    continue
+                try:
+                    with wavelib.open(io.BytesIO(raw)) as w:
+                        nch = w.getnchannels()
+                        sw = w.getsampwidth()
+                        sr = w.getframerate()
+                        frames = w.readframes(w.getnframes())
+                except Exception as e:  # corrupt blob != task failure
+                    emit(err=f"wave parse error: {e}")
+                    continue
+                if sw == 1:
+                    arr = np.frombuffer(frames, dtype=np.uint8)
+                elif sw == 2:
+                    arr = np.frombuffer(frames, dtype="<i2")
+                else:
+                    emit(err=f"unsupported sample width: {sw}")
+                    continue
+                arr = arr.astype(np.float64)
+                emit(
+                    nch=nch,
+                    sr=sr,
+                    decoded=[arr[c::nch].tolist() for c in range(nch)],
+                )
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, out_schema)
 
 
 def byte_histogram_features(

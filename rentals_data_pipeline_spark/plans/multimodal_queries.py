@@ -196,3 +196,57 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", F.posexplode("energy").alias("win", "rms")
     )
+
+
+@query(
+    "multimodal_decoded_wav_stats",
+    """
+WITH d AS (
+    SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+),
+c AS (
+    SELECT d.doc_id, ord(substr(d.text, i.i + 1, 1)) AS v
+    FROM d,
+        (SELECT unnest(range(0,
+            (SELECT COALESCE(MAX(length(text)), 0) FROM d))) AS i) i
+    WHERE i.i < length(d.text)
+),
+s AS (
+    SELECT doc_id, COUNT(*) AS n, SUM(v) AS sv, MIN(v) AS mn, MAX(v) AS mx
+    FROM c GROUP BY 1
+)
+SELECT d.doc_id,
+    1 AS n_channels,
+    8000 AS sample_rate,
+    CAST(COALESCE(s.n, 0) AS BIGINT) AS n_samples,
+    CAST(COALESCE(s.sv, 0) AS BIGINT) AS sum_samples,
+    CAST(s.mn AS INT) AS min_sample,
+    CAST(s.mx AS INT) AS max_sample
+FROM d LEFT JOIN s USING (doc_id)
+""",
+)
+def multimodal_decoded_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round trip: pack each document's utf-8 bytes into a
+    genuine RIFF/WAVE container (operators/multimodal.py::pack_wav),
+    decode it back through the stdlib-wave decode path
+    (operators/multimodal.py::decode_media — the r4 stub, now
+    implemented), and report exact per-doc sample statistics. Because
+    8-bit unsigned PCM samples ARE the text's bytes, the oracle
+    recomputes every statistic from ord() arithmetic — certifying the
+    container write + header parse + de-interleave end-to-end with
+    integer-exact values (no float hash risk)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wavs = docs.transform(MM.pack_wav())
+    dec = MM.decode_media(wavs)
+    ch = F.get(F.col("decoded"), 0)
+    return dec.where(F.col("decode_error").isNull()).select(
+        "doc_id",
+        "n_channels",
+        "sample_rate",
+        F.size(ch).cast("long").alias("n_samples"),
+        F.aggregate(
+            ch, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("sum_samples"),
+        F.array_min(ch).cast("int").alias("min_sample"),
+        F.array_max(ch).cast("int").alias("max_sample"),
+    )

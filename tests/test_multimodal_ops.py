@@ -35,9 +35,14 @@ def test_media_metadata_golden(media_df):
     assert out[0]["magic_hex"] == b"abcd".hex().upper()
 
 
-def test_decode_media_is_stubbed(media_df):
-    with pytest.raises(NotImplementedError):
-        MM.decode_media(media_df)
+def test_decode_media_rejects_non_wav(media_df):
+    """pack_media payloads are raw utf-8 (no RIFF container): the real
+    decode path surfaces them as unsupported-codec rows, not errors."""
+    rows = MM.decode_media(media_df).collect()
+    assert rows and all(
+        r["decode_error"].startswith("unsupported codec: magic=")
+        for r in rows
+    )
 
 
 def test_byte_histogram_features(media_df):
@@ -115,3 +120,73 @@ def test_audio_energy_golden(spark):
 
     with _pytest.raises(ValueError):
         MM.audio_energy(window=60)
+
+
+def test_pack_wav_decode_round_trip(spark):
+    """pack_wav -> decode_media inverts exactly: 8-bit unsigned PCM
+    samples are the text's utf-8 bytes; NULL text is an error row."""
+    df = spark.createDataFrame(
+        [(1, "Hello"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    dec = {
+        r["doc_id"]: r
+        for r in MM.decode_media(df.transform(MM.pack_wav())).collect()
+    }
+    assert dec[1]["decode_error"] is None
+    assert dec[1]["n_channels"] == 1 and dec[1]["sample_rate"] == 8000
+    assert dec[1]["decoded"] == [[float(b) for b in b"Hello"]]
+    assert dec[2]["decode_error"] is None and dec[2]["decoded"] == [[]]
+    assert dec[3]["decode_error"] == "null payload"
+    assert dec[3]["decoded"] is None
+
+
+def test_decode_media_16bit_stereo(spark):
+    """decode_media de-interleaves 16-bit signed stereo correctly."""
+    import io
+    import wave
+
+    import numpy as np
+
+    left = np.array([0, 1000, -2000], dtype="<i2")
+    right = np.array([5, -6, 30000], dtype="<i2")
+    inter = np.empty(6, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(inter.tobytes())
+    df = spark.createDataFrame(
+        [(7, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    row = MM.decode_media(df).collect()[0]
+    assert row["decode_error"] is None
+    assert row["n_channels"] == 2 and row["sample_rate"] == 44100
+    assert row["decoded"] == [left.tolist(), right.tolist()]
+
+
+def test_decode_media_failures_are_rows(spark):
+    """Foreign magic, truncated containers, and unsupported widths all
+    yield decode_error ROWS — a corrupt blob never kills the stage."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(4)  # 32-bit: parses, then rejected by width
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00\x00\x00")
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"\xff\xd8\xff\xe0JFIF-not-a-wav")),
+            (2, bytearray(b"RIFF\x00\x00\x00\x00WAVEtruncated")),
+            (3, bytearray(buf.getvalue())),
+        ],
+        "doc_id long, payload binary",
+    )
+    errs = {r["doc_id"]: r["decode_error"] for r in MM.decode_media(df).collect()}
+    assert errs[1].startswith("unsupported codec: magic=ffd8")
+    assert "error" in errs[2] or errs[2].startswith("wave parse")
+    assert errs[3] == "unsupported sample width: 4"
