@@ -48,11 +48,13 @@ HEADLINE = [
     "sample_stratified_events",
     "analytics_funnel_stages",
     # round-4 additions (pipeline_embedding_curation_srp deliberately
-    # excluded: at this corpus's 0.4 threshold the 2-row SRP bands are
-    # the documented anti-regime — ~31s at sf0.1 vs the GEMM variant's
-    # ~5s, which is why the flagship defaults to GEMM here; the SRP
-    # stage's scale value is at production thresholds, certified by its
-    # own oracle row, not by this benchmark)
+    # excluded: at this corpus's 0.4 threshold LSH cannot prune — the
+    # S-curve planner predicts ~7n² join+verify vs the GEMM's 1n², and
+    # measures 14s vs 3.3s at sf0.1 even with planner-sized bands —
+    # which is why the flagship's "auto" default routes 0.4 to GEMM;
+    # the SRP stage's scale value is at production thresholds (≥0.85,
+    # where the same planner routes to SRP), certified by its own
+    # oracle row, not by this benchmark)
     "sketch_histogram_quantiles",
     "join_interval_overlap_orders",
     "layout_zorder_cells",

@@ -224,40 +224,45 @@ FROM keep
 
 
 def embedding_curation(
-    spark: SparkSession, sf_dir: str, pair_strategy: str = "gemm"
+    spark: SparkSession, sf_dir: str, pair_strategy: str = "auto"
 ) -> DataFrame:
-    """Embedding-corpus curation: near-dup pairs (pluggable strategy) →
+    """Embedding-corpus curation: near-dup pairs (planned strategy) →
     connected-components clustering (pointer-jumping min-label
     propagation) → keep only each cluster's min-id representative →
     deterministic train/val/test split of the survivors.
 
     ``pair_strategy`` picks the pair stage; everything downstream is
-    identical, and both strategies are hash-certified against the SAME
+    identical, and every strategy is hash-certified against the SAME
     recursive-CTE oracle (which replays whatever pair set the 0.4
     threshold produces — so an SRP recall miss would surface as a hash
     mismatch, not silently pass):
 
-    - ``"gemm"`` — exact blocked all-pairs GEMM. The certification
-      config at this corpus's 0.4 threshold (θ ≈ 66°, far-pair regime,
-      where SRP's 2-row bands go quadratic — measured crossover favors
-      exact).
-    - ``"srp"`` — SRP-LSH candidates → Arrow cosine verify. The 100-TB
-      path: pair-space tracks bucket sizes, not corpus²; at production
-      near-dup thresholds (cosine ≥ 0.85) this is the only strategy
-      that survives a 100× scale-up.
+    - ``"auto"`` (default) — the S-curve cost model
+      (operators/similarity.py::plan_pair_strategy) picks per
+      threshold: at this corpus's 0.4 far-pair threshold no band
+      geometry prunes (predicted ~7n² of join + verify vs 1n² of
+      vectorized matmul), so it plans the blocked GEMM; at production
+      near-dup thresholds (≥ 0.85) it plans SRP — the scale-safe
+      choice is computed, not configured.
+    - ``"gemm"`` — force exact blocked all-pairs GEMM.
+    - ``"srp"`` — force SRP-LSH candidates (planner-sized bands at
+      certification-grade miss ≤ 1e-8) → Arrow cosine verify.
     """
     from rentals_data_pipeline_spark.operators import sampling as SP
     from rentals_data_pipeline_spark.operators.dedup import connected_components
 
     emb = load_table(spark, sf_dir, "embeddings")
-    if pair_strategy == "gemm":
+    if pair_strategy == "auto":
+        pairs = SIM.adaptive_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4, scale=4
+        ).select("id_a", "id_b")
+    elif pair_strategy == "gemm":
         pairs = SIM.all_pairs_cosine_pairs(
             emb, "vec_id", "embedding", threshold=0.4, scale=4
         ).select("id_a", "id_b")
     elif pair_strategy == "srp":
         pairs = SIM.srp_near_dup_pairs(
-            emb, "vec_id", "embedding",
-            threshold=0.4, n_planes=64, rows_per_band=2,
+            emb, "vec_id", "embedding", threshold=0.4
         ).select("id_a", "id_b")
     else:
         raise ValueError(f"unknown pair_strategy {pair_strategy!r}")
@@ -275,17 +280,21 @@ def embedding_curation(
 
 @query("pipeline_embedding_curation", _CURATION_ORACLE)
 def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity-side flagship, exact-GEMM pair stage (the oracle
-    certification config — one hash match certifies the pair set, the
-    clustering fixpoint, and the collapse policy end-to-end). See
-    ``embedding_curation`` for the strategy trade-off."""
-    return embedding_curation(spark, sf_dir, pair_strategy="gemm")
+    """Similarity-side flagship through the PLANNED pair stage
+    (pair_strategy="auto"): the S-curve cost model picks exact blocked
+    GEMM or SRP-LSH per threshold, so the default is scale-safe by
+    construction — one hash match certifies the planner's choice, the
+    pair set, the clustering fixpoint, and the collapse policy
+    end-to-end. See ``embedding_curation`` for the model."""
+    return embedding_curation(spark, sf_dir, pair_strategy="auto")
 
 
 @query("pipeline_embedding_curation_srp", _CURATION_ORACLE)
 def pipeline_embedding_curation_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity-side flagship through the SRP-LSH pair stage — the
-    100-TB configuration, hash-certified against the SAME exhaustive
-    recursive-CTE oracle as the GEMM variant, so the flagship's scale
-    path is itself end-to-end certified (round-3 verdict item #5)."""
+    """Similarity-side flagship FORCING the SRP-LSH pair stage with
+    planner-sized bands (certification-grade miss ≤ 1e-8) — kept
+    alongside "auto" so the LSH path stays end-to-end hash-certified
+    against the SAME exhaustive recursive-CTE oracle even on this
+    corpus, whose far-pair threshold the planner would route to GEMM
+    (round-3 verdict item #5)."""
     return embedding_curation(spark, sf_dir, pair_strategy="srp")

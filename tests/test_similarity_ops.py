@@ -346,3 +346,92 @@ def test_ivf_topk_shuffled_probe_path_matches_broadcast(spark):
         )
     )
     assert bc == sh and len(bc) > 0
+
+
+def test_plan_srp_geometry_s_curve():
+    """Planner honors the S-curve: miss ≤ target, planes ≤ cap, and
+    pruning power (candidate fraction) improves as the threshold
+    rises — far-pair thresholds can't prune, near-dup ones can."""
+    prev_cand = None
+    for t in (0.2, 0.4, 0.6, 0.8, 0.9, 0.95):
+        g = SIM.plan_srp_geometry(t, target_miss=1e-8, max_planes=512)
+        assert g.expected_miss <= 1e-8
+        assert g.n_planes <= 512
+        assert g.n_planes == g.n_bands * g.rows_per_band
+        if prev_cand is not None:
+            assert g.candidate_fraction <= prev_cand + 1e-12
+        prev_cand = g.candidate_fraction
+    with pytest.raises(ValueError):
+        SIM.plan_srp_geometry(1.5)
+
+
+def test_plan_pair_strategy_crossover():
+    """Cost model routes far-pair thresholds to exact GEMM and
+    production near-dup thresholds to SRP-LSH."""
+    assert SIM.plan_pair_strategy(0.4)[0] == "gemm"
+    assert SIM.plan_pair_strategy(0.2)[0] == "gemm"
+    assert SIM.plan_pair_strategy(0.9)[0] == "srp"
+    assert SIM.plan_pair_strategy(0.95)[0] == "srp"
+    # production miss tolerance moves the crossover left
+    assert SIM.plan_pair_strategy(0.8, target_miss=1e-3)[0] == "srp"
+
+
+def test_tuned_srp_matches_exact_at_high_threshold(spark):
+    """Planner-sized SRP equals the exact path in the regime LSH is
+    built for: a corpus with genuine near-duplicates at cosine ≥ 0.9."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i % 4 == 0:  # a near-dup twin: small perturbation
+            w = v + 0.05 * rng.randn(16)
+            rows.append((1000 + i, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = sorted(
+        map(
+            tuple,
+            SIM.all_pairs_cosine_pairs(
+                df, "vec_id", "embedding", threshold=0.9
+            ).collect(),
+        )
+    )
+    tuned = sorted(
+        map(
+            tuple,
+            SIM.srp_near_dup_pairs(
+                df, "vec_id", "embedding", threshold=0.9
+            ).collect(),
+        )
+    )
+    adaptive = sorted(
+        map(
+            tuple,
+            SIM.adaptive_near_dup_pairs(
+                df, "vec_id", "embedding", threshold=0.9
+            ).collect(),
+        )
+    )
+    assert len(exact) >= 10  # the twins qualify
+    assert tuned == exact
+    assert adaptive == exact  # planner routes 0.9 to srp; same answer
+
+
+def test_embedding_curation_auto_agrees(spark):
+    """pair_strategy="auto" (the new default) produces the identical
+    curated corpus — the planner's choice is a physical-plan decision,
+    never a semantic one."""
+    auto = sorted(
+        map(tuple, SQ.embedding_curation(spark, SF_DIR, "auto").collect())
+    )
+    gemm = sorted(
+        map(tuple, SQ.embedding_curation(spark, SF_DIR, "gemm").collect())
+    )
+    assert auto == gemm and len(auto) > 0
+
+
+def test_srp_near_dup_geometry_args():
+    with pytest.raises(ValueError):
+        SIM.srp_near_dup_pairs(None, threshold=0.5, n_planes=64)
