@@ -705,6 +705,7 @@ def ivf_topk(
     match_vec: str = "match_vec",
     refine_iters: int = 0,
     broadcast_probes: bool = True,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """IVF-flavored approximate top-k: coarse-quantize the corpus into
     ``n_cells`` cells, search only each probe's ``n_probe`` nearest
@@ -727,6 +728,21 @@ def ivf_topk(
     set scales with the corpus, pass ``False``: the cell join becomes a
     shuffled equi-join on the cell id, both sides co-partitioned — the
     same scale escape hatch as ``brute_force_topk``'s probe blocking.
+
+    ``max_cell_size`` is the hot-cell guard: with no bound, a skewed
+    corpus (many near-identical vectors) piles into one cell and a
+    probe of that cell scans it all — per-probe work O(cell size),
+    unbounded. With a bound, each overfull cell keeps a deterministic
+    UNBIASED sample of ``max_cell_size`` members (smallest
+    xxhash64(id) — hash order is independent of vector geometry, so
+    the survivors are a uniform sample of the cell, not a
+    distance-biased one), capping per-probe candidates at
+    n_probe × max_cell_size. The cap is a rank-over-cell filter that
+    Spark 4 pushes map-side (WindowGroupLimit), so the hot cell is
+    trimmed before it ever shuffles whole. Recall within a trimmed
+    cell degrades gracefully — ~sample_rate per true neighbor —
+    which the golden test pins; size the bound ≥ expected cell size ×
+    skew tolerance so only pathological cells trim.
     """
     cents = [
         row["_v"]
@@ -758,6 +774,15 @@ def ivf_topk(
         match_vec,
         F.element_at(ivf_assign_udf(cents, 1)(F.col(match_vec)), 1).alias("cell"),
     )
+    if max_cell_size is not None:
+        wcell = Window.partitionBy("cell").orderBy(
+            F.xxhash64(F.col(match_id)), F.col(match_id)
+        )
+        corpus_cells = (
+            corpus_cells.withColumn("_cr", F.row_number().over(wcell))
+            .where(F.col("_cr") <= max_cell_size)
+            .drop("_cr")
+        )
     probe_cells = probes.select(
         probe_id,
         probe_vec,

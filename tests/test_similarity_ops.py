@@ -435,3 +435,49 @@ def test_embedding_curation_auto_agrees(spark):
 def test_srp_near_dup_geometry_args():
     with pytest.raises(ValueError):
         SIM.srp_near_dup_pairs(None, threshold=0.5, n_planes=64)
+
+
+def test_ivf_hot_cell_guard_bounds_work(spark):
+    """On a pathologically skewed corpus (every vector in one
+    direction → one hot cell), max_cell_size bounds per-probe
+    candidate work at n_probe × max_cell_size, the survivors are an
+    unbiased hash sample, and recall degrades gracefully instead of
+    the guard silently scanning the whole cell."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = np.abs(rng.randn(8)) + 1.0  # strictly positive direction
+    corpus_rows = [
+        (i, [float(x) for x in base + 0.01 * rng.randn(8)])
+        for i in range(200)
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "match_id long, match_vec array<float>"
+    )
+    probes = spark.createDataFrame(
+        [(0, [float(x) for x in base])], "probe_id long, probe_vec array<float>"
+    )
+    # k ≫ cap: the output size IS the candidate count
+    unguarded = SIM.ivf_topk(
+        probes, corpus, k=1000, n_cells=8, n_probe=2
+    ).collect()
+    guarded = SIM.ivf_topk(
+        probes, corpus, k=1000, n_cells=8, n_probe=2, max_cell_size=20
+    ).collect()
+    assert len(unguarded) > 2 * 20  # the skew really concentrates
+    assert len(guarded) <= 2 * 20   # bounded per-probe work
+    # guard only trims: every guarded candidate exists unguarded
+    assert {r["match_id"] for r in guarded} <= {
+        r["match_id"] for r in unguarded
+    }
+    # deterministic: same sample on re-run
+    again = SIM.ivf_topk(
+        probes, corpus, k=1000, n_cells=8, n_probe=2, max_cell_size=20
+    ).collect()
+    assert sorted(map(tuple, guarded)) == sorted(map(tuple, again))
+    # recall golden: with cap 20 on a ~200-vector hot cell the top-5
+    # of the guarded search still returns 5 strong candidates
+    top5 = SIM.ivf_topk(
+        probes, corpus, k=5, n_cells=8, n_probe=2, max_cell_size=20
+    ).collect()
+    assert len(top5) == 5 and all(r["cosine"] > 0.99 for r in top5)
