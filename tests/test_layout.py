@@ -104,3 +104,29 @@ def test_zordered_write_clusters_both_dimensions(spark, tmp_path):
     assert mean_frac(ls, 1, g["v"]) > 0.6
     # and z-order's value clustering beats linear's by a wide margin
     assert mean_frac(zs, 1, g["v"]) < 0.6 * mean_frac(ls, 1, g["v"])
+
+
+def test_suggest_quantize_bounds(spark):
+    from rentals_data_pipeline_spark.operators.layout import (
+        quantize,
+        suggest_quantize_bounds,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0.0, 5, None), (10.0, 5, None), (4.0, 5, None)],
+        "a double, b long, c double",
+    )
+    bounds = suggest_quantize_bounds(df, ["a", "b", "c"])
+    assert bounds["a"] == (0.0, 10.0)
+    assert bounds["b"] == (5.0, 6.0)   # constant column: one real cell
+    assert bounds["c"] == (0.0, 1.0)   # all-NULL column: degenerate cell
+    lo, hi = bounds["a"]
+    cells = [
+        r["q"]
+        for r in df.select(
+            quantize(F.col("a"), lo, hi, bits=4).alias("q")
+        ).collect()
+    ]
+    # max clamps into the top cell, min into cell 0, interior in range
+    assert sorted(cells) == [0, 6, 15]

@@ -172,3 +172,35 @@ def test_snapshot_diff_classification(spark):
         ).collect()
     }
     assert with_unchanged[2] == "unchanged"
+
+
+def test_suggest_bucket_width(spark):
+    from rentals_data_pipeline_spark.operators.relational import (
+        interval_overlap_join,
+        suggest_bucket_width,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0, 10), (2, 5, 25), (3, 7, 7)],  # spans 10, 20; empty dropped
+        "lid long, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [(1, 3, 33), (2, 50, 40)],  # span 30; inverted dropped
+        "rid long, rs long, re long",
+    )
+    w = suggest_bucket_width(left, right, "ls", "le", "rs", "re")
+    assert w == 20  # median of {10, 20, 30}
+    # derived width drives the join to the same (width-invariant) result
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_width=w
+        ).collect()
+    )
+    assert got == [(1, 1), (2, 1)]
+    # both sides empty: any width is fine; helper must not crash
+    empty = spark.createDataFrame([], "lid long, ls long, le long")
+    empty_r = spark.createDataFrame([], "rid long, rs long, re long")
+    assert (
+        suggest_bucket_width(empty, empty_r, "ls", "le", "rs", "re") == 1
+    )
