@@ -493,3 +493,99 @@ def test_stream_stream_interval_join_matches_batch(
         for r in spark.table("stream_interval_join").collect()
     )
     assert got == expected
+
+
+def test_stream_interval_join_state_eviction(spark, tmp_path):
+    """The two-sided watermarked interval join must EVICT buffered
+    state once the watermark passes a row's join window — the
+    bounded-state claim behind running it on an unbounded stream.
+    Drives the watermark ~10h past batch-1's interval ends across
+    three chronological micro-batches and asserts eviction from the
+    state store's own row counts (numRowsRemoved / numRowsTotal in
+    query progress), not from output values."""
+    import datetime as dt
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rentals_data_pipeline_spark.streaming.jobs import EVENTS_STREAM_SCHEMA
+
+    def t(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    # (event_id, ts, user_id, event_type, value, props)
+    batches = [
+        # batch 1: one purchase + one click that join within 1h
+        [
+            (1, t(0, 0), 1, "purchase", 1.0, None),
+            (2, t(0, 10), 1, "click", 1.0, None),
+        ],
+        # batch 2: 12h later — advances the watermark to ~10h,
+        # far past batch-1's interval ends (ts + 1h max_delay)
+        [
+            (3, t(12, 0), 2, "purchase", 1.0, None),
+            (4, t(12, 5), 2, "click", 1.0, None),
+        ],
+        # batch 3: runs with batch-2's watermark -> batch-1 evicts here
+        [
+            (5, t(20, 0), 3, "purchase", 1.0, None),
+            (6, t(20, 5), 3, "click", 1.0, None),
+        ],
+    ]
+    src = str(tmp_path / "evict_src")
+    for rows in batches:
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    # deterministic batch order by mtime (batches distinguishable by
+    # min event_id per file)
+    now = 1_700_000_000
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            p = os.path.join(src, f)
+            first = pq.read_table(p, columns=["event_id"])["event_id"][0].as_py()
+            os.utime(p, (now + first * 3600, now + first * 3600))
+
+    stream = SJ.read_events_stream(spark, src, max_files_per_trigger=1)
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_event"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = stream.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_event"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = SJ.interval_join_streams(
+        purchases, clicks, [("p_user", "c_user")], "p_ts", "c_ts", "1 hour"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("evict_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_evict"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    states = [
+        p["stateOperators"][0]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    assert states, "no state operator progress recorded"
+    removed = sum(s["numRowsRemoved"] for s in states)
+    final_total = states[-1]["numRowsTotal"]
+    # both batch-1 rows must leave the store once the watermark passes
+    # their interval ends; later batches may evict too — at least 2
+    assert removed >= 2, f"no state eviction observed: {states}"
+    # and the store must NOT still hold everything it ever buffered
+    assert final_total <= 6 - removed + 2  # allow sink-batch lag margin
+    assert final_total < 6
+    # semantics unchanged: all three in-window pairs were emitted
+    got = sorted(
+        (r["p_event"], r["c_event"])
+        for r in spark.table("evict_join").collect()
+    )
+    assert got == [(1, 2), (3, 4), (5, 6)]
