@@ -47,6 +47,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # Any catalog query not named below (i.e. added this round) is newest ->
 # checked first, before group 1.
 _CHECK_PRIORITY: tuple[str, ...] = (
+    # -- group 0: NEW in round 5, never certified — the two that fit the
+    # 50-cap after groups 1+2 (the other two round-5 queries are pinned
+    # below the cap, locally certified via tools/check_oracle.py at
+    # sf0.001+sf0.01, and must lead round 6's rotation)
+    "multimodal_decoded_wav_stats", "text_pii_redaction",
     # -- group 1: certified r2/r3 only, skipped by round 4's rotation -----
     "flagship_events_daily", "quality_metrics_lineitem",
     "window_period_change", "window_rank_in_group", "window_rolling_avg",
@@ -71,7 +76,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sim_embedding_near_dup_pairs", "sim_srp_near_dup_pairs",
     "pipeline_embedding_curation", "pipeline_embedding_curation_srp",
     "pipeline_corpus_curation", "layout_zorder_cells",
-    # -- group 3: certification still binding (untouched modules) ---------
+    # -- group 3: below the 50-cap this round ----------------------------
+    # NEW round-5 queries certified locally (sf0.001 + sf0.01 hash-match,
+    # recorded in COVERAGE.md) — rotate these to the FRONT in round 6
+    "dedup_decontaminate_train", "sketch_heavy_hitters_event_types",
     # rows-only by design (no_oracle rows>0; golden tests pin semantics)
     "sketch_distinct_users_rollup", "sim_srp_lsh_recall", "sim_ivf_topk",
     "sample_weighted_documents",

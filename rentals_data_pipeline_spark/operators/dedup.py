@@ -539,3 +539,75 @@ def connected_components(
             break
         prev_sum = new_sum
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def shingle_digest_rows(
+    id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> Callable[[DataFrame], DataFrame]:
+    """One (id, d) row per word n-gram, d = md5 hex digest of the
+    space-joined gram. Same codegen shape as ``shingle_hash_rows``
+    (posexplode → lead window → concat_ws) but digesting with md5
+    instead of xxhash64: md5 is the hash both engines share, so
+    digest-keyed set operations (decontamination's overlap join)
+    certify against a DuckDB oracle value-for-value, and the shuffle
+    key is a fixed 32-byte digest rather than a variable-width gram
+    string. Docs with fewer than ``n`` words emit nothing; rows are
+    NOT deduped (downstream joins/distincts are duplicate-safe).
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "tok"),
+        )
+        w = Window.partitionBy(id_col).orderBy("pos")
+        lead_cols = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, n)]
+        grams = toks.select(F.col(id_col), F.col("tok"), *lead_cols)
+        full = functools.reduce(
+            operator.and_, [F.col(f"t{j}").isNotNull() for j in range(1, n)]
+        )
+        return grams.where(full).select(
+            F.col(id_col),
+            F.md5(
+                F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)])
+            ).alias("d"),
+        )
+
+    return _apply
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination — the eval-leakage guard every LLM
+    training pipeline runs before a data release: drop every training
+    document sharing at least one word ``n``-gram with any benchmark
+    document. Returns the surviving ``train`` rows unchanged.
+
+    Plan shape: both sides shingle through the codegen window path
+    (``shingle_digest_rows``), the benchmark's digest SET is
+    deduplicated, and contamination is two hash joins — a semi join
+    marking contaminated train ids, then an anti join dropping them.
+    No text ever crosses a shuffle: only 32-byte digests and ids. At
+    100 TB the benchmark side is eval-suite-sized (thousands of docs →
+    at most a few million distinct digests), so AQE broadcasts it and
+    the train side never shuffles at all; if a pathological benchmark
+    outgrows the broadcast threshold the same plan degrades to a
+    co-partitioned shuffle join, never to n².
+    """
+    tr_shingles = train.transform(shingle_digest_rows(id_col, text_col, n))
+    bm_digests = (
+        benchmark.transform(shingle_digest_rows(id_col, text_col, n))
+        .select("d")
+        .distinct()
+    )
+    contaminated = (
+        tr_shingles.join(bm_digests, "d", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")

@@ -131,3 +131,83 @@ def histogram_quantiles(
     if keys:
         return staged.groupBy(*keys).agg(*aggs)
     return staged.agg(*aggs)
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, k: int = 8, candidate_cap: int = 100_000
+) -> DataFrame:
+    """EXACT φ = 1/k heavy hitters (items with count > n/k) in two
+    scans with bounded state — never a full-cardinality groupBy
+    shuffle.
+
+    Pass 1 runs Misra-Gries(k) per partition inside one Arrow
+    ``mapInPandas`` stage: at most k-1 candidate rows and one row
+    count leave each partition. The union of per-partition candidates
+    is a guaranteed SUPERSET of the global heavy hitters — if
+    count(x) > n/k globally then count_p(x) > n_p/k in at least one
+    partition (otherwise summing the per-partition bounds contradicts
+    the global count), and Misra-Gries always retains such items.
+    Pass 2 exact-counts ONLY the candidates (an ``isin`` filter the
+    scan pushes down, then a groupBy whose key space is ≤ (k-1) ×
+    partitions, not the column's cardinality) and applies the
+    threshold to exact counts — so the result is identical to the
+    brute-force GROUP BY ... HAVING count > n/k, which is what the
+    oracle replays.
+
+    The candidate list rides the driver (like the IVF centroids):
+    bounded by (k-1) × partitions, enforced by ``candidate_cap`` —
+    at 1000 executors × k=100 that is ~10⁵ strings, broadcast-sized.
+    NULLs never qualify (they are no "item"); they are filtered before
+    the sketch.
+    """
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError("k must be >= 2 (phi = 1/k heavy hitters)")
+    src = df.where(F.col(col).isNotNull()).select(F.col(col).cast("string"))
+
+    def _mg(batches):
+        counts: dict[str, int] = {}
+        n_rows = 0
+        for pdf in batches:
+            for v, c in pdf.iloc[:, 0].value_counts().items():
+                c = int(c)
+                n_rows += c
+                if v in counts:
+                    counts[v] += c
+                elif len(counts) < k - 1:
+                    counts[v] = c
+                else:
+                    # decrement-all by the new item's full batch count
+                    # (batched Misra-Gries: equivalent to c unit steps)
+                    dec = min(c, min(counts.values()))
+                    counts = {
+                        key: rem for key, cc in counts.items()
+                        if (rem := cc - dec) > 0
+                    }
+                    if c > dec:
+                        counts[v] = c - dec
+        yield pd.DataFrame(
+            {"item": list(counts) + [None], "n_part": [0] * len(counts) + [n_rows]}
+        )
+
+    summary = src.mapInPandas(_mg, "item string, n_part long").collect()
+    n_total = sum(r["n_part"] for r in summary)
+    candidates = list({r["item"] for r in summary if r["item"] is not None})
+    if len(candidates) > candidate_cap:
+        raise ValueError(
+            f"{len(candidates)} candidates exceed candidate_cap="
+            f"{candidate_cap}; raise the cap or lower k"
+        )
+    if not candidates or n_total == 0:
+        return (
+            df.select(F.col(col).cast("string").alias("item"))
+            .limit(0)
+            .withColumn("n_occurrences", F.lit(0).cast("bigint"))
+        )
+    return (
+        df.where(F.col(col).cast("string").isin(candidates))
+        .groupBy(F.col(col).cast("string").alias("item"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_occurrences") > F.lit(n_total) / F.lit(k))
+    )

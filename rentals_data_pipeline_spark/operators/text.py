@@ -294,3 +294,48 @@ def fingerprints(text_col: str = "text", shingle_k: int = 8) -> Op:
         )
 
     return _apply
+
+
+# Portable PII patterns: the subset of regex syntax Java (Spark) and
+# RE2 (DuckDB/Go scanners) interpret identically — no lookarounds, no
+# backrefs — so redaction certifies cross-engine and ports to any
+# scan-side filter. Order matters: emails first (their local parts can
+# contain digit runs a later pass would misread), then phones, then
+# bare IPv4s.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "phone": (r"\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}", "[PHONE]"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+}
+
+
+def redact_pii(
+    text_col: str = "text",
+    out_col: str = "redacted",
+    patterns: dict[str, tuple[str, str]] | None = None,
+) -> Op:
+    """PII scrubbing for training corpora: count then replace every
+    match of each pattern class with its placeholder token, entirely in
+    JVM codegen (``regexp_count`` + chained ``regexp_replace`` — no
+    Python, no UDF). Emits ``out_col`` plus one ``n_<class>`` count
+    column per pattern (counted on the ORIGINAL text, before any
+    replacement reshapes it), so downstream policy — drop the doc,
+    keep-with-redaction, audit sampling — is a plain filter.
+
+    At 100 TB this is a map-only stage: no shuffle, fuses into the
+    scan with whatever filters surround it; pattern classes are
+    sequential ``regexp_replace`` passes over the row, so cost is
+    O(len × patterns) per row with no materialization between passes.
+    """
+    pats = patterns or PII_PATTERNS
+
+    def _apply(df: DataFrame) -> DataFrame:
+        src = F.col(text_col)
+        for name, (rx, _tok) in pats.items():
+            df = df.withColumn(f"n_{name}", F.regexp_count(src, F.lit(rx)))
+        red = src
+        for _name, (rx, tok) in pats.items():
+            red = F.regexp_replace(red, rx, tok.replace("$", r"\$"))
+        return df.withColumn(out_col, red)
+
+    return _apply

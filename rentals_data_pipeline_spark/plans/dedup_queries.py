@@ -320,3 +320,52 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("bigint")
         )
     )
+
+
+@query(
+    "dedup_decontaminate_train",
+    r"""
+WITH d AS (
+    SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+),
+g AS (
+    SELECT doc_id,
+        CASE WHEN len(w) >= 5
+             THEN list_distinct(list_transform(
+                      generate_series(1, len(w) - 4),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           || ' ' || w[i+3] || ' ' || w[i+4]))
+             ELSE [] END AS s
+    FROM d
+),
+bm AS (
+    SELECT DISTINCT u.gram
+    FROM g, unnest(g.s) AS u(gram)
+    WHERE g.doc_id % 97 = 0
+),
+contaminated AS (
+    SELECT DISTINCT g.doc_id
+    FROM g, unnest(g.s) AS u(gram)
+    JOIN bm ON u.gram = bm.gram
+    WHERE g.doc_id % 97 <> 0
+)
+SELECT d.doc_id
+FROM d
+WHERE d.doc_id % 97 <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+""",
+)
+def dedup_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py::decontaminate):
+    every 97th document plays the held-out benchmark; the remaining
+    docs are the training corpus, and any training doc sharing a word
+    5-gram with a benchmark doc is dropped. The synthetic corpus's
+    duplicate clusters make real contamination cross the split, so the
+    anti join demonstrably removes rows; the oracle replays the shingle
+    overlap from raw grams (the Spark side joins on md5 digests of the
+    same grams — equality of gram strings and of their digests is the
+    same predicate)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    benchmark = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return DD.decontaminate(train, benchmark, n=5).select("doc_id")

@@ -302,3 +302,70 @@ def text_pack_chunks_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
         "bin_id",
     )
+
+
+@query(
+    "text_pii_redaction",
+    r"""
+WITH aug AS (
+    SELECT doc_id,
+        text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com or 555-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             || '-9876 from 10.0.'
+             || CAST(doc_id % 200 AS VARCHAR) || '.77' AS t
+    FROM documents
+)
+SELECT doc_id,
+    CAST(len(regexp_extract_all(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        AS n_email,
+    CAST(len(regexp_extract_all(t,
+        '\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}')) AS INT) AS n_phone,
+    CAST(len(regexp_extract_all(t,
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+    md5(regexp_replace(regexp_replace(regexp_replace(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        '\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}', '[PHONE]', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'))
+        AS redacted_md5,
+    CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        '\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}', '[PHONE]', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS BIGINT)
+        AS redacted_len
+FROM aug
+""",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.py::redact_pii) over documents
+    seeded with deterministic synthetic PII (an email, a phone, an
+    IPv4 derived from doc_id — so the redaction demonstrably FIRES on
+    every row instead of vacuously matching nothing). Counts are taken
+    on the pre-redaction text; the digest + length of the redacted
+    text certify the chained regexp_replace passes byte-for-byte. The
+    pattern set is the Java∩RE2-portable subset, which is what makes
+    the DuckDB oracle able to replay it exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("-9876 from 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".77"),
+        ).alias("text"),
+    )
+    red = aug.transform(TX.redact_pii())
+    return red.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5("redacted").alias("redacted_md5"),
+        F.length("redacted").cast("long").alias("redacted_len"),
+    )

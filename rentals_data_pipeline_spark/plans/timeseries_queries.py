@@ -340,3 +340,31 @@ def ts_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("tv", ignorenulls=True).over(w).alias("carried_value"),
         )
     )
+
+
+@query(
+    "sketch_heavy_hitters_event_types",
+    """
+SELECT CAST(event_type AS VARCHAR) AS item,
+       COUNT(*) AS n_occurrences
+FROM events
+GROUP BY 1
+HAVING COUNT(*) > (SELECT COUNT(*) FROM events) / 5.0
+""",
+)
+def sketch_heavy_hitters_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact phi=1/5 heavy hitters over event types via the two-pass
+    Misra-Gries sketch (operators/sketches.py::heavy_hitters): pass 1
+    keeps only 4 counters per partition — fewer than the column's 5
+    distinct values, so the sketch's eviction path genuinely runs —
+    and pass 2 exact-counts the surviving candidates. The oracle is
+    the brute-force GROUP BY ... HAVING the sketch provably equals
+    (per-partition candidate union is a superset of global heavy
+    hitters); the events distribution hovers around the 20%% threshold
+    so the HAVING is selective, not vacuous."""
+    from rentals_data_pipeline_spark.operators.sketches import heavy_hitters
+
+    events = load_table(spark, sf_dir, "events")
+    return heavy_hitters(events, "event_type", k=5)

@@ -92,3 +92,28 @@ def test_connected_components_converges_early(spark):
         for r in connected_components(pairs, max_iter=30).collect()
     }
     assert got == {3: 3, 7: 3, 9: 3}
+
+
+def test_decontaminate_golden(spark):
+    from rentals_data_pipeline_spark.operators.dedup import decontaminate
+
+    benchmark = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # shares the 5-gram "quick brown fox jumps over" -> dropped
+            (1, "a quick brown fox jumps over fences daily it seems"),
+            # same words, different order: no shared 5-gram -> kept
+            (2, "fox brown quick the jumps dog lazy over the it"),
+            # too short for any 5-gram -> kept
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate(train, benchmark, n=5).collect()
+    )
+    assert kept == [2, 3]

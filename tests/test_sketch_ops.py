@@ -103,3 +103,37 @@ def test_histogram_quantile_within_one_bin_of_exact(spark):
     width = (HI - LO) / NBINS
     for e, x in ((est["p50_est"], exact["p50"]), (est["p99_est"], exact["p99"])):
         assert x <= e <= x + width, (e, x)
+
+
+def test_heavy_hitters_exact_vs_brute_force(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from rentals_data_pipeline_spark.operators.sketches import heavy_hitters
+
+    # skewed: two dominant values over a long tail of 30 light ones
+    rows = (
+        [(0,)] * 300
+        + [(1,)] * 120
+        + [(v,) for v in range(2, 32) for _ in range(10)]
+    )
+    df = spark.createDataFrame(rows, "v long").repartition(8)
+    k = 10
+    got = sorted(
+        (r["item"], r["n_occurrences"])
+        for r in heavy_hitters(df, "v", k=k).collect()
+    )
+    n = len(rows)
+    brute = sorted(
+        (r["item"], r["n"])
+        for r in df.groupBy(F.col("v").cast("string").alias("item"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > n / k)
+        .collect()
+    )
+    assert got == brute and len(got) > 0
+    # NULLs are not items; empty frame yields empty result
+    nulls = spark.createDataFrame([(None,), (None,)], "v string")
+    assert heavy_hitters(nulls, "v", k=4).count() == 0
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "v", k=1)

@@ -182,3 +182,23 @@ def test_text_ops_handle_unicode(spark):
     assert len({fp[i]["fp_exact"] for i in (1, 2, 3)}) == 3
     chunks = df.transform(TX.chunk_documents(chunk_tokens=2, overlap=0)).collect()
     assert sum(1 for c in chunks if c["doc_id"] == 2) == 2  # 3 tokens -> 2 chunks
+
+
+def test_redact_pii_golden(spark):
+    from rentals_data_pipeline_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-corp.io or call 555-0123-4567 from 10.0.0.1"),
+            (2, "no pii here, just 1.2 numbers and a dot."),
+            (3, "two mails x@y.com z@w.org and ip 192.168.255.255"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in df.transform(TX.redact_pii()).collect()}
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ipv4"]) == (1, 1, 1)
+    assert got[1]["redacted"] == "mail [EMAIL] or call [PHONE] from [IP]"
+    assert (got[2]["n_email"], got[2]["n_phone"], got[2]["n_ipv4"]) == (0, 0, 0)
+    assert got[2]["redacted"] == got[2]["text"]
+    assert got[3]["n_email"] == 2 and got[3]["n_ipv4"] == 1
+    assert got[3]["redacted"] == "two mails [EMAIL] [EMAIL] and ip [IP]"
