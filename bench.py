@@ -58,6 +58,11 @@ HEADLINE = [
     "sketch_histogram_quantiles",
     "join_interval_overlap_orders",
     "layout_zorder_cells",
+    # round-5 additions
+    "multimodal_decoded_wav_stats",
+    "text_pii_redaction",
+    "dedup_decontaminate_train",
+    "sketch_heavy_hitters_event_types",
 ]
 
 
