@@ -114,3 +114,18 @@ def test_cdc_snapshot_diff_shape(spark):
     s = _shape(spark, "cdc_orders_snapshot_diff")
     assert s["python"] == 0, s["plan"]
     assert s["bhj"] + s["smj"] + s["plan"].count("ShuffledHashJoin") == 1, s["plan"]
+
+
+def test_pii_redaction_is_map_only(spark):
+    s = _shape(spark, "text_pii_redaction")
+    assert s["shuffles"] == 0, s["plan"]   # pure map: fuses into the scan
+    assert s["python"] == 0, s["plan"]     # regex stays in JVM codegen
+
+
+def test_decontaminate_shape(spark):
+    s = _shape(spark, "dedup_decontaminate_train")
+    # benchmark digest set + contaminated-id set replicate as broadcasts;
+    # the only shuffles key the per-doc shingle windows on doc_id
+    assert s["bhj"] >= 2, s["plan"]        # semi + anti stay broadcast
+    assert s["smj"] == 0, s["plan"]
+    assert s["python"] == 0, s["plan"]     # shingling is codegen windows
