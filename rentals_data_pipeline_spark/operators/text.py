@@ -339,3 +339,63 @@ def redact_pii(
         return df.withColumn(out_col, red)
 
     return _apply
+
+
+def repetition_stats(id_col: str = "doc_id", text_col: str = "text") -> Op:
+    """Repetition-based quality signals in the Gopher/MassiveText
+    family — the filters that catch boilerplate and keyword-stuffing
+    spam that perplexity-free scoring misses:
+
+    - ``dup_token_frac``: fraction of tokens that are repeats of an
+      earlier token, (n_tokens - n_distinct) / n_tokens;
+    - ``top_bigram_frac``: share of all word bigrams taken by the
+      single most frequent bigram (NULL for docs with < 2 tokens).
+
+    Plan shape: one posexplode + lead window builds bigrams in codegen
+    (the shingle path's shape at n=2), then token and bigram aggregates
+    both key on the id — Catalyst reuses a single hash partitioning
+    across the window, both groupBys, and the final co-partitioned
+    join, so the whole operator costs ONE shuffle of (id, token) rows.
+    Fractions are rounded half-up at 4 decimals so the oracle replays
+    them exactly.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "tok"),
+        )
+        tstats = toks.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct(F.col("tok")).alias("n_distinct"),
+        )
+        w = Window.partitionBy(id_col).orderBy("pos")
+        bigrams = (
+            toks.select(
+                F.col(id_col),
+                F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("g"),
+                F.lead("tok", 1).over(w).alias("_t1"),
+            )
+            .where(F.col("_t1").isNotNull())
+            .groupBy(id_col, "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy(id_col)
+            .agg(F.max("c").alias("_maxc"), F.sum("c").alias("_total"))
+        )
+        return (
+            tstats.join(bigrams, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                round_half_up(
+                    (F.col("n_tokens") - F.col("n_distinct"))
+                    / F.col("n_tokens").cast("double"),
+                    4,
+                ).alias("dup_token_frac"),
+                round_half_up(
+                    F.col("_maxc") / F.col("_total").cast("double"), 4
+                ).alias("top_bigram_frac"),
+            )
+        )
+
+    return _apply

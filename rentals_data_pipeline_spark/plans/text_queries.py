@@ -369,3 +369,45 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("redacted").alias("redacted_md5"),
         F.length("redacted").cast("long").alias("redacted_len"),
     )
+
+
+@query(
+    "text_repetition_filters",
+    r"""
+WITH d AS (
+    SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+),
+t AS (
+    SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct
+    FROM d
+),
+bg AS (
+    SELECT doc_id,
+        unnest(CASE WHEN len(w) >= 2
+                    THEN list_transform(generate_series(1, len(w) - 1),
+                                        i -> w[i] || ' ' || w[i+1])
+                    ELSE [] END) AS g
+    FROM d
+),
+bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+bstat AS (
+    SELECT doc_id, MAX(c) AS maxc, SUM(c) AS total FROM bc GROUP BY 1
+)
+SELECT t.doc_id,
+    CAST(t.n_tokens AS BIGINT) AS n_tokens,
+    FLOOR(((t.n_tokens - t.n_distinct) / CAST(t.n_tokens AS DOUBLE))
+          * 10000.0 + 0.5) / 10000.0 AS dup_token_frac,
+    FLOOR((bstat.maxc / CAST(bstat.total AS DOUBLE))
+          * 10000.0 + 0.5) / 10000.0 AS top_bigram_frac
+FROM t LEFT JOIN bstat USING (doc_id)
+""",
+)
+def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition filters
+    (operators/text.py::repetition_stats): per-doc duplicate-token
+    fraction and top-bigram share, the signals that flag boilerplate /
+    keyword-stuffed documents for removal before training. One shuffle
+    of (doc_id, token) rows; the oracle recomputes both fractions from
+    list arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.transform(TX.repetition_stats())

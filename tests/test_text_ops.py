@@ -202,3 +202,25 @@ def test_redact_pii_golden(spark):
     assert got[2]["redacted"] == got[2]["text"]
     assert got[3]["n_email"] == 2 and got[3]["n_ipv4"] == 1
     assert got[3]["redacted"] == "two mails [EMAIL] [EMAIL] and ip [IP]"
+
+
+def test_repetition_stats_golden(spark):
+    from rentals_data_pipeline_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now"),      # bigram "buy now" dominates
+            (2, "all words here are distinct"),  # no repetition
+            (3, "solo"),                         # < 2 tokens: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in df.transform(TX.repetition_stats()).collect()}
+    # doc 1: 6 tokens, 2 distinct -> dup 4/6; bigrams: "buy now"x3,
+    # "now buy"x2 of 5 total -> top 0.6
+    assert got[1]["n_tokens"] == 6
+    assert got[1]["dup_token_frac"] == 0.6667
+    assert got[1]["top_bigram_frac"] == 0.6
+    assert got[2]["dup_token_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == 0.25
+    assert got[3]["top_bigram_frac"] is None
