@@ -80,7 +80,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # NEW round-5 queries certified locally (sf0.001 + sf0.01 hash-match,
     # recorded in COVERAGE.md) — rotate these to the FRONT in round 6
     "dedup_decontaminate_train", "sketch_heavy_hitters_event_types",
-    "text_repetition_filters",
+    "text_repetition_filters", "cdc_incremental_agg_orders",
     # rows-only by design (no_oracle rows>0; golden tests pin semantics)
     "sketch_distinct_users_rollup", "sim_srp_lsh_recall", "sim_ivf_topk",
     "sample_weighted_documents",

@@ -995,3 +995,88 @@ def cdc_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["o_orderkey"],
         compare=["o_orderstatus", "o_totalprice", "o_orderpriority"],
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC downstream: incremental aggregate maintenance.
+# ---------------------------------------------------------------------------
+
+@query(
+    "cdc_incremental_agg_orders",
+    """
+WITH new AS (
+    SELECT
+        o_orderkey,
+        CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 7.5
+             ELSE o_totalprice END AS o_totalprice,
+        CASE WHEN o_orderkey % 13 = 0 THEN 'CHANGED' ELSE o_orderpriority END
+            AS o_orderpriority
+    FROM orders WHERE o_orderkey % 7 <> 0
+)
+SELECT
+    o_orderpriority,
+    COUNT(*) AS cnt,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+FROM new
+GROUP BY o_orderpriority
+""",
+)
+def cdc_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the stored per-priority
+    (count, sum) aggregate of the OLD orders snapshot is updated from
+    the CDC delta alone (operators/incremental.py) — signed delta
+    contributions unioned with the |groups|-sized base and re-folded in
+    one shuffle sized |groups| + |delta|, never |fact|.  The delta here
+    is derived from the same deterministic snapshot pair as
+    ``cdc_orders_snapshot_diff`` (changed rows move BOTH the measure,
+    +7.5, and their group key, priority -> 'CHANGED', so group
+    migration is exercised); in production it arrives as the change
+    feed.  Decimal-exact sums make the incremental path bit-identical
+    to a full recompute — which is exactly what the oracle does:
+    aggregate the NEW snapshot directly.  Incremental == full is the
+    certified invariant."""
+    from rentals_data_pipeline_spark.operators.incremental import (
+        aggregate_snapshot,
+        incremental_agg_update,
+    )
+    from rentals_data_pipeline_spark.operators.relational import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    old = orders.where(F.col("o_orderkey") % 10 != 0).select(*cols)
+    new = orders.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 7.5)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 13 == 0, "CHANGED")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+
+    base = old.transform(
+        aggregate_snapshot(["o_orderpriority"], ["o_totalprice"])
+    )
+    diff = snapshot_diff(
+        old, new, keys=["o_orderkey"], compare=["o_totalprice", "o_orderpriority"]
+    )
+    removed = old.join(
+        diff.where(F.col("change_type").isin("deleted", "changed"))
+        .select("o_orderkey"),
+        "o_orderkey",
+        "semi",
+    )
+    added = new.join(
+        diff.where(F.col("change_type").isin("inserted", "changed"))
+        .select("o_orderkey"),
+        "o_orderkey",
+        "semi",
+    )
+    updated = incremental_agg_update(
+        base, removed, added, keys=["o_orderpriority"], measures=["o_totalprice"]
+    )
+    return updated.select(
+        "o_orderpriority",
+        "cnt",
+        F.col("sum_o_totalprice").cast("double").alias("sum_price"),
+    )
