@@ -81,6 +81,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # recorded in COVERAGE.md) — rotate these to the FRONT in round 6
     "dedup_decontaminate_train", "sketch_heavy_hitters_event_types",
     "text_repetition_filters", "cdc_incremental_agg_orders",
+    "scalar_array_suite", "stats_winsorized_events",
+    "text_corpus_bigrams", "sim_label_centroids",
     # rows-only by design (no_oracle rows>0; golden tests pin semantics)
     "sketch_distinct_users_rollup", "sim_srp_lsh_recall", "sim_ivf_topk",
     "sample_weighted_documents",

@@ -399,3 +399,42 @@ def repetition_stats(id_col: str = "doc_id", text_col: str = "text") -> Op:
         )
 
     return _apply
+
+
+def corpus_ngram_topk(
+    n: int = 2,
+    k: int = 25,
+    text_col: str = "text",
+) -> Op:
+    """Corpus-level top-k word n-grams by exact count.
+
+    The n-grams are built INSIDE the token array with a codegen
+    ``transform`` lambda (0-based ``toks[i+j]`` indexing, always in
+    bounds because the slice stops ``n-1`` short) — no per-document
+    window, no shuffle until the single count aggregation, which
+    map-side combines to |distinct n-grams| partial rows.  Final top-k
+    is a total order (count desc, n-gram asc), so ties are
+    deterministic.  Contrast with ``repetition_stats``, which ranks
+    bigrams WITHIN a document; this ranks them across the corpus (the
+    boilerplate-detection view: the same navigation chrome repeated on
+    millions of pages shows up as a top corpus n-gram long before any
+    per-document signal fires).
+    """
+    parts = " , ' ', ".join(f"toks[i + {j}]" for j in range(n))
+    expr = (
+        f"transform(slice(toks, 1, greatest(size(toks) - {n - 1}, 0)), "
+        f"(t, i) -> concat({parts}))"
+    )
+
+    def _apply(df: DataFrame) -> DataFrame:
+        grams = (
+            df.select(F.split(F.col(text_col), r"\s+").alias("toks"))
+            .select(F.explode(F.expr(expr)).alias("ngram"))
+            .groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        )
+        return grams.orderBy(
+            F.col("n_occurrences").desc(), F.col("ngram")
+        ).limit(k)
+
+    return _apply

@@ -9,7 +9,7 @@ CASE bucketing, distinct counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rentals_data_pipeline_spark.functions.rounding import round_half_up as RND
@@ -1079,4 +1079,165 @@ def cdc_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "cnt",
         F.col("sum_o_totalprice").cast("double").alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar suite: higher-order array functions (transform / filter / exists /
+# aggregate / zip_with / reverse) over the embedding column.
+# ---------------------------------------------------------------------------
+
+@query(
+    "scalar_array_suite",
+    """
+SELECT
+    vec_id,
+    len(embedding) AS dim,
+    len(list_filter(embedding, v -> v > 0)) AS n_pos,
+    CASE WHEN len(list_filter(embedding, v -> abs(v) > 0.3)) > 0
+         THEN 1 ELSE 0 END AS has_big,
+    FLOOR(list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))
+          * 1000000.0 + 0.5) / 1000000.0 AS max_abs,
+    CAST(list_sum(list_transform(embedding,
+        v -> CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1000000.0
+                        + 0.5) / 1000000.0 AS DECIMAL(38,6)))) AS DOUBLE)
+        AS sum_sq,
+    CAST((SELECT SUM(CAST(FLOOR(
+              CAST(embedding[i] AS DOUBLE)
+              * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE)
+              * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6)))
+          FROM UNNEST(generate_series(1, len(embedding))) AS g(i))
+        AS DOUBLE) AS rev_dot
+FROM embeddings
+""",
+)
+def scalar_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function coverage on array columns, certified per
+    element against DuckDB's list functions: transform, filter, exists,
+    aggregate (fold), zip_with, reverse.  Every lambda runs JVM-side
+    inside codegen — no Python UDF — which is the 100 TB contract for
+    elementwise vector math (the similarity kernels drop to Arrow only
+    for the matrix-blocked paths).  Sums fold into ``decimal(38,6)``
+    after a fixed 6-dp rounding of each term, so the fold is
+    order-invariant and the cross-engine hash is exact rather than
+    fp-summation-order lucky."""
+    dec = "decimal(38,6)"
+
+    def r6(c):  # round-half-up at 6 dp, double domain
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    def dterm(c):  # rounded term as exact decimal
+        return r6(c).cast(dec)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    d = lambda v: v.cast("double")  # noqa: E731
+    sum_sq = F.aggregate(
+        x,
+        F.lit(0).cast(dec),
+        lambda acc, v: (acc + dterm(d(v) * d(v))).cast(dec),
+    )
+    rev_dot = F.aggregate(
+        F.zip_with(x, F.reverse(x), lambda a, b: dterm(d(a) * d(b))),
+        F.lit(0).cast(dec),
+        lambda acc, t: (acc + t).cast(dec),
+    )
+    return emb.select(
+        "vec_id",
+        F.size(x).alias("dim"),
+        F.size(F.filter(x, lambda v: v > F.lit(0))).alias("n_pos"),
+        F.exists(x, lambda v: F.abs(v) > F.lit(0.3))
+        .cast("int")
+        .alias("has_big"),
+        r6(F.array_max(F.transform(x, lambda v: F.abs(d(v))))).alias("max_abs"),
+        sum_sq.cast("double").alias("sum_sq"),
+        rev_dot.cast("double").alias("rev_dot"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: rank-based winsorization (outlier clipping).
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_winsorized_events",
+    """
+WITH v AS (
+    SELECT event_type, value, event_id FROM events WHERE value IS NOT NULL
+),
+r AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM v
+),
+b AS (
+    SELECT event_type,
+           MAX(CASE WHEN rn = (5 * n + 99) // 100 THEN value END) AS lo,
+           MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS hi
+    FROM r GROUP BY event_type
+)
+SELECT
+    v.event_type,
+    COUNT(*) AS cnt,
+    CAST(SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_clipped,
+    CAST(SUM(CAST(FLOOR(LEAST(GREATEST(value, lo), hi) * 1000000.0 + 0.5)
+                  / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE) AS wins_sum
+FROM v JOIN b USING (event_type)
+GROUP BY v.event_type
+""",
+)
+def stats_winsorized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clipped) per-group statistics: clip each
+    event value at its group's exact p05/p95 ORDER STATISTICS, then
+    aggregate.  Boundaries are rank-selected (ceil(p*n) via pure
+    integer arithmetic, ties broken by event_id) rather than
+    interpolated percentiles — selection of an actual data value is
+    bit-exact and engine-neutral, where interpolation arithmetic can
+    drift a ulp between engines and flip a boundary comparison.
+    Boundary stage = one window sort per group; the |groups|-row bounds
+    table broadcasts back onto the fact.  At 100 TB swap the exact
+    boundary stage for the mergeable histogram sketch
+    (operators/sketches.py::histogram_quantile) when approximate
+    bounds suffice; the clip+aggregate stage is unchanged.  The
+    clipped sum folds 6-dp-rounded decimals, order-invariant."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value", "event_id")
+    )
+    w = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(w.orderBy(F.col("value"), F.col("event_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    bounds = r.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(5 * n + 99) div 100"), F.col("value"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(95 * n + 99) div 100"), F.col("value"))
+        ).alias("hi"),
+    )
+    clip = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+                .cast("long")
+            ).alias("n_clipped"),
+            F.sum(r6(clip).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("wins_sum"),
+        )
     )

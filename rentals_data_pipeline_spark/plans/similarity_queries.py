@@ -298,3 +298,51 @@ def pipeline_embedding_curation_srp(spark: SparkSession, sf_dir: str) -> DataFra
     corpus, whose far-pair threshold the planner would route to GEMM
     (round-3 verdict item #5)."""
     return embedding_curation(spark, sf_dir, pair_strategy="srp")
+
+
+@query(
+    "sim_label_centroids",
+    """
+WITH e AS (
+    SELECT label, i AS dim_idx, embedding[i] AS v
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+)
+SELECT
+    label,
+    dim_idx,
+    COUNT(*) AS n_vecs,
+    FLOOR((CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5)
+                         / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE)
+           / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS mean_val
+FROM e
+GROUP BY label, dim_idx
+""",
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding space, one row per (label,
+    dimension): the class-prototype primitive behind IVF seeding,
+    label-conditioned curation (drop vectors far from their class
+    centroid), and embedding drift monitoring.  posexplode fans each
+    vector into (label, dim, value) rows IN the map stage; partial
+    aggregation means the one shuffle carries |labels|x|dims| partial
+    sums per partition, not |vectors|x|dims| rows — the same shape at
+    100 TB.  Elementwise sums fold 6-dp-rounded decimals
+    (order-invariant), and the mean divides the exact decimal sum cast
+    to double by the count, so the cross-engine hash is exact."""
+    dec = "decimal(38,6)"
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim_idx"),
+        F.col("v").cast("double").alias("v"),
+    )
+    return exploded.groupBy("label", "dim_idx").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        r6(
+            F.sum(r6(F.col("v")).cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_val"),
+    )

@@ -411,3 +411,33 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     list arithmetic."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.transform(TX.repetition_stats())
+
+
+@query(
+    "text_corpus_bigrams",
+    r"""
+WITH toks AS (
+    SELECT string_split_regex(text, '\s+') AS t FROM documents
+),
+pairs AS (
+    SELECT t[i] || ' ' || t[i + 1] AS ngram
+    FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+)
+SELECT ngram, COUNT(*) AS n_occurrences
+FROM pairs
+GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram
+LIMIT 25
+""",
+)
+def text_corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-25 word bigrams by exact count
+    (operators/text.py::corpus_ngram_topk): the boilerplate detector —
+    chrome/template text repeated across millions of pages dominates
+    corpus n-gram mass long before per-document repetition stats
+    (text_repetition_filters) see it.  N-grams are assembled inside
+    the token array by a codegen transform lambda, so the only shuffle
+    is the map-side-combined count; top-25 is a deterministic total
+    order (count desc, bigram asc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.transform(TX.corpus_ngram_topk(n=2, k=25))
