@@ -26,6 +26,7 @@ from rentals_data_pipeline_spark.plans import multimodal_queries  # noqa: E402, 
 from rentals_data_pipeline_spark.plans import curation_queries  # noqa: E402, F401
 from rentals_data_pipeline_spark.plans import sampling_queries  # noqa: E402, F401
 from rentals_data_pipeline_spark.plans import timeseries_queries  # noqa: E402, F401
+from rentals_data_pipeline_spark.plans import sql_queries  # noqa: E402, F401
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -83,6 +84,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_repetition_filters", "cdc_incremental_agg_orders",
     "scalar_array_suite", "stats_winsorized_events",
     "text_corpus_bigrams", "sim_label_centroids",
+    "sql_correlated_exists_customers", "sql_above_customer_avg_orders",
+    "sql_in_subquery_supplier_nations",
     # rows-only by design (no_oracle rows>0; golden tests pin semantics)
     "sketch_distinct_users_rollup", "sim_srp_lsh_recall", "sim_ivf_topk",
     "sample_weighted_documents",

@@ -1,0 +1,105 @@
+"""SQL-API catalog queries: raw ``spark.sql`` text over registered
+views (sources/tables.py::register_views) — the second half of the
+engine's user surface (DataFrame AND SQL, per the brief).
+
+The coverage axis here is SUBQUERY DE-CORRELATION, which the
+DataFrame-side catalog can't express directly: correlated EXISTS /
+NOT EXISTS (Catalyst rewrites to left-semi / left-anti joins), IN
+subqueries, and correlated scalar aggregate subqueries (rewritten to
+an aggregate + left outer join).  The same SQL text runs on DuckDB as
+the oracle, so the certified claim is "identical ANSI semantics on
+both engines", not just matching results from hand-mirrored plans.
+
+Numeric comparisons against aggregates use decimal-exact cross
+multiplication (``price * n > sum`` instead of ``price > avg``):
+fp averages drift by summation order, and a boundary row flipping
+sides would flake the hash gate — exact decimal arithmetic can't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rentals_data_pipeline_spark.plans.catalog import query
+from rentals_data_pipeline_spark.sources.tables import register_views
+
+_EXISTS_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderstatus = 'F'
+          AND o.o_orderpriority = '1-URGENT'
+      )
+"""
+
+
+@query("sql_correlated_exists_customers", _EXISTS_SQL)
+def sql_correlated_exists_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS through the SQL front end:
+    customers with at least one urgent order where none of their
+    urgent orders has already completed ('F').  Catalyst de-correlates both predicates into a left-semi
+    and a left-anti hash join on c_custkey — the plan a hand-written
+    DataFrame semi/anti pair would produce (and at this SF both
+    demote to broadcast under AQE).  Identical SQL text is the
+    oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+_ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(38,6))
+      * (SELECT COUNT(*) FROM orders o2
+         WHERE o2.o_custkey = o.o_custkey)
+      > (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(38,6)))
+         FROM orders o3
+         WHERE o3.o_custkey = o.o_custkey)
+"""
+
+
+@query("sql_above_customer_avg_orders", _ABOVE_AVG_SQL)
+def sql_above_customer_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar aggregate subqueries: orders strictly above
+    their own customer's average price.  Catalyst de-correlates the
+    two scalar subqueries into per-customer aggregates joined back to
+    the fact (one shuffle keyed on o_custkey, shared by AQE).  The
+    comparison is exact cross multiplication over decimals
+    (price * n > sum) — NOT ``price > AVG(price)``, whose fp value
+    depends on summation order and whose boundary rows would differ
+    between engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_ABOVE_AVG_SQL)
+
+
+_IN_SQL = """
+SELECT n.n_name, COUNT(*) AS n_customers
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.c_nationkey IN (
+        SELECT s_nationkey FROM supplier
+        GROUP BY s_nationkey
+        HAVING SUM(CASE WHEN s_acctbal > 0 THEN 1 ELSE 0 END) >= 1
+      )
+GROUP BY n.n_name
+"""
+
+
+@query("sql_in_subquery_supplier_nations", _IN_SQL)
+def sql_in_subquery_supplier_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery with its own aggregation + HAVING (nations with at
+    least one positive-balance supplier), joined through the nation dim and re-aggregated:
+    IN-to-semi-join rewrite + broadcast dim + final count.  The
+    supplier-side aggregate is tiny (|nations| rows), so it broadcasts
+    into the customer scan's stage at any scale."""
+    register_views(spark, sf_dir)
+    return spark.sql(_IN_SQL)
