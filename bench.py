@@ -63,6 +63,11 @@ HEADLINE = [
     "text_pii_redaction",
     "dedup_decontaminate_train",
     "sketch_heavy_hitters_event_types",
+    "cdc_incremental_agg_orders",
+    "stats_winsorized_events",
+    "text_corpus_bigrams",
+    "sim_label_centroids",
+    "sql_above_customer_avg_orders",
 ]
 
 

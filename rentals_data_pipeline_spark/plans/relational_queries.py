@@ -1241,3 +1241,82 @@ def stats_winsorized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("wins_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trend analytics: per-group simple linear regression (normal equations).
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_regression_events",
+    """
+WITH v AS (
+    SELECT
+        event_type,
+        CAST(EXTRACT(day FROM ts) AS BIGINT) AS x,
+        CAST(FLOOR(value * 1000000.0 + 0.5) / 1000000.0
+             AS DECIMAL(38,6)) AS y
+    FROM events WHERE value IS NOT NULL
+),
+s AS (
+    SELECT
+        event_type,
+        COUNT(*) AS n,
+        SUM(x) AS sx,
+        SUM(x * x) AS sxx,
+        SUM(y) AS sy,
+        SUM(CAST(x AS DECIMAL(38,6)) * y) AS sxy
+    FROM v GROUP BY event_type
+)
+SELECT
+    event_type,
+    n,
+    FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000.0 + 0.5)
+        / 1000000.0 AS slope,
+    FLOOR(((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+                                  / CAST(n * sxx - sx * sx AS DOUBLE))
+            * CAST(sx AS DOUBLE)) / n) * 1000000.0 + 0.5)
+        / 1000000.0 AS intercept
+FROM s
+""",
+)
+def stats_regression_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (value vs day-of-month) via
+    the normal equations over EXACT sufficient statistics: Sx/Sxx are
+    integer sums, Sy/Sxy fold 6-dp-rounded decimals — all four are
+    order-invariant, so slope/intercept are bit-identical across
+    engines and partitionings (the builtin ``regr_slope`` sums raw
+    doubles and drifts with summation order — unusable under a hash
+    gate, and unstable at 1000-executor scale for the same reason).
+    One map-side-combined aggregation; the sufficient-statistics shape
+    is also the mergeable form you'd keep per partition for
+    incremental refresh (operators/incremental.py's contract)."""
+    dec = "decimal(38,6)"
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.dayofmonth("ts").cast("long").alias("x"),
+            r6(F.col("value")).cast(dec).alias("y"),
+        )
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n")
+    return s.select(
+        "event_type",
+        "n",
+        r6(slope).alias("slope"),
+        r6(intercept).alias("intercept"),
+    )

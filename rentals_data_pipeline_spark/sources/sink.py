@@ -193,3 +193,126 @@ def write_bucketed_table(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def list_fragmented_partitions(
+    spark,
+    path: str,
+    partition_by: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> list[dict]:
+    """Survey a hive-partitioned parquet dataset for small-file
+    fragmentation: returns, per partition dir, the file count, total
+    bytes, and the number of target-sized files a rewrite would
+    produce.  Only partitions with ≥ ``min_files_to_compact`` files
+    AND a mean file size under half the target are reported — healthy
+    partitions are never touched.
+
+    Driver-side listing is one filesystem walk (the same metadata any
+    table format keeps); the returned list is |fragmented partitions|,
+    bounded and small.
+    """
+    import math
+    import os
+
+    out: list[dict] = []
+    for dirpath, _dirnames, filenames in os.walk(path):
+        files = [f for f in filenames if f.endswith(".parquet")]
+        if not files:
+            continue
+        rel = os.path.relpath(dirpath, path)
+        parts = dict(
+            kv.split("=", 1) for kv in rel.split(os.sep) if "=" in kv
+        )
+        if len(parts) != len(partition_by):
+            continue
+        sizes = [os.path.getsize(os.path.join(dirpath, f)) for f in files]
+        total = sum(sizes)
+        if (
+            len(files) >= min_files_to_compact
+            and total / len(files) < target_file_bytes / 2
+        ):
+            out.append(
+                {
+                    "partition": {k: parts[k] for k in partition_by},
+                    "n_files": len(files),
+                    "total_bytes": total,
+                    "target_n_files": max(1, math.ceil(total / target_file_bytes)),
+                }
+            )
+    return out
+
+
+def compact_partitioned_parquet(
+    spark,
+    path: str,
+    partition_by: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+    sort_within_by: list[str] | None = None,
+) -> list[dict]:
+    """Bin-pack small files in a partitioned parquet dataset (the
+    OPTIMIZE/compaction maintenance op every long-lived 100 TB table
+    needs: streaming sinks and frequent small upserts fragment
+    partitions until scan task scheduling dominates read time).
+
+    Only FRAGMENTED partitions (per ``list_fragmented_partitions``)
+    are read and rewritten — an in-place dynamic partition overwrite
+    of exactly those dirs, like ``merge_upsert_partitioned``'s
+    affected-partition contract; healthy partitions are untouched.
+    Each rewritten partition is repartitioned to its byte-derived
+    target file count (so output files land near ``target_file_bytes``)
+    and optionally re-sorted within files to restore row-group
+    min/max locality (pairs with the Z-order writer).
+
+    Returns the compaction report (what was rewritten, from/to file
+    counts) — empty list means the dataset was already healthy.
+    """
+    frag = list_fragmented_partitions(
+        spark, path, partition_by, target_file_bytes, min_files_to_compact
+    )
+    if not frag:
+        return frag
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    pred = None
+    for item in frag:
+        clause = F.lit(True)
+        for k, v in item["partition"].items():
+            clause = clause & (F.col(k).cast("string") == F.lit(str(v)))
+        pred = clause if pred is None else (pred | clause)
+    # localCheckpoint materializes the fragmented rows BEFORE the
+    # overwrite: Spark (correctly) refuses to overwrite a path that is
+    # still an input of the writing plan, and the checkpoint also
+    # guarantees the source files aren't re-read mid-rewrite.
+    df = spark.read.parquet(path).where(pred).localCheckpoint()
+    # One write job for all fragmented partitions.  Hashing by the
+    # partition columns alone would collapse each partition dir to a
+    # single task (fine for tiny partitions, a straggler for big ones),
+    # so each partition gets a salt in [0, its own byte-derived target
+    # file count) — a CASE over the (small) fragmented-partition list.
+    target = F.lit(1)
+    for item in frag:
+        clause = F.lit(True)
+        for k, v in item["partition"].items():
+            clause = clause & (F.col(k).cast("string") == F.lit(str(v)))
+        target = F.when(clause, F.lit(item["target_n_files"])).otherwise(target)
+    salted = df.withColumn(
+        "_compact_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), target),
+    )
+    writer = salted.repartition(
+        *[F.col(c) for c in partition_by], F.col("_compact_salt")
+    )
+    if sort_within_by:
+        writer = writer.sortWithinPartitions(
+            *[F.col(c) for c in partition_by],
+            *[F.col(c) for c in sort_within_by],
+        )
+    (
+        writer.drop("_compact_salt")
+        .write.mode("overwrite")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+    return frag

@@ -129,3 +129,42 @@ def test_decontaminate_shape(spark):
     assert s["bhj"] >= 2, s["plan"]        # semi + anti stay broadcast
     assert s["smj"] == 0, s["plan"]
     assert s["python"] == 0, s["plan"]     # shingling is codegen windows
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """At cluster scale AQE injects a bloom filter from a selective
+    build side into the probe side's scan stage (rows that can't join
+    die before the shuffle). The size thresholds that gate the rule are
+    cluster-tuned; here they're forced down to pin the ENGINE CONTRACT:
+    with a selective filtered dim and a sort-merge join, the probe side
+    must carry a might_contain runtime filter."""
+    from pyspark.sql import functions as F
+
+    from rentals_data_pipeline_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        lineitem = load_table(spark, SF_DIR, "lineitem")
+        joined = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        ).groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan or "bloom_filter" in plan.lower()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -235,3 +235,51 @@ def test_merge_upsert_first_write_bootstraps(spark):
             ["part"],
         )
         assert spark.read.parquet(path).count() == 1
+
+
+def test_compaction_rewrites_only_fragmented_partitions(spark, tmp_path):
+    """compact_partitioned_parquet: fragmented dirs collapse to their
+    byte-derived target count, healthy dirs keep their files, and the
+    data survives byte-identically."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rentals_data_pipeline_spark.sources.sink import (
+        compact_partitioned_parquet,
+        list_fragmented_partitions,
+    )
+
+    path = str(tmp_path / "frag")
+    # partition a: 8 tiny files; partition b: 1 file (healthy)
+    rows_a = spark.range(400).select(
+        F.lit("a").alias("p"), F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    rows_a.repartition(8).write.partitionBy("p").parquet(path)
+    rows_b = spark.range(100).select(
+        F.lit("b").alias("p"), F.col("id"), (F.col("id") * 3).alias("v")
+    )
+    rows_b.coalesce(1).write.mode("append").partitionBy("p").parquet(path)
+
+    def files_in(part):
+        d = os.path.join(path, f"p={part}")
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(files_in("a")) == 8
+    b_files_before = sorted(files_in("b"))
+    before = {(r["p"], r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+
+    frag = list_fragmented_partitions(spark, path, ["p"], target_file_bytes=1 << 30)
+    assert [i["partition"] for i in frag] == [{"p": "a"}]
+    report = compact_partitioned_parquet(
+        spark, path, ["p"], target_file_bytes=1 << 30
+    )
+    assert report == frag
+
+    assert len(files_in("a")) == 1  # 8 tiny files -> 1 target file
+    assert sorted(files_in("b")) == b_files_before  # untouched
+    after = {(r["p"], r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert after == before
+
+    # second pass: dataset now healthy, compaction is a no-op
+    assert compact_partitioned_parquet(spark, path, ["p"]) == []
