@@ -589,3 +589,33 @@ def test_stream_interval_join_state_eviction(spark, tmp_path):
         for r in spark.table("evict_join").collect()
     )
     assert got == [(1, 2), (3, 4), (5, 6)]
+
+
+def test_incremental_agg_stream_equals_batch(spark, events_dir, tmp_path):
+    """Drained incremental-agg stream == one-shot batch aggregate,
+    EXACTLY (decimal sums): the streaming materialized-view path folds
+    each micro-batch into the stored aggregate, and the invariant is
+    bit-equality, not approximate."""
+    from rentals_data_pipeline_spark.operators.incremental import (
+        aggregate_snapshot,
+    )
+
+    agg_path = str(tmp_path / "agg")
+    stream = SJ.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    SJ.incremental_agg_stream(
+        stream,
+        agg_path,
+        str(tmp_path / "ckpt_inc"),
+        keys=["event_type"],
+        measures=["value"],
+    )
+
+    got = sorted(
+        (tuple(r) for r in spark.read.parquet(agg_path).collect()), key=repr
+    )
+    batch = spark.read.parquet(events_dir).transform(
+        aggregate_snapshot(["event_type"], ["value"])
+    )
+    expected = sorted((tuple(r) for r in batch.collect()), key=repr)
+    assert got == expected
+    assert len(got) > 1
