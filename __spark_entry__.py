@@ -86,6 +86,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_corpus_bigrams", "sim_label_centroids",
     "sql_correlated_exists_customers", "sql_above_customer_avg_orders",
     "sql_in_subquery_supplier_nations", "stats_regression_events",
+    "scalar_nested_suite",
     # rows-only by design (no_oracle rows>0; golden tests pin semantics)
     "sketch_distinct_users_rollup", "sim_srp_lsh_recall", "sim_ivf_topk",
     "sample_weighted_documents",

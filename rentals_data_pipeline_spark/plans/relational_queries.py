@@ -1320,3 +1320,62 @@ def stats_regression_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(slope).alias("slope"),
         r6(intercept).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar suite: nested data — structs, maps, JSON serialization.
+# ---------------------------------------------------------------------------
+
+@query(
+    "scalar_nested_suite",
+    """
+SELECT
+    event_id,
+    event_type AS typ_from_struct,
+    '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}'
+        AS json_str,
+    CAST(2 AS INTEGER) AS m_size,
+    user_id AS u_val,
+    'e|u' AS keys_sorted,
+    user_id + event_id AS vals_sum,
+    CAST(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END
+         + CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER)
+        AS n_even_vals,
+    CAST(1 AS INTEGER) AS structs_equal
+FROM events
+""",
+)
+def scalar_nested_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data coverage: struct construction + field access, JSON
+    serialization (``to_json`` over a struct — exact text parity with
+    hand-built JSON, certifying key order and number formatting), map
+    construction, lookup, ``map_keys``/``map_values``,
+    ``map_filter`` lambdas, and struct equality.  All codegen, no
+    shuffle.  DuckDB's map/struct dialect differs (extraction returns
+    lists in older versions), so the oracle replays the SEMANTICS from
+    base columns — the certified claim is that every nested op
+    produces exactly the value its definition requires, row by row."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("event_id"), F.col("event_type"))
+    m = F.create_map(
+        F.lit("u"), F.col("user_id"), F.lit("e"), F.col("event_id")
+    )
+    return ev.select(
+        "event_id",
+        F.struct(F.col("event_type"), F.col("user_id"))
+        .getField("event_type")
+        .alias("typ_from_struct"),
+        F.to_json(s).alias("json_str"),
+        F.size(m).cast("int").alias("m_size"),
+        F.element_at(m, F.lit("u")).alias("u_val"),
+        F.array_join(F.array_sort(F.map_keys(m)), "|").alias("keys_sorted"),
+        F.aggregate(
+            F.map_values(m), F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("vals_sum"),
+        F.size(F.map_filter(m, lambda k, v: v % 2 == 0))
+        .cast("int")
+        .alias("n_even_vals"),
+        (s == F.struct(F.col("event_id"), F.col("event_type")))
+        .cast("int")
+        .alias("structs_equal"),
+    )
