@@ -78,15 +78,17 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "pipeline_embedding_curation", "pipeline_embedding_curation_srp",
     "pipeline_corpus_curation", "layout_zorder_cells",
     # -- group 3: below the 50-cap this round ----------------------------
-    # NEW round-5 queries certified locally (sf0.001 + sf0.01 hash-match,
-    # recorded in COVERAGE.md) — rotate these to the FRONT in round 6
+    # NEW round-5 queries certified locally (sf0.001 + sf0.01 hash-match
+    # — most also at sf0.1 — recorded in COVERAGE.md) — ALL of these
+    # must rotate to the FRONT of round 6's order, before the group-1/2
+    # re-certs above (they have never been driver-certified):
     "dedup_decontaminate_train", "sketch_heavy_hitters_event_types",
     "text_repetition_filters", "cdc_incremental_agg_orders",
     "scalar_array_suite", "stats_winsorized_events",
     "text_corpus_bigrams", "sim_label_centroids",
     "sql_correlated_exists_customers", "sql_above_customer_avg_orders",
     "sql_in_subquery_supplier_nations", "stats_regression_events",
-    "scalar_nested_suite",
+    "scalar_nested_suite", "sim_centroid_outlier_filter",
     # rows-only by design (no_oracle rows>0; golden tests pin semantics)
     "sketch_distinct_users_rollup", "sim_srp_lsh_recall", "sim_ivf_topk",
     "sample_weighted_documents",

@@ -346,3 +346,96 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_val"),
     )
+
+
+@query(
+    "sim_centroid_outlier_filter",
+    """
+WITH e AS (
+    SELECT vec_id, label, i AS dim_idx,
+           CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+),
+c AS (
+    SELECT label, dim_idx,
+           CAST(SUM(CAST(FLOOR(v * 1000000.0 + 0.5) / 1000000.0
+                         AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS m
+    FROM e GROUP BY label, dim_idx
+),
+parts AS (
+    SELECT e.vec_id, e.label,
+           SUM(CAST(FLOOR(e.v * c.m * 1000000.0 + 0.5) / 1000000.0
+                    AS DECIMAL(38,6))) AS dot,
+           SUM(CAST(FLOOR(e.v * e.v * 1000000.0 + 0.5) / 1000000.0
+                    AS DECIMAL(38,6))) AS vn,
+           SUM(CAST(FLOOR(c.m * c.m * 1000000.0 + 0.5) / 1000000.0
+                    AS DECIMAL(38,6))) AS cn
+    FROM e JOIN c ON e.label = c.label AND e.dim_idx = c.dim_idx
+    GROUP BY e.vec_id, e.label
+),
+scored AS (
+    SELECT label,
+           FLOOR((CAST(dot AS DOUBLE)
+                  / (SQRT(CAST(vn AS DOUBLE)) * SQRT(CAST(cn AS DOUBLE))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+    FROM parts
+)
+SELECT label,
+       CAST(SUM(CASE WHEN cos_sim >= 0.15 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(SUM(CASE WHEN cos_sim < 0.15 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped
+FROM scored
+GROUP BY label
+""",
+)
+def sim_centroid_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-conditioned curation: score every vector's cosine to its
+    OWN class centroid and drop outliers (below a threshold chosen at
+    the corpus median, 0.15, so both branches are exercised) — the standard
+    mislabeled-example / embedding-drift filter, composed from
+    ``sim_label_centroids``'s centroid stage.  Distributed end to end:
+    centroids stay as (label, dim, mean) rows joined back onto the
+    exploded vectors (the |labels|x|dims| side broadcasts), one
+    aggregation per vector builds dot and both norms in the same pass,
+    and every sum folds 6-dp-rounded decimals so the score — and the
+    keep/drop boundary comparison — is bit-identical across engines
+    and partitionings."""
+    dec = "decimal(38,6)"
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "raw")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("dim_idx"),
+        F.col("raw").cast("double").alias("v"),
+    )
+    c = e.groupBy("label", "dim_idx").agg(
+        (
+            F.sum(r6(F.col("v")).cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    parts = (
+        e.join(F.broadcast(c), ["label", "dim_idx"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(r6(F.col("v") * F.col("m")).cast(dec)).alias("dot"),
+            F.sum(r6(F.col("v") * F.col("v")).cast(dec)).alias("vn"),
+            F.sum(r6(F.col("m") * F.col("m")).cast(dec)).alias("cn"),
+        )
+    )
+    cos = r6(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("vn").cast("double")) * F.sqrt(F.col("cn").cast("double")))
+    )
+    return (
+        parts.select("label", cos.alias("cos_sim"))
+        .groupBy("label")
+        .agg(
+            F.sum((F.col("cos_sim") >= 0.15).cast("long")).alias("n_kept"),
+            F.sum((F.col("cos_sim") < 0.15).cast("long")).alias("n_dropped"),
+        )
+    )
