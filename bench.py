@@ -5,7 +5,10 @@ Prints ONE JSON line:
 
 Each query is timed end-to-end (plan build + execution to a collect of
 the result); the reported per-query number is the MEDIAN of
-``$SPARK_GRAFT_BENCH_RUNS`` (default 3) passes after a session warmup —
+``$SPARK_GRAFT_BENCH_RUNS`` (default 3) passes taken AFTER one dropped
+per-query warmup pass (first execution pays one-time codegen/JIT
+compile, a per-process constant ~2-4x steady state) and a session
+warmup —
 round 3 showed one-shot timings at sf0.1 carry a ~1.5x environment noise
 band, so single-pass numbers are not comparable across rounds. Total
 wall seconds (sum of medians) across the headline set is the headline
@@ -89,11 +92,18 @@ def main() -> None:
     names = [n for n in HEADLINE if n in catalog.QUERIES]
     for name in names:
         passes = []
-        for _ in range(runs):
+        # runs+1 passes, first dropped: the first execution of a query
+        # shape pays its codegen/JIT compile (measured 2-4x the steady
+        # state), which is a per-process constant, not a property of
+        # the plan — the median of the remaining passes measures the
+        # plan.  (Round-5 change; round-4 medians included the compile
+        # pass, which inflated medians whenever the host was slow.)
+        for i in range(runs + 1):
             t0 = time.perf_counter()
             df = catalog.QUERIES[name](spark, sf_dir)
             df.collect()
-            passes.append(time.perf_counter() - t0)
+            if i > 0:
+                passes.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(passes), 3)
 
     total = round(sum(timings.values()), 3)
