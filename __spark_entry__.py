@@ -89,6 +89,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sql_correlated_exists_customers", "sql_above_customer_avg_orders",
     "sql_in_subquery_supplier_nations", "stats_regression_events",
     "scalar_nested_suite", "sim_centroid_outlier_filter",
+    "scalar_try_suite", "ts_session_windows_dynamic_gap",
     # rows-only by design (no_oracle rows>0; golden tests pin semantics)
     "sketch_distinct_users_rollup", "sim_srp_lsh_recall", "sim_ivf_topk",
     "sample_weighted_documents",

@@ -1379,3 +1379,57 @@ def scalar_nested_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("structs_equal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar suite: ANSI error-safe try_* functions.
+# ---------------------------------------------------------------------------
+
+@query(
+    "scalar_try_suite",
+    """
+SELECT
+    o_orderkey,
+    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+         ELSE FLOOR((o_totalprice / (o_orderkey % 5)) * 100.0 + 0.5) / 100.0
+    END AS safe_div,
+    CAST(TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority
+                       ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT)
+         AS DOUBLE) AS mixed_cast,
+    TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+    TRY_CAST(CASE WHEN o_orderkey % 4 = 0 THEN '2024-13-45'
+                  ELSE CAST(o_orderdate AS VARCHAR) END AS DATE)
+        AS mixed_date
+FROM orders
+""",
+)
+def scalar_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safety surface: under the gate's ANSI-on session a
+    division by zero or malformed cast is a query-killing error, and
+    the ``try_*`` family is the engine's sanctioned way to get
+    SQL-classic NULL-on-error semantics back per-expression (the
+    round-3 lesson — try_element_at — generalized).  try_divide hits a
+    real zero every 5th key; try_cast exercises mixed
+    success/failure paths for integers and dates (every 3rd/4th key is
+    fed an uncastable value, the rest cast cleanly — so NULL really
+    means "this row's error was absorbed", not a degenerate column).  DuckDB replays with TRY_CAST / a CASE divide guard."""
+    orders = load_table(spark, sf_dir, "orders")
+    r2 = lambda c: F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)  # noqa: E731
+    return orders.select(
+        "o_orderkey",
+        r2(
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 5)
+        ).alias("safe_div"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_orderpriority"))
+        .otherwise(F.col("o_orderkey").cast("string"))
+        .try_cast("bigint")
+        .cast("double")  # driver reads oracle via pandas: nullable int -> float64
+        .alias("mixed_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias(
+            "prio_digit"
+        ),
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit("2024-13-45"))
+        .otherwise(F.col("o_orderdate").cast("string"))
+        .try_cast("date")
+        .alias("mixed_date"),
+    )

@@ -368,3 +368,65 @@ def sketch_heavy_hitters_event_types(
 
     events = load_table(spark, sf_dir, "events")
     return heavy_hitters(events, "event_type", k=5)
+
+
+@query(
+    "ts_session_windows_dynamic_gap",
+    """
+WITH g AS (
+    SELECT user_id, ts, value,
+           ts + INTERVAL 1 MINUTE *
+               (CASE WHEN event_type = 'click' THEN 45 ELSE 15 END)
+               AS ext_end
+    FROM events
+),
+marked AS (
+    SELECT user_id, ts, value, ext_end,
+        CASE WHEN ts < MAX(ext_end) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 0 ELSE 1 END AS new_session
+    FROM g
+),
+numbered AS (
+    SELECT *,
+        SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+    FROM marked
+)
+SELECT
+    user_id,
+    MIN(ts) AS session_start,
+    MAX(ext_end) AS session_end,
+    COUNT(*) AS n_events,
+    FLOOR((SUM(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+)
+def ts_session_windows_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows where the inactivity gap depends on the
+    EVENT (45 min after a click, 15 min after anything else) — Spark's
+    dynamic-gap session_window.  The oracle replays the exact merge
+    rule as gaps-and-islands over a running MAX(ts + gap): an event
+    joins the open session iff it starts strictly before the furthest
+    extension any earlier event granted, and the session end is that
+    running max — certifying boundary semantics, not just row
+    bucketing."""
+    events = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "click", F.lit("45 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    return events.transform(
+        TW.session_dynamic(
+            "ts",
+            gap,
+            ["user_id"],
+            [
+                F.count(F.lit(1)).alias("n_events"),
+                RND(F.sum("value"), 4).alias("total_value"),
+            ],
+        )
+    )

@@ -93,3 +93,26 @@ def session(
         return _flatten_window(grouped, group_by, out_start, out_end)
 
     return _apply
+
+
+def session_dynamic(
+    ts_col: str,
+    gap_col: Column,
+    group_by: list[str],
+    aggs: list[Column],
+    out_start: str = "session_start",
+    out_end: str = "session_end",
+) -> Op:
+    """Session windows with a PER-EVENT gap expression (Spark's dynamic
+    gap duration): each event extends its session to ``ts + gap(event)``,
+    and the next event merges if it starts before that running end —
+    so a purchase can hold a session open longer than a click.  Same
+    batch/stream duality as the static form; the oracle replays the
+    merge rule as gaps-and-islands over a running ``MAX(ts + gap)``."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        w = F.session_window(F.col(ts_col), gap_col)
+        grouped = df.groupBy(w.alias("w"), *group_by).agg(*aggs)
+        return _flatten_window(grouped, group_by, out_start, out_end)
+
+    return _apply
