@@ -1433,3 +1433,50 @@ def scalar_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .try_cast("date")
         .alias("mixed_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical mode per group (deterministic tie-break).
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_mode_orders_priority",
+    """
+WITH c AS (
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority
+    ) AS rk
+    FROM c
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+FROM r WHERE rk = 1
+""",
+)
+def agg_mode_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group statistical mode with a DETERMINISTIC tie-break
+    (count desc, value asc) — the builtin ``mode()`` aggregate is
+    non-deterministic on ties, which is unacceptable under a hash gate
+    and irreproducible at 1000 executors, so the engine form is the
+    count → WindowGroupLimit top-1 composition: two map-side-combined
+    aggregations over |groups|x|values| rows, never a sort of the
+    fact."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )

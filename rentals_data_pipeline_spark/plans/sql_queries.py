@@ -103,3 +103,29 @@ def sql_in_subquery_supplier_nations(spark: SparkSession, sf_dir: str) -> DataFr
     into the customer scan's stage at any scale."""
     register_views(spark, sf_dir)
     return spark.sql(_IN_SQL)
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c,
+     LATERAL (
+         SELECT o_orderkey, o_totalprice
+         FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 3
+     ) AS o
+"""
+
+
+@query("sql_lateral_topk_orders", _LATERAL_SQL)
+def sql_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the SQL front end: each
+    customer's top-3 orders by price (deterministic tie-break).
+    Catalyst de-correlates the per-row LATERAL limit into a windowed
+    top-k over one join — executed per-partition, not per-customer.
+    Identical SQL runs on DuckDB as the oracle, certifying LATERAL
+    semantics including customers with < 3 orders (emit what exists)
+    and with none (emit nothing)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
