@@ -270,3 +270,52 @@ def test_snapshot_diff_equals_set_arithmetic(spark, old, new):
         else:
             want[k] = "unchanged"
     assert got == want
+
+
+_SNAP = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),        # row key
+        st.integers(min_value=0, max_value=2),        # group key (few → churn)
+        st.integers(min_value=-100, max_value=100),   # measure (ints: exact)
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(old=_SNAP, new=_SNAP)
+@settings(**_SETTINGS)
+def test_incremental_agg_equals_full_recompute_property(spark, old, new):
+    """For ANY pair of keyed snapshots, folding the snapshot_diff delta
+    into the old aggregate == recomputing the aggregate over the new
+    snapshot (exactly — decimal sums).  Covers inserts, deletes,
+    measure changes, group migration, group disappearance, and both
+    empty snapshots."""
+    from rentals_data_pipeline_spark.operators.incremental import (
+        aggregate_snapshot,
+        incremental_agg_update,
+    )
+    from rentals_data_pipeline_spark.operators.relational import snapshot_diff
+
+    cols = ["k", "grp", "x"]
+    schema = "k long, grp long, x long"
+    old_df = spark.createDataFrame(old, schema)
+    new_df = spark.createDataFrame(new, schema)
+    base = old_df.transform(aggregate_snapshot(["grp"], ["x"]))
+    diff = snapshot_diff(old_df, new_df, keys=["k"], compare=["grp", "x"])
+    removed = old_df.join(
+        diff.where(F.col("change_type").isin("deleted", "changed")).select("k"),
+        "k",
+        "semi",
+    )
+    added = new_df.join(
+        diff.where(F.col("change_type").isin("inserted", "changed")).select("k"),
+        "k",
+        "semi",
+    )
+    merged = incremental_agg_update(base, removed, added, ["grp"], ["x"])
+    full = new_df.transform(aggregate_snapshot(["grp"], ["x"]))
+    got = sorted((tuple(r) for r in merged.collect()), key=repr)
+    want = sorted((tuple(r) for r in full.collect()), key=repr)
+    assert got == want
