@@ -611,3 +611,56 @@ def decontaminate(
         .distinct()
     )
     return train.join(contaminated, id_col, "left_anti")
+
+
+def edit_distance_pairs(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 8,
+    bucket_chars: int = 16,
+) -> Callable[[DataFrame], DataFrame]:
+    """Edit-distance (Levenshtein) near-dup pairs — the FUZZY-MATCH
+    member of the dedup family: shingle/MinHash methods see token-level
+    overlap, this sees character-level edits (typos, OCR noise,
+    single-word substitutions), and the certified corpus near-dups sit
+    at distance 4 (one substituted word).
+
+    Scale shape: the quadratic verify is confined to candidate blocks.
+    Each document probes TWO length buckets (len//B and len//B + 1) so
+    a pair straddling a bucket boundary still collides — valid because
+    distance ``d`` bounds the length difference by ``d`` <= B; the
+    first character joins the key to split heavy buckets (an edit
+    there evades this generator by design — it's the cheap blocking
+    tier; the MinHash path catches prefix edits).  Pairs deduplicate
+    (a boundary pair collides in up to 2 buckets) BEFORE the
+    O(len^2)-per-pair Levenshtein verify, which short-circuits at
+    ``max_dist`` via the threshold argument.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        lb = (F.length(text_col) / bucket_chars).cast("long")
+        blocked = df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.substring(text_col, 1, 1).alias("_c1"),
+            F.explode(F.array(lb, lb + 1)).alias("_bk"),
+        )
+        a, b = blocked.alias("a"), blocked.alias("b")
+        cand = (
+            a.join(b, on=["_bk", "_c1"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col(f"a.{text_col}").alias("_ta"),
+                F.col(f"b.{text_col}").alias("_tb"),
+            )
+            .distinct()
+        )
+        dist = F.levenshtein(F.col("_ta"), F.col("_tb"), max_dist)
+        return (
+            cand.select("id_a", "id_b", dist.alias("edit_dist"))
+            .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
+        )
+
+    return _apply

@@ -369,3 +369,40 @@ def dedup_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark = docs.where(F.col("doc_id") % 97 == 0)
     train = docs.where(F.col("doc_id") % 97 != 0)
     return DD.decontaminate(train, benchmark, n=5).select("doc_id")
+
+
+@query(
+    "dedup_edit_distance_pairs",
+    """
+WITH blocked AS (
+    SELECT doc_id, text, substr(text, 1, 1) AS c1, bk
+    FROM documents,
+         UNNEST([length(text) // 16, length(text) // 16 + 1]) AS u(bk)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.text AS ta, b.text AS tb
+    FROM blocked a JOIN blocked b ON a.bk = b.bk AND a.c1 = b.c1
+    WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS INTEGER) AS edit_dist
+FROM cand
+WHERE levenshtein(ta, tb) <= 8
+""",
+)
+def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level (Levenshtein) near-dup pairs
+    (operators/dedup.py::edit_distance_pairs): the fuzzy-match dedup
+    modality — catches typo/OCR/single-word variants that token-set
+    methods under-weigh.  Candidates come from overlapping length
+    buckets (every pair within distance 8 differs by <= 8 chars, so
+    the two-bucket probe cannot miss on length) keyed with the first
+    character; the O(len^2) verify runs only inside blocks and
+    short-circuits at the threshold.  The oracle replays blocking and
+    distance exactly (Levenshtein is well-defined — both engines agree
+    integer-for-integer)."""
+    from rentals_data_pipeline_spark.operators.dedup import edit_distance_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.transform(edit_distance_pairs())
+    return out.select("id_a", "id_b", F.col("edit_dist").cast("int"))
