@@ -91,7 +91,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "scalar_nested_suite", "sim_centroid_outlier_filter",
     "scalar_try_suite", "ts_session_windows_dynamic_gap",
     "agg_mode_orders_priority", "sql_lateral_topk_orders",
-    "dedup_edit_distance_pairs",
+    "dedup_edit_distance_pairs", "join_point_in_time_scd2",
+    "window_share_of_total",
     # rows-only by design (no_oracle rows>0; golden tests pin semantics)
     "sketch_distinct_users_rollup", "sim_srp_lsh_recall", "sim_ivf_topk",
     "sample_weighted_documents",

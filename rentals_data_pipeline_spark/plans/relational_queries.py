@@ -1480,3 +1480,128 @@ def agg_mode_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal (point-in-time) join: fact event -> SCD2 dimension version.
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_point_in_time_scd2",
+    """
+WITH hist AS (
+    SELECT
+        user_id,
+        ts AS valid_from,
+        LEAD(ts) OVER w AS valid_to,
+        value
+    FROM events
+    WHERE event_type = 'signup' OR event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+live AS (
+    SELECT * FROM hist
+    WHERE valid_to IS NULL OR valid_from < valid_to
+),
+clicks AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT
+    c.event_id,
+    c.user_id,
+    c.ts,
+    h.valid_from AS dim_valid_from,
+    h.value AS dim_value
+FROM clicks c
+LEFT JOIN live h
+  ON h.user_id = c.user_id
+ AND h.valid_from <= c.ts
+ AND (h.valid_to IS NULL OR c.ts < h.valid_to)
+""",
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) join: every click picks up the SCD2
+    dimension version VALID AT its event time — the warehouse
+    fact-to-history join.  The oracle states it as the interval
+    predicate (valid_from <= ts < valid_to); the engine EXECUTES it as
+    the single-shuffle as-of join (union + window), which is
+    equivalent because SCD2 intervals tile the timeline: the latest
+    valid_from at-or-before ts IS the containing version (empty
+    [t, t) intervals from simultaneous changes are dropped first, so
+    at most one version per (user, valid_from) survives and the as-of
+    pick is unambiguous).  A range join here would be a per-user pair
+    blowup; the as-of form shuffles each side once."""
+    from rentals_data_pipeline_spark.operators.relational import asof_join_backward
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = (
+        events.where(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            "value",
+        )
+        .where(F.col("valid_to").isNull() | (F.col("valid_from") < F.col("valid_to")))
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return clicks.transform(
+        asof_join_backward(
+            hist.select(
+                "user_id",
+                F.col("valid_from").alias("ts"),
+                "valid_from",
+                "value",
+            ),
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            payload={"valid_from": "dim_valid_from", "value": "dim_value"},
+        )
+    )
+
+
+@query(
+    "window_share_of_total",
+    """
+WITH d AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT
+    day,
+    event_type,
+    n,
+    FLOOR((CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY day))
+          * 1000000.0 + 0.5) / 1000000.0 AS share_of_day,
+    FLOOR((CAST(n AS DOUBLE)
+           / SUM(n) OVER (PARTITION BY event_type))
+          * 1000000.0 + 0.5) / 1000000.0 AS share_of_type
+FROM d
+""",
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each (day, event_type) cell's share of its
+    day's traffic AND of its type's 30-day total — two unbounded
+    window sums over the PRE-AGGREGATED daily grid (|days|x|types|
+    rows), so like the flagship the windows never touch raw events;
+    shares divide exact integer counts, deterministic to the bit."""
+    events = load_table(spark, sf_dir, "events")
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    d = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wd = Window.partitionBy("day")
+    wt = Window.partitionBy("event_type")
+    n = F.col("n").cast("double")
+    return d.select(
+        "day",
+        "event_type",
+        "n",
+        r6(n / F.sum("n").over(wd)).alias("share_of_day"),
+        r6(n / F.sum("n").over(wt)).alias("share_of_type"),
+    )
