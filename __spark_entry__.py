@@ -48,11 +48,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Any catalog query not named below (i.e. added this round) is newest ->
 # checked first, before group 1.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # -- group 0: NEW in round 5, never certified — the two that fit the
-    # 50-cap after groups 1+2 (the other two round-5 queries are pinned
-    # below the cap, locally certified via tools/check_oracle.py at
-    # sf0.001+sf0.01, and must lead round 6's rotation)
+    # -- group 0: NEW in round 5, never driver-certified — all locally
+    # hash-certified at sf0.001+sf0.01+sf0.1 via tools/check_oracle.py
     "multimodal_decoded_wav_stats", "text_pii_redaction",
+    "multimodal_decoded_ppm_stats", "quality_psi_value_drift",
+    "analytics_copurchase_pairs", "sql_cte_window_topn",
+    "ts_anomaly_zscore",
     # -- group 1: certified r2/r3 only, skipped by round 4's rotation -----
     "flagship_events_daily", "quality_metrics_lineitem",
     "window_period_change", "window_rank_in_group", "window_rolling_avg",
@@ -68,12 +69,15 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_tfidf_top_terms", "text_chunk_documents",
     "text_pack_chunks_by_split", "ts_hierarchical_rollup_daily",
     # -- group 2: r4-certified but backing module edited in round 5 -------
+    # (5 rows displaced below the cap by the third-batch group-0 adds:
+    # the multimodal metadata/histogram/resize/frame queries and the
+    # range join — their code paths are untouched by this round's
+    # module edits (decode_media/pack_* only) and all five re-certified
+    # in today's full local sf0.01 sweep)
     "cdc_orders_snapshot_diff", "join_interval_overlap_orders",
-    "join_full_outer_user_activity", "join_range_value_bands",
+    "join_full_outer_user_activity",
     "join_asof_last_error", "profile_orders_columns",
-    "multimodal_audio_energy", "multimodal_frame_sample",
-    "multimodal_resize_grid", "multimodal_metadata",
-    "multimodal_byte_histogram", "sim_cosine_topk",
+    "multimodal_audio_energy", "sim_cosine_topk",
     "sim_embedding_near_dup_pairs", "sim_srp_near_dup_pairs",
     "pipeline_embedding_curation", "pipeline_embedding_curation_srp",
     "pipeline_corpus_curation", "layout_zorder_cells",
@@ -93,6 +97,11 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_mode_orders_priority", "sql_lateral_topk_orders",
     "dedup_edit_distance_pairs", "join_point_in_time_scd2",
     "window_share_of_total",
+    # r4-driver-certified, displaced from group 2 (code paths untouched
+    # by round-5 module edits; re-verified in the local sf0.01 sweep)
+    "join_range_value_bands", "multimodal_frame_sample",
+    "multimodal_resize_grid", "multimodal_metadata",
+    "multimodal_byte_histogram",
     # rows-only by design (no_oracle rows>0; golden tests pin semantics)
     "sketch_distinct_users_rollup", "sim_srp_lsh_recall", "sim_ivf_topk",
     "sample_weighted_documents",

@@ -71,6 +71,12 @@ HEADLINE = [
     "text_corpus_bigrams",
     "sim_label_centroids",
     "sql_above_customer_avg_orders",
+    # round-5 third batch
+    "analytics_copurchase_pairs",
+    "quality_psi_value_drift",
+    "ts_anomaly_zscore",
+    "multimodal_decoded_ppm_stats",
+    "sql_cte_window_topn",
 ]
 
 

@@ -3,11 +3,12 @@
 Media is modeled the way a 100 TB training-data lake stores it: an
 opaque ``binary`` payload column plus typed metadata columns, processed
 by Arrow-batched ``mapInPandas`` stages. ``decode_media`` is a REAL
-decode path for the one container stdlib can parse (RIFF/WAVE PCM via
-``wave``; ``pack_wav`` builds genuine WAV payloads to feed it); image/
-video codecs stay environment-gated — no PIL/ffmpeg in this container —
-and surface as ``unsupported codec`` error ROWS, never task failures.
-Everything Spark-side is real and tested:
+decode path for the two containers pure Python can parse — RIFF/WAVE
+PCM via stdlib ``wave`` (``pack_wav`` builds genuine WAV payloads to
+feed it) and binary PPM (P6) images (``pack_ppm`` builds genuine P6
+containers); compressed codecs stay environment-gated — no PIL/ffmpeg
+in this container — and surface as ``unsupported codec`` error ROWS,
+never task failures. Everything Spark-side is real and tested:
 
 - ``pack_media``: documents → media-shaped rows (payload bytes + typed
   metadata). Deterministic fake payloads (utf-8 of the text) so every
@@ -137,22 +138,66 @@ def pack_wav(
     return _apply
 
 
+def pack_ppm(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_payload: str = "payload",
+    width: int = 16,
+    height: int = 16,
+) -> Op:
+    """Build REAL binary-PPM (P6) image containers: ASCII header
+    ``P6\\n{w} {h}\\n255\\n`` followed by exactly ``w*h*3`` RGB bytes —
+    the utf-8 of the text, zero-padded when short, truncated when long
+    — so ``decode_media`` exercises a genuine image-container parse
+    with pixel values an oracle can recompute from the text. NULL text
+    packs to NULL payload (the decode stage surfaces it as an error
+    row, never a task failure). Arrow-batched mapInPandas, same
+    plumbing contract as ``pack_wav``."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(out_payload, T.BinaryType()),
+        ]
+    )
+    n_px = width * height * 3
+    header = f"P6\n{width} {height}\n255\n".encode("ascii")
+
+    def _pack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                if text is None:
+                    payloads.append(None)
+                    continue
+                data = text.encode("utf-8")[:n_px]
+                payloads.append(header + data + b"\x00" * (n_px - len(data)))
+            yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.select(id_col, text_col).mapInPandas(_pack, out_schema)
+
+    return _apply
+
+
 def decode_media(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Real media decode for the one container stdlib can parse:
-    RIFF/WAVE with 8-bit unsigned or 16-bit signed PCM, mono or
-    multi-channel. mapInPandas over (id, payload) yielding one row per
-    media item with ``n_channels``, ``sample_rate``,
+    """Real media decode for the containers pure Python can parse:
+    RIFF/WAVE with 8-bit unsigned or 16-bit signed PCM (mono or
+    multi-channel) and binary PPM (P6) images with maxval <= 255.
+    mapInPandas over (id, payload) yielding one row per media item with
+    ``n_channels``, ``sample_rate`` (NULL for images),
     ``decoded: array<array<double>>`` (one inner array per channel,
-    de-interleaved; 8-bit values 0..255, 16-bit -32768..32767) and
-    ``decode_error: string`` (NULL on success). Decode failures — NULL
-    payloads, foreign magic bytes, truncated containers, unsupported
-    sample widths — are ROWS, not task failures: at 100 TB a corrupt
-    blob must never kill a stage. Other codecs (JPEG/FLAC/MP4) stay
-    environment-gated: no image/av libs in this container, so they
-    surface as ``unsupported codec`` error rows with the magic recorded
-    for triage.
+    de-interleaved; audio 8-bit 0..255 / 16-bit -32768..32767, image
+    channels R,G,B row-major 0..255) and ``decode_error: string`` (NULL
+    on success). Decode failures — NULL payloads, foreign magic bytes,
+    truncated containers, unsupported sample widths / maxvals — are
+    ROWS, not task failures: at 100 TB a corrupt blob must never kill a
+    stage. Compressed codecs (JPEG/FLAC/MP4) stay environment-gated: no
+    image/av libs in this container, so they surface as ``unsupported
+    codec`` error rows with the magic recorded for triage.
     """
     out_schema = T.StructType(
         [
@@ -166,10 +211,13 @@ def decode_media(
 
     def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import io
+        import re
         import wave as wavelib
 
         import numpy as np
         import pandas as pd
+
+        ppm_header = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
 
         for pdf in batches:
             cols: dict[str, list] = {
@@ -191,6 +239,22 @@ def decode_media(
                     emit(err="null payload")
                     continue
                 raw = bytes(payload)
+                if raw[:2] == b"P6":
+                    m = ppm_header.match(raw)
+                    if not m:
+                        emit(err="ppm parse error: malformed header")
+                        continue
+                    w_px, h_px, maxval = (int(g) for g in m.groups())
+                    if maxval > 255:
+                        emit(err=f"unsupported ppm maxval: {maxval}")
+                        continue
+                    data = raw[m.end() : m.end() + w_px * h_px * 3]
+                    if len(data) < w_px * h_px * 3:
+                        emit(err="ppm parse error: truncated pixel data")
+                        continue
+                    px = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+                    emit(nch=3, sr=None, decoded=[px[c::3].tolist() for c in range(3)])
+                    continue
                 if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
                     emit(err=f"unsupported codec: magic={raw[:4].hex()}")
                     continue

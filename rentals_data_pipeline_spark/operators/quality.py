@@ -264,3 +264,62 @@ def profile_table(
             )
         )
     return one.select(F.inline(F.array(*rows)))
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+    *,
+    n_bins: int = 16,
+    lo: float = 0.0,
+    width: float = 32.0,
+    scale: int = 4,
+) -> DataFrame:
+    """Population Stability Index between two periods of a numeric
+    column, per group — the distribution-drift monitor a training-data
+    pipeline runs between ingestion snapshots (feature drift, corpus
+    shift, upstream schema accidents).
+
+    ``period_col`` must be 0 (reference) / 1 (current). Values bin into
+    ``n_bins`` fixed-width buckets over [lo, lo + n_bins*width), clamped
+    at the edges; PSI = sum over bins of (p_cur - p_ref) * ln(p_cur /
+    p_ref) with 0.5-per-bin Laplace smoothing so empty bins stay finite.
+
+    Cross-engine determinism: binning is FLOOR of one IEEE division
+    (prefer a power-of-two ``width`` — exact), proportions divide exact
+    integers, and only ln() is libm (<=1 ulp apart per engine), so the
+    10-term sum rounded to ``scale`` dp is hash-stable. Bins empty in
+    BOTH periods contribute exactly 0, so no dense bin grid is needed —
+    the whole metric is ONE count shuffle on (group, bin) (map-side
+    combined) plus a |groups|-row rollup: at 100 TB the shuffle carries
+    |groups| x n_bins rows, never the fact table.
+    """
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+        ),
+    ).cast("int")
+    p = F.col(period_col)
+    counts = df.groupBy(F.col(group_col), b.alias("bin")).agg(
+        F.count(F.when(p == 0, 1)).alias("c_ref"),
+        F.count(F.when(p == 1, 1)).alias("c_cur"),
+    )
+    totals = counts.groupBy(group_col).agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    j = counts.join(totals, group_col)
+    half_bins = F.lit(n_bins * 0.5)
+    p_ref = (F.col("c_ref") + F.lit(0.5)) / (F.col("n_ref") + half_bins)
+    p_cur = (F.col("c_cur") + F.lit(0.5)) / (F.col("n_cur") + half_bins)
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            round_half_up(F.sum(term), scale).alias("psi"),
+        )
+    )

@@ -613,3 +613,68 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return profile_table(orders)
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitor: PSI between two ingestion periods.
+# ---------------------------------------------------------------------------
+
+_PSI_ORACLE = """
+WITH b AS (
+    SELECT event_type,
+        CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END
+            AS period,
+        CAST(LEAST(15, GREATEST(0, FLOOR((value - 0.0) / 32.0))) AS INT)
+            AS bin
+    FROM events
+),
+counts AS (
+    SELECT event_type, bin,
+        COUNT(CASE WHEN period = 0 THEN 1 END) AS c_ref,
+        COUNT(CASE WHEN period = 1 THEN 1 END) AS c_cur
+    FROM b GROUP BY 1, 2
+),
+totals AS (
+    SELECT event_type, SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur
+    FROM counts GROUP BY 1
+),
+terms AS (
+    SELECT c.event_type, t.n_ref, t.n_cur,
+        ((c.c_cur + 0.5) / (t.n_cur + 8.0)
+         - (c.c_ref + 0.5) / (t.n_ref + 8.0))
+        * ln(((c.c_cur + 0.5) / (t.n_cur + 8.0))
+             / ((c.c_ref + 0.5) / (t.n_ref + 8.0))) AS term
+    FROM counts c JOIN totals t USING (event_type)
+)
+SELECT event_type,
+    CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+    CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+    FLOOR(SUM(term) * 10000.0 + 0.5) / 10000.0 AS psi
+FROM terms GROUP BY 1
+"""
+
+
+@query("quality_psi_value_drift", _PSI_ORACLE)
+def quality_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event `value` distribution,
+    first half-month (reference) vs second (current), per event type —
+    the snapshot-over-snapshot drift monitor a 100 TB ingest runs
+    before promoting a new partition (operators/quality.py::psi_drift).
+    16 power-of-two-width bins over [0, 512); one count shuffle on
+    (type, bin) map-side combined, then a |types|-row rollup — the fact
+    table never re-shuffles. ln() is the only libm call; the 16-term
+    sum rounds at 4 dp, far above the ulp band, so the hash certifies
+    the whole metric."""
+    from rentals_data_pipeline_spark.operators.quality import psi_drift
+
+    events = load_table(spark, sf_dir, "events")
+    df = events.select(
+        "event_type",
+        "value",
+        (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"))
+        .cast("int")
+        .alias("period"),
+    )
+    return psi_drift(
+        df, "event_type", "period", "value", n_bins=16, lo=0.0, width=32.0
+    )

@@ -250,3 +250,55 @@ def multimodal_decoded_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(ch).cast("int").alias("min_sample"),
         F.array_max(ch).cast("int").alias("max_sample"),
     )
+
+
+@query(
+    "multimodal_decoded_ppm_stats",
+    """
+WITH d AS (
+    SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+),
+px AS (
+    SELECT d.doc_id, i.i % 3 AS channel,
+        CASE WHEN i.i < length(d.text)
+             THEN ord(substr(d.text, i.i + 1, 1)) ELSE 0 END AS v
+    FROM d, (SELECT unnest(range(0, 768)) AS i) i
+)
+SELECT doc_id, CAST(channel AS INT) AS channel,
+    CAST(COUNT(*) AS BIGINT) AS n_px,
+    CAST(SUM(v) AS BIGINT) AS sum_px,
+    CAST(MIN(v) AS INT) AS min_px,
+    CAST(MAX(v) AS INT) AS max_px
+FROM px GROUP BY 1, 2
+""",
+)
+def multimodal_decoded_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-codec round trip: pack each document's utf-8 bytes
+    into a genuine binary-PPM (P6) container — ASCII header + 16x16 RGB
+    pixels, zero-padded/truncated (operators/multimodal.py::pack_ppm)
+    — decode it back through the multi-codec decode path
+    (``decode_media``, P6 branch), and report exact per-channel pixel
+    statistics. Because pixel bytes ARE the text's bytes interleaved
+    R,G,B, the oracle recomputes every statistic from ord() arithmetic
+    with integer-exact values — certifying header write + header parse
+    + de-interleave end-to-end, the image twin of
+    ``multimodal_decoded_wav_stats``. At scale the payload column stays
+    in its own parquet column (pruned everywhere else) and the decode
+    is one Arrow-batched pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = docs.transform(MM.pack_ppm(width=16, height=16))
+    dec = MM.decode_media(imgs)
+    return (
+        dec.where(F.col("decode_error").isNull())
+        .select("doc_id", F.posexplode("decoded").alias("channel", "ch"))
+        .select(
+            "doc_id",
+            "channel",
+            F.size("ch").cast("long").alias("n_px"),
+            F.aggregate(
+                "ch", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+            ).alias("sum_px"),
+            F.array_min("ch").cast("int").alias("min_px"),
+            F.array_max("ch").cast("int").alias("max_px"),
+        )
+    )

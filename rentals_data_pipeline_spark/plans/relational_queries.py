@@ -1605,3 +1605,94 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(n / F.sum("n").over(wd)).alias("share_of_day"),
         r6(n / F.sum("n").over(wt)).alias("share_of_type"),
     )
+
+
+@query(
+    "analytics_copurchase_pairs",
+    """
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+part_orders AS (
+    SELECT l_partkey, COUNT(*) AS n_part FROM items GROUP BY 1
+),
+total AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_together
+    FROM items a
+    JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+)
+SELECT p.part_a, p.part_b, p.n_together,
+       pa.n_part AS n_a, pb.n_part AS n_b,
+       CAST(p.n_together AS DOUBLE) * t.n_orders
+           / (pa.n_part * pb.n_part) AS lift
+FROM pairs p
+JOIN part_orders pa ON pa.l_partkey = p.part_a
+JOIN part_orders pb ON pb.l_partkey = p.part_b
+CROSS JOIN total t
+""",
+)
+def analytics_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in >= 2
+    orders, with per-pair lift — the co-occurrence mining primitive
+    (recommendations, association rules, and the text-corpus analogue
+    of co-citation). Shape: the pair space explodes PER ORDER (the
+    self-join hits only rows sharing l_orderkey, bounded by max order
+    width ~13 -> <= 78 pairs/order), never across orders, so the
+    expansion is O(|orders| x width²) — linear in the fact at any
+    scale. The self-join shuffles `items` on l_orderkey once and
+    Spark's ReuseExchange feeds both sides from the same shuffle; pair
+    counts and per-part counts are map-side combined; the |parts|-row
+    count table joins back under AQE broadcast, and the 1-row total
+    cross-joins as a broadcast. Lift divides exact integer products in
+    one IEEE division (values << 2^53), so the unrounded double hashes
+    identically on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    part_orders = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    totals = items.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_together"))
+        .where(F.col("n_together") >= 2)
+    )
+    pa = part_orders.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    pb = part_orders.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    return (
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "part_a",
+            "part_b",
+            "n_together",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_together").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )

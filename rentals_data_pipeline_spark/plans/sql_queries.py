@@ -129,3 +129,41 @@ def sql_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     and with none (emit nothing)."""
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+_CTE_WINDOW_SQL = """
+WITH daily AS (
+    SELECT
+        CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        o_orderpriority,
+        SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue
+    FROM orders
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT day, o_orderpriority, revenue,
+        RANK() OVER (
+            PARTITION BY day ORDER BY revenue DESC, o_orderpriority
+        ) AS rnk
+    FROM daily
+)
+SELECT day, o_orderpriority, revenue, CAST(rnk AS INT) AS rnk
+FROM ranked
+WHERE rnk <= 3
+"""
+
+
+@query("sql_cte_window_topn", _CTE_WINDOW_SQL)
+def sql_cte_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTEs + window functions through the SQL front end: daily revenue
+    by order priority, top-3 priorities per day (the QUALIFY pattern,
+    spelled as a ranked CTE + outer filter — portable to engines
+    without QUALIFY). Catalyst pushes the rnk <= 3 filter into a
+    WindowGroupLimit below the rank window, so each day retains only
+    its top rows BEFORE the window shuffle completes — the windowed
+    top-k plan the DataFrame catalog pins in test_plan_shapes, here
+    certified through raw SQL text that runs verbatim on DuckDB.
+    Revenue sums decimal-cast prices (exact, order-invariant), so rank
+    boundaries cannot flip between engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CTE_WINDOW_SQL)

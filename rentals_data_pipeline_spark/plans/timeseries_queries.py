@@ -430,3 +430,79 @@ def ts_session_windows_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFram
             ],
         )
     )
+
+
+@query(
+    "ts_anomaly_zscore",
+    """
+WITH daily AS (
+    SELECT event_type,
+        CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+            AS x
+    FROM events GROUP BY 1, 2
+),
+win AS (
+    SELECT event_type, day, x,
+        COUNT(*) OVER w AS wn,
+        SUM(CAST(x AS HUGEINT)) OVER w AS s,
+        SUM(CAST(x AS HUGEINT) * x) OVER w AS ss
+    FROM daily
+    WINDOW w AS (
+        PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+    )
+)
+SELECT event_type, day, x AS scaled_total,
+    CASE WHEN wn < 7 THEN NULL
+         ELSE (CAST(x AS HUGEINT) * wn - s) * (CAST(x AS HUGEINT) * wn - s)
+              > 4 * (wn * ss - s * s)
+    END AS is_anomaly
+FROM win
+""",
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over the daily value series,
+    per event type: a day is anomalous when its total deviates from the
+    trailing-7-day mean by more than 2 sigma. The entire test runs in
+    EXACT integer arithmetic — values scale to 1e-6 integers (one IEEE
+    multiply + floor, deterministic), and the z-score inequality
+    cross-multiplies to (x*n - s)^2 > 4*(n*ss - s^2) over exact
+    128-bit products (decimal(38,0) here, HUGEINT in the oracle) — no
+    sqrt, no float variance, so the anomaly boundary is bit-exact on
+    both engines where a naive STDDEV_POP comparison would flake the
+    hash gate on summation order. Like the flagship, the window runs
+    over the PRE-AGGREGATED |types| x |days| grid, never raw events;
+    at 100 TB the daily rollup is the only fact-sized shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).alias("x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    win = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.count(F.lit(1)).over(w).alias("wn"),
+        F.sum(xd).over(w).alias("s"),
+        F.sum(xd * F.col("x")).over(w).alias("ss"),
+    )
+    lhs = xd * F.col("wn") - F.col("s")
+    rhs = F.lit(4) * (F.col("wn") * F.col("ss") - F.col("s") * F.col("s"))
+    return win.select(
+        "event_type",
+        "day",
+        F.col("x").alias("scaled_total"),
+        F.when(F.col("wn") < 7, F.lit(None).cast("boolean"))
+        .otherwise(lhs * lhs > rhs)
+        .alias("is_anomaly"),
+    )
