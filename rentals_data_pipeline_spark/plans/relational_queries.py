@@ -1640,39 +1640,47 @@ def analytics_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs bought together in >= 2
     orders, with per-pair lift — the co-occurrence mining primitive
     (recommendations, association rules, and the text-corpus analogue
-    of co-citation). Shape: the pair space explodes PER ORDER (the
-    self-join hits only rows sharing l_orderkey, bounded by max order
-    width ~13 -> <= 78 pairs/order), never across orders, so the
-    expansion is O(|orders| x width²) — linear in the fact at any
-    scale. The self-join shuffles `items` on l_orderkey once and
-    Spark's ReuseExchange feeds both sides from the same shuffle; pair
-    counts and per-part counts are map-side combined; the |parts|-row
-    count table joins back under AQE broadcast, and the 1-row total
-    cross-joins as a broadcast. Lift divides exact integer products in
-    one IEEE division (values << 2^53), so the unrounded double hashes
-    identically on both engines."""
+    of co-citation). Shape: the fact shuffles ONCE, on l_orderkey,
+    into per-order part sets (collect_set, partially deduped map-side);
+    pair generation then happens INSIDE each row as a codegen array
+    transform (a < b over the set, bounded by max order width ~13 ->
+    <= 78 pairs/order) — no self-join, no second fact scan, no
+    re-shuffle, where the naive DISTINCT self-join (the oracle's form,
+    which certifies the rewrite is equivalent) scans and shuffles the
+    fact twice. Pair membership, not array position, defines a pair,
+    so collect_set's nondeterministic order cannot change the result.
+    Pair counts and per-part counts are map-side combined; the
+    |parts|-row count table joins back under AQE broadcast, and the
+    1-row total cross-joins as a broadcast. Lift divides exact integer
+    products in one IEEE division (values << 2^53), so the unrounded
+    double hashes identically on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    part_orders = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("n_part")
+    sets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
     )
-    totals = items.agg(
-        F.count_distinct("l_orderkey").alias("n_orders")
+    parts = F.col("parts")
+    pair_structs = F.flatten(
+        F.transform(
+            parts,
+            lambda a: F.transform(
+                F.filter(parts, lambda b: b > a),
+                lambda b: F.struct(a.alias("part_a"), b.alias("part_b")),
+            ),
+        )
     )
-    a, b = items.alias("a"), items.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        sets.select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_together"))
         .where(F.col("n_together") >= 2)
     )
+    part_orders = (
+        sets.select(F.explode(parts).alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_part"))
+    )
+    totals = sets.agg(F.count(F.lit(1)).alias("n_orders"))
     pa = part_orders.select(
         F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
     )

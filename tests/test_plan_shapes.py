@@ -168,3 +168,55 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    # All four dims (customer, supplier, nation, region) broadcast —
+    # at this tiny SF even orders demotes to broadcast (5 BHJ); at
+    # scale the floor is 4 dims + at most one fact sort-merge.
+    s = _shape(spark, "tpch_q5_local_supplier_volume")
+    assert s["bhj"] >= 4, s["plan"]
+    assert s["smj"] <= 1, s["plan"]
+    assert s["python"] == 0, s["plan"]
+
+
+def test_tpch_q3_topk_orders_on_exact_decimal(spark):
+    # Top-10 must be a TakeOrdered (global heap), never a full sort,
+    # and the customer dim must broadcast.
+    s = _shape(spark, "tpch_q3_unshipped_revenue")
+    assert "TakeOrderedAndProject" in s["plan"], s["plan"]
+    assert s["bhj"] >= 1, s["plan"]
+    assert s["python"] == 0, s["plan"]
+
+
+def test_copurchase_single_fact_shuffle_no_self_join(spark):
+    # Pair generation happens inside the per-order part set (codegen
+    # array transform), so there is NO fact self-join (no SortMergeJoin
+    # anywhere), no Python stage, and at runtime AQE feeds the
+    # downstream consumers of the order-set aggregate from a REUSED
+    # l_orderkey exchange instead of re-scanning the fact.
+    s = _shape(spark, "analytics_copurchase_pairs")
+    assert s["python"] == 0, s["plan"]
+    assert s["smj"] == 0, s["plan"]
+    df = entry.queries()["analytics_copurchase_pairs"](spark, SF_DIR)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
+
+
+def test_psi_drift_single_fact_shuffle(spark):
+    # PSI: the fact contributes exactly one (group, bin) count shuffle;
+    # everything downstream operates on |groups|-sized data.
+    s = _shape(spark, "quality_psi_value_drift")
+    assert s["python"] == 0, s["plan"]
+    # one (group,bin) agg exchange + one |groups| rollup exchange + the
+    # small join back; no more fact-sized exchanges than that
+    assert s["shuffles"] <= 4, s["plan"]
+
+
+def test_anomaly_zscore_windows_on_daily_grid(spark):
+    # The rolling window must run over the pre-aggregated daily grid:
+    # one fact rollup shuffle + one window partition shuffle.
+    s = _shape(spark, "ts_anomaly_zscore")
+    assert s["shuffles"] <= 2, s["plan"]
+    assert s["python"] == 0, s["plan"]
