@@ -1,0 +1,107 @@
+"""Distributed graph analytics over edge DataFrames.
+
+Complements the dedup module's connected components
+(operators/dedup.py::connected_components — min-label pointer jumping):
+``pagerank`` is the importance-propagation primitive (seed-document
+weighting, crawl prioritization, duplicate-cluster canonical-member
+choice) and ``triangle_candidates`` the clustering-coefficient /
+community-density primitive.
+
+Determinism at scale is the design center: classic float PageRank is
+NOT reproducible across partitionings (per-node contribution sums are
+float adds in shuffle order, and the error compounds per iteration).
+Here ranks are integers at a fixed scale and every step is integer
+arithmetic — contribution = rank div degree, damping = (85 * sum)
+div 100 — so a 1000-executor run, a local[1] run, and an ANSI-SQL
+replay produce BIT-IDENTICAL ranks. The flooring leaks ~deg ulps of
+mass per node per iteration (bounded by n_nodes * iterations / scale,
+~1e-6 of total mass at the default 1e12 scale), a worthwhile trade for
+an exactly-certifiable fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (feed both
+    directions for an undirected graph). Returns (node, deg,
+    rank_scaled) with ranks as integers at ``scale`` (initial mass
+    scale/n per node).
+
+    Every node must appear as a source (true for symmetrized graphs);
+    nodes with no in-edges still receive the teleport base term via
+    the left join. Each iteration is one join of the rank table onto
+    the edge list (both shuffle-keyed on the node — at scale,
+    pre-partition ``edges`` by ``src`` once and every iteration reuses
+    that layout) plus one map-side-combined sum keyed on ``dst``.
+    ``checkpoint_every=k`` truncates plan lineage with localCheckpoint
+    every k iterations, same discipline as connected_components — use
+    it when iterations > ~8."""
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    base_expr = (
+        f"CAST({(100 - damping_pct) * scale} AS BIGINT) div (100 * n_nodes)"
+    )
+    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
+        "node",
+        "deg",
+        F.expr(f"CAST({scale} AS BIGINT) div n_nodes").alias("rank"),
+        F.expr(base_expr).alias("base"),
+    )
+    for i in range(iterations):
+        msgs = (
+            edges.join(
+                ranks.select(
+                    F.col("node").alias(src),
+                    F.expr("rank div deg").alias("contrib"),
+                ),
+                src,
+            )
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum("contrib").alias("mass"))
+        )
+        ranks = ranks.drop("rank").join(msgs, "node", "left").select(
+            "node",
+            "deg",
+            "base",
+            F.expr(
+                f"base + ({damping_pct} * coalesce(mass, 0)) div 100"
+            ).alias("rank"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", "deg", F.col("rank").alias("rank_scaled"))
+
+
+def triangle_candidates(
+    pairs: DataFrame, a: str = "part_a", b: str = "part_b"
+) -> DataFrame:
+    """Enumerate triangles (x < y < z) of an undirected graph given as
+    canonical a < b pairs: the standard two-join form — wedges
+    (x,y),(y,z) closed by the (x,z) edge. Each triangle emits exactly
+    once. Join keys are single node columns then the composite closing
+    edge, so all three legs are ordinary hash joins (broadcast when the
+    pair list is small, sort-merge at scale); the a < b canonical form
+    already halves the edge list and kills 4 of the 6 permutations."""
+    p1 = pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    p2 = pairs.select(F.col(a).alias("y"), F.col(b).alias("z"))
+    p3 = pairs.select(F.col(a).alias("x"), F.col(b).alias("z"))
+    return p1.join(p2, "y").join(p3, ["x", "z"])

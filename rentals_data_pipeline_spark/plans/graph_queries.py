@@ -1,0 +1,172 @@
+"""Graph-analytics catalog queries over the co-purchase pair graph.
+
+The graph: nodes are parts, an undirected edge joins two parts bought
+together in >= 2 orders (the `analytics_copurchase_pairs` support
+floor). Both queries certify iterative/multi-join graph execution
+against ANSI oracles — PageRank by UNROLLING the fixed iteration count
+into chained CTEs, triangles by the standard wedge-closure join — so
+the distributed loops are hash-checked value-for-value, not just
+row-counted (the weaker check connected components needed a recursive
+CTE for).
+
+Exactness: PageRank runs entirely in scaled-integer arithmetic
+(operators/graph.py::pagerank) — the only way an iterative float
+algorithm can hash-match across engines AND across partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rentals_data_pipeline_spark.operators.graph import (
+    PR_SCALE,
+    pagerank,
+    triangle_candidates,
+)
+from rentals_data_pipeline_spark.plans.catalog import query
+from rentals_data_pipeline_spark.sources.tables import load_table
+
+# Canonical a < b support-2 pair graph, as SQL (the oracle's form: the
+# DISTINCT self-join; the engine uses the single-shuffle collect_set
+# rewrite certified equivalent by analytics_copurchase_pairs).
+_PAIRS_CTE = """
+items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM items a
+    JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+)
+"""
+
+
+def _pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part_a < part_b) edges of the support-2 co-purchase graph via
+    the one-fact-shuffle collect_set pair generation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    parts = F.col("parts")
+    pair_structs = F.flatten(
+        F.transform(
+            parts,
+            lambda a: F.transform(
+                F.filter(parts, lambda b: b > a),
+                lambda b: F.struct(a.alias("part_a"), b.alias("part_b")),
+            ),
+        )
+    )
+    return (
+        sets.select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_together"))
+        .where(F.col("n_together") >= 2)
+        .drop("n_together")
+    )
+
+
+def _pagerank_oracle(iterations: int, damping_pct: int, scale: int) -> str:
+    ctes = [
+        _PAIRS_CTE.strip().rstrip(),
+        """edges AS (
+    SELECT part_a AS src, part_b AS dst FROM pairs
+    UNION ALL
+    SELECT part_b AS src, part_a AS dst FROM pairs
+)""",
+        "deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1)",
+        f"""r0 AS (
+    SELECT d.node, d.deg,
+        {scale} // n.n_nodes AS rank,
+        {(100 - damping_pct) * scale} // (100 * n.n_nodes) AS base
+    FROM deg d, (SELECT COUNT(*) AS n_nodes FROM deg) n
+)""",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""r{k} AS (
+    SELECT r.node, r.deg, r.base,
+        r.base + ({damping_pct} * COALESCE(s.mass, 0)) // 100 AS rank
+    FROM r{k - 1} r
+    LEFT JOIN (
+        SELECT e.dst AS node, SUM(c.rank // c.deg) AS mass
+        FROM edges e JOIN r{k - 1} c ON c.node = e.src
+        GROUP BY 1
+    ) s ON s.node = r.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, deg, CAST(rank AS BIGINT) AS rank_scaled"
+        f" FROM r{iterations}"
+    )
+
+
+@query("graph_pagerank_copurchase", _pagerank_oracle(5, 85, PR_SCALE))
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five PageRank iterations (damping 0.85) over the symmetrized
+    co-purchase graph, in scaled-integer arithmetic
+    (operators/graph.py::pagerank). The oracle UNROLLS the loop into
+    five chained CTEs computing the identical integer recurrence —
+    contribution = rank div deg, damped sum = (85 * mass) div 100 — so
+    every node's rank after five distributed join+aggregate rounds is
+    certified to the exact integer. Per iteration the engine shuffles
+    only (node, contrib) messages keyed on the destination; at 100 TB
+    pre-partitioning the edge list by src makes the per-iteration join
+    co-located, and checkpoint_every truncates lineage (the
+    connected-components discipline)."""
+    edges = _pair_graph(spark, sf_dir)
+    sym = edges.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    return pagerank(sym, iterations=5, damping_pct=85, scale=PR_SCALE)
+
+
+_TRIANGLE_SQL = (
+    "WITH "
+    + _PAIRS_CTE.strip()
+    + """,
+tri AS (
+    SELECT p1.part_a AS x, p1.part_b AS y, p2.part_b AS z
+    FROM pairs p1
+    JOIN pairs p2 ON p2.part_a = p1.part_b
+    JOIN pairs p3 ON p3.part_a = p1.part_a AND p3.part_b = p2.part_b
+),
+corners AS (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+)
+SELECT node AS part, COUNT(*) AS n_triangles
+FROM corners GROUP BY 1
+"""
+)
+
+
+@query("graph_triangle_participation", _TRIANGLE_SQL)
+def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation counts over the co-purchase
+    graph (operators/graph.py::triangle_candidates): wedges
+    (x,y),(y,z) closed by the (x,z) edge, each triangle counted once
+    via the canonical x < y < z form — the clustering-coefficient /
+    community-density primitive. Two hash joins on the half-edge list
+    (broadcast here, sort-merge at scale) then an explode of the three
+    corners into one map-side-combined count."""
+    pairs = _pair_graph(spark, sf_dir)
+    tri = triangle_candidates(pairs)
+    return (
+        tri.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias(
+                "part"
+            )
+        )
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -1,0 +1,83 @@
+"""Unit tests for operators/graph.py: the scaled-integer PageRank
+recurrence against a hand-computed reference, its partitioning
+invariance (the whole point of integer arithmetic), and wedge-closure
+triangle enumeration."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rentals_data_pipeline_spark.operators.graph import (
+    pagerank,
+    triangle_candidates,
+)
+
+
+def _reference_pagerank(edges, iterations=5, damping=85, scale=10**12):
+    """Pure-Python replay of the exact integer recurrence."""
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    n = len(deg)
+    rank = {v: scale // n for v in deg}
+    base = (100 - damping) * scale // (100 * n)
+    for _ in range(iterations):
+        mass = defaultdict(int)
+        for s, d in edges:
+            mass[d] += rank[s] // deg[s]
+        rank = {v: base + damping * mass.get(v, 0) // 100 for v in deg}
+    return rank
+
+
+def _sym(pairs):
+    return [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+
+
+def test_pagerank_matches_integer_reference(spark):
+    # Path a-b-c plus a pendant d on b: asymmetric degrees exercise the
+    # div-by-degree and the damped floor.
+    edges = _sym([(1, 2), (2, 3), (2, 4)])
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank_scaled"] for r in pagerank(df).collect()
+    }
+    assert got == _reference_pagerank(edges)
+    # mass approximately conserved (floor leak only)
+    assert 0 <= 10**12 - sum(got.values()) < 10**7
+
+
+def test_pagerank_partitioning_invariant(spark):
+    # Bit-identical ranks regardless of input layout — the integer
+    # arithmetic guarantee float PageRank cannot make.
+    edges = _sym([(i, (i * 7) % 23 + 100) for i in range(40)])
+    df1 = spark.createDataFrame(edges, ["src", "dst"])
+    df2 = df1.repartition(13, "dst")
+    r1 = {r["node"]: r["rank_scaled"] for r in pagerank(df1).collect()}
+    r2 = {r["node"]: r["rank_scaled"] for r in pagerank(df2).collect()}
+    assert r1 == r2
+
+
+def test_pagerank_sink_heavy_node_ranks_highest(spark):
+    # Star: hub 0 connected to 1..6 — the hub must outrank every leaf.
+    edges = _sym([(0, i) for i in range(1, 7)])
+    got = {r["node"]: r["rank_scaled"] for r in pagerank(spark.createDataFrame(edges, ["src", "dst"])).collect()}
+    hub = got[0]
+    assert all(hub > v for k, v in got.items() if k != 0)
+
+
+def test_triangle_candidates_k4(spark):
+    # K4 has exactly 4 triangles; every canonical (x<y<z) once.
+    pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(pairs, ["part_a", "part_b"])
+    tri = {
+        (r["x"], r["y"], r["z"]) for r in triangle_candidates(df).collect()
+    }
+    assert tri == {(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)}
+
+
+def test_triangle_candidates_open_wedge_not_counted(spark):
+    # Path 0-1-2 (no closing edge): zero triangles.
+    df = spark.createDataFrame([(0, 1), (1, 2)], ["part_a", "part_b"])
+    assert triangle_candidates(df).count() == 0
