@@ -58,6 +58,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "ts_anomaly_zscore", "tpch_q3_unshipped_revenue",
     "tpch_q5_local_supplier_volume", "tpch_q10_returned_items",
     "graph_pagerank_copurchase", "graph_triangle_participation",
+    "quality_key_skew_events",
     # -- group 1: certified r2/r3 only, skipped by round 4's rotation -----
     "flagship_events_daily", "quality_metrics_lineitem",
     "window_period_change", "window_rank_in_group", "window_rolling_avg",
@@ -82,7 +83,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "profile_orders_columns",
     "multimodal_audio_energy", "sim_srp_near_dup_pairs",
     "pipeline_embedding_curation", "pipeline_embedding_curation_srp",
-    "layout_zorder_cells",
     # -- group 3: below the 50-cap this round ----------------------------
     # NEW round-5 queries certified locally (sf0.001 + sf0.01 hash-match
     # — most also at sf0.1 — recorded in COVERAGE.md) — ALL of these
@@ -106,6 +106,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "multimodal_byte_histogram", "join_full_outer_user_activity",
     "sim_cosine_topk", "sim_embedding_near_dup_pairs",
     "join_asof_last_error", "pipeline_corpus_curation",
+    "layout_zorder_cells",
     # rows-only by design (no_oracle rows>0; golden tests pin semantics)
     "sketch_distinct_users_rollup", "sim_srp_lsh_recall", "sim_ivf_topk",
     "sample_weighted_documents",

@@ -323,3 +323,44 @@ def psi_drift(
             round_half_up(F.sum(term), scale).alias("psi"),
         )
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    target_rows_per_task: int = 5_000_000,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostics: one output row per
+    candidate key column with exact cardinality, hottest-key mass, and
+    the salt factor `salted_join`/`salted_agg` would need to bound any
+    single task at ``target_rows_per_task`` rows — the pre-flight check
+    a 100 TB pipeline runs BEFORE picking a shuffle strategy (AQE fixes
+    skewed SORT-MERGE joins at runtime, but aggregation hot keys and
+    broadcast-threshold decisions want numbers up front).
+
+    Per key column: one count shuffle keyed on that column (map-side
+    combined — the shuffle carries |keys| rows), then a 1-row rollup;
+    rows appended across key columns by union. ``max_share`` divides
+    exact integers in one IEEE division (deterministic); the salt
+    recommendation is pure integer ceiling division. For trillion-key
+    columns swap the exact count for sketches.py::heavy_hitters — the
+    hot-key mass is what decides, and it is exactly what Misra-Gries
+    bounds."""
+    out = None
+    for key in key_cols:
+        counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+        prof = counts.agg(
+            F.lit(key).alias("key_col"),
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_key_count"),
+            (
+                F.max("c").cast("double") / F.sum("c")
+            ).alias("max_share"),
+            F.expr(
+                f"CAST((max(c) + {target_rows_per_task - 1}) AS BIGINT)"
+                f" div {target_rows_per_task}"
+            ).alias("recommended_salt"),
+        )
+        out = prof if out is None else out.unionAll(prof)
+    return out

@@ -678,3 +678,49 @@ def quality_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(
         df, "event_type", "period", "value", n_bins=16, lo=0.0, width=32.0
     )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-key skew diagnostics: the pre-flight salt-factor check.
+# ---------------------------------------------------------------------------
+
+def _skew_oracle_branch(key: str, target: int) -> str:
+    return f"""
+SELECT '{key}' AS key_col,
+    CAST(SUM(c) AS BIGINT) AS n_rows,
+    COUNT(*) AS n_keys,
+    CAST(MAX(c) AS BIGINT) AS max_key_count,
+    CAST(MAX(c) AS DOUBLE) / SUM(c) AS max_share,
+    CAST((MAX(c) + {target - 1}) // {target} AS BIGINT)
+        AS recommended_salt
+FROM (SELECT COUNT(*) AS c FROM events GROUP BY {key})
+"""
+
+
+_SKEW_TARGET = 2000
+_SKEW_ORACLE = "\nUNION ALL\n".join(
+    _skew_oracle_branch(k, _SKEW_TARGET)
+    for k in ("user_id", "event_type")
+)
+
+
+@query("quality_key_skew_events", _SKEW_ORACLE)
+def quality_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics for the two events join/agg keys
+    (operators/quality.py::key_skew_profile): exact key cardinality,
+    hottest-key row mass, its share of the table, and the integer salt
+    factor that bounds any single task at the target row count — the
+    numbers `salted_join`/`salted_agg` need BEFORE the shuffle strategy
+    is chosen. event_type (5 keys over everything) profiles as the
+    heavily salted case; user_id as the well-spread case. One
+    map-side-combined count shuffle per key column; the oracle
+    recomputes each profile from a plain GROUP BY. The target is 2000
+    rows/task at this SF so the recommendation is a non-trivial
+    integer at the gate scale (the operator defaults to 5M for real
+    deployments)."""
+    from rentals_data_pipeline_spark.operators.quality import key_skew_profile
+
+    events = load_table(spark, sf_dir, "events")
+    return key_skew_profile(
+        events, ["user_id", "event_type"], target_rows_per_task=_SKEW_TARGET
+    )

