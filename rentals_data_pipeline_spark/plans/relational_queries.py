@@ -1704,3 +1704,63 @@ def analytics_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "analytics_event_transitions",
+    """
+WITH seq AS (
+    SELECT user_id, event_type,
+        LEAD(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+        ) AS next_type
+    FROM events
+),
+trans AS (
+    SELECT event_type AS from_type, next_type AS to_type,
+        COUNT(*) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+),
+tot AS (
+    SELECT from_type, SUM(n_transitions) AS n_from FROM trans GROUP BY 1
+)
+SELECT t.from_type, t.to_type, t.n_transitions,
+    CAST(t.n_transitions AS DOUBLE) / tt.n_from AS p_transition
+FROM trans t JOIN tot tt ON tt.from_type = t.from_type
+""",
+)
+def analytics_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    ordered pair of event types, how often (and with what conditional
+    probability) a user's next event follows — the behavioral-model /
+    anomalous-flow primitive next to the funnel and retention queries.
+    ONE user-keyed window (deterministic ts, event_id order) emits
+    (type, next_type) in the map stage; the transition count shuffle
+    carries |types|² rows map-side combined, and the row-normalizing
+    totals join is |types|-sized. p divides exact integers in one IEEE
+    division — unrounded, hash-stable."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    trans = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = trans.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return trans.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (F.col("n_transitions").cast("double") / F.col("n_from")).alias(
+            "p_transition"
+        ),
+    )
