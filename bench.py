@@ -77,6 +77,11 @@ HEADLINE = [
     "ts_anomaly_zscore",
     "multimodal_decoded_ppm_stats",
     "sql_cte_window_topn",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_volume_customer",
+    "graph_pagerank_copurchase",
+    "analytics_event_transitions",
+    "quality_key_skew_events",
 ]
 
 

@@ -1,4 +1,4 @@
-"""Canonical TPC-H query adaptations (Q3, Q5, Q10) over the star
+"""Canonical TPC-H query adaptations (Q3, Q5, Q10, Q18) over the star
 schema — the industry-standard multi-join analytics shapes, expressed
 in the DataFrame API and certified against the classic SQL text on
 DuckDB. (Q1 already lives in the catalog as ``agg_pricing_summary``.)
@@ -200,4 +200,50 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             RND(F.col("rev").cast("double"), 2).alias("revenue"),
         )
+    )
+
+
+_Q18_SQL = """
+WITH heavy AS (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+    SUM(l.l_quantity) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM heavy)
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+@query("tpch_q18_large_volume_customer", _Q18_SQL)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): orders whose total quantity
+    exceeds 300, with their customer and exact quantity sum. The heavy
+    -order set is a self-aggregation of the fact (map-side combined)
+    that semi-joins back — Catalyst turns the IN into a LeftSemi whose
+    tiny build side broadcasts, so the fact is filtered BEFORE the
+    customer join; quantities are integral doubles, so SUM is exact
+    and the HAVING boundary cannot drift. Output left unordered (the
+    gate hashes order-insensitively); the classic top-100 form would
+    be one TakeOrdered more."""
+    li = load_table(spark, sf_dir, "lineitem")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(heavy), "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum("l_quantity").alias("total_qty"))
     )

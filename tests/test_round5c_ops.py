@@ -135,3 +135,16 @@ def test_copurchase_lift_known_case(spark):
     r = rows[0]
     assert (r["part_a"], r["part_b"], r["n_together"]) == (1, 2, 2)
     assert (r["n_a"], r["n_b"], r["lift"]) == (3, 2, 1.0)
+
+
+def test_psi_partitioning_invariant(spark):
+    # The PSI hash-stability claim: identical metric under any input
+    # layout (count sums + one ln per bin are layout-independent).
+    rows = [
+        ("g", i % 2, float((i * 13) % 64)) for i in range(400)
+    ]
+    df1 = spark.createDataFrame(rows, ["g", "period", "value"])
+    df2 = df1.repartition(17, "value")
+    r1 = psi_drift(df1, "g", "period", "value", n_bins=8, lo=0.0, width=8.0)
+    r2 = psi_drift(df2, "g", "period", "value", n_bins=8, lo=0.0, width=8.0)
+    assert r1.collect() == r2.collect()
