@@ -59,6 +59,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "tpch_q5_local_supplier_volume", "tpch_q10_returned_items",
     "graph_pagerank_copurchase", "graph_triangle_participation",
     "quality_key_skew_events", "analytics_event_transitions",
+    "pipeline_training_data_prep",
     # -- group 1: certified r2/r3 only, skipped by round 4's rotation -----
     "flagship_events_daily", "quality_metrics_lineitem",
     "window_period_change", "window_rank_in_group", "window_rolling_avg",
@@ -79,7 +80,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # range join — their code paths are untouched by this round's
     # module edits (decode_media/pack_* only) and all five re-certified
     # in today's full local sf0.01 sweep)
-    "cdc_orders_snapshot_diff", "join_interval_overlap_orders",
+    "cdc_orders_snapshot_diff",
     "profile_orders_columns", "sim_srp_near_dup_pairs",
     "pipeline_embedding_curation", "pipeline_embedding_curation_srp",
     # -- group 3: below the 50-cap this round ----------------------------
@@ -107,6 +108,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sim_cosine_topk", "sim_embedding_near_dup_pairs",
     "join_asof_last_error", "pipeline_corpus_curation",
     "layout_zorder_cells", "multimodal_audio_energy",
+    "join_interval_overlap_orders",
     # rows-only by design (no_oracle rows>0; golden tests pin semantics)
     "sketch_distinct_users_rollup", "sim_srp_lsh_recall", "sim_ivf_topk",
     "sample_weighted_documents",

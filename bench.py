@@ -82,6 +82,7 @@ HEADLINE = [
     "graph_pagerank_copurchase",
     "analytics_event_transitions",
     "quality_key_skew_events",
+    "pipeline_training_data_prep",
 ]
 
 

@@ -113,3 +113,171 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(TX.token_stats())
         .select("doc_id", "quality", "n_tokens", "n_bpe_units")
     )
+
+
+_PREP_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
+    FROM documents
+),
+s AS (
+    SELECT doc_id, text, toks,
+        {_LANG_SCORES_SQL}
+    FROM t
+),
+en AS (
+    SELECT doc_id, text, toks FROM s
+    WHERE GREATEST(score_en, score_es, score_de, score_fr) > 0
+      AND score_en = GREATEST(score_en, score_es, score_de, score_fr)
+),
+q AS (
+    SELECT doc_id, text, toks,
+        FLOOR((0.4 * LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                        / NULLIF(CAST(len(toks) AS DOUBLE), 0.0))
+               + 0.3 * (CAST(len(list_filter(toks, t -> t IN ({_EN}))) AS DOUBLE)
+                        / NULLIF(CAST(len(toks) AS DOUBLE), 0.0)))
+              * 10000.0 + 0.5) / 10000.0 AS quality
+    FROM en
+),
+qf AS (SELECT * FROM q WHERE quality >= {QUALITY_FLOOR}),
+rep AS (
+    SELECT * FROM qf
+    WHERE FLOOR(((len(toks) - len(list_distinct(toks)))
+                 / CAST(len(toks) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+          <= 0.6
+),
+-- benchmark grams come from the RAW corpus (the eval suite is external
+-- to the filters); training side = filtered survivors off the benchmark
+g_all AS (
+    SELECT doc_id,
+        CASE WHEN len(toks) >= 5
+             THEN list_distinct(list_transform(
+                      generate_series(1, len(toks) - 4),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           || ' ' || toks[i+3] || ' ' || toks[i+4]))
+             ELSE [] END AS s
+    FROM t
+),
+bm AS (
+    SELECT DISTINCT u.gram
+    FROM g_all, unnest(g_all.s) AS u(gram)
+    WHERE g_all.doc_id % 97 = 0
+),
+contaminated AS (
+    SELECT DISTINCT g_all.doc_id
+    FROM g_all, unnest(g_all.s) AS u(gram)
+    JOIN bm ON u.gram = bm.gram
+    WHERE g_all.doc_id % 97 <> 0
+),
+clean AS (
+    SELECT * FROM rep
+    WHERE doc_id % 97 <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+dd AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM clean
+),
+survivors AS (
+    SELECT doc_id, toks, len(toks) AS n, quality FROM dd WHERE rn = 1
+),
+c AS (
+    SELECT doc_id, n, quality, i.i AS chunk_idx,
+        CAST(LEAST(i.i * 56 + 64, n) - (i.i * 56 + 1) + 1 AS BIGINT)
+            AS n_chunk_tokens
+    FROM survivors, (SELECT unnest(range(0, 1000)) AS i) i
+    WHERE n > 0 AND i.i < FLOOR((n - 1) / 56) + 1
+),
+sp AS (
+    SELECT *,
+        CASE WHEN (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 10000) < 8000 THEN 'train'
+             WHEN (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 10000) < 9000 THEN 'val'
+             ELSE 'test' END AS split
+    FROM c
+)
+SELECT doc_id,
+    CAST(chunk_idx AS BIGINT) AS chunk_idx,
+    split,
+    CAST(CEIL(SUM(n_chunk_tokens) OVER (
+        PARTITION BY split ORDER BY doc_id, chunk_idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 512.0) AS BIGINT)
+        AS bin_id,
+    n_chunk_tokens,
+    quality
+FROM sp
+"""
+
+
+@query("pipeline_training_data_prep", _PREP_ORACLE)
+def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data release pipeline in one plan — the
+    third flagship, composing six certified extension families
+    end-to-end the way a data release actually ships:
+
+        language-ID -> quality floor -> repetition filter (Gopher
+        dup-token fraction) -> benchmark decontamination (5-gram
+        overlap vs the held-out doc_id%97 suite) -> exact dedup ->
+        64/8 chunking -> deterministic train/val/test split ->
+        512-token bin packing
+
+    Every stage reuses arithmetic its standalone query already
+    certifies, so the DuckDB oracle replays the WHOLE chain and one
+    hash match certifies stage ordering + composition (filters before
+    decontamination, dedup after it, packing windows per split).
+    Scale shape: filters fuse into the scan; decontamination moves
+    only 32-byte digests (benchmark digest set broadcasts); dedup
+    keys on md5; the packing window runs per split ordered by
+    (doc_id, chunk_idx). The only fact-sized shuffles are the
+    digest-keyed dedup and the shingle windows."""
+    from rentals_data_pipeline_spark.operators import sampling as SP
+    from rentals_data_pipeline_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), r"\s+")
+    dup_frac = F.floor(
+        (
+            (F.size(toks) - F.size(F.array_distinct(toks)))
+            / F.size(toks).cast("double")
+        )
+        * F.lit(1e4)
+        + F.lit(0.5)
+    ) / F.lit(1e4)
+    filtered = (
+        docs.transform(TX.language_id())
+        .where(F.col("lang_pred") == "en")
+        .transform(TX.quality_score())
+        .where(F.col("quality") >= QUALITY_FLOOR)
+        .where(dup_frac <= 0.6)
+    )
+    benchmark = docs.where(F.col("doc_id") % 97 == 0)
+    train = filtered.where(F.col("doc_id") % 97 != 0)
+    clean = decontaminate(train, benchmark, "doc_id", "text", n=5)
+    survivors = (
+        clean.withColumn("fp_exact", F.md5("text"))
+        .transform(R.dedup_keep_first(["fp_exact"], [F.col("doc_id")]))
+    )
+    chunks = survivors.select("doc_id", "text").transform(
+        TX.chunk_documents(chunk_tokens=64, overlap=8)
+    )
+    split = survivors.select("doc_id", "quality").transform(
+        SP.train_val_test_split("doc_id", (0.8, 0.1, 0.1))
+    )
+    packed = chunks.join(split, "doc_id").transform(
+        TX.pack_chunks_into_bins(
+            bin_tokens=512,
+            order_by=["doc_id", "chunk_idx"],
+            partition_by=["split"],
+        )
+    )
+    return packed.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "split",
+        "bin_id",
+        "n_chunk_tokens",
+        "quality",
+    )
