@@ -110,7 +110,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "layout_zorder_cells", "multimodal_audio_energy",
     "join_interval_overlap_orders",
     # rows-only by design (no_oracle rows>0; golden tests pin semantics)
-    "sketch_distinct_users_rollup", "sim_srp_lsh_recall", "sim_ivf_topk",
+    "sketch_distinct_users_rollup", "sketch_sliding_distinct_users",
+    "sim_srp_lsh_recall", "sim_ivf_topk",
     "sample_weighted_documents",
     # r4 hash-certified on modules untouched this round
     "dedup_cluster_size_histogram", "sketch_histogram_quantiles",

@@ -211,3 +211,32 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .where(F.col("n_occurrences") > F.lit(n_total) / F.lit(k))
     )
+
+
+def sliding_estimates(
+    sketches: DataFrame,
+    order_key: str,
+    frame_rows: int,
+    part_keys: list[str] | None = None,
+    out_col: str = "n_distinct_est",
+) -> DataFrame:
+    """Trailing-window distinct estimates from stored sketches: union
+    the last ``frame_rows`` fine-grain sketches per row with ONE window
+    pass (``hll_union_agg`` as a window aggregate) — the rolling
+    COUNT(DISTINCT) that exact counting cannot express without
+    re-scanning the fact once PER WINDOW POSITION (a trailing-7-day
+    exact distinct over 365 days is 365 fact scans; this is one scan
+    at sketch-build time plus a window over |days| sketch rows).
+    Register-max union == sketch of the union exactly, so the sliding
+    estimate equals a direct sketch of each window's raw data."""
+    w = Window.orderBy(order_key)
+    if part_keys:
+        w = Window.partitionBy(*part_keys).orderBy(order_key)
+    w = w.rowsBetween(-(frame_rows - 1), Window.currentRow)
+    cols = [*(part_keys or []), order_key]
+    return sketches.select(
+        *cols,
+        F.hll_sketch_estimate(F.hll_union_agg("sketch").over(w)).alias(
+            out_col
+        ),
+    )

@@ -506,3 +506,24 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(lhs * lhs > rhs)
         .alias("is_anomaly"),
     )
+
+
+@query("sketch_sliding_distinct_users")  # rows-only: DataSketches HLL
+# register values have no ANSI oracle; the sliding union's accuracy
+# against exact per-window distincts is pinned by
+# tests/test_sketch_ops.py::test_sliding_estimates_accuracy
+def sketch_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from the SAME persistable
+    per-day HLL sketches the rollup query stores — the rolling
+    COUNT(DISTINCT) dashboards want, answered without any fact
+    re-scan (operators/sketches.py::sliding_estimates): one window
+    pass unions 7 register arrays per day. Exact rolling distincts
+    would need a fact scan per window position; sketches make the
+    window cost O(|days| x 2^lgk) bytes."""
+    from rentals_data_pipeline_spark.operators import sketches as SK
+
+    events = load_table(spark, sf_dir, "events")
+    daily = SK.distinct_sketches(
+        events.withColumn("day", F.date_trunc("day", "ts")), ["day"], "user_id"
+    )
+    return SK.sliding_estimates(daily, "day", frame_rows=7)

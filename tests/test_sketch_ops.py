@@ -137,3 +137,29 @@ def test_heavy_hitters_exact_vs_brute_force(spark):
     assert heavy_hitters(nulls, "v", k=4).count() == 0
     with _pytest.raises(ValueError):
         heavy_hitters(df, "v", k=1)
+
+
+def test_sliding_estimates_accuracy(spark):
+    # Trailing-7-day HLL union vs exact per-window distincts at
+    # sf0.001: every day's estimate within the lgk=12 error band.
+    from rentals_data_pipeline_spark.operators import sketches as SK
+    from rentals_data_pipeline_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    daily = SK.distinct_sketches(events, ["day"], "user_id")
+    est = {
+        r["day"]: r["n_distinct_est"]
+        for r in SK.sliding_estimates(daily, "day", frame_rows=7).collect()
+    }
+    days = sorted(est)
+    rows = events.select("day", "user_id").distinct().collect()
+    by_day: dict = {}
+    for r in rows:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    for i, d in enumerate(days):
+        exact = len(set().union(*(by_day[x] for x in days[max(0, i - 6): i + 1])))
+        assert abs(est[d] - exact) <= max(3, 0.05 * exact), (d, est[d], exact)
