@@ -88,7 +88,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # — most also at sf0.1 — recorded in COVERAGE.md) — ALL of these
     # must rotate to the FRONT of round 6's order, before the group-1/2
     # re-certs above (they have never been driver-certified):
-    "tpch_q18_large_volume_customer",
+    "tpch_q18_large_volume_customer", "window_range_frame_events",
     "dedup_decontaminate_train", "sketch_heavy_hitters_event_types",
     "text_repetition_filters", "cdc_incremental_agg_orders",
     "scalar_array_suite", "stats_winsorized_events",

@@ -527,3 +527,44 @@ def sketch_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         events.withColumn("day", F.date_trunc("day", "ts")), ["day"], "user_id"
     )
     return SK.sliding_estimates(daily, "day", frame_rows=7)
+
+
+@query(
+    "window_range_frame_events",
+    """
+SELECT event_id, event_type,
+    SUM(CAST(value AS DECIMAL(38,6))) OVER (
+        PARTITION BY event_type
+        ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    ) AS sum_1h,
+    COUNT(*) OVER (
+        PARTITION BY event_type
+        ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    ) AS n_1h
+FROM events
+""",
+)
+def window_range_frame_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frames — the frame type the rest of
+    the window family doesn't cover: for every event, the sum and
+    count of its type's events in the TRAILING HOUR of event time
+    (peers at the same second share a frame, the RANGE semantic ROWS
+    frames can't express). Ordering key is integer epoch seconds so
+    both engines build identical frames; the sum is decimal-exact per
+    value, so frame totals are order-invariant and hash directly. At
+    scale this is one shuffle on event_type + one sort — same cost
+    envelope as any other window, state bounded by the hour span."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "event_type",
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
