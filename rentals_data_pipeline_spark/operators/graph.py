@@ -50,9 +50,17 @@ def pagerank(
     that layout) plus one map-side-combined sum keyed on ``dst``.
     ``checkpoint_every=k`` truncates plan lineage with localCheckpoint
     every k iterations, same discipline as connected_components — use
-    it when iterations > ~8."""
+    it when iterations > ~8.
+
+    The edge list is localCheckpoint-ed up front: every iteration
+    joins against it, and without materialization the edge-building
+    subtree (which may itself contain shuffles — e.g. the co-purchase
+    pair generation) replays once PER ITERATION inside the final job
+    (measured 3.9s -> ~1.5s at 5 iterations on the sf0.1 co-purchase
+    graph)."""
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
+    edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
