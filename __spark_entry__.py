@@ -89,6 +89,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # must rotate to the FRONT of round 6's order, before the group-1/2
     # re-certs above (they have never been driver-certified):
     "tpch_q18_large_volume_customer", "window_range_frame_events",
+    "analytics_funnel_conversion_window", "scalar_bitwise_suite",
     "dedup_decontaminate_train", "sketch_heavy_hitters_event_types",
     "text_repetition_filters", "cdc_incremental_agg_orders",
     "scalar_array_suite", "stats_winsorized_events",
@@ -111,6 +112,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "join_interval_overlap_orders",
     # rows-only by design (no_oracle rows>0; golden tests pin semantics)
     "sketch_distinct_users_rollup", "sketch_sliding_distinct_users",
+    "sketch_distinct_overlap_users",
     "sim_srp_lsh_recall", "sim_ivf_topk",
     "sample_weighted_documents",
     # r4 hash-certified on modules untouched this round

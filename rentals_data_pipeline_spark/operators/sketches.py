@@ -240,3 +240,37 @@ def sliding_estimates(
             out_col
         ),
     )
+
+
+def overlap_estimate(
+    sketches: DataFrame,
+    key_col: str,
+    key_a: str,
+    key_b: str,
+    out_col: str = "n_overlap_est",
+) -> DataFrame:
+    """Distinct-set INTERSECTION estimate from two stored sketches by
+    inclusion-exclusion: |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B).
+    HLL unions are exact over registers but cannot intersect directly;
+    inclusion-exclusion answers audience-overlap questions (users who
+    did BOTH X and Y) from the same persisted per-key sketches, no
+    fact re-scan. Error grows as the overlap shrinks relative to the
+    union (the standard caveat) — golden-tested against exact overlap.
+    Returns one row: (est_a, est_b, est_union, n_overlap_est)."""
+    ab = sketches.where(F.col(key_col).isin(key_a, key_b))
+    est = ab.agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.when(F.col(key_col) == key_a, F.col("sketch")))
+        ).alias("est_a"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.when(F.col(key_col) == key_b, F.col("sketch")))
+        ).alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_union"),
+    )
+    return est.withColumn(
+        out_col,
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("est_a") + F.col("est_b") - F.col("est_union"),
+        ),
+    )

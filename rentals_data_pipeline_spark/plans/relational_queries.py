@@ -1764,3 +1764,147 @@ def analytics_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     )
+
+
+@query(
+    "analytics_funnel_conversion_window",
+    """
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view'
+    GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click'
+      AND e.ts >= s1.t1 AND e.ts <= s1.t1 + INTERVAL 48 HOUR
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase'
+      AND e.ts >= s2.t2 AND e.ts <= s2.t2 + INTERVAL 48 HOUR
+    GROUP BY e.user_id
+),
+d2 AS (
+    SELECT s2.user_id,
+        CAST(FLOOR(epoch(s2.t2)) AS BIGINT)
+        - CAST(FLOOR(epoch(s1.t1)) AS BIGINT) AS d
+    FROM s2 JOIN s1 ON s1.user_id = s2.user_id
+),
+d3 AS (
+    SELECT s3.user_id,
+        CAST(FLOOR(epoch(s3.t3)) AS BIGINT)
+        - CAST(FLOOR(epoch(s2.t2)) AS BIGINT) AS d
+    FROM s3 JOIN s2 ON s2.user_id = s3.user_id
+)
+SELECT stage, n_users, avg_hours FROM (
+    SELECT 1 AS stage, CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(NULL AS DOUBLE) AS avg_hours FROM s1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT),
+        FLOOR((SUM(d) / (COUNT(*) * 3600.0)) * 100.0 + 0.5) / 100.0 FROM d2
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT),
+        FLOOR((SUM(d) / (COUNT(*) * 3600.0)) * 100.0 + 0.5) / 100.0 FROM d3
+) f
+""",
+)
+def analytics_funnel_conversion_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-window funnel view -> click -> purchase: a user advances
+    a stage only with an event INSIDE 48 hours of the previous stage's
+    first event — the realistic attribution form (the unconstrained
+    funnel credits a purchase weeks later), plus the mean hours-to-
+    convert per stage. Same co-partitioned user-keyed conditional-min
+    chain as `analytics_funnel_stages`; delays subtract integer epoch
+    seconds (explicit FLOOR on the oracle's fractional epoch()), so the
+    averaged delay is an exact-integer sum divided once and rounded at
+    2 dp."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.expr("INTERVAL 48 HOURS")
+
+    s1 = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+
+    def stage(prev: DataFrame, etype: str, tcol: str, prev_t: str) -> DataFrame:
+        return (
+            events.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where(
+                (F.col("ts") >= F.col(prev_t))
+                & (F.col("ts") <= F.col(prev_t) + win)
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    s2 = stage(s1, "click", "t2", "t1")
+    s3 = stage(s2, "purchase", "t3", "t2")
+
+    def delay_stats(a: DataFrame, b: DataFrame, ta: str, tb: str, n: int) -> DataFrame:
+        d = F.unix_timestamp(tb) - F.unix_timestamp(ta)
+        return (
+            b.join(a, "user_id")
+            .agg(
+                F.lit(n).alias("stage"),
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+                (
+                    F.floor(
+                        (F.sum(d) / (F.count(F.lit(1)) * F.lit(3600.0)))
+                        * F.lit(100.0)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(100.0)
+                ).alias("avg_hours"),
+            )
+        )
+
+    top = s1.agg(
+        F.lit(1).alias("stage"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.lit(None).cast("double").alias("avg_hours"),
+    )
+    return top.unionByName(delay_stats(s1, s2, "t1", "t2", 2)).unionByName(
+        delay_stats(s2, s3, "t2", "t3", 3)
+    )
+
+
+@query(
+    "scalar_bitwise_suite",
+    """
+SELECT o_orderkey,
+    CAST(o_orderkey & 255 AS BIGINT) AS k_and,
+    CAST(o_orderkey | 4096 AS BIGINT) AS k_or,
+    CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS k_xor,
+    CAST(o_orderkey << 3 AS BIGINT) AS k_shl,
+    CAST(o_orderkey >> 2 AS BIGINT) AS k_shr,
+    CAST(~o_orderkey AS BIGINT) AS k_not,
+    CAST(bit_count(o_orderkey) AS INT) AS k_popcount
+FROM orders
+""",
+)
+def scalar_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar coverage — AND/OR/XOR/shifts/NOT/popcount over
+    64-bit keys, the primitives the engine's own Z-order interleave and
+    hash-bucketing paths build on, certified value-for-value (integer
+    bit semantics are exact by construction; the suite certifies
+    OPERATOR PARITY — same two's-complement, same shift semantics —
+    across engines). Pure codegen map stage, zero exchanges."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("k_and"),
+        k.bitwiseOR(F.lit(4096)).alias("k_or"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("k_xor"),
+        F.shiftleft(k, 3).cast("long").alias("k_shl"),
+        F.shiftright(k, 2).cast("long").alias("k_shr"),
+        F.expr("~o_orderkey").alias("k_not"),
+        F.bit_count(k).alias("k_popcount"),
+    )

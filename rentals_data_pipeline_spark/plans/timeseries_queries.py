@@ -568,3 +568,20 @@ def window_range_frame_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(38,6)")).over(w).alias("sum_1h"),
         F.count(F.lit(1)).over(w).alias("n_1h"),
     )
+
+
+@query("sketch_distinct_overlap_users")  # rows-only: HLL registers
+# have no ANSI oracle; inclusion-exclusion accuracy vs exact overlap
+# is pinned by tests/test_sketch_ops.py::test_overlap_estimate_accuracy
+def sketch_distinct_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap from sketches: how many distinct users BOTH
+    viewed and purchased, estimated by inclusion-exclusion over the
+    same persisted per-event-type HLL sketches the rollup stores
+    (operators/sketches.py::overlap_estimate) — the set-intersection
+    question unions alone can't answer, still with zero fact
+    re-scans."""
+    from rentals_data_pipeline_spark.operators import sketches as SK
+
+    events = load_table(spark, sf_dir, "events")
+    per_type = SK.distinct_sketches(events, ["event_type"], "user_id")
+    return SK.overlap_estimate(per_type, "event_type", "view", "purchase")

@@ -163,3 +163,31 @@ def test_sliding_estimates_accuracy(spark):
     for i, d in enumerate(days):
         exact = len(set().union(*(by_day[x] for x in days[max(0, i - 6): i + 1])))
         assert abs(est[d] - exact) <= max(3, 0.05 * exact), (d, est[d], exact)
+
+
+def test_overlap_estimate_accuracy(spark):
+    # Inclusion-exclusion overlap vs exact |view ∩ purchase| users at
+    # sf0.001 — overlap here is a large fraction of the union, the
+    # regime where inclusion-exclusion is reliable.
+    from rentals_data_pipeline_spark.operators import sketches as SK
+    from rentals_data_pipeline_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, SF_DIR, "events")
+    per_type = SK.distinct_sketches(events, ["event_type"], "user_id")
+    row = SK.overlap_estimate(
+        per_type, "event_type", "view", "purchase"
+    ).collect()[0]
+    users = lambda t: {  # noqa: E731
+        r["user_id"]
+        for r in events.where(F.col("event_type") == t)
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    exact = len(users("view") & users("purchase"))
+    assert abs(row["n_overlap_est"] - exact) <= max(5, 0.1 * exact), (
+        row,
+        exact,
+    )
