@@ -112,7 +112,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "join_interval_overlap_orders",
     # rows-only by design (no_oracle rows>0; golden tests pin semantics)
     "sketch_distinct_users_rollup", "sketch_sliding_distinct_users",
-    "sketch_distinct_overlap_users",
+    "sketch_distinct_overlap_users", "ts_downsample_lttb",
     "sim_srp_lsh_recall", "sim_ivf_topk",
     "sample_weighted_documents",
     # r4 hash-certified on modules untouched this round

@@ -144,3 +144,68 @@ def top_k_per_group(
         )
 
     return _apply
+
+
+def lttb_downsample(
+    series_keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_out: int = 100,
+) -> Callable[[DataFrame], DataFrame]:
+    """Largest-Triangle-Three-Buckets downsampling per series — the
+    dashboard/visualization reduction (Steinarsson 2013) that keeps the
+    points carrying the most visual information (peaks, troughs,
+    inflections) where uniform sampling flattens them. Input rows are
+    (series_keys..., ts, value); output keeps the SAME columns, at most
+    ``n_out`` rows per series, every row an ACTUAL input point (LTTB
+    never interpolates), endpoints always retained.
+
+    Execution: one ``applyInPandas`` per series group — numpy
+    vectorized per bucket, Arrow batch transfer, series sorted inside
+    the kernel. At 100 TB the per-series point cardinality is what must fit
+    one executor's memory (a series = one group); pre-aggregate to a
+    coarser grain first if a single series exceeds that, exactly like
+    the flagship's windows-over-daily discipline. Deterministic for a
+    given series (ties in triangle area resolve to the first maximal
+    index via argmax).
+    """
+    from pyspark.sql import types as T
+
+    def _lttb(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        if n <= n_out:
+            return pdf
+        x = pdf[ts_col].astype("int64").to_numpy().astype(np.float64)
+        y = pdf[value_col].to_numpy().astype(np.float64)
+        # bucket boundaries over the interior points (endpoints fixed)
+        bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        keep = [0]
+        a = 0
+        for i in range(n_out - 2):
+            lo, hi = bounds[i], bounds[i + 1]
+            nxt_lo, nxt_hi = bounds[i + 1], (
+                bounds[i + 2] if i + 2 < len(bounds) else n
+            )
+            avg_x = x[nxt_lo:nxt_hi].mean()
+            avg_y = y[nxt_lo:nxt_hi].mean()
+            ax, ay = x[a], y[a]
+            area = np.abs(
+                (ax - avg_x) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (avg_y - ay)
+            )
+            a = lo + int(area.argmax())
+            keep.append(a)
+        keep.append(n - 1)
+        return pdf.iloc[keep]
+
+    def _apply(df: DataFrame) -> DataFrame:
+        schema = T.StructType(
+            [df.schema[k] for k in series_keys]
+            + [df.schema[ts_col], df.schema[value_col]]
+        )
+        proj = df.select(*series_keys, ts_col, value_col)
+        return proj.groupBy(*series_keys).applyInPandas(_lttb, schema)
+
+    return _apply

@@ -585,3 +585,21 @@ def sketch_distinct_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame
     events = load_table(spark, sf_dir, "events")
     per_type = SK.distinct_sketches(events, ["event_type"], "user_id")
     return SK.overlap_estimate(per_type, "event_type", "view", "purchase")
+
+
+@query("ts_downsample_lttb")  # rows-only: bucket-mean triangle areas
+# are float comparisons with no stable ANSI replay; semantics pinned
+# by tests/test_round5c_ops.py (reference implementation equality,
+# endpoint/cardinality/actual-point invariants)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling of each event
+    type's raw value series to 100 visually-representative points
+    (operators/window.py::lttb_downsample) — what a dashboard fetches
+    instead of 20M raw points per panel. One Arrow applyInPandas group
+    per series; every output row is an actual event."""
+    events = load_table(spark, sf_dir, "events")
+    from rentals_data_pipeline_spark.operators.window import lttb_downsample
+
+    return events.transform(
+        lttb_downsample(["event_type"], "ts", "value", n_out=100)
+    )

@@ -148,3 +148,75 @@ def test_psi_partitioning_invariant(spark):
     r1 = psi_drift(df1, "g", "period", "value", n_bins=8, lo=0.0, width=8.0)
     r2 = psi_drift(df2, "g", "period", "value", n_bins=8, lo=0.0, width=8.0)
     assert r1.collect() == r2.collect()
+
+
+def _reference_lttb(points, n_out):
+    # direct transcription of Steinarsson's algorithm over the same
+    # bucket boundaries as the operator
+    import numpy as np
+
+    pts = sorted(points)
+    n = len(pts)
+    if n <= n_out:
+        return pts
+    x = np.array([p[0] for p in pts], dtype=float)
+    y = np.array([p[1] for p in pts], dtype=float)
+    bounds = np.linspace(1, n - 1, n_out - 1).astype(int)
+    keep = [0]
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = bounds[i], bounds[i + 1]
+        nxt_hi = bounds[i + 2] if i + 2 < len(bounds) else n
+        avg_x = x[bounds[i + 1]: nxt_hi].mean()
+        avg_y = y[bounds[i + 1]: nxt_hi].mean()
+        area = abs(
+            (x[a] - avg_x) * (y[lo:hi] - y[a])
+            - (x[a] - x[lo:hi]) * (avg_y - y[a])
+        )
+        a = lo + int(area.argmax())
+        keep.append(a)
+    keep.append(n - 1)
+    return [pts[i] for i in keep]
+
+
+def test_lttb_matches_reference_and_invariants(spark):
+    import datetime
+
+    from rentals_data_pipeline_spark.operators.window import lttb_downsample
+
+    base = datetime.datetime(2024, 1, 1)
+    pts = [
+        (base + datetime.timedelta(minutes=i), float((i * 37) % 101))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        [("s", t, v) for t, v in pts], ["event_type", "ts", "value"]
+    )
+    got = sorted(
+        (r["ts"], r["value"])
+        for r in df.transform(
+            lttb_downsample(["event_type"], n_out=50)
+        ).collect()
+    )
+    assert len(got) == 50
+    # endpoints retained, every output an actual input point
+    assert got[0] == pts[0] and got[-1] == pts[-1]
+    assert set(got) <= set(pts)
+    ref = _reference_lttb(
+        [(t.timestamp(), v) for t, v in pts], 50
+    )
+    assert [(t.timestamp(), v) for t, v in got] == ref
+
+
+def test_lttb_short_series_passthrough(spark):
+    import datetime
+
+    from rentals_data_pipeline_spark.operators.window import lttb_downsample
+
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("s", base + datetime.timedelta(minutes=i), float(i)) for i in range(7)],
+        ["event_type", "ts", "value"],
+    )
+    out = df.transform(lttb_downsample(["event_type"], n_out=100)).collect()
+    assert len(out) == 7
