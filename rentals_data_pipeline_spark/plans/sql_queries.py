@@ -167,3 +167,40 @@ def sql_cte_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries cannot flip between engines."""
     register_views(spark, sf_dir)
     return spark.sql(_CTE_WINDOW_SQL)
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE months(m) AS (
+    SELECT CAST('1995-01-01' AS DATE)
+    UNION ALL
+    SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+    WHERE m < CAST('2001-07-01' AS DATE)
+),
+mo AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        COUNT(*) AS n_orders,
+        SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+    FROM orders GROUP BY 1
+)
+SELECT months.m,
+    CAST(COALESCE(mo.n_orders, 0) AS BIGINT) AS n_orders,
+    FLOOR(CAST(COALESCE(mo.rev, 0) AS DOUBLE) * 1e2 + 0.5) / 1e2
+        AS revenue
+FROM months LEFT JOIN mo ON mo.m = months.m
+"""
+
+
+@query("sql_recursive_month_spine", _RECURSIVE_SQL)
+def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE through the SQL front end (new in Spark 4): a
+    79-month calendar spine generated by the recursion itself (the
+    UnionLoop fixpoint operator), left-joined to monthly order
+    aggregates so absent months surface as zero rows — the
+    recursive-SQL twin of `ts_gap_fill_hourly`'s sequence() spine.
+    Spark's recursive CTEs support UNION ALL bodies (acyclic
+    recursions like series/hierarchy generation; cyclic closure still
+    wants the DataFrame-side pointer-jumping CC). The IDENTICAL text
+    runs on DuckDB, certifying both engines execute the same
+    recursion to the same fixpoint."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
