@@ -90,7 +90,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # re-certs above (they have never been driver-certified):
     "tpch_q18_large_volume_customer", "window_range_frame_events",
     "analytics_funnel_conversion_window", "scalar_bitwise_suite",
-    "sql_recursive_month_spine",
+    "sql_recursive_month_spine", "sql_pivot_status_by_priority",
+    "sample_stratified_split_embeddings",
     "dedup_decontaminate_train", "sketch_heavy_hitters_event_types",
     "text_repetition_filters", "cdc_incremental_agg_orders",
     "scalar_array_suite", "stats_winsorized_events",

@@ -149,3 +149,47 @@ def weighted_sample_topk(
         )
 
     return _apply
+
+
+def stratified_split(
+    key_col: str,
+    stratum_col: str,
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    seed: str = "strat",
+    out_col: str = "split",
+):
+    """EXACT-proportion train/val/test split per stratum: within each
+    stratum rows rank by ``md5(seed || key)`` (deterministic,
+    engine-reproducible, layout-invariant) and the split boundaries
+    are integer thresholds of the stratum size — every stratum lands
+    within one row of its target fractions, where the plain hash
+    split (`train_val_test_split`) only hits fractions in expectation
+    (a 40-row minority class can easily draw 35/2/3). The balanced
+    split a classifier's eval set needs. One window shuffle keyed on
+    the stratum; thresholds use integer arithmetic ((n*w) div 10), so
+    no float boundary exists. Weights must be multiples of 0.1."""
+    from pyspark.sql import Window
+
+    w_train = int(round(weights[0] * 10))
+    w_val = int(round((weights[0] + weights[1]) * 10))
+    if w_train < 1 or w_val > 10:
+        raise ValueError("weights must be tenths summing to at most 1")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+        rn = F.row_number().over(
+            Window.partitionBy(stratum_col).orderBy(h)
+        )
+        cnt = F.count(F.lit(1)).over(Window.partitionBy(stratum_col))
+        ranked = df.select("*", rn.alias("_rn"), cnt.alias("_n"))
+        return ranked.select(
+            *df.columns,
+            F.when(
+                F.col("_rn") <= F.expr(f"(_n * {w_train}) div 10"), "train"
+            )
+            .when(F.col("_rn") <= F.expr(f"(_n * {w_val}) div 10"), "val")
+            .otherwise("test")
+            .alias(out_col),
+        )
+
+    return _apply

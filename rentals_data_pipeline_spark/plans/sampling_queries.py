@@ -101,3 +101,39 @@ def sample_weighted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.transform(
         SP.weighted_sample_topk("doc_id", "weight", 50)
     ).select("doc_id", "weight")
+
+
+@query(
+    "sample_stratified_split_embeddings",
+    """
+WITH r AS (
+    SELECT vec_id, label,
+        ROW_NUMBER() OVER (
+            PARTITION BY label
+            ORDER BY md5('strat' || CAST(vec_id AS VARCHAR))
+        ) AS rn,
+        COUNT(*) OVER (PARTITION BY label) AS n
+    FROM embeddings
+)
+SELECT vec_id, label,
+    CASE WHEN rn <= (n * 8) // 10 THEN 'train'
+         WHEN rn <= (n * 9) // 10 THEN 'val'
+         ELSE 'test' END AS split
+FROM r
+""",
+)
+def sample_stratified_split_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Label-balanced train/val/test split
+    (operators/sampling.py::stratified_split): within each label, rows
+    rank by md5 and integer thresholds of the label size cut the
+    splits — EVERY class lands within one row of 80/10/10, where the
+    plain hash split only hits fractions in expectation (a 44-row
+    class can draw 35/2/7). One window shuffle on the label; md5
+    ordering makes the assignment deterministic, engine-reproducible,
+    and layout-invariant, so the oracle replays it row-for-row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "label").transform(
+        SP.stratified_split("vec_id", "label")
+    )

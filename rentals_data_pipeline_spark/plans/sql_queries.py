@@ -204,3 +204,36 @@ def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion to the same fixpoint."""
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SQL)
+
+
+_PIVOT_SQL = """
+SELECT * FROM (
+    SELECT o_orderpriority, o_orderstatus FROM orders
+)
+PIVOT (
+    COUNT(*) FOR o_orderstatus IN ('O' AS st_open, 'F' AS st_full,
+                                   'P' AS st_partial)
+)
+"""
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+    COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS st_open,
+    COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS st_full,
+    COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS st_partial
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql_pivot_status_by_priority", _PIVOT_ORACLE)
+def sql_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT syntax through the front end: order counts cross-
+    tabulated status x priority with explicit IN-list columns (the
+    only scalable pivot — an open-ended pivot needs a values scan
+    first; the DataFrame twin is `reshape_pivot_event_types`). Spark
+    compiles PIVOT to the same single groupBy with pivot aggregates;
+    the oracle states the portable CASE form (DuckDB's PIVOT dialect
+    differs), certifying the syntax desugars to exactly that."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PIVOT_SQL)

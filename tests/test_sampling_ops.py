@@ -81,3 +81,47 @@ def test_weighted_sample_properties(spark):
     )
     all_rows = small.transform(SP.weighted_sample_topk("k", "w", 10)).collect()
     assert sorted(r["k"] for r in all_rows) == [1, 4]  # zero/null weight dropped
+
+
+def test_stratified_split_exact_proportions(spark):
+    # Every stratum lands within one row of 80/10/10 — including a
+    # tiny 7-row stratum where the expectation-only hash split could
+    # draw anything.
+    from collections import Counter
+
+    from rentals_data_pipeline_spark.operators.sampling import (
+        stratified_split,
+    )
+
+    rows = [(i, i % 3) for i in range(100)] + [(1000 + i, 9) for i in range(7)]
+    df = spark.createDataFrame(rows, ["vec_id", "label"])
+    out = df.transform(stratified_split("vec_id", "label")).collect()
+    by_label: dict = {}
+    for r in out:
+        by_label.setdefault(r["label"], Counter())[r["split"]] += 1
+    for label, c in by_label.items():
+        n = sum(c.values())
+        assert c["train"] == (n * 8) // 10, (label, c)
+        assert c["train"] + c["val"] == (n * 9) // 10, (label, c)
+    # 7-row stratum: exact integer cuts -> 5 train, 1 val, 1 test
+    assert by_label[9] == Counter({"train": 5, "val": 1, "test": 1})
+
+
+def test_stratified_split_layout_invariant(spark):
+    from rentals_data_pipeline_spark.operators.sampling import (
+        stratified_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(200)], ["vec_id", "label"]
+    )
+    a = sorted(map(tuple, df.transform(stratified_split("vec_id", "label")).collect()))
+    b = sorted(
+        map(
+            tuple,
+            df.repartition(13)
+            .transform(stratified_split("vec_id", "label"))
+            .collect(),
+        )
+    )
+    assert a == b
