@@ -88,6 +88,11 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # — most also at sf0.1 — recorded in COVERAGE.md) — ALL of these
     # must rotate to the FRONT of round 6's order, before the group-1/2
     # re-certs above (they have never been driver-certified):
+    "tpch_q4_priority_checking", "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share", "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity", "tpch_q19_discounted_revenue",
+    "tpch_q21_suppliers_kept_waiting", "tpch_q22_global_sales_opportunity",
     "tpch_q18_large_volume_customer", "window_range_frame_events",
     "analytics_funnel_conversion_window", "scalar_bitwise_suite",
     "sql_recursive_month_spine", "sql_pivot_status_by_priority",

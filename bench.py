@@ -83,6 +83,12 @@ HEADLINE = [
     "analytics_event_transitions",
     "quality_key_skew_events",
     "pipeline_training_data_prep",
+    # round-5 fifth batch: the TPC-H sweep's heavier shapes (Q8's
+    # 7-join star, Q13's filtered outer-join double agg, Q21's
+    # per-order aggregate rewrite of the classic double self-join)
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q21_suppliers_kept_waiting",
 ]
 
 

@@ -1,7 +1,10 @@
-"""Canonical TPC-H query adaptations (Q3, Q5, Q10, Q18) over the star
+"""Canonical TPC-H query adaptations (Q3/Q4/Q5/Q6/Q8/Q10/Q13/Q14/Q15/
+Q17/Q18/Q19/Q21/Q22) over the star
 schema — the industry-standard multi-join analytics shapes, expressed
 in the DataFrame API and certified against the classic SQL text on
-DuckDB. (Q1 already lives in the catalog as ``agg_pricing_summary``.)
+DuckDB. (Q1 already lives in the catalog as ``agg_pricing_summary``;
+Q2/Q11/Q16/Q20 need the ``partsupp`` table, which this corpus does not
+ship, and have no faithful adaptation.)
 
 Adaptations to this corpus's schema: no ``o_shippriority`` /
 ``c_address`` / ``c_phone`` / ``c_comment`` columns exist, so those
@@ -246,4 +249,515 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
             "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
         )
         .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+_Q6_SQL = """
+SELECT FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                     * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)
+             * 100.0 + 0.5) / 100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("tpch_q6_forecast_revenue", _Q6_SQL)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): discount revenue that
+    would be recovered by eliminating small-quantity 1996 discounts.
+    Single scan, zero joins — all three range predicates push into the
+    parquet scan (PushedFilters) and the sum is one map-side partial
+    agg + a 1-row exchange. Exact decimal product per row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(15,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(3,2)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(RND(F.sum(rev).cast("double"), 2).alias("revenue"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@query("tpch_q4_priority_checking", _Q4_SQL)
+def tpch_q4_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking), lateness adapted to the
+    columns this corpus has: an order is late when some line ships
+    more than 60 days after the order date (the reference corpus lacks
+    l_commitdate/l_receiptdate). The correlated EXISTS becomes a left-
+    semi join keyed on the order key with the cross-table date
+    predicate riding the same join — one fact shuffle, no duplicate
+    inflation, then a tiny 5-group count."""
+    cutoff_lo = F.lit("1996-07-01 00:00:00").cast("timestamp")
+    cutoff_hi = F.lit("1996-10-01 00:00:00").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= cutoff_lo) & (F.col("o_orderdate") < cutoff_hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_Q13_SQL = """
+WITH c_orders AS (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+"""
+
+
+@query("tpch_q13_customer_distribution", _Q13_SQL)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of per-customer
+    order counts, excluding urgent orders (the corpus has no o_comment,
+    so the NOT LIKE special-request filter becomes a priority filter —
+    same shape: a predicate INSIDE the outer-join condition, which must
+    not drop customers). Left join keyed on custkey preserves order-
+    less customers as count 0; the second aggregation is a ~50-group
+    recount of the first — both shuffles are on already-reduced data."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q14_SQL = f"""
+SELECT FLOOR(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} END)
+                          AS DOUBLE)
+                   / CAST(SUM({_REV_SQL}) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+@query("tpch_q14_promo_effect", _Q14_SQL)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the percent of one month's revenue
+    that came from PROMO-type parts. Part broadcasts into the date-
+    filtered fact scan; both sums accumulate exact decimals in ONE
+    aggregation pass (conditional + total), so the ratio divides two
+    bit-identical doubles on any engine and rounds once at 6 dp."""
+    cutoff_lo = F.lit("1996-09-01 00:00:00").cast("timestamp")
+    cutoff_hi = F.lit("1996-10-01 00:00:00").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= cutoff_lo) & (F.col("l_shipdate") < cutoff_hi)
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", _rev_col())).cast("double")
+    total = F.sum(_rev_col()).cast("double")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(RND(F.lit(100.0) * promo / total, 6).alias("promo_revenue"))
+    )
+
+
+_Q15_SQL = f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no, SUM({_REV_SQL}) AS total_rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       FLOOR(CAST(total_rev AS DOUBLE) * 100.0 + 0.5) / 100.0 AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+"""
+
+
+@query("tpch_q15_top_supplier", _Q15_SQL)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) with the maximum revenue
+    in 1996-Q1 — the scalar-subquery-on-aggregate shape. The revenue
+    CTE aggregates the date-filtered fact once (map-side combined);
+    its 1-row MAX re-aggregation broadcasts back as the filter, so the
+    whole query is one fact shuffle plus two broadcast joins. Equality
+    on the EXACT decimal revenue — a tie admits both suppliers on both
+    engines, no float-equality flake."""
+    cutoff_lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    cutoff_hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= cutoff_lo) & (F.col("l_shipdate") < cutoff_hi)
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_col()).alias("total_rev")
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), rev.total_rev == top.max_rev)
+        .join(F.broadcast(supp), rev.supplier_no == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            RND(F.col("total_rev").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+_Q17_SQL = """
+SELECT FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) / 7.0
+             * 100.0 + 0.5) / 100.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (
+      SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+@query("tpch_q17_small_quantity", _Q17_SQL)
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue lost to
+    below-20%-of-average-quantity orders for one brand. The correlated
+    scalar AVG decorrelates into a per-part aggregate of the SAME
+    brand-filtered line set (the subquery only constrains l_partkey,
+    so pre-filtering by the broadcast part dimension is semantics-
+    preserving and avoids a second full fact scan), joined back on the
+    part key. Quantities are integral doubles — the avg is exact at
+    any summation order, so the 0.2·avg cut is engine-stable."""
+    pb = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_b = li.join(F.broadcast(pb), li.l_partkey == pb.p_partkey)
+    cuts = li_b.groupBy(F.col("l_partkey").alias("cut_key")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li_b.join(cuts, li_b.l_partkey == cuts.cut_key)
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            RND(
+                F.sum(F.col("l_extendedprice").cast("decimal(15,2)")).cast(
+                    "double"
+                )
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+_Q19_SQL = f"""
+SELECT FLOOR(CAST(SUM({_REV_SQL}) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 50
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("tpch_q19_discounted_revenue", _Q19_SQL)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the OR-of-ANDs disjunctive
+    predicate spanning both join sides (no p_container/l_shipmode in
+    this corpus, so the triples are brand x size x quantity). Catalyst
+    keeps the equi-key join (the disjunction is a post-join filter,
+    not a theta condition) and pushes the derivable per-side residuals
+    — the brand IN-list reaches the part scan, the quantity range the
+    fact scan — so the broadcast hash join sees pre-pruned inputs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(1, 25)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 50)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(RND(F.sum(_rev_col()).cast("double"), 2).alias("revenue"))
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+  )
+  AND n_name = 'NATION_2'
+GROUP BY s_name
+"""
+
+
+@query("tpch_q21_suppliers_kept_waiting", _Q21_SQL)
+def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): for finished
+    multi-supplier orders, count the late lines of the ORDER'S SOLE
+    late supplier (lateness adapted to ship-more-than-60-days-after-
+    order). The oracle keeps the classic EXISTS / NOT EXISTS text; the
+    Spark plan replaces both correlated fact self-joins with ONE
+    per-order aggregate — distinct suppliers, distinct late suppliers,
+    the argmax late supplier, and the late-line count — because
+    "some other supplier exists AND no other supplier is late" is
+    exactly n_supp > 1 AND n_late_supp = 1 for the late supplier's
+    rows. One order-key shuffle instead of three at 100 TB."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "late",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).cast("int"),
+    )
+    late_supp = F.when(F.col("late") == 1, F.col("l_suppkey"))
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(late_supp).alias("n_late_supp"),
+        F.max(late_supp).alias("late_supp"),
+        F.sum("late").alias("n_late_lines"),
+    )
+    waits = (
+        per_order.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .groupBy("late_supp")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+    )
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_2"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", "s_name")
+    )
+    return waits.join(
+        F.broadcast(supp), waits.late_supp == supp.s_suppkey
+    ).select("s_name", "numwait")
+
+
+_Q22_SQL = """
+WITH cutoff AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+           AS avg_bal
+    FROM customer
+    WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       FLOOR(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             * 100.0 + 0.5) / 100.0 AS totacctbal
+FROM customer, cutoff
+WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND CAST(c_acctbal AS DOUBLE) > avg_bal
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY c_nationkey
+"""
+
+
+@query("tpch_q22_global_sales_opportunity", _Q22_SQL)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): well-funded customers in
+    target countries who never ordered (the corpus has no c_phone, so
+    the country-code prefix becomes a nation-key IN-list). Three
+    classic shapes in one query: an uncorrelated scalar-average
+    subquery (computed as exact-decimal sum / count so the threshold
+    double is bit-identical on both engines, then broadcast as a 1-row
+    cross join), a NOT EXISTS anti join against the orders fact keyed
+    on custkey, and the final small group-by. Adaptation: every
+    customer in this corpus has SOME order, so "never ordered" becomes
+    "no order since 2000-01-01" — the date filter prunes the anti-join
+    build side before the shuffle, which is also the 100 TB shape."""
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(nations)
+    )
+    cutoff = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(cutoff))
+        .where(F.col("c_acctbal").cast("double") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            RND(
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double"),
+                2,
+            ).alias("totacctbal"),
+        )
+    )
+
+
+_Q8_SQL = f"""
+WITH all_nations AS (
+    SELECT year(o_orderdate) AS o_year, {_REV_SQL} AS volume,
+           n2.n_name AS supp_nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_year,
+       FLOOR(CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_2'
+                                    THEN volume END), 0) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+FROM all_nations
+GROUP BY o_year
+"""
+
+
+@query("tpch_q8_market_share", _Q8_SQL)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_2's share of PROMO-part
+    revenue sold into ASIA-region customers, per order year. Seven
+    joins, but only ONE is fact-sized (lineitem-orders on the order
+    key): part, supplier, customer, both nation roles, and region all
+    broadcast, and the region/type filters prune those builds before
+    shipping. Share = conditional exact-decimal sum over total, both
+    accumulated in one pass, divided as doubles and rounded at 6 dp."""
+    cutoff_lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    cutoff_hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= cutoff_lo) & (F.col("o_orderdate") < cutoff_hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(
+            F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey
+        )
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _rev_col().alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    nat = F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("volume")))
+    return base.groupBy("o_year").agg(
+        RND(
+            F.coalesce(nat, F.lit(0)).cast("double")
+            / F.sum("volume").cast("double")
+            * F.lit(1.0),
+            6,
+        ).alias("mkt_share")
     )
