@@ -89,6 +89,8 @@ HEADLINE = [
     "tpch_q8_market_share",
     "tpch_q13_customer_distribution",
     "tpch_q21_suppliers_kept_waiting",
+    # int8-compressed ANN: calibrate + encode/decode (codegen) + GEMM
+    "sim_quantized_cosine_topk",
 ]
 
 

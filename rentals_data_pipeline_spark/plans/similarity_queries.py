@@ -439,3 +439,138 @@ def sim_centroid_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("cos_sim") < 0.15).cast("long")).alias("n_dropped"),
         )
     )
+
+
+@query(
+    "sim_quantize_int8_stats",
+    """
+WITH e AS (
+    SELECT i AS dim_idx, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+),
+dims AS (
+    SELECT dim_idx, MIN(v) AS dmin, MAX(v) AS dmax,
+           (MAX(v) - MIN(v)) / 255.0 AS scale
+    FROM e GROUP BY dim_idx
+),
+coded AS (
+    SELECT e.dim_idx, e.v, d.dmin, d.dmax, d.scale,
+           CASE WHEN d.scale = 0 THEN 0
+                ELSE LEAST(GREATEST(FLOOR((e.v - d.dmin) / d.scale + 0.5),
+                                    0), 255)
+           END AS q
+    FROM e JOIN dims d USING (dim_idx)
+)
+SELECT dim_idx,
+       FLOOR(dmin * 1000000.0 + 0.5) / 1000000.0 AS dmin,
+       FLOOR(dmax * 1000000.0 + 0.5) / 1000000.0 AS dmax,
+       FLOOR(scale * 1000000.0 + 0.5) / 1000000.0 AS scale,
+       FLOOR(MAX(ABS(v - (dmin + q * scale))) * 1000000.0 + 0.5)
+           / 1000000.0 AS max_abs_err,
+       CAST(SUM(CASE WHEN q IN (0, 255) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_saturated
+FROM coded
+GROUP BY dim_idx, dmin, dmax, scale
+""",
+)
+def sim_quantize_int8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization audit of the embedding corpus: per
+    dimension, the min/max calibration range, the uint8 affine step,
+    the worst-case reconstruction error (bounded by scale/2), and how
+    many elements saturate the code range — the go/no-go report before
+    swapping an ANN index to compressed vectors.  Fully distributed:
+    one posexplode scan feeds both the calibration aggregate and the
+    error aggregate (map-side combined), the |dims|-row calibration
+    frame broadcasts back, nothing vector-sized leaves the executors.
+    Every statistic is an order-invariant aggregate over
+    bit-deterministic affine arithmetic, so the DuckDB oracle replays
+    it exactly (see operators/quantize.py)."""
+    from rentals_data_pipeline_spark.operators import quantize as QZ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = QZ.quantization_error_stats(emb, "embedding", "vec_id")
+    return stats.select(
+        "dim_idx",
+        RND(F.col("dmin"), 6).alias("dmin"),
+        RND(F.col("dmax"), 6).alias("dmax"),
+        RND(F.col("scale"), 6).alias("scale"),
+        RND(F.col("max_abs_err"), 6).alias("max_abs_err"),
+        "n_saturated",
+    )
+
+
+@query(
+    "sim_quantized_cosine_topk",
+    """
+WITH e AS (
+    SELECT vec_id, i AS dim_idx, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+),
+dims AS (
+    SELECT dim_idx, MIN(v) AS dmin,
+           (MAX(v) - MIN(v)) / 255.0 AS scale
+    FROM e GROUP BY dim_idx
+),
+deq AS (
+    SELECT e.vec_id, e.dim_idx,
+           d.dmin + (CASE WHEN d.scale = 0 THEN 0
+                          ELSE LEAST(GREATEST(
+                              FLOOR((e.v - d.dmin) / d.scale + 0.5), 0), 255)
+                     END) * d.scale AS dv
+    FROM e JOIN dims d USING (dim_idx)
+),
+vecs AS (
+    SELECT vec_id, LIST(dv ORDER BY dim_idx) AS v FROM deq GROUP BY vec_id
+),
+probe AS (SELECT vec_id AS probe_id, v AS pv FROM vecs WHERE vec_id % 50 = 0),
+scored AS (
+    SELECT
+        p.probe_id,
+        c.vec_id AS match_id,
+        FLOOR((list_dot_product(p.pv, c.v)
+               / NULLIF(sqrt(list_dot_product(p.pv, p.pv))
+                        * sqrt(list_dot_product(c.v, c.v)), 0))
+              * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM probe p JOIN vecs c ON p.probe_id <> c.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY probe_id ORDER BY cosine DESC, match_id) AS rn
+    FROM scored
+)
+SELECT probe_id, match_id, cosine FROM ranked WHERE rn <= 5
+""",
+)
+def sim_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over int8-COMPRESSED vectors, end-to-end: calibrate, encode
+    to uint8 codes, decode, then exact top-5 cosine via the blocked
+    GEMM kernel — certifying that the whole quantize/dequantize affine
+    path is bit-deterministic (the oracle replays the codes in SQL and
+    must land on identical rounded cosines and an identical top-k
+    frontier). The calibration frame is a |dims|-row bounded collect
+    (the IVF-centroid contract); encode/decode are pure codegen array
+    transforms, so at 100 TB this is the same one-corpus-scan-per-
+    probe-block shape as ``sim_cosine_topk`` at a quarter of the
+    vector bytes."""
+    from rentals_data_pipeline_spark.operators import quantize as QZ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    calib = QZ.dimension_minmax(emb, "embedding", "vec_id").orderBy(
+        "dim_idx"
+    ).collect()
+    if not calib:
+        return spark.createDataFrame(
+            [], "probe_id bigint, match_id bigint, cosine double"
+        )
+    mins = [r["dmin"] for r in calib]
+    scales = [r["scale"] for r in calib]
+    dq = QZ.dequantize_vectors(
+        QZ.quantize_vectors(emb, mins, scales), mins, scales
+    )
+    probes = dq.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("dqvec").alias("probe_vec")
+    )
+    corpus = dq.select(
+        F.col("vec_id").alias("match_id"), F.col("dqvec").alias("match_vec")
+    )
+    return SIM.brute_force_topk(probes, corpus, k=5, kernel="gemm")
