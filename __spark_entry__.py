@@ -94,6 +94,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "tpch_q17_small_quantity", "tpch_q19_discounted_revenue",
     "tpch_q21_suppliers_kept_waiting", "tpch_q22_global_sales_opportunity",
     "sim_quantize_int8_stats", "sim_quantized_cosine_topk",
+    "analytics_pareto_orders", "stats_chi_square_events",
     "tpch_q18_large_volume_customer", "window_range_frame_events",
     "analytics_funnel_conversion_window", "scalar_bitwise_suite",
     "sql_recursive_month_spine", "sql_pivot_status_by_priority",

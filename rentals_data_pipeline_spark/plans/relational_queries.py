@@ -1908,3 +1908,168 @@ def scalar_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("~o_orderkey").alias("k_not"),
         F.bit_count(k).alias("k_popcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dominance analytics: 2-D Pareto frontier (skyline) via running-max windows.
+# ---------------------------------------------------------------------------
+
+@query(
+    "analytics_pareto_orders",
+    """
+WITH o AS (
+    SELECT o_orderkey, o_orderdate, o_totalprice,
+           CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS ep
+    FROM orders
+),
+m AS (
+    SELECT *,
+           MAX(o_totalprice) OVER (
+               ORDER BY ep
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mprev,
+           MAX(o_totalprice) OVER (PARTITION BY ep) AS msame
+    FROM o
+)
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM m
+WHERE (mprev IS NULL OR mprev < o_totalprice)
+  AND msame <= o_totalprice
+""",
+)
+def analytics_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): orders not dominated by any
+    earlier-or-same-date order with higher value — "no one paid more,
+    no earlier" (maximize o_totalprice, minimize o_orderdate; strict
+    dominance, so exact price+date ties co-survive). The classic
+    NOT-EXISTS self-join is O(n²); the window form is ONE sort + two
+    maxima — a strict-past running max (RANGE frame on epoch seconds,
+    excluding the current date) and a same-date max. An unpartitioned
+    window would funnel the whole fact through one task, so the Spark
+    plan prunes FIRST: per-month bucket maxima (map-side combined; a
+    |months|-row frame) take a running max over strictly-earlier
+    buckets, and any row whose price does not exceed that max is
+    dominated by construction (an earlier-bucket point is strictly
+    earlier in date) — exact, never drops a frontier point. The
+    single-partition exact window then runs over the few survivors.
+    Prices are 2-dp doubles compared exactly; no arithmetic, so no
+    rounding needed anywhere."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("ep"),
+        F.unix_timestamp(
+            F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+        ).alias("bk"),
+    )
+    bmax = o.groupBy("bk").agg(F.max("o_totalprice").alias("bmx"))
+    wb = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    bprev = bmax.select("bk", F.max("bmx").over(wb).alias("bprev"))
+    cand = o.join(F.broadcast(bprev), "bk").where(
+        F.col("bprev").isNull() | (F.col("o_totalprice") > F.col("bprev"))
+    )
+    w_prev = (
+        Window.orderBy("ep")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("ep")
+    m = cand.select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.max("o_totalprice").over(w_prev).alias("mprev"),
+        F.max("o_totalprice").over(w_same).alias("msame"),
+    )
+    return m.where(
+        (F.col("mprev").isNull() | (F.col("mprev") < F.col("o_totalprice")))
+        & (F.col("msame") <= F.col("o_totalprice"))
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Statistical testing: chi-square independence (event_type x hour-of-day).
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_chi_square_events",
+    """
+WITH v AS (
+    SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr
+    FROM events
+),
+o AS (SELECT event_type, hr, COUNT(*) AS obs FROM v GROUP BY 1, 2),
+r AS (SELECT event_type, COUNT(*) AS ri FROM v GROUP BY 1),
+c AS (SELECT hr, COUNT(*) AS cj FROM v GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM v),
+g AS (
+    SELECT r.event_type, c.hr, r.ri, c.cj, tot.n,
+           COALESCE(o.obs, 0) AS obs
+    FROM r CROSS JOIN c CROSS JOIN tot
+    LEFT JOIN o USING (event_type, hr)
+),
+t AS (SELECT *, CAST(ri * cj AS DOUBLE) / n AS e FROM g),
+agg AS (
+    SELECT
+        MAX(n) AS n,
+        (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT hr) - 1) AS dof,
+        LEAST(COUNT(DISTINCT event_type) - 1,
+              COUNT(DISTINCT hr) - 1) AS mindim,
+        CAST(SUM(CAST(FLOOR(((obs - e) * (obs - e) / e) * 1000000.0 + 0.5)
+                      / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE) AS chi2raw
+    FROM t
+)
+SELECT
+    CAST(n AS BIGINT) AS n,
+    CAST(dof AS BIGINT) AS dof,
+    FLOOR(chi2raw * 10000.0 + 0.5) / 10000.0 AS chi2,
+    FLOOR(sqrt(chi2raw / (n * mindim)) * 1000000.0 + 0.5) / 1000000.0
+        AS cramers_v
+FROM agg
+""",
+)
+def stats_chi_square_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    hour-of-day, with Cramer's V effect size — the categorical-drift /
+    feature-association primitive next to PSI (quality_psi_value_drift)
+    and OLS (stats_regression_events). The contingency grid is DENSE
+    (distinct types x distinct hours via a tiny cross join, zero cells
+    included — dropping them understates the statistic); expected
+    counts come from exact integer margins, each cell term is
+    deterministic IEEE arithmetic, and the cell sum folds
+    6-dp-rounded decimals so the statistic is order-invariant. Shape:
+    one map-side-combined (type, hour) count shuffle over the fact —
+    margins and the grid are |types| x 24 — identical at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    )
+    obs = ev.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("obs"))
+    rows = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("ri"))
+    cols = ev.groupBy("hr").agg(F.count(F.lit(1)).alias("cj"))
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        rows.crossJoin(F.broadcast(cols))
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["event_type", "hr"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+        .withColumn("e", (F.col("ri") * F.col("cj")).cast("double") / F.col("n"))
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    term = (F.col("obs") - F.col("e")) * (F.col("obs") - F.col("e")) / F.col("e")
+    agg = grid.agg(
+        F.max("n").alias("n"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("hr") - 1)
+        ).alias("dof"),
+        F.least(
+            F.countDistinct("event_type") - 1, F.countDistinct("hr") - 1
+        ).alias("mindim"),
+        F.sum(r6(term).cast("decimal(38,6)")).cast("double").alias("chi2raw"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("dof").cast("long").alias("dof"),
+        RND(F.col("chi2raw"), 4).alias("chi2"),
+        RND(
+            F.sqrt(F.col("chi2raw") / (F.col("n") * F.col("mindim"))), 6
+        ).alias("cramers_v"),
+    )
