@@ -178,3 +178,220 @@ def dequantize_vectors(
         + q.cast("double") * F.try_element_at(scales_arr, i + 1),
     )
     return df.withColumn(out_col, expr)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC).
+#
+# The compression tier above int8 scalar codes: split each d-dim vector
+# into m subspaces, k-means each subspace to k centroids, store vectors
+# as m uint8 centroid ids (d floats -> m bytes; 64-dim float32 -> 8
+# bytes = 32x). Queries score compressed codes via per-probe lookup
+# tables (one sub-dot-product per (subspace, centroid)), so a corpus
+# scan reads only codes — the memory-bandwidth shape IVF-PQ systems
+# (FAISS) use at billion-vector scale. Public-practice formulation:
+# Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011).
+#
+# Determinism contract (for golden tests): the training sample is
+# collected SORTED by id (fixed summation order), k-means inits on
+# evenly-spaced sample rows, runs a FIXED iteration count, and argmin
+# ties resolve to the lowest centroid id — so codebooks, codes, and
+# ADC scores are bit-stable across partitionings and engines.
+# ---------------------------------------------------------------------------
+
+
+def _as_unit_rows(mat):
+    """Row-normalize to unit L2 (zero rows stay zero) — IP == cosine."""
+    import numpy as np
+
+    norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    sample_mod: int = 1,
+    iters: int = 10,
+) -> list:
+    """Train m per-subspace codebooks (k centroids each) on a
+    deterministic sample (id % sample_mod == 0), driver-side numpy.
+
+    Bounded-collect contract: the caller sizes ``sample_mod`` so the
+    sample is a training-set constant (~1e4-1e5 rows), independent of
+    corpus scale — the same contract as the IVF centroid matrix.
+    Vectors are unit-normalized first so ADC inner product ranks like
+    cosine. Returns a list of m (k x d/m) float64 arrays.
+    """
+    import numpy as np
+
+    rows = (
+        df.where(
+            F.col(vec_col).isNotNull() & (F.col(id_col) % sample_mod == 0)
+        )
+        .select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("i")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty PQ training sample")
+    X = _as_unit_rows(np.asarray([r["v"] for r in rows], dtype=np.float64))
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = []
+    for s in range(m):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        init_idx = np.linspace(0, len(Xs) - 1, num=k).astype(np.int64)
+        C = Xs[init_idx].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # ties -> lowest id
+            for j in range(k):
+                members = Xs[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+                # empty cluster: keep the previous centroid (deterministic)
+        books.append(C)
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors to m uint8 centroid ids via Arrow batches.
+
+    NULL vectors are dropped (no code exists for them — the similarity-
+    kernel convention). The codebooks ride in the task closure
+    (m x k x d/m doubles — a model constant); each batch is one
+    vectorized argmin per subspace, no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    sub = books[0].shape[1]
+    out_schema = f"{id_col} bigint, {code_col} array<int>"
+
+    def _enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _as_unit_rows(
+                np.asarray(list(pdf["v"]), dtype=np.float64)
+            )
+            codes = np.empty((len(X), m), dtype=np.int64)
+            for s in range(m):
+                Xs = X[:, s * sub : (s + 1) * sub]
+                C = books[s]
+                d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf["i"].to_numpy(), code_col: list(codes)}
+            )
+
+    src = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).cast("long").alias("i"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    )
+    return src.mapInPandas(_enc, schema=out_schema)
+
+
+def pq_adc_topk(
+    probes: DataFrame,
+    codes: DataFrame,
+    books: list,
+    k: int = 5,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Approximate top-k by inner product over PQ codes (ADC).
+
+    Per probe, one lookup table of m x n_centroids sub-dot-products
+    against the UNCOMPRESSED probe vector (asymmetric: only the corpus
+    is quantized); each corpus Arrow batch is scored by m table
+    lookups + a sum — the corpus scan touches codes only, never raw
+    vectors. Per-batch top-k survivors feed a final per-probe window
+    (the `_topk_gemm` shape, `operators/similarity.py`). Probe matrix
+    is a bounded collect (probe contract). Ranking: raw float64 ADC
+    score desc, match-id tiebreak — bit-deterministic given the
+    deterministic codes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    prows = (
+        probes.where(F.col(probe_vec).isNotNull())
+        .select(
+            F.col(probe_id).cast("long").alias("i"),
+            F.col(probe_vec).cast("array<double>").alias("v"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    if not prows:
+        return codes.sparkSession.createDataFrame(
+            [], f"{probe_id} bigint, match_id bigint, adc_score double"
+        )
+    pids = np.asarray([r["i"] for r in prows], dtype=np.int64)
+    P = _as_unit_rows(np.asarray([r["v"] for r in prows], dtype=np.float64))
+    m = len(books)
+    sub = books[0].shape[1]
+    nc = books[0].shape[0]
+    # lut[p, s, j] = <probe_p restricted to subspace s, centroid j>
+    lut = np.empty((len(P), m, nc), dtype=np.float64)
+    for s in range(m):
+        lut[:, s, :] = P[:, s * sub : (s + 1) * sub] @ books[s].T
+
+    out_schema = f"{probe_id} bigint, match_id bigint, adc_score double"
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["i"].to_numpy()
+            C = np.asarray(list(pdf["c"]), dtype=np.int64)  # n x m
+            # scores: probes x n via LUT gathers
+            scores = np.zeros((len(P), len(ids)), dtype=np.float64)
+            for s in range(m):
+                scores += lut[:, s, C[:, s]]
+            kk = min(k + 1, len(ids))  # +1 headroom for self-match
+            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            rows = []
+            for p in range(len(P)):
+                for j in top[p]:
+                    rows.append((int(pids[p]), int(ids[j]), float(scores[p, j])))
+            yield pd.DataFrame(
+                rows, columns=[probe_id, "match_id", "adc_score"]
+            )
+
+    src = codes.select(
+        F.col(id_col).cast("long").alias("i"), F.col(code_col).alias("c")
+    )
+    scored = src.mapInPandas(_score, schema=out_schema)
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("adc_score").desc(), F.col("match_id")
+    )
+    return (
+        scored.where(F.col(probe_id) != F.col("match_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

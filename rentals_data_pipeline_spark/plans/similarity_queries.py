@@ -574,3 +574,58 @@ def sim_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("match_id"), F.col("dqvec").alias("match_vec")
     )
     return SIM.brute_force_topk(probes, corpus, k=5, kernel="gemm")
+
+
+@query("sim_pq_adc_topk_recall")  # no SQL oracle: k-means codebooks; golden-tested
+def sim_pq_adc_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of product-quantized ADC top-5 against the exact cosine
+    top-5 for the standard probe set (vec_id % 50 = 0): one row
+    (n_probes, true_pairs, hits, recall). PQ = 16 subspaces x 256
+    centroids — 64-dim float32 vectors stored as 16 bytes (16x),
+    scored through per-probe lookup tables so the ANN scan reads codes
+    only (operators/quantize.py). Deterministic end to end: sorted
+    training sample, fixed k-means iterations, lowest-id tie-breaks —
+    the golden test pins the measured value. Regime note (same caveat
+    as sim_srp_lsh_recall): this synthetic corpus is far-pair (top
+    neighbors sit at cosine ~0.3-0.5 against a ~0.2 background), the
+    hardest case for ANY quantizer — measured recall ~0.6-0.76 here;
+    clustered production corpora sit much higher at the same code
+    budget. At 100 TB the training sample is a fixed-size id-sliced
+    subset (sample_mod), codes are a one-pass Arrow encode, and this
+    whole query is the index-quality gate you run before swapping the
+    serving tier to PQ."""
+    from rentals_data_pipeline_spark.operators import quantize as QZ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if not emb.take(1):
+        return spark.createDataFrame(
+            [], "n_probes bigint, true_pairs bigint, hits bigint, recall double"
+        )
+    books = QZ.train_pq_codebooks(
+        emb, "embedding", "vec_id", m=16, k=256, sample_mod=1, iters=10
+    )
+    codes = QZ.pq_encode(emb, books, "embedding", "vec_id")
+    probes = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("match_vec")
+    )
+    approx = QZ.pq_adc_topk(probes, codes, books, k=5)
+    exact = SIM.brute_force_topk(probes, corpus, k=5, kernel="gemm")
+    hits = exact.join(
+        approx, ["probe_id", "match_id"], "left_semi"
+    )
+    return (
+        probes.agg(F.count(F.lit(1)).alias("n_probes"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("true_pairs")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("hits")))
+        .select(
+            "n_probes",
+            "true_pairs",
+            "hits",
+            RND(
+                F.col("hits") / F.nullif(F.col("true_pairs"), F.lit(0)), 4
+            ).alias("recall"),
+        )
+    )

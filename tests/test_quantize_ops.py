@@ -111,3 +111,93 @@ def test_null_vector_passes_through(spark):
     )
     out = {r["vec_id"]: r["qvec"] for r in QZ.quantize_vectors(df, [0.0, 0.0], [1.0 / 255] * 2).collect()}
     assert out[1] is None and out[0] is not None
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + ADC
+# ---------------------------------------------------------------------------
+
+
+def _clustered_corpus(spark, n_per=20, dim=8):
+    """Four well-separated clusters; PQ must retrieve within-cluster."""
+    import random
+
+    rng = random.Random(11)
+    centers = [
+        [10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 10.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 10.0, 0.0, 0.0, 0.0, 0.0],
+    ]
+    rows = []
+    i = 0
+    for c in centers:
+        for _ in range(n_per):
+            rows.append(
+                (i, [x + rng.uniform(-0.5, 0.5) for x in c])
+            )
+            i += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_pq_codebooks_deterministic_under_repartition(spark):
+    import numpy as np
+
+    df = _clustered_corpus(spark)
+    b1 = QZ.train_pq_codebooks(df, m=4, k=4, iters=5)
+    b2 = QZ.train_pq_codebooks(df.repartition(13), m=4, k=4, iters=5)
+    for a, b in zip(b1, b2):
+        assert np.array_equal(a, b)
+
+
+def test_pq_encode_codes_shape_and_determinism(spark):
+    df = _clustered_corpus(spark)
+    books = QZ.train_pq_codebooks(df, m=4, k=4, iters=5)
+    c1 = {r["vec_id"]: list(r["pq_code"]) for r in QZ.pq_encode(df, books).collect()}
+    c2 = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in QZ.pq_encode(df.repartition(7), books).collect()
+    }
+    assert c1 == c2
+    assert all(len(v) == 4 and all(0 <= x < 4 for x in v) for v in c1.values())
+
+
+def test_pq_adc_retrieval_stays_in_cluster(spark):
+    """Well-separated clusters: every ADC neighbor must come from the
+    probe's own cluster (coarse retrieval — PQ's actual job; within a
+    tight cluster the normalized members are near-identical, so exact
+    WITHIN-cluster neighbor order sits below code resolution by
+    design), and the result must be partitioning-invariant."""
+    df = _clustered_corpus(spark)
+    books = QZ.train_pq_codebooks(df, m=4, k=8, iters=10)
+    codes = QZ.pq_encode(df, books)
+    probes = df.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    approx = QZ.pq_adc_topk(probes, codes, books, k=3)
+    ap = {(r["probe_id"], r["match_id"]) for r in approx.collect()}
+    probe_cluster = lambda pid: pid // 20  # noqa: E731
+    assert len(ap) == 8 * 3  # 8 probes x top-3
+    assert all(probe_cluster(a) == probe_cluster(b) for a, b in ap)
+    codes2 = QZ.pq_encode(df.repartition(9), books)
+    ap2 = {
+        (r["probe_id"], r["match_id"])
+        for r in QZ.pq_adc_topk(probes, codes2, books, k=3).collect()
+    }
+    assert ap == ap2
+
+
+def test_pq_catalog_recall_row(spark):
+    from rentals_data_pipeline_spark.plans import similarity_queries  # noqa: F401
+    from rentals_data_pipeline_spark.plans.catalog import QUERIES
+
+    r1 = QUERIES["sim_pq_adc_topk_recall"](spark, "/root/testdata/sf0.001").collect()
+    assert len(r1) == 1
+    row = r1[0]
+    assert row["n_probes"] == 10 and row["true_pairs"] == 50
+    # golden: deterministic codebooks -> exact measured recall (the
+    # far-pair regime value; see the query docstring)
+    assert row["hits"] == 38 and row["recall"] == 0.76
+    # deterministic: a second run returns the identical row
+    r2 = QUERIES["sim_pq_adc_topk_recall"](spark, "/root/testdata/sf0.001").collect()
+    assert r1 == r2
