@@ -28,6 +28,8 @@ half-up rounding.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -203,8 +205,6 @@ def dequantize_vectors(
 
 def _as_unit_rows(mat):
     """Row-normalize to unit L2 (zero rows stay zero) — IP == cosine."""
-    import numpy as np
-
     norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
     norms[norms == 0.0] = 1.0
     return mat / norms
@@ -228,8 +228,6 @@ def train_pq_codebooks(
     Vectors are unit-normalized first so ADC inner product ranks like
     cosine. Returns a list of m (k x d/m) float64 arrays.
     """
-    import numpy as np
-
     rows = (
         df.where(
             F.col(vec_col).isNotNull() & (F.col(id_col) % sample_mod == 0)
@@ -276,9 +274,6 @@ def pq_encode(
     (m x k x d/m doubles — a model constant); each batch is one
     vectorized argmin per subspace, no shuffle.
     """
-    import numpy as np
-    import pandas as pd
-
     m = len(books)
     sub = books[0].shape[1]
     out_schema = f"{id_col} bigint, {code_col} array<int>"
@@ -332,9 +327,6 @@ def pq_adc_topk(
     score desc, match-id tiebreak — bit-deterministic given the
     deterministic codes.
     """
-    import numpy as np
-    import pandas as pd
-
     from pyspark.sql import Window
 
     prows = (
@@ -392,6 +384,120 @@ def pq_adc_topk(
     return (
         scored.where(F.col(probe_id) != F.col("match_id"))
         .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def pq_encode_udf(books: list):
+    """pandas_udf form of the PQ encoder (array<double> -> array<int>)
+    for composition with other per-vector columns (e.g. IVF cell
+    assignment) in one Arrow pass."""
+    m = len(books)
+    sub = books[0].shape[1]
+
+    @F.pandas_udf("array<int>")
+    def _enc(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = _as_unit_rows(np.stack([np.asarray(x, dtype=np.float64) for x in vecs]))
+        codes = np.empty((len(X), m), dtype=np.int64)
+        for s in range(m):
+            Xs = X[:, s * sub : (s + 1) * sub]
+            d2 = ((Xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1)
+        return pd.Series([row.astype("int32").tolist() for row in codes])
+
+    return _enc
+
+
+def pq_adc_score_udf(books: list):
+    """Pairwise ADC score (probe raw vector x corpus PQ code) as a
+    vectorized Arrow UDF: per batch, each subspace is one centroid
+    gather + an elementwise product-sum — no lookup table needed in
+    the pairwise form, and no per-row Python."""
+    m = len(books)
+    sub = books[0].shape[1]
+
+    @F.pandas_udf("double")
+    def _score(pv: pd.Series, code: pd.Series) -> pd.Series:
+        if len(pv) == 0:
+            return pd.Series([], dtype="float64")
+        P = _as_unit_rows(np.stack([np.asarray(x, dtype=np.float64) for x in pv]))
+        C = np.stack([np.asarray(c, dtype=np.int64) for c in code])
+        s = np.zeros(len(P), dtype=np.float64)
+        for i in range(m):
+            s += (books[i][C[:, i]] * P[:, i * sub : (i + 1) * sub]).sum(axis=1)
+        return pd.Series(s)
+
+    return _score
+
+
+def ivf_pq_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    books: list,
+    centroids: list,
+    k: int = 5,
+    n_probe: int = 4,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+    match_id: str = "match_id",
+    match_vec: str = "match_vec",
+) -> DataFrame:
+    """IVF-PQ: the standard billion-vector serving shape (FAISS
+    IVFPQ) — coarse cells bound the candidate set (~n_probe/n_cells of
+    the corpus per probe), PQ codes bound the bytes each candidate
+    costs (16 bytes/vector at 16x256), ADC scores the survivors
+    without ever touching raw corpus floats.
+
+    Composition of the two certified pieces: cell assignment =
+    ``similarity.ivf_assign_udf`` (one matmul per Arrow batch against
+    the broadcast centroid matrix), candidate generation = an
+    equi-join on the cell id (probe side broadcast — query-sized probe
+    sets; co-partitioned shuffle when probes scale), scoring =
+    ``pq_adc_score_udf``. This variant encodes RAW vectors (IVF-Flat
+    + PQ); classic residual encoding (x - centroid) is the refinement
+    step on top, same plan shape. n_probe = n_cells degenerates to
+    exactly ``pq_adc_topk``'s ranking — the invariant the tests pin.
+    """
+    from rentals_data_pipeline_spark.operators.similarity import ivf_assign_udf
+
+    from pyspark.sql import Window
+
+    corpus = corpus.where(F.col(match_vec).isNotNull())
+    probes = probes.where(F.col(probe_vec).isNotNull())
+    corpus_cells = corpus.select(
+        match_id,
+        F.element_at(ivf_assign_udf(centroids, 1)(F.col(match_vec)), 1).alias(
+            "cell"
+        ),
+        pq_encode_udf(books)(F.col(match_vec)).alias("_code"),
+    )
+    probe_cells = probes.select(
+        probe_id,
+        probe_vec,
+        F.explode(
+            ivf_assign_udf(centroids, n_probe)(F.col(probe_vec))
+        ).alias("cell"),
+    )
+    scored = (
+        F.broadcast(probe_cells)
+        .join(corpus_cells, "cell")
+        .where(F.col(probe_id) != F.col(match_id))
+        .select(
+            probe_id,
+            match_id,
+            pq_adc_score_udf(books)(
+                F.col(probe_vec), F.col("_code")
+            ).alias("adc_score"),
+        )
+    )
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("adc_score").desc(), F.col(match_id)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .drop("rn")
     )

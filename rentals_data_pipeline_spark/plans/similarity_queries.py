@@ -12,8 +12,9 @@ the rounded value with an id tiebreaker so frontiers can't flip on
 sub-rounding float drift.
 
 Rows-only (golden-tested instead): ``sim_srp_lsh_recall`` (hyperplane
-constants make the SQL unwieldy) and ``sim_ivf_topk`` (approximate by
-design).
+constants make the SQL unwieldy), ``sim_ivf_topk``,
+``sim_pq_adc_topk_recall``, and ``sim_ivf_pq_topk`` (approximate /
+learned-codebook by design).
 """
 
 from __future__ import annotations
@@ -628,4 +629,46 @@ def sim_pq_adc_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("hits") / F.nullif(F.col("true_pairs"), F.lit(0)), 4
             ).alias("recall"),
         )
+    )
+
+
+@query("sim_ivf_pq_topk")  # no SQL oracle: k-means codebooks + cells; golden-tested
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-5 for the standard probe set: 16 coarse
+    cells (4 probed) bound WHICH candidates are scored, 16x256 PQ
+    codes bound what each candidate COSTS (16 bytes, no raw floats in
+    the scan) — the standard billion-vector serving composition
+    (operators/quantize.py::ivf_pq_topk). Rows-only; the golden tests
+    pin (a) the n_probe = n_cells degeneration to the pure-PQ ranking
+    and (b) the measured recall at sf0.001."""
+    from rentals_data_pipeline_spark.operators import quantize as QZ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        row["_v"]
+        for row in emb.where(F.col("embedding").isNotNull())
+        .select(
+            F.col("embedding").alias("_v"),
+            F.xxhash64(F.col("vec_id")).alias("_r"),
+        )
+        .orderBy("_r", "vec_id")
+        .limit(16)
+        .collect()
+    ]
+    if not cents:
+        return spark.createDataFrame(
+            [], "probe_id bigint, match_id bigint, adc_score double"
+        )
+    books = QZ.train_pq_codebooks(
+        emb, "embedding", "vec_id", m=16, k=256, sample_mod=1, iters=10
+    )
+    probes = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("match_vec")
+    )
+    out = QZ.ivf_pq_topk(probes, corpus, books, cents, k=5, n_probe=4)
+    return out.select(
+        "probe_id", "match_id", RND(F.col("adc_score"), 4).alias("adc_score")
     )

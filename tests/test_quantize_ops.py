@@ -201,3 +201,43 @@ def test_pq_catalog_recall_row(spark):
     # deterministic: a second run returns the identical row
     r2 = QUERIES["sim_pq_adc_topk_recall"](spark, "/root/testdata/sf0.001").collect()
     assert r1 == r2
+
+
+def test_ivf_pq_full_probe_degenerates_to_pure_pq(spark):
+    """n_probe == n_cells removes the cell restriction: IVF-PQ must
+    return exactly the pure PQ-ADC ranking."""
+    df = _clustered_corpus(spark)
+    books = QZ.train_pq_codebooks(df, m=4, k=8, iters=10)
+    cents = [r["embedding"] for r in df.orderBy("vec_id").limit(4).collect()]
+    probes = df.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    codes = QZ.pq_encode(df, books)
+    pure = {
+        (r["probe_id"], r["match_id"])
+        for r in QZ.pq_adc_topk(probes, codes, books, k=3).collect()
+    }
+    corpus = df.select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("match_vec")
+    )
+    full = {
+        (r["probe_id"], r["match_id"])
+        for r in QZ.ivf_pq_topk(
+            probes, corpus, books, cents, k=3, n_probe=4
+        ).collect()
+    }
+    assert pure == full
+
+
+def test_ivf_pq_catalog_rows_and_determinism(spark):
+    from rentals_data_pipeline_spark.plans import similarity_queries  # noqa: F401
+    from rentals_data_pipeline_spark.plans.catalog import QUERIES
+
+    r1 = sorted(
+        map(tuple, QUERIES["sim_ivf_pq_topk"](spark, "/root/testdata/sf0.001").collect())
+    )
+    assert len(r1) == 50  # 10 probes x top-5
+    r2 = sorted(
+        map(tuple, QUERIES["sim_ivf_pq_topk"](spark, "/root/testdata/sf0.001").collect())
+    )
+    assert r1 == r2
