@@ -220,3 +220,43 @@ def test_anomaly_zscore_windows_on_daily_grid(spark):
     s = _shape(spark, "ts_anomaly_zscore")
     assert s["shuffles"] <= 2, s["plan"]
     assert s["python"] == 0, s["plan"]
+
+
+def test_tpch_q8_single_fact_shuffle(spark):
+    """Q8's seven joins must keep exactly one fact-sized exchange: every
+    dimension (part, supplier, customer, nation x2, region) broadcasts."""
+    s = _shape(spark, "tpch_q8_market_share")
+    assert s["bhj"] == 7, s["plan"]
+    assert s["smj"] == 0, s["plan"]
+    assert s["python"] == 0, s["plan"]
+
+
+def test_tpch_q21_no_fact_self_join(spark):
+    """The classic double correlated self-join must stay collapsed into
+    one per-order aggregate: no SortMergeJoin, and the only joins are
+    the orders attach + the broadcast supplier/nation lookup."""
+    s = _shape(spark, "tpch_q21_suppliers_kept_waiting")
+    assert s["smj"] == 0, s["plan"]
+    assert s["python"] == 0, s["plan"]
+    # lineitem-orders join + waits-supplier join (+ nation inside the
+    # broadcast build) — never three fact-fact joins
+    assert s["bhj"] <= 3, s["plan"]
+
+
+def test_pareto_prune_before_global_window(spark):
+    """The skyline's single-partition exact window must consume the
+    bucket-pruned candidate set: the bucket running-max join stays a
+    broadcast, and the plan carries no Python or sort-merge join."""
+    s = _shape(spark, "analytics_pareto_orders")
+    assert s["broadcasts"] >= 1, s["plan"]
+    assert s["smj"] == 0, s["plan"]
+    assert s["python"] == 0, s["plan"]
+
+
+def test_quantize_stats_stays_jvm_side(spark):
+    """The int8 audit is pure codegen + aggregates: no Python stage, and
+    the calibration frame joins back as a broadcast."""
+    s = _shape(spark, "sim_quantize_int8_stats")
+    assert s["python"] == 0, s["plan"]
+    assert s["broadcasts"] >= 1, s["plan"]
+    assert s["smj"] == 0, s["plan"]
