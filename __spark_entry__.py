@@ -93,6 +93,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "tpch_q14_promo_effect", "tpch_q15_top_supplier",
     "tpch_q17_small_quantity", "tpch_q19_discounted_revenue",
     "tpch_q21_suppliers_kept_waiting", "tpch_q22_global_sales_opportunity",
+    "tpch_q7_volume_shipping", "tpch_q9_product_type_profit",
     "sim_quantize_int8_stats", "sim_quantized_cosine_topk",
     "analytics_pareto_orders", "stats_chi_square_events",
     "tpch_q18_large_volume_customer", "window_range_frame_events",
