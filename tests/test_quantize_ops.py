@@ -241,3 +241,91 @@ def test_ivf_pq_catalog_rows_and_determinism(spark):
         map(tuple, QUERIES["sim_ivf_pq_topk"](spark, "/root/testdata/sf0.001").collect())
     )
     assert r1 == r2
+
+
+def test_residual_codes_reconstruct_better_on_clustered_data(spark):
+    """Residual encoding's actual claim: when coarse cells capture the
+    cluster structure, x ~ centroid[cell] + decode(code) reconstructs
+    with strictly lower error than raw-PQ decode at the same code
+    budget."""
+    import numpy as np
+
+    import random
+
+    # Dense, non-axis-aligned cluster centers + a STARVED code budget
+    # (k=2): every 2-dim subspace sees four distinct cluster offsets
+    # that two raw centroids cannot cover, while residual codes only
+    # need to model the small within-cluster noise.
+    rng = random.Random(7)
+    centers = [[rng.uniform(-3, 3) for _ in range(8)] for _ in range(4)]
+    data = []
+    i = 0
+    for c in centers:
+        for _ in range(20):
+            data.append((i, [x + rng.uniform(-0.05, 0.05) for x in c]))
+            i += 1
+    df = spark.createDataFrame(data, ["vec_id", "embedding"])
+    rows = sorted((r["vec_id"], r["embedding"]) for r in df.collect())
+    X = QZ._as_unit_rows(np.asarray([v for _, v in rows]))
+    # coarse centroids: one seed vector per cluster
+    cents = [rows[0][1], rows[20][1], rows[40][1], rows[60][1]]
+    cn = QZ._unit_centroids(cents)
+    m, k = 4, 2
+    raw_books = QZ.train_pq_codebooks(df, m=m, k=k, iters=10)
+    res_books = QZ.train_pq_codebooks_residual(df, cents, m=m, k=k, iters=10)
+    sub = X.shape[1] // m
+
+    def decode(books, base):
+        out = np.zeros_like(X)
+        target = X - base
+        for s in range(m):
+            Ts = target[:, s * sub : (s + 1) * sub]
+            d2 = ((Ts[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes = d2.argmin(axis=1)
+            out[:, s * sub : (s + 1) * sub] = books[s][codes]
+        return base + out
+
+    cells = np.argmax(X @ cn.T, axis=1)
+    err_raw = ((X - decode(raw_books, np.zeros_like(X))) ** 2).sum(axis=1).mean()
+    err_res = ((X - decode(res_books, cn[cells])) ** 2).sum(axis=1).mean()
+    assert err_res < err_raw
+
+
+def test_residual_ivf_pq_deterministic(spark):
+    df = _clustered_corpus(spark)
+    cents = [r["embedding"] for r in df.orderBy("vec_id").limit(4).collect()]
+    books = QZ.train_pq_codebooks_residual(df, cents, m=4, k=8, iters=5)
+    probes = df.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = df.select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("match_vec")
+    )
+    r1 = sorted(
+        (r["probe_id"], r["match_id"])
+        for r in QZ.ivf_pq_residual_topk(
+            probes, corpus, books, cents, k=3, n_probe=4
+        ).collect()
+    )
+    r2 = sorted(
+        (r["probe_id"], r["match_id"])
+        for r in QZ.ivf_pq_residual_topk(
+            probes, corpus.repartition(11), books, cents, k=3, n_probe=4
+        ).collect()
+    )
+    assert r1 == r2 and len(r1) == 24
+
+
+def test_residual_recall_catalog_row(spark):
+    from rentals_data_pipeline_spark.plans import similarity_queries  # noqa: F401
+    from rentals_data_pipeline_spark.plans.catalog import QUERIES
+
+    r = QUERIES["sim_ivf_pq_residual_recall"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(r) == 1
+    row = r[0]
+    # golden: deterministic pipeline -> exact measured values
+    assert row["n_probes"] == 10 and row["true_pairs"] == 50
+    assert row["hits_raw"] == 27 and row["hits_residual"] == 27
+    assert row["recall_raw"] == 0.54 and row["recall_residual"] == 0.54
