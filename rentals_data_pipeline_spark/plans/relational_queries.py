@@ -2073,3 +2073,102 @@ def stats_chi_square_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("chi2raw") / (F.col("n") * F.col("mindim"))), 6
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution: last-touch channel within a 24 h lookback.
+# ---------------------------------------------------------------------------
+
+@query(
+    "analytics_attribution_last_touch",
+    """
+WITH tagged AS (
+    SELECT user_id, ts, 0 AS is_p, event_type AS t_type,
+           CAST(NULL AS DOUBLE) AS value
+    FROM events WHERE event_type IN ('click', 'view')
+    UNION ALL
+    SELECT user_id, ts, 1, NULL, value
+    FROM events WHERE event_type = 'purchase'
+),
+w AS (
+    SELECT *,
+        LAST_VALUE(CASE WHEN is_p = 0 THEN ts END IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, is_p, t_type
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt_ts,
+        LAST_VALUE(CASE WHEN is_p = 0 THEN t_type END IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, is_p, t_type
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt_type
+    FROM tagged
+),
+attributed AS (
+    SELECT CASE WHEN lt_ts IS NOT NULL AND lt_ts >= ts - INTERVAL 24 HOUR
+                THEN lt_type ELSE 'direct' END AS channel,
+           value
+    FROM w WHERE is_p = 1
+)
+SELECT channel,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) / 1000000.0
+                     AS DECIMAL(38,6))) AS DOUBLE) AS attributed_value
+FROM attributed
+GROUP BY channel
+""",
+)
+def analytics_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the most
+    recent click/view by the same user within a 24 h lookback, else
+    'direct'. The union + last(ignorenulls) window is the same
+    one-shuffle as-of shape as `asof_join_backward` — touches and
+    purchases interleave in a single user-keyed sort (touches order
+    BEFORE purchases at equal timestamps, so a same-instant touch
+    counts; equal-timestamp touches tie-break on channel name
+    identically in both engines) — never a per-purchase range join.
+    Attributed revenue folds 6-dp-rounded decimals (order-invariant)."""
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_p"),
+        F.col("event_type").alias("t_type"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_p"),
+        F.lit(None).cast("string").alias("t_type"),
+        "value",
+    )
+    tagged = touches.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "t_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch_ts = F.when(F.col("is_p") == 0, F.col("ts"))
+    touch_ty = F.when(F.col("is_p") == 0, F.col("t_type"))
+    with_touch = tagged.select(
+        "user_id",
+        "ts",
+        "is_p",
+        "value",
+        F.last(touch_ts, ignorenulls=True).over(w).alias("lt_ts"),
+        F.last(touch_ty, ignorenulls=True).over(w).alias("lt_type"),
+    )
+    channel = F.when(
+        F.col("lt_ts").isNotNull()
+        & (F.col("lt_ts") >= F.col("ts") - F.expr("INTERVAL 24 HOURS")),
+        F.col("lt_type"),
+    ).otherwise("direct")
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        with_touch.where(F.col("is_p") == 1)
+        .select(channel.alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(r6(F.col("value")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )
