@@ -664,3 +664,61 @@ def edit_distance_pairs(
         )
 
     return _apply
+
+
+def connected_components_auto(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    driver_bound: int = 200_000,
+) -> DataFrame:
+    """Scale-tiered connected components: identical contract to
+    ``connected_components`` (min-id label per node appearing in
+    ``pairs``), with the execution strategy chosen by the PAIR count —
+    the same runtime demotion AQE applies to joins, applied to the
+    iterative fixpoint.
+
+    Below ``driver_bound`` pairs the edge list collects to the driver
+    and a path-compressed union-find labels it in one pass — the
+    pointer-jumping loop's per-round fixed overhead (a join + agg +
+    localCheckpoint + probe job per round) dwarfs the actual work on
+    small graphs, and near-dup pair sets are tiny relative to their
+    corpora by construction (measured: the sf0.1 embedding graph is
+    ~450 edges out of 2000 vectors). At or above the bound it falls
+    back to the distributed pointer-jumping loop unchanged. The bound
+    is on the DETECTED-pair count, not the corpus: a 100 TB corpus
+    whose near-dup graph exceeds it takes the distributed path
+    automatically. Output is bit-identical either way (min-label is
+    strategy-independent), so the same oracle certifies both tiers.
+    """
+    probe = pairs.select(id_a, id_b).limit(driver_bound).collect()
+    if len(probe) >= driver_bound:
+        return connected_components(pairs, id_a, id_b, max_iter)
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in probe:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    label: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = label.get(root)
+        if cur is None or node < cur:
+            label[root] = node
+    rows = sorted((node, label[find(node)]) for node in parent)
+    return pairs.sparkSession.createDataFrame(
+        rows or [], "id bigint, cluster_id bigint"
+    )

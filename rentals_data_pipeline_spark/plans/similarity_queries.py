@@ -250,7 +250,9 @@ def embedding_curation(
       certification-grade miss ≤ 1e-8) → Arrow cosine verify.
     """
     from rentals_data_pipeline_spark.operators import sampling as SP
-    from rentals_data_pipeline_spark.operators.dedup import connected_components
+    from rentals_data_pipeline_spark.operators.dedup import (
+        connected_components_auto,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     if pair_strategy == "auto":
@@ -267,7 +269,10 @@ def embedding_curation(
         ).select("id_a", "id_b")
     else:
         raise ValueError(f"unknown pair_strategy {pair_strategy!r}")
-    clusters = connected_components(pairs)
+    # tiered CC: driver union-find on sub-bound pair graphs (this
+    # corpus's ~450 edges), distributed pointer jumping beyond —
+    # identical min-label output, same oracle certifies both tiers
+    clusters = connected_components_auto(pairs)
     keep = (
         emb.select("vec_id")
         # clusters ≈ near-dup members only — orders of magnitude smaller

@@ -117,3 +117,40 @@ def test_decontaminate_golden(spark):
         for r in decontaminate(train, benchmark, n=5).collect()
     )
     assert kept == [2, 3]
+
+
+def test_cc_auto_matches_distributed_on_random_graphs(spark):
+    """Tiered CC (driver union-find) must be bit-identical to the
+    distributed pointer-jumping loop on arbitrary graphs, including
+    chains, cycles, and singleton-free multi-component mixes."""
+    import random
+
+    from rentals_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_auto,
+    )
+
+    rng = random.Random(17)
+    edges = [(rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(80)]
+    edges += [(i, i + 1) for i in range(90, 99)]  # a 10-node chain
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    dist = sorted(map(tuple, connected_components(pairs).collect()))
+    auto = sorted(map(tuple, connected_components_auto(pairs).collect()))
+    assert dist == auto
+
+
+def test_cc_auto_falls_back_above_bound(spark):
+    """At or above the driver bound the distributed path runs (same
+    output), so huge pair graphs never collect."""
+    from rentals_data_pipeline_spark.operators.dedup import (
+        connected_components_auto,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    out = sorted(
+        map(tuple, connected_components_auto(pairs, driver_bound=5).collect())
+    )
+    # one chain component labeled by its min id
+    assert out == [(i, 0) for i in range(31)]
