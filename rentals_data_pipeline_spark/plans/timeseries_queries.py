@@ -603,3 +603,67 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.transform(
         lttb_downsample(["event_type"], "ts", "value", n_out=100)
     )
+
+
+@query(
+    "ts_seasonal_naive_backtest",
+    """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS actual
+    FROM events
+    GROUP BY 1, 2
+),
+joined AS (
+    SELECT a.event_type, a.actual, f.actual AS forecast
+    FROM hourly a
+    JOIN hourly f
+      ON f.event_type = a.event_type
+     AND f.h = a.h - INTERVAL 24 HOUR
+)
+SELECT event_type,
+       COUNT(*) AS n_hours,
+       CAST(SUM(ABS(actual - forecast)) AS BIGINT) AS abs_err_sum,
+       FLOOR(CAST(SUM(ABS(actual - forecast)) AS DOUBLE) / COUNT(*)
+             * 10000.0 + 0.5) / 10000.0 AS mae,
+       FLOOR(CAST(SUM(ABS(actual - forecast)) AS DOUBLE)
+             / NULLIF(CAST(SUM(actual) AS DOUBLE), 0)
+             * 1000000.0 + 0.5) / 1000000.0 AS wape
+FROM joined
+GROUP BY event_type
+""",
+)
+def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour's event count
+    with the count from the SAME hour yesterday, and score MAE / WAPE
+    per event type — the baseline every fancier forecaster must beat,
+    and the first query a capacity-planning pipeline runs. Forecast
+    alignment is an equi-join on the SHIFTED hour key (h - 24h), which
+    is gap-robust — a missing hour simply produces no backtest row —
+    where lag(24) over a sparse series would silently compare
+    misaligned hours. Shape: one map-side-combined (type, hour)
+    count shuffle, then a frame-sized self-join co-partitioned on the
+    type (broadcast at this SF); all errors are exact integer sums, so
+    every statistic is order-invariant by construction."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("actual"))
+    fc = hourly.select(
+        F.col("event_type"),
+        (F.col("h") + F.expr("INTERVAL 24 HOURS")).alias("h"),
+        F.col("actual").alias("forecast"),
+    )
+    joined = hourly.join(fc, ["event_type", "h"])
+    abs_err = F.abs(F.col("actual") - F.col("forecast"))
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(abs_err).cast("long").alias("abs_err_sum"),
+        RND(
+            F.sum(abs_err).cast("double") / F.count(F.lit(1)), 4
+        ).alias("mae"),
+        RND(
+            F.sum(abs_err).cast("double")
+            / F.nullif(F.sum("actual").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("wape"),
+    )
