@@ -319,3 +319,55 @@ def test_incremental_agg_equals_full_recompute_property(spark, old, new):
     got = sorted((tuple(r) for r in merged.collect()), key=repr)
     want = sorted((tuple(r) for r in full.collect()), key=repr)
     assert got == want
+
+
+VECS = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,  # float32-representable, like parquet embeddings
+        ),
+        min_size=3,
+        max_size=3,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(vecs=VECS)
+@settings(**_SETTINGS)
+def test_int8_quantize_roundtrip_bound_and_code_range(spark, vecs):
+    """For ANY float32 corpus: codes stay in [0, 255], every in-range
+    value reconstructs within scale/2 (+1 ulp headroom), and the
+    calibration is invariant to partitioning."""
+    from rentals_data_pipeline_spark.operators import quantize as QZ
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    calib = sorted(
+        QZ.dimension_minmax(df).collect(), key=lambda r: r["dim_idx"]
+    )
+    mins = [r["dmin"] for r in calib]
+    scales = [r["scale"] for r in calib]
+    dq = QZ.dequantize_vectors(
+        QZ.quantize_vectors(df, mins, scales), mins, scales
+    )
+    for r in dq.collect():
+        for x, y, s, q in zip(
+            r["embedding"], r["dqvec"], scales, r["qvec"]
+        ):
+            assert 0 <= q <= 255
+            assert abs(x - y) <= s / 2 + 1e-9 * max(1.0, abs(x))
+    calib2 = sorted(
+        QZ.dimension_minmax(df.repartition(5)).collect(),
+        key=lambda r: r["dim_idx"],
+    )
+    assert [(r["dmin"], r["dmax"]) for r in calib] == [
+        (r["dmin"], r["dmax"]) for r in calib2
+    ]
