@@ -667,3 +667,69 @@ def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("wape"),
     )
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    """Shared oracle text: numerator = sum of lag(j)*2^-(j+1), denom =
+    sum of weights for the taps that exist (series-start partials)."""
+    num = " + ".join(
+        f"COALESCE(LAG(actual, {j}) OVER w * {2.0 ** -(j + 1)!r}, 0)"
+        for j in range(8)
+    )
+    den = " + ".join(
+        f"CASE WHEN LAG(actual, {j}) OVER w IS NOT NULL"
+        f" THEN {2.0 ** -(j + 1)!r} ELSE 0 END"
+        for j in range(8)
+    )
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms_sql()
+
+_EWMA_SQL = f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS actual
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT event_type, h, actual,
+       FLOOR(({_EWMA_NUM}) / ({_EWMA_DEN}) * 10000.0 + 0.5) / 10000.0
+           AS smoothed
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY h)
+"""
+
+
+@query("ts_ewma_hourly_smoothing", _EWMA_SQL)
+def ts_ewma_hourly_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-taper trailing smoother over each type's hourly
+    count series: an 8-tap FIR truncation of EWMA(α=1/2) — weights
+    2^-1..2^-8, renormalized over the taps that exist at series start.
+    Truncating at 8 taps bounds the tail mass below 2^-8 (under the
+    0.01 % level) AND makes the arithmetic EXACT: integer counts times
+    dyadic weights are exact doubles, so numerator and denominator
+    carry zero rounding error in any summation order — no decimal
+    folding needed, the only rounding is the final display digit. One
+    map-side-combined (type, hour) count shuffle + ONE window sort
+    computes all eight taps; at 100 TB the window runs on the
+    |types| x |hours| rollup, never raw events."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("actual"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    num = None
+    den = None
+    for j in range(8):
+        tap = F.lag("actual", j).over(w)
+        wgt = float(2.0 ** -(j + 1))
+        term = F.coalesce(tap * F.lit(wgt), F.lit(0.0))
+        avail = F.when(tap.isNotNull(), F.lit(wgt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = avail if den is None else den + avail
+    return hourly.select(
+        "event_type",
+        "h",
+        "actual",
+        RND(num / den, 4).alias("smoothed"),
+    )
