@@ -2172,3 +2172,83 @@ def analytics_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFr
             .alias("attributed_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Array aggregation: per-group sorted distinct collection (array_agg).
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_collect_event_types",
+    """
+SELECT user_id,
+       array_agg(DISTINCT event_type ORDER BY event_type) AS types,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_collect_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sorted distinct event-type array — the array_agg /
+    collect_set aggregation shape (feature lists, label sets, session
+    traces). Sorting inside the aggregate makes the nested value
+    deterministic under any shuffle order, which is what lets an
+    array-typed column participate in a value-hash gate at all. The
+    collected set is bounded by the event-type vocabulary (5 here) —
+    at 100 TB collect only bounded-cardinality sets; unbounded
+    per-group arrays belong in explode-joins, not rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution union: unionByName with missing columns.
+# ---------------------------------------------------------------------------
+
+@query(
+    "reshape_union_schema_evolution",
+    """
+WITH v1 AS (
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority, 1 AS schema_v
+    FROM orders WHERE o_orderkey % 2 = 0
+),
+v2 AS (
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+           2 AS schema_v
+    FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, schema_v
+FROM v1
+UNION ALL
+SELECT * FROM v2
+""",
+)
+def reshape_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: an old snapshot (pre-priority schema)
+    and a new one combine with ``unionByName(allowMissingColumns=
+    True)`` — absent columns NULL-fill by NAME, never by position
+    (positional UNION silently mismatches reordered columns; the
+    oracle spells out the NULL the engine must synthesize). The
+    standard read path for a table whose schema grew mid-corpus; at
+    scale the same semantics come from the parquet reader's
+    mergeSchema, this operator is the in-plan form."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = (
+        o.where(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("schema_v", F.lit(1))
+    )
+    v2 = (
+        o.where(F.col("o_orderkey") % 2 == 1)
+        .select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        .withColumn("schema_v", F.lit(2))
+    )
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority", "schema_v"
+    )
