@@ -113,3 +113,62 @@ def triangle_candidates(
     p2 = pairs.select(F.col(a).alias("y"), F.col(b).alias("z"))
     p3 = pairs.select(F.col(a).alias("x"), F.col(b).alias("z"))
     return p1.join(p2, "y").join(p3, ["x", "z"])
+
+
+def pagerank_auto(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+    checkpoint_every: int = 0,
+    driver_bound: int = 200_000,
+) -> DataFrame:
+    """Scale-tiered PageRank, same contract as ``pagerank``: the exact
+    integer recurrence is engine-independent, so a sub-bound edge list
+    collects to the driver and runs as plain Python-int arithmetic —
+    one job instead of a join + aggregate (+ checkpoint) per iteration
+    — while at-or-above-bound graphs take the distributed loop
+    unchanged. Output is BIT-IDENTICAL either way (every step is
+    truncating integer division and commutative integer sums), so the
+    same unrolled-CTE oracle certifies both tiers; the equality is
+    also pinned by a unit test on random graphs. The bound is on the
+    EDGE count — a 100 TB co-purchase graph exceeds it and runs
+    distributed automatically."""
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    probe = edges.select(src, dst).limit(driver_bound).collect()
+    if len(probe) >= driver_bound:
+        return pagerank(
+            edges,
+            src,
+            dst,
+            iterations=iterations,
+            damping_pct=damping_pct,
+            scale=scale,
+            checkpoint_every=checkpoint_every,
+        )
+    deg: dict = {}
+    for r in probe:
+        deg[r[0]] = deg.get(r[0], 0) + 1
+    n = len(deg)
+    if n == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "node bigint, deg bigint, rank_scaled bigint"
+        )
+    base = ((100 - damping_pct) * scale) // (100 * n)
+    rank = {v: scale // n for v in deg}
+    for _ in range(iterations):
+        mass: dict = {}
+        for r in probe:
+            s, d = r[0], r[1]
+            mass[d] = mass.get(d, 0) + rank[s] // deg[s]
+        rank = {
+            v: base + (damping_pct * mass.get(v, 0)) // 100 for v in deg
+        }
+    rows = sorted((v, deg[v], rank[v]) for v in deg)
+    return edges.sparkSession.createDataFrame(
+        rows, "node bigint, deg bigint, rank_scaled bigint"
+    )

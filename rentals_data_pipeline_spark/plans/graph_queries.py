@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 
 from rentals_data_pipeline_spark.operators.graph import (
     PR_SCALE,
-    pagerank,
+    pagerank,  # noqa: F401 — distributed tier, used via pagerank_auto
+    pagerank_auto,
     triangle_candidates,
 )
 from rentals_data_pipeline_spark.plans.catalog import query
@@ -126,7 +127,10 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         edges.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
     )
-    return pagerank(sym, iterations=5, damping_pct=85, scale=PR_SCALE)
+    # tiered: sub-bound edge lists (this corpus) run the identical
+    # integer recurrence driver-side in one job; larger graphs take
+    # the distributed loop — same bits either way
+    return pagerank_auto(sym, iterations=5, damping_pct=85, scale=PR_SCALE)
 
 
 _TRIANGLE_SQL = (

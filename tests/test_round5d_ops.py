@@ -134,3 +134,27 @@ def test_chi_square_catalog_shape(spark):
     assert row["n"] > 0 and row["dof"] > 0
     assert row["chi2"] >= 0.0
     assert 0.0 <= row["cramers_v"] <= 1.0
+
+
+def test_pagerank_auto_bit_identical_to_distributed(spark):
+    """The driver tier must reproduce the distributed integer
+    recurrence bit-for-bit on arbitrary graphs (and fall back above
+    the bound, same output)."""
+    import random
+
+    from rentals_data_pipeline_spark.operators.graph import (
+        pagerank,
+        pagerank_auto,
+    )
+
+    rng = random.Random(23)
+    raw = {(rng.randrange(0, 40), rng.randrange(0, 40)) for _ in range(120)}
+    edges = [(a, b) for a, b in raw if a != b]
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    dist = sorted(map(tuple, pagerank(df, iterations=4).collect()))
+    auto = sorted(map(tuple, pagerank_auto(df, iterations=4).collect()))
+    fallback = sorted(
+        map(tuple, pagerank_auto(df, iterations=4, driver_bound=3).collect())
+    )
+    assert dist == auto == fallback
