@@ -2252,3 +2252,75 @@ def reshape_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFram
     return v1.unionByName(v2, allowMissingColumns=True).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority", "schema_v"
     )
+
+
+# ---------------------------------------------------------------------------
+# Data quality: referential-integrity audit across the star schema.
+# ---------------------------------------------------------------------------
+
+def _ri_sql(child: str, ckey: str, parent: str, pkey: str) -> str:
+    return f"""
+SELECT '{child}.{ckey}->{parent}' AS relationship,
+       COUNT(*) AS n_child,
+       CAST(SUM(CASE WHEN p.{pkey} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphans,
+       FLOOR(CAST(COUNT(*) - SUM(CASE WHEN p.{pkey} IS NULL THEN 1 ELSE 0
+                                 END) AS DOUBLE)
+             / NULLIF(COUNT(*), 0) * 1000000.0 + 0.5) / 1000000.0
+           AS coverage
+FROM {child} c
+LEFT JOIN (SELECT DISTINCT {pkey} FROM {parent}) p
+  ON c.{ckey} = p.{pkey}
+"""
+
+
+@query(
+    "quality_referential_integrity",
+    " UNION ALL ".join(
+        [
+            _ri_sql("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            _ri_sql("lineitem", "l_partkey", "part", "p_partkey"),
+            _ri_sql("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+            _ri_sql("orders", "o_custkey", "customer", "c_custkey"),
+        ]
+    ),
+)
+def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema: for each
+    child->parent relationship, the child row count, how many children
+    reference a missing parent, and the coverage fraction — the
+    referential-integrity report a warehouse runs after every load
+    (the DQ framework's cross-TABLE complement to its per-column
+    checks). Each relationship is one left join against the parent's
+    DISTINCT key projection — dimensions broadcast; the fact-keyed
+    audits shuffle the child once on the key (at 100 TB run them as
+    broadcast-bloom semi joins when the parent key set fits). All
+    statistics are exact integer counts."""
+    specs = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+    ]
+    out = None
+    for child, ckey, parent, pkey in specs:
+        c = load_table(spark, sf_dir, child).select(ckey)
+        p = load_table(spark, sf_dir, parent).select(pkey).distinct()
+        joined = c.join(F.broadcast(p), c[ckey] == p[pkey], "left")
+        orphan = F.sum(
+            F.when(F.col(pkey).isNull(), 1).otherwise(0)
+        ).cast("long")
+        audit = joined.agg(
+            F.count(F.lit(1)).alias("n_child"), orphan.alias("n_orphans")
+        ).select(
+            F.lit(f"{child}.{ckey}->{parent}").alias("relationship"),
+            "n_child",
+            "n_orphans",
+            RND(
+                (F.col("n_child") - F.col("n_orphans")).cast("double")
+                / F.nullif(F.col("n_child"), F.lit(0)),
+                6,
+            ).alias("coverage"),
+        )
+        out = audit if out is None else out.unionByName(audit)
+    return out
