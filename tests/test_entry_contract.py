@@ -1,0 +1,43 @@
+"""Driver-contract invariants for __spark_entry__.
+
+The correctness gate checks only the FIRST 50 ``queries()`` entries, so
+the ordering tuple is load-bearing: a catalog query missing from
+``_CHECK_PRIORITY`` silently jumps the queue (displacing a planned
+re-certification), and a stale name silently shrinks the planned set.
+These assertions make either mistake a test failure at add time.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from rentals_data_pipeline_spark.plans import catalog
+
+
+def test_every_catalog_query_is_pinned_in_gate_order():
+    missing = set(catalog.QUERIES) - set(entry._CHECK_PRIORITY)
+    assert not missing, (
+        f"new catalog queries not pinned in _CHECK_PRIORITY (they would "
+        f"displace planned re-certifications from the top-50): {sorted(missing)}"
+    )
+
+
+def test_no_stale_names_in_gate_order():
+    stale = set(entry._CHECK_PRIORITY) - set(catalog.QUERIES)
+    assert not stale, f"_CHECK_PRIORITY names without a catalog query: {sorted(stale)}"
+
+
+def test_no_duplicate_priority_entries():
+    names = list(entry._CHECK_PRIORITY)
+    assert len(names) == len(set(names))
+
+
+def test_oracle_sql_only_for_catalog_queries():
+    assert set(catalog.ORACLE_SQL) <= set(catalog.QUERIES)
+
+
+def test_queries_and_oracles_align():
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert set(o) <= set(q)
+    # every oracle string is non-trivial SQL
+    assert all("SELECT" in sql.upper() for sql in o.values())
