@@ -2324,3 +2324,123 @@ def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out = audit if out is None else out.unionByName(audit)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) attribution: 40/20/40 credit across the journey.
+# ---------------------------------------------------------------------------
+
+@query(
+    "analytics_attribution_u_shaped",
+    """
+WITH tagged AS (
+    SELECT user_id, ts, 0 AS is_p, event_type AS t_type FROM events
+    WHERE event_type IN ('click', 'view')
+    UNION ALL
+    SELECT user_id, ts, 1, NULL FROM events WHERE event_type = 'purchase'
+),
+nxt AS (
+    SELECT *,
+        MIN(CASE WHEN is_p = 1 THEN ts END) OVER (
+            PARTITION BY user_id ORDER BY ts, is_p
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv_ts
+    FROM tagged
+),
+touches AS (
+    SELECT user_id, ts, t_type, conv_ts
+    FROM nxt
+    WHERE is_p = 0 AND conv_ts IS NOT NULL
+      AND conv_ts <= ts + INTERVAL 24 HOUR
+),
+ranked AS (
+    SELECT t_type,
+        ROW_NUMBER() OVER (
+            PARTITION BY user_id, conv_ts ORDER BY ts, t_type) AS pos,
+        COUNT(*) OVER (PARTITION BY user_id, conv_ts) AS n
+    FROM touches
+),
+credited AS (
+    SELECT t_type AS channel,
+        CASE WHEN n = 1 THEN 1.0
+             WHEN n = 2 THEN 0.5
+             WHEN pos = 1 OR pos = n THEN 0.4
+             ELSE 0.2 / (n - 2) END AS credit
+    FROM ranked
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(CAST(FLOOR(credit * 1000000.0 + 0.5) / 1000000.0
+                     AS DECIMAL(38,6))) AS DOUBLE) AS total_credit
+FROM credited
+GROUP BY channel
+""",
+)
+def analytics_attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) attribution: every click/view whose
+    NEXT purchase by the same user converts within 24 h joins that
+    purchase's journey; the first and last touches each take 40 % of
+    the credit, the middles split the remaining 20 % (single-touch
+    journeys take 100 %, two-touch 50/50). Two window passes, zero
+    joins: a forward running-min assigns each touch its conversion
+    timestamp (the as-of-forward shape), then a (user, conversion)
+    window ranks positions — where the naive formulation is a
+    per-purchase range join over the touch history. Same-timestamp
+    touches order by channel name identically in both engines; credit
+    fractions divide identical doubles and fold as 6-dp decimals, so
+    channel totals are order-invariant."""
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_p"),
+        F.col("event_type").alias("t_type"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("is_p"), F.lit(None).cast("string").alias("t_type")
+    )
+    tagged = touches.unionByName(purchases)
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt = tagged.select(
+        "user_id",
+        "ts",
+        "is_p",
+        "t_type",
+        F.min(F.when(F.col("is_p") == 1, F.col("ts")))
+        .over(w_fwd)
+        .alias("conv_ts"),
+    )
+    jt = nxt.where(
+        (F.col("is_p") == 0)
+        & F.col("conv_ts").isNotNull()
+        & (F.col("conv_ts") <= F.col("ts") + F.expr("INTERVAL 24 HOURS"))
+    )
+    w_j = Window.partitionBy("user_id", "conv_ts").orderBy("ts", "t_type")
+    w_n = Window.partitionBy("user_id", "conv_ts")
+    ranked = jt.select(
+        "t_type",
+        F.row_number().over(w_j).alias("pos"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(0.4)
+        )
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        ranked.select(F.col("t_type").alias("channel"), credit.alias("credit"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum(r6(F.col("credit")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_credit"),
+        )
+    )
