@@ -100,6 +100,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "ts_ewma_hourly_smoothing",
     "agg_collect_event_types", "reshape_union_schema_evolution",
     "quality_referential_integrity", "analytics_attribution_u_shaped",
+    "sql_select_list_scalar_subqueries",
     "tpch_q18_large_volume_customer", "window_range_frame_events",
     "analytics_funnel_conversion_window", "scalar_bitwise_suite",
     "sql_recursive_month_spine", "sql_pivot_status_by_priority",

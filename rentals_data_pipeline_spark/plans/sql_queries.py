@@ -237,3 +237,31 @@ def sql_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     differs), certifying the syntax desugars to exactly that."""
     register_views(spark, sf_dir)
     return spark.sql(_PIVOT_SQL)
+
+
+_SELECT_SCALAR_SQL = """
+SELECT c_custkey, c_mktsegment,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderstatus = 'O') AS open_orders,
+       (SELECT MAX(o_totalprice) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS max_order
+FROM customer c
+"""
+
+
+@query("sql_select_list_scalar_subqueries", _SELECT_SCALAR_SQL)
+def sql_select_list_scalar_subqueries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Correlated scalar subqueries in the SELECT list — the remaining
+    de-correlation shape after WHERE-clause EXISTS/IN/scalar: Catalyst
+    rewrites each into an aggregate + left outer join on the
+    correlation key (customers without open orders get COUNT 0 /
+    MAX NULL, exactly as the per-row subquery semantics demand — the
+    rewrite must preserve empty-group behavior, which is the classic
+    de-correlation bug). Identical SQL text runs on DuckDB; outputs
+    are an exact integer count and a MAX over 2-dp doubles, so no
+    rounding is involved anywhere."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SELECT_SCALAR_SQL)
