@@ -158,3 +158,45 @@ def test_pagerank_auto_bit_identical_to_distributed(spark):
         map(tuple, pagerank_auto(df, iterations=4, driver_bound=3).collect())
     )
     assert dist == auto == fallback
+
+
+def test_u_shaped_attribution_golden(spark):
+    """Hand-computed journey: 4 touches then a purchase within 24 h →
+    credits 0.4 / 0.1 / 0.1 / 0.4; a lone touch far from any purchase
+    gets nothing; a single-touch journey takes 1.0."""
+    import datetime as dt
+
+    from rentals_data_pipeline_spark.plans.relational_queries import (
+        analytics_attribution_u_shaped,
+    )
+
+    base = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        # user 1: click, view, view, click -> purchase (4-touch journey)
+        (1, base + dt.timedelta(hours=1), "click", None),
+        (1, base + dt.timedelta(hours=2), "view", None),
+        (1, base + dt.timedelta(hours=3), "view", None),
+        (1, base + dt.timedelta(hours=4), "click", None),
+        (1, base + dt.timedelta(hours=5), "purchase", 10.0),
+        # user 2: one view -> purchase (single-touch journey)
+        (2, base, "view", None),
+        (2, base + dt.timedelta(hours=1), "purchase", 5.0),
+        # user 3: a click with no purchase within 24 h
+        (3, base, "click", None),
+        (3, base + dt.timedelta(days=10), "purchase", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, t, ty, v) for i, (u, t, ty, v) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        r["channel"]: (r["n_touches"], r["total_credit"])
+        for r in analytics_attribution_u_shaped(spark, d).collect()
+    }
+    # user 1: click 0.4 + click 0.4, views 0.1 + 0.1; user 2: view 1.0
+    assert out["click"] == (2, 0.8)
+    assert out["view"] == (3, 1.2)
