@@ -2303,10 +2303,15 @@ def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
         ("orders", "o_custkey", "customer", "c_custkey"),
     ]
     out = None
+    dims = {"part", "supplier", "customer", "nation", "region"}
     for child, ckey, parent, pkey in specs:
         c = load_table(spark, sf_dir, child).select(ckey)
         p = load_table(spark, sf_dir, parent).select(pkey).distinct()
-        joined = c.join(F.broadcast(p), c[ckey] == p[pkey], "left")
+        # only TRUE dimensions get a broadcast hint; a fact-sized parent
+        # (orders) must stay AQE-chosen — broadcast at test SF,
+        # sort-merge co-partitioned on the key at 100 TB
+        p_side = F.broadcast(p) if parent in dims else p
+        joined = c.join(p_side, c[ckey] == p[pkey], "left")
         orphan = F.sum(
             F.when(F.col(pkey).isNull(), 1).otherwise(0)
         ).cast("long")
