@@ -151,6 +151,75 @@ def weighted_sample_topk(
     return _apply
 
 
+def temperature_mixture_sample(
+    key_col: str,
+    group_col: str,
+    target_frac: float = 0.3,
+    seed: str = "mix",
+) -> Op:
+    """Temperature-based corpus mixing (the multilingual-training
+    rebalancing move, cf. the mT5/XLM-R alpha-sampling recipe, alpha =
+    0.5): per-group sampling rates proportional to ``sqrt(n_g) / n_g``
+    so over-represented groups are down-sampled and rare groups keep
+    (capped at 1.0) nearly all their rows, with the overall expected
+    volume pinned at ``target_frac`` of the corpus.
+
+    Determinism discipline: sqrt is correctly rounded IEEE (identical
+    in every engine); the per-group weight is rounded to 6 dp via the
+    floor formula before the cross-group total, and the total folds
+    DECIMAL(28,6) casts of those 6-dp anchors, so the sum is exact and
+    order-invariant (the chi-square/PSI precedent). The final rate is
+    one chain of IEEE double ops on identical operands, floored into an
+    integer bucket cut, and membership is the md5 hash-bucket predicate
+    — every engine replays the identical sample.
+
+    Scale shape: the rate table is |groups| rows (a one-shuffle count
+    agg), broadcast back onto the corpus; the sampling predicate is
+    row-local, so non-sampled rows are dropped at the scan-adjacent
+    filter and never reach downstream shuffles.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from rentals_data_pipeline_spark.functions.rounding import (
+            round_half_up,
+        )
+
+        g = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+        g = g.withColumn(
+            "_w6", round_half_up(F.sqrt(F.col("_n").cast("double")), 6)
+        )
+        tot = g.agg(
+            F.sum(F.col("_w6").cast("decimal(28,6)")).alias("_tw"),
+            F.sum("_n").alias("_ntot"),
+        )
+        rates = g.crossJoin(F.broadcast(tot)).select(
+            group_col,
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(target_frac)
+                    * F.col("_ntot").cast("double")
+                    * F.col("_w6")
+                    / F.col("_tw").cast("double")
+                    / F.col("_n").cast("double"),
+                )
+                * F.lit(float(N_SPLIT_BUCKETS))
+            )
+            .cast("int")
+            .alias("_cut"),
+        )
+        return (
+            df.join(F.broadcast(rates), group_col)
+            .where(
+                hash_bucket(F.col(key_col), N_SPLIT_BUCKETS, seed)
+                < F.col("_cut")
+            )
+            .drop("_cut")
+        )
+
+    return _apply
+
+
 def stratified_split(
     key_col: str,
     stratum_col: str,

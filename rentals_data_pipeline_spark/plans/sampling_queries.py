@@ -104,6 +104,47 @@ def sample_weighted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_corpus_mixture",
+    f"""
+WITH g AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+w AS (
+    SELECT lang, n,
+        FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS w6
+    FROM g
+),
+t AS (
+    SELECT SUM(CAST(w6 AS DECIMAL(28,6))) AS tw, SUM(n) AS ntot FROM w
+),
+r AS (
+    SELECT lang,
+        CAST(FLOOR(
+            LEAST(1.0,
+                  0.3 * CAST(t.ntot AS DOUBLE) * w.w6
+                  / CAST(t.tw AS DOUBLE) / CAST(w.n AS DOUBLE))
+            * 10000.0) AS INTEGER) AS cut
+    FROM w CROSS JOIN t
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE {_BUCKET.format(seed="'mix'", key="d.doc_id")} < r.cut
+""",
+)
+def sample_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixed (alpha = 0.5) corpus sample by language: the
+    multilingual rebalancing recipe — rates proportional to
+    sqrt(n_lang)/n_lang, expected volume pinned at 30% of the corpus —
+    so the dominant language is down-sampled hardest while rare
+    languages keep most rows (operators/sampling.py::
+    temperature_mixture_sample). The rate table is |langs| rows
+    broadcast back; membership is the deterministic md5 hash bucket,
+    so the oracle replays the sample row-for-row."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return docs.transform(
+        SP.temperature_mixture_sample("doc_id", "lang", 0.3, "mix")
+    ).select("doc_id", "lang")
+
+
+@query(
     "sample_stratified_split_embeddings",
     """
 WITH r AS (

@@ -125,3 +125,30 @@ def test_stratified_split_layout_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_temperature_mixture_downsamples_dominant_group(spark):
+    """alpha=0.5 mixing: the dominant group's keep-rate must be LOWER
+    than every minority group's, expected volume ~= target_frac, and
+    the sample must be layout-invariant (same rows after repartition)."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    op = SP.temperature_mixture_sample("doc_id", "lang", 0.3, "mix")
+    sample = docs.transform(op)
+    n_all = docs.groupBy("lang").count().collect()
+    n_kept = dict(
+        (r["lang"], r["count"]) for r in sample.groupBy("lang").count().collect()
+    )
+    rates = {
+        r["lang"]: n_kept.get(r["lang"], 0) / r["count"] for r in n_all
+    }
+    counts = {r["lang"]: r["count"] for r in n_all}
+    dominant = max(counts, key=counts.get)
+    for lang, rate in rates.items():
+        if lang != dominant:
+            assert rates[dominant] < rate + 1e-9, (dominant, rates)
+    total = docs.count()
+    assert abs(sample.count() / total - 0.3) < 0.12  # small-corpus noise
+    again = docs.repartition(7, "lang").transform(op)
+    a = {r["doc_id"] for r in sample.select("doc_id").collect()}
+    b = {r["doc_id"] for r in again.select("doc_id").collect()}
+    assert a == b
