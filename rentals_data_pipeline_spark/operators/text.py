@@ -401,6 +401,72 @@ def repetition_stats(id_col: str = "doc_id", text_col: str = "text") -> Op:
     return _apply
 
 
+def gopher_rules(
+    id_col: str = "doc_id", text_col: str = "text"
+) -> Op:
+    """Gopher-style document-filter rule suite — the static quality
+    gates (word-count bounds, mean-word-length band, minimum stopword
+    presence, alphabetic-word fraction) a pretraining corpus applies
+    before any model-based scoring. Complements ``quality_score``
+    (a blended score) and ``repetition_stats`` (duplication signals)
+    with the hard pass/fail rules:
+
+    - ``rule_word_count``: 50 <= n_words <= 100_000;
+    - ``rule_mean_len``:   3.0 <= mean word length <= 10.0;
+    - ``rule_stopwords``:  at least 2 English stopword occurrences;
+    - ``rule_alpha``:      >= 80% of words contain a letter;
+    - ``passes_gopher``:   all of the above.
+
+    Every signal is computed INSIDE the token array by codegen lambda
+    expressions (size / aggregate / filter) — zero shuffles, zero
+    Python, so at 100 TB the operator is a pure map fused into the
+    scan. Ratios are exact-integer divisions rounded half-up at 4 dp
+    (the floor formula), and the rule flags compare those rounded
+    anchors, so every engine replays identical booleans.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        n = F.size(toks).cast("long")
+        char_sum = F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        n_stop = F.size(
+            F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))
+        ).cast("long")
+        n_alpha = F.size(
+            F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+        ).cast("long")
+        nd = F.nullif(n.cast("double"), F.lit(0.0))
+        mean_len = round_half_up(char_sum.cast("double") / nd, 4)
+        frac_alpha = round_half_up(n_alpha.cast("double") / nd, 4)
+        out = df.select(
+            F.col(id_col),
+            n.alias("n_words"),
+            mean_len.alias("mean_word_len"),
+            n_stop.alias("n_stopwords"),
+            frac_alpha.alias("frac_alpha"),
+        )
+        r_count = (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+        r_mean = (F.col("mean_word_len") >= 3.0) & (
+            F.col("mean_word_len") <= 10.0
+        )
+        r_stop = F.col("n_stopwords") >= 2
+        r_alpha = F.col("frac_alpha") >= 0.8
+        return out.select(
+            "*",
+            r_count.alias("rule_word_count"),
+            r_mean.alias("rule_mean_len"),
+            r_stop.alias("rule_stopwords"),
+            r_alpha.alias("rule_alpha"),
+            (r_count & r_mean & r_stop & r_alpha).alias("passes_gopher"),
+        )
+
+    return _apply
+
+
 def corpus_ngram_topk(
     n: int = 2,
     k: int = 25,

@@ -441,3 +441,55 @@ def text_corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (count desc, bigram asc)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.transform(TX.corpus_ngram_topk(n=2, k=25))
+
+
+@query(
+    "text_gopher_quality_rules",
+    f"""
+WITH t AS (
+    SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+),
+m AS (
+    SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_words,
+        CAST(list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT)))
+             AS BIGINT) AS char_sum,
+        CAST(len(list_filter(w, x -> x IN ({_EN}))) AS BIGINT)
+            AS n_stopwords,
+        CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+             AS BIGINT) AS n_alpha
+    FROM t
+),
+r AS (
+    SELECT doc_id, n_words,
+        FLOOR((CAST(char_sum AS DOUBLE)
+               / NULLIF(CAST(n_words AS DOUBLE), 0.0)) * 10000.0 + 0.5)
+            / 10000.0 AS mean_word_len,
+        n_stopwords,
+        FLOOR((CAST(n_alpha AS DOUBLE)
+               / NULLIF(CAST(n_words AS DOUBLE), 0.0)) * 10000.0 + 0.5)
+            / 10000.0 AS frac_alpha
+    FROM m
+)
+SELECT doc_id, n_words, mean_word_len, n_stopwords, frac_alpha,
+    (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+    (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS rule_mean_len,
+    (n_stopwords >= 2) AS rule_stopwords,
+    (frac_alpha >= 0.8) AS rule_alpha,
+    ((n_words >= 50 AND n_words <= 100000)
+     AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+     AND (n_stopwords >= 2) AND (frac_alpha >= 0.8)) AS passes_gopher
+FROM r
+""",
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard filter rules per document
+    (operators/text.py::gopher_rules): word-count bounds, mean-word-
+    length band, stopword presence, alphabetic-word fraction, and the
+    conjunction flag a curation job filters on. All signals are
+    codegen array lambdas inside the row — a pure map fused into the
+    scan, no shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "text").transform(TX.gopher_rules()).drop(
+        "text"
+    )

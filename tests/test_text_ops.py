@@ -224,3 +224,28 @@ def test_repetition_stats_golden(spark):
     assert got[2]["dup_token_frac"] == 0.0
     assert got[2]["top_bigram_frac"] == 0.25
     assert got[3]["top_bigram_frac"] is None
+
+
+def test_gopher_rules_golden(spark):
+    """Hand-built docs exercise each rule's failure mode independently."""
+    from rentals_data_pipeline_spark.operators.text import gopher_rules
+
+    long_ok = "the " + "word " * 60 + "of the end"       # passes all
+    too_short = "the of and to in is a"                   # < 50 words
+    no_stop = "alpha beta gamma delta " * 20              # 0 stopwords
+    numeric = ("123 456 789 000 111 " * 12) + "the of"    # alpha frac low
+    rows = [(1, long_ok), (2, too_short), (3, no_stop), (4, numeric)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in df.transform(gopher_rules()).collect()
+    }
+    assert got[1]["passes_gopher"]
+    assert not got[2]["rule_word_count"] and not got[2]["passes_gopher"]
+    assert not got[3]["rule_stopwords"] and got[3]["rule_word_count"]
+    assert not got[4]["rule_alpha"] and got[4]["rule_stopwords"]
+    # mean word length is exact-integer division rounded half-up at 4dp
+    n = got[1]["n_words"]
+    assert got[1]["mean_word_len"] == pytest.approx(
+        (len(long_ok.replace(" ", "")) / n), abs=1e-4
+    )
