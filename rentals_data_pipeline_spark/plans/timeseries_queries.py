@@ -733,3 +733,149 @@ def ts_ewma_hourly_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "actual",
         RND(num / den, 4).alias("smoothed"),
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    """
+WITH bounds AS (
+    SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+    FROM events
+),
+h AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+ty AS (SELECT DISTINCT event_type FROM events),
+agg AS (
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n,
+           FLOOR((SUM(value)) * 10000.0 + 0.5) / 10000.0 AS v
+    FROM events GROUP BY 1, 2
+),
+spine AS (
+    SELECT CAST(h.hour AS TIMESTAMP) AS hour, ty.event_type,
+           CAST(FLOOR(epoch(h.hour)) AS BIGINT) / 3600 AS hidx
+    FROM h CROSS JOIN ty
+),
+j AS (
+    SELECT spine.hour, spine.event_type, spine.hidx,
+           CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_events, agg.v
+    FROM spine LEFT JOIN agg
+      ON spine.hour = agg.hour AND spine.event_type = agg.event_type
+),
+anchored AS (
+    SELECT *,
+        last_value(v IGNORE NULLS) OVER wp AS prev_v,
+        last_value(CASE WHEN v IS NOT NULL THEN hidx END IGNORE NULLS)
+            OVER wp AS prev_i,
+        first_value(v IGNORE NULLS) OVER wn AS next_v,
+        first_value(CASE WHEN v IS NOT NULL THEN hidx END IGNORE NULLS)
+            OVER wn AS next_i
+    FROM j
+    WINDOW
+        wp AS (PARTITION BY event_type ORDER BY hidx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        wn AS (PARTITION BY event_type ORDER BY hidx
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT hour, event_type, n_events,
+    CASE
+        WHEN v IS NOT NULL THEN v
+        WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+            FLOOR((prev_v + (next_v - prev_v)
+                   * (CAST(hidx - prev_i AS DOUBLE)
+                      / CAST(next_i - prev_i AS DOUBLE)))
+                  * 10000.0 + 0.5) / 10000.0
+        WHEN prev_v IS NOT NULL THEN prev_v
+        ELSE next_v
+    END AS value_filled,
+    (v IS NULL) AS was_gap
+FROM anchored
+""",
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across hourly gaps, per event_type — the
+    time-weighted fill for metered/sensor series where carrying the
+    last observation forward (ts_gap_fill_hourly's locf) biases the
+    series flat. Dense spine as in the gap-fill query; each missing
+    hour takes prev + (next - prev) * elapsed-fraction between its two
+    non-null neighbors (locf/nocb at the edges). The neighbor lookup is
+    two IGNORE NULLS window passes over the spine (|hours x types|
+    rows, never the raw fact), hour indices are exact integers, and the
+    interpolated value rounds half-up at 4 dp — engine-replayable
+    IEEE arithmetic end to end."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        )
+    )
+    types = events.select("event_type").distinct()
+    spine = hours.crossJoin(F.broadcast(types)).withColumn(
+        "hidx",
+        (F.unix_timestamp(F.col("hour").cast("timestamp")) / 3600).cast(
+            "long"
+        ),
+    )
+    agg = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        RND(F.sum("value"), 4).alias("v"),
+    )
+    j = spine.join(agg, ["hour", "event_type"], "left").select(
+        "hour",
+        "event_type",
+        "hidx",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        "v",
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hidx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hidx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    v = F.col("v")
+    hidx = F.col("hidx")
+    anchored = j.select(
+        "*",
+        F.last(v, ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(F.when(v.isNotNull(), hidx), ignorenulls=True)
+        .over(wp)
+        .alias("prev_i"),
+        F.first(v, ignorenulls=True).over(wn).alias("next_v"),
+        F.first(F.when(v.isNotNull(), hidx), ignorenulls=True)
+        .over(wn)
+        .alias("next_i"),
+    )
+    interp = RND(
+        F.col("prev_v")
+        + (F.col("next_v") - F.col("prev_v"))
+        * (
+            (hidx - F.col("prev_i")).cast("double")
+            / (F.col("next_i") - F.col("prev_i")).cast("double")
+        ),
+        4,
+    )
+    return anchored.select(
+        "hour",
+        "event_type",
+        "n_events",
+        F.when(v.isNotNull(), v)
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(), interp
+        )
+        .when(F.col("prev_v").isNotNull(), F.col("prev_v"))
+        .otherwise(F.col("next_v"))
+        .alias("value_filled"),
+        v.isNull().alias("was_gap"),
+    )

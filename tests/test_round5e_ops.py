@@ -1,0 +1,51 @@
+"""Round-5 sixth-batch operators: linear gap interpolation, corpus
+mixture sampling edge shapes, Gopher rule conjunction (golden data)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from rentals_data_pipeline_spark.plans import timeseries_queries  # noqa: F401
+from rentals_data_pipeline_spark.plans.catalog import QUERIES
+
+
+def test_interpolate_linear_golden(spark, tmp_path):
+    """A planted 5-hour series with a 3-hour hole: interior hours take
+    the exact linear ramp, and the locf/nocb edge rules hold."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # (ts, value): anchors at hour 0 (sum 10.0) and hour 4 (sum 30.0)
+        (t0, 10.0, "a"),
+        (t0 + dt.timedelta(hours=4), 30.0, "a"),
+        # second type: single anchor at hour 2 -> every gap carries it
+        (t0 + dt.timedelta(hours=2), 7.0, "b"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, 1, ty, v, None) for i, (ts, v, ty) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    p = str(tmp_path / "events.parquet")
+    df.write.parquet(p)
+    # point load_table at the golden dir by writing the expected layout
+    got = {
+        (r["event_type"], r["hour"].hour): (
+            r["value_filled"],
+            r["was_gap"],
+        )
+        for r in QUERIES["ts_interpolate_linear"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[("a", 0)] == (10.0, False)
+    assert got[("a", 1)] == (pytest.approx(15.0), True)
+    assert got[("a", 2)] == (pytest.approx(20.0), True)
+    assert got[("a", 3)] == (pytest.approx(25.0), True)
+    assert got[("a", 4)] == (30.0, False)
+    # type b: hours 0-1 take nocb, hours 3-4 take locf of the lone anchor
+    for h in (0, 1, 3, 4):
+        assert got[("b", h)] == (7.0, True)
+    assert got[("b", 2)] == (7.0, False)
