@@ -89,7 +89,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # must rotate to the FRONT of round 6's order, before the group-1/2
     # re-certs above (they have never been driver-certified):
     "sample_corpus_mixture", "text_gopher_quality_rules",
-    "ts_interpolate_linear",
+    "ts_interpolate_linear", "stats_ks_value_drift",
     "tpch_q4_priority_checking", "tpch_q6_forecast_revenue",
     "tpch_q8_market_share", "tpch_q13_customer_distribution",
     "tpch_q14_promo_effect", "tpch_q15_top_supplier",

@@ -680,6 +680,63 @@ def quality_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KS_ORACLE = """
+WITH e AS (
+    SELECT event_type, value,
+        CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END
+            AS is_ref
+    FROM events
+),
+g AS (
+    SELECT event_type, value,
+        SUM(is_ref) AS cr, SUM(1 - is_ref) AS cc
+    FROM e GROUP BY 1, 2
+),
+c AS (
+    SELECT event_type,
+        SUM(cr) OVER (PARTITION BY event_type ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cumr,
+        SUM(cc) OVER (PARTITION BY event_type ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cumc,
+        SUM(cr) OVER (PARTITION BY event_type) AS nr,
+        SUM(cc) OVER (PARTITION BY event_type) AS nc
+    FROM g
+)
+SELECT event_type,
+    FLOOR(MAX(ABS(CAST(cumr AS DOUBLE) / CAST(nr AS DOUBLE)
+                  - CAST(cumc AS DOUBLE) / CAST(nc AS DOUBLE)))
+          * 1000000.0 + 0.5) / 1000000.0 AS ks_d,
+    CAST(MAX(nr) AS BIGINT) AS n_ref,
+    CAST(MAX(nc) AS BIGINT) AS n_cur
+FROM c GROUP BY 1
+"""
+
+
+@query("stats_ks_value_drift", _KS_ORACLE)
+def stats_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D of the event `value`
+    distribution, first half-month (reference) vs second (current),
+    per event type — the binning-free drift monitor next to PSI
+    (quality_psi_value_drift): D catches location/spread/shape changes
+    PSI's fixed buckets can blur (operators/quality.py::ks_drift). One
+    count shuffle on (type, value) map-side combined, a cumulative
+    window over |types x distinct 2-dp values| rows (bounded at any
+    fact scale), no libm — exact integer ECDFs, order-invariant MAX."""
+    from rentals_data_pipeline_spark.operators.quality import ks_drift
+
+    events = load_table(spark, sf_dir, "events")
+    df = events.select(
+        "event_type",
+        "value",
+        (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"))
+        .cast("int")
+        .alias("period"),
+    )
+    return ks_drift(df, "event_type", "period", "value")
+
+
 # ---------------------------------------------------------------------------
 # Shuffle-key skew diagnostics: the pre-flight salt-factor check.
 # ---------------------------------------------------------------------------

@@ -49,3 +49,22 @@ def test_interpolate_linear_golden(spark, tmp_path):
     for h in (0, 1, 3, 4):
         assert got[("b", h)] == (7.0, True)
     assert got[("b", 2)] == (7.0, False)
+
+
+def test_ks_drift_golden(spark):
+    """KS D on a hand-computed pair of samples: ref {1,2,3,4}, cur
+    {3,4,5,6} -> ECDF gap peaks at value 2 with D = 0.5; identical
+    samples -> D = 0."""
+    from rentals_data_pipeline_spark.operators.quality import ks_drift
+
+    rows = [("g", 0, v) for v in [1.0, 2.0, 3.0, 4.0]] + [
+        ("g", 1, v) for v in [3.0, 4.0, 5.0, 6.0]
+    ]
+    rows += [("h", p, v) for p in (0, 1) for v in [1.0, 2.0, 3.0]]
+    df = spark.createDataFrame(rows, ["grp", "period", "value"])
+    got = {
+        r["grp"]: (r["ks_d"], r["n_ref"], r["n_cur"])
+        for r in ks_drift(df, "grp", "period", "value").collect()
+    }
+    assert got["g"] == (0.5, 4, 4)
+    assert got["h"] == (0.0, 3, 3)
