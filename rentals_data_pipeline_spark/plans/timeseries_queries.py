@@ -879,3 +879,100 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_filled"),
         v.isNull().alias("was_gap"),
     )
+
+
+@query(
+    "window_rolling_autocorr",
+    """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           FLOOR((SUM(value)) * 10000.0 + 0.5) / 10000.0 AS v
+    FROM events GROUP BY 1, 2
+),
+p AS (
+    SELECT event_type, hour, v,
+           LAG(v) OVER (PARTITION BY event_type ORDER BY hour) AS yv
+    FROM hourly
+),
+pp AS (SELECT * FROM p WHERE yv IS NOT NULL),
+s AS (
+    SELECT event_type, hour,
+        COUNT(*) OVER w AS n,
+        SUM(CAST(v AS DECIMAL(18,4))) OVER w AS sx,
+        SUM(CAST(yv AS DECIMAL(18,4))) OVER w AS sy,
+        SUM(CAST(v AS DECIMAL(18,4)) * CAST(yv AS DECIMAL(18,4))) OVER w
+            AS sxy,
+        SUM(CAST(v AS DECIMAL(18,4)) * CAST(v AS DECIMAL(18,4))) OVER w
+            AS sxx,
+        SUM(CAST(yv AS DECIMAL(18,4)) * CAST(yv AS DECIMAL(18,4))) OVER w
+            AS syy
+    FROM pp
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, CAST(hour AS TIMESTAMP) AS hour,
+    CAST(n AS BIGINT) AS n_pairs,
+    FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / NULLIF(sqrt(
+                GREATEST(0.0, CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * GREATEST(0.0, CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             0.0))
+          * 1000000.0 + 0.5) / 1000000.0 AS autocorr
+FROM s WHERE n >= 12
+""",
+)
+def window_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h lag-1 autocorrelation of the hourly volume series,
+    per event type — the rolling-window statistical frame (mean/corr
+    over a sliding history) that powers anomaly scoring and
+    seasonality checks. The correlation is NOT Spark's fp `corr`
+    window (order-dependent summation would flake the hash gate): the
+    five moment sums fold DECIMAL(18,4) casts of the 4-dp-rounded
+    hourly anchors — exact, order-invariant — and Pearson's formula
+    then runs once per row in IEEE doubles on identical operands.
+    Shape: windows run over the pre-aggregated |types x hours| series,
+    never raw events; one shuffle on event_type reused by the lag and
+    the rolling frame."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(RND(F.sum("value"), 4).alias("v"))
+    w_lag = Window.partitionBy("event_type").orderBy("hour")
+    pp = hourly.select(
+        "*", F.lag("v", 1).over(w_lag).alias("yv")
+    ).where(F.col("yv").isNotNull())
+    x4 = F.col("v").cast("decimal(18,4)")
+    y4 = F.col("yv").cast("decimal(18,4)")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    s = pp.select(
+        "event_type",
+        "hour",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(x4).over(w).alias("sx"),
+        F.sum(y4).over(w).alias("sy"),
+        F.sum(x4 * y4).over(w).alias("sxy"),
+        F.sum(x4 * x4).over(w).alias("sxx"),
+        F.sum(y4 * y4).over(w).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = nd * sxyd - sxd * syd
+    den = F.sqrt(
+        F.greatest(F.lit(0.0), nd * sxxd - sxd * sxd)
+        * F.greatest(F.lit(0.0), nd * syyd - syd * syd)
+    )
+    return s.where(F.col("n") >= 12).select(
+        "event_type",
+        F.col("hour").cast("timestamp").alias("hour"),
+        F.col("n").cast("long").alias("n_pairs"),
+        RND(num / F.nullif(den, F.lit(0.0)), 6).alias("autocorr"),
+    )

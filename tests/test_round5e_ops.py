@@ -68,3 +68,26 @@ def test_ks_drift_golden(spark):
     }
     assert got["g"] == (0.5, 4, 4)
     assert got["h"] == (0.0, 3, 3)
+
+
+def test_rolling_autocorr_bounds_and_perfect_line(spark, tmp_path):
+    """A strictly increasing series has lag-1 autocorrelation ~1 over
+    any frame; catalog output stays within [-1, 1]."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(hours=i), 1, "lin", float(i + 1), None)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["window_rolling_autocorr"](spark, str(tmp_path)).collect()
+    assert out, "expected rows once n_pairs >= 12"
+    for r in out:
+        assert -1.0 <= r["autocorr"] <= 1.0
+        assert r["autocorr"] > 0.99  # a perfect line correlates ~1
