@@ -504,3 +504,59 @@ def corpus_ngram_topk(
         ).limit(k)
 
     return _apply
+
+
+def duplicated_ngram_fraction(
+    id_col: str = "doc_id", text_col: str = "text", n: int = 10
+) -> Op:
+    """Cross-document duplicated-span signal (the substring-dedup
+    criterion of the exact-dedup literature, scaled to Spark): per
+    document, the fraction of its word ``n``-grams that also occur in
+    at least one OTHER document. Documents with a high fraction are
+    near-copies or heavy quoters — the band the doc-level MinHash path
+    can miss when only a long span (not the whole doc) is shared.
+
+    Scale shape: n-grams are assembled INSIDE the token array (codegen
+    sequence + slice + concat) and immediately md5-digested, so every
+    shuffle carries 32-byte keys, never text spans. One digest-keyed
+    count (distinct-doc frequency, map-side combined), re-joined
+    co-partitioned on the same digest, then one doc-keyed rollup.
+    Fractions are exact-integer divisions rounded half-up at 4 dp.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        g = df.select(F.col(id_col), F.explode(grams).alias("gh"))
+        dfreq = g.groupBy("gh").agg(
+            F.count_distinct(F.col(id_col)).alias("_dfc")
+        )
+        per = (
+            g.join(dfreq, "gh")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum(F.when(F.col("_dfc") >= 2, 1).otherwise(0)).alias(
+                    "n_dup"
+                ),
+            )
+        )
+        base = df.select(F.col(id_col))
+        return base.join(per, id_col, "left").select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_grams"),
+            round_half_up(
+                F.col("n_dup").cast("double")
+                / F.nullif(F.col("n_grams").cast("double"), F.lit(0.0)),
+                4,
+            ).alias("dup_span_frac"),
+        )
+
+    return _apply

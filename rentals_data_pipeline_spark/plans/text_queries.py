@@ -493,3 +493,42 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").transform(TX.gopher_rules()).drop(
         "text"
     )
+
+
+@query(
+    "text_duplicated_ngram_fraction",
+    r"""
+WITH t AS (
+    SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+),
+g AS (
+    SELECT doc_id,
+           md5(array_to_string(list_slice(w, i, i + 9), ' ')) AS gh
+    FROM t, UNNEST(generate_series(1, len(w) - 9)) AS s(i)
+    WHERE len(w) >= 10
+),
+dfreq AS (SELECT gh, COUNT(DISTINCT doc_id) AS dfc FROM g GROUP BY 1),
+per AS (
+    SELECT g.doc_id,
+        COUNT(*) AS n_grams,
+        SUM(CASE WHEN d.dfc >= 2 THEN 1 ELSE 0 END) AS n_dup
+    FROM g JOIN dfreq d USING (gh) GROUP BY 1
+)
+SELECT t.doc_id,
+    CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+    CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup_grams,
+    FLOOR((CAST(per.n_dup AS DOUBLE)
+           / NULLIF(CAST(per.n_grams AS DOUBLE), 0.0)) * 10000.0 + 0.5)
+        / 10000.0 AS dup_span_frac
+FROM t LEFT JOIN per USING (doc_id)
+""",
+)
+def text_duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-corpus duplicated 10-gram fraction
+    (operators/text.py::duplicated_ngram_fraction): the span-level
+    dedup signal that catches shared long passages doc-level MinHash
+    misses. All shuffles carry md5 digests, never text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "text").transform(
+        TX.duplicated_ngram_fraction()
+    )

@@ -91,3 +91,33 @@ def test_rolling_autocorr_bounds_and_perfect_line(spark, tmp_path):
     for r in out:
         assert -1.0 <= r["autocorr"] <= 1.0
         assert r["autocorr"] > 0.99  # a perfect line correlates ~1
+
+
+def test_duplicated_ngram_fraction_golden(spark):
+    """Two docs sharing an exact 12-word passage, one unique doc: the
+    sharers' duplicated fraction covers the shared grams, the unique
+    doc scores 0, and a short doc (<10 words) yields zero grams."""
+    from rentals_data_pipeline_spark.operators.text import (
+        duplicated_ngram_fraction,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        (1, shared + " tail1 one two"),
+        (2, "head2 " + shared),
+        (3, "solo " + " ".join(f"u{i}" for i in range(15))),
+        (4, "tiny doc under ten words here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in df.transform(duplicated_ngram_fraction()).collect()
+    }
+    # doc1: 15 words -> 6 grams; grams fully inside the shared 12 words
+    # are its first 3 (positions 1-3). doc2: 13 words -> 4 grams, the
+    # last 3 sit inside the shared passage.
+    assert got[1]["n_grams"] == 6 and got[1]["n_dup_grams"] == 3
+    assert got[2]["n_grams"] == 4 and got[2]["n_dup_grams"] == 3
+    assert got[3]["n_dup_grams"] == 0 and got[3]["dup_span_frac"] == 0.0
+    assert got[4]["n_grams"] == 0 and got[4]["dup_span_frac"] is None
+    assert got[1]["dup_span_frac"] == 0.5
