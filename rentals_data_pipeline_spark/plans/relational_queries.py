@@ -2449,3 +2449,98 @@ def analytics_attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("total_credit"),
         )
     )
+
+
+@query(
+    "stats_equal_frequency_binning",
+    """
+WITH c AS (
+    SELECT o_totalprice AS v, COUNT(*) AS c FROM orders
+    WHERE o_totalprice IS NOT NULL GROUP BY 1
+),
+cum AS (
+    SELECT v,
+        SUM(c) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cumc,
+        SUM(c) OVER () AS n
+    FROM c
+),
+edges AS (
+    SELECT d, MIN(v) AS edge
+    FROM cum, UNNEST(generate_series(1, 9)) AS s(d)
+    WHERE cumc >= (n * d + 9) // 10
+    GROUP BY d
+),
+assigned AS (
+    SELECT o.o_orderkey, o.o_totalprice,
+        1 + (SELECT COUNT(*) FROM edges e
+             WHERE o.o_totalprice > e.edge) AS bin
+    FROM orders o WHERE o.o_totalprice IS NOT NULL
+)
+SELECT CAST(bin AS INTEGER) AS decile,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    MIN(o_totalprice) AS lo_price,
+    MAX(o_totalprice) AS hi_price
+FROM assigned GROUP BY 1
+""",
+)
+def stats_equal_frequency_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning of order totals by the
+    HISTOGRAM-EDGE method — the discretization that scales where a
+    global NTILE cannot: instead of one total sort of the fact, the
+    fact shuffles once as map-side-combined per-value counts, a
+    cumulative window walks the (bounded, 2-dp money) distinct-value
+    axis to pick the 9 rank-threshold edges (rank d = ceil(n*d/10),
+    all-integer arithmetic), and the <=9-row edge array broadcasts
+    back so bin assignment is a row-local codegen array filter at the
+    scan. Ties keep a single bin (pandas-qcut semantics, not NTILE's
+    row-split), which is also what makes the result layout-invariant
+    and engine-replayable."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+    )
+    c = orders.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_tot = c.agg(F.sum("c").alias("n"))
+    cum = c.select(
+        "v", F.sum("c").over(w_cum).alias("cumc")
+    ).crossJoin(F.broadcast(n_tot))
+    ds = cum.select(
+        "v",
+        "cumc",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("d"),
+    )
+    edges = (
+        ds.where(F.col("cumc") >= F.expr("(n * d + 9) div 10"))
+        .groupBy("d")
+        .agg(F.min("v").alias("edge"))
+    )
+    edge_arr = edges.agg(
+        F.sort_array(F.collect_list("edge")).alias("edges")
+    )
+    assigned = orders.crossJoin(F.broadcast(edge_arr)).select(
+        "o_orderkey",
+        "o_totalprice",
+        (
+            F.lit(1)
+            + F.size(
+                F.filter(
+                    F.col("edges"),
+                    lambda e: F.col("o_totalprice") > e,
+                )
+            )
+        ).alias("bin"),
+    )
+    return assigned.groupBy(
+        F.col("bin").cast("int").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("o_totalprice").alias("lo_price"),
+        F.max("o_totalprice").alias("hi_price"),
+    )

@@ -121,3 +121,30 @@ def test_duplicated_ngram_fraction_golden(spark):
     assert got[3]["n_dup_grams"] == 0 and got[3]["dup_span_frac"] == 0.0
     assert got[4]["n_grams"] == 0 and got[4]["dup_span_frac"] is None
     assert got[1]["dup_span_frac"] == 0.5
+
+
+def test_equal_frequency_binning_properties(spark):
+    """Deciles partition the table: counts sum to the non-null rows,
+    bins are within one row-group of equal size given money ties, and
+    bin ranges are disjoint and ordered."""
+    from rentals_data_pipeline_spark.plans import relational_queries  # noqa: F401
+
+    out = sorted(
+        QUERIES["stats_equal_frequency_binning"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in out] == list(range(1, 11))
+    total = sum(r["n_orders"] for r in out)
+    n = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .where("o_totalprice is not null")
+        .count()
+    )
+    assert total == n
+    for a, b in zip(out, out[1:]):
+        assert a["hi_price"] < b["lo_price"]  # disjoint, ordered ranges
+    # equal-frequency up to tie granularity: each bin within 20% of n/10
+    for r in out:
+        assert abs(r["n_orders"] - n / 10) <= max(2, 0.2 * n / 10)
