@@ -2544,3 +2544,69 @@ def stats_equal_frequency_binning(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("o_totalprice").alias("lo_price"),
         F.max("o_totalprice").alias("hi_price"),
     )
+
+
+@query(
+    "analytics_activity_streaks",
+    """
+WITH d AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM events
+),
+r AS (
+    SELECT user_id, day,
+        (day - DATE '1970-01-01')
+        - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+    FROM d
+),
+s AS (
+    SELECT user_id, grp, COUNT(*) AS len,
+           MIN(day) AS start_day, MAX(day) AS end_day
+    FROM r GROUP BY 1, 2
+)
+SELECT user_id,
+    CAST(MAX(len) AS BIGINT) AS longest_streak,
+    CAST(COUNT(*) AS BIGINT) AS n_streaks,
+    MIN(start_day) AS first_active_day,
+    MAX(end_day) AS last_active_day
+FROM s GROUP BY 1
+""",
+)
+def analytics_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user longest run of CONSECUTIVE active
+    days plus streak count and activity span — the engagement-streak /
+    uptime-run pattern. The classic day-number-minus-row-number trick
+    turns each consecutive island into a constant group key with ONE
+    user-keyed window (no self-join, no recursive walk); day numbers
+    are exact integer date arithmetic on both engines. Shape: events
+    collapse to distinct (user, day) first (map-side combined), so the
+    window and both rollups run on the bounded activity calendar, never
+    raw events."""
+    events = load_table(spark, sf_dir, "events")
+    d = (
+        events.select(
+            "user_id",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.select(
+        "user_id",
+        "day",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    s = r.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+    )
+    return s.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.min("start_day").alias("first_active_day"),
+        F.max("end_day").alias("last_active_day"),
+    )

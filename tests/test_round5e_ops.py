@@ -148,3 +148,32 @@ def test_equal_frequency_binning_properties(spark):
     # equal-frequency up to tie granularity: each bin within 20% of n/10
     for r in out:
         assert abs(r["n_orders"] - n / 10) <= max(2, 0.2 * n / 10)
+
+
+def test_activity_streaks_golden(spark, tmp_path):
+    """Planted calendar: user 1 active days 1-3 and 5 (streaks 3+1),
+    user 2 active one day only."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12)
+    days = [0, 1, 2, 4]
+    rows = [
+        (i, t0 + dt.timedelta(days=d), 1, "a", 1.0, None)
+        for i, d in enumerate(days)
+    ] + [(99, t0, 2, "a", 1.0, None)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["user_id"]: r.asDict()
+        for r in QUERIES["analytics_activity_streaks"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[1]["longest_streak"] == 3 and got[1]["n_streaks"] == 2
+    assert got[1]["first_active_day"] == dt.date(2024, 1, 1)
+    assert got[1]["last_active_day"] == dt.date(2024, 1, 5)
+    assert got[2]["longest_streak"] == 1 and got[2]["n_streaks"] == 1
