@@ -465,3 +465,48 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.where(F.col("change_type") != "unchanged")
     return out
+
+
+def asof_join_backward_tolerance(
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+    tolerance_sec: int,
+) -> Op:
+    """Backward as-of join with a staleness bound — pandas
+    ``merge_asof(tolerance=...)`` semantics: the latest prior right row
+    still matches, but if it is older than ``tolerance_sec`` the
+    payload nulls out (a quote older than the SLA is no quote). Same
+    single shuffle as ``asof_join_backward`` — the bound is a row-local
+    epoch-difference predicate applied after the window, so tolerance
+    adds zero exchanges. The matched right timestamp rides the payload
+    struct (synthesized if the caller didn't ask for it, dropped on
+    output), and the comparison is exact integer epoch seconds on both
+    engines."""
+    aug = dict(payload)
+    ts_out = aug.get(right_ts)
+    if ts_out is None:
+        ts_out = "_asof_matched_ts"
+        aug = {right_ts: ts_out, **payload}
+
+    def _apply(left: DataFrame) -> DataFrame:
+        out = left.transform(
+            asof_join_backward(right, on, left_ts, right_ts, aug)
+        )
+        within = (
+            F.unix_timestamp(F.col(left_ts).cast("timestamp"))
+            - F.unix_timestamp(F.col(ts_out).cast("timestamp"))
+        ) <= F.lit(tolerance_sec)
+        return out.select(
+            *left.columns,
+            *[
+                F.when(within, F.col(o))
+                .otherwise(F.lit(None).cast(out.schema[o].dataType))
+                .alias(o)
+                for o in payload.values()
+            ],
+        )
+
+    return _apply

@@ -2610,3 +2610,51 @@ def analytics_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("start_day").alias("first_active_day"),
         F.max("end_day").alias("last_active_day"),
     )
+
+
+@query(
+    "join_asof_tolerance_error",
+    """
+SELECT
+    c.event_id,
+    c.user_id,
+    c.ts,
+    CASE WHEN CAST(FLOOR(epoch(c.ts)) AS BIGINT)
+              - CAST(FLOOR(epoch(e.ts)) AS BIGINT) <= 1800
+         THEN e.ts END AS err_ts,
+    CASE WHEN CAST(FLOOR(epoch(c.ts)) AS BIGINT)
+              - CAST(FLOOR(epoch(e.ts)) AS BIGINT) <= 1800
+         THEN e.value END AS err_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+""",
+)
+def join_asof_tolerance_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 30-minute staleness bound
+    (operators/relational.py::asof_join_backward_tolerance): each
+    click matches the same user's latest prior error ONLY if it is at
+    most 1800 s old — pandas merge_asof(tolerance) semantics as one
+    shuffle plus a row-local epoch predicate. Oracle = DuckDB native
+    ASOF with the identical integer-seconds CASE."""
+    from rentals_data_pipeline_spark.operators.relational import (
+        asof_join_backward_tolerance,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    return clicks.transform(
+        asof_join_backward_tolerance(
+            errors,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            payload={"ts": "err_ts", "value": "err_value"},
+            tolerance_sec=1800,
+        )
+    )

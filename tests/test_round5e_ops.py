@@ -177,3 +177,43 @@ def test_activity_streaks_golden(spark, tmp_path):
     assert got[1]["first_active_day"] == dt.date(2024, 1, 1)
     assert got[1]["last_active_day"] == dt.date(2024, 1, 5)
     assert got[2]["longest_streak"] == 1 and got[2]["n_streaks"] == 1
+
+
+def test_asof_tolerance_golden(spark):
+    """Tolerance nulls stale matches but keeps the as-of choice: the
+    latest prior right row is matched-then-dropped, NOT replaced by an
+    older in-tolerance row (merge_asof semantics)."""
+    import datetime as dt
+
+    from rentals_data_pipeline_spark.operators.relational import (
+        asof_join_backward_tolerance,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, 1, ts(10)), (2, 1, ts(100)), (3, 2, ts(5))],
+        ["id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, ts(8), 80.0), (1, ts(9), 90.0)], ["k", "rts", "v"]
+    )
+    got = {
+        r["id"]: (r["quote"], r["qts"])
+        for r in left.transform(
+            asof_join_backward_tolerance(
+                right,
+                on=["k"],
+                left_ts="ts",
+                right_ts="rts",
+                payload={"v": "quote", "rts": "qts"},
+                tolerance_sec=600,
+            )
+        ).collect()
+    }
+    assert got[1] == (90.0, ts(9))     # 1 min old: within tolerance
+    assert got[2] == (None, None)      # latest prior is 91 min old: stale
+    assert got[3] == (None, None)      # no prior row at all
