@@ -92,7 +92,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "ts_interpolate_linear", "stats_ks_value_drift",
     "window_rolling_autocorr", "text_duplicated_ngram_fraction",
     "stats_equal_frequency_binning", "analytics_activity_streaks",
-    "join_asof_tolerance_error",
+    "join_asof_tolerance_error", "multimodal_audio_dominant_lag",
     "tpch_q4_priority_checking", "tpch_q6_forecast_revenue",
     "tpch_q8_market_share", "tpch_q13_customer_distribution",
     "tpch_q14_promo_effect", "tpch_q15_top_supplier",

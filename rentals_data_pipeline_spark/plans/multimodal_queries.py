@@ -302,3 +302,43 @@ def multimodal_decoded_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max("ch").cast("int").alias("max_px"),
         )
     )
+
+
+@query(
+    "multimodal_audio_dominant_lag",
+    """
+WITH d AS (SELECT doc_id, substr(text, 1, 160) AS t FROM documents),
+pairs AS (
+    SELECT d.doc_id, l.lag AS lag,
+        SUM(ord(substr(d.t, i.i + 1, 1))
+            * ord(substr(d.t, i.i + 1 + l.lag, 1))) AS score
+    FROM d,
+        (SELECT unnest(range(1, 17)) AS lag) l,
+        (SELECT unnest(range(0, 160)) AS i) i
+    WHERE i.i + l.lag < length(d.t)
+    GROUP BY 1, 2
+),
+best AS (
+    SELECT doc_id, lag, score,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, lag) AS rn
+    FROM pairs
+)
+SELECT d.doc_id,
+    CAST(CASE WHEN length(d.t) >= 32 THEN b.lag END AS INTEGER)
+        AS best_lag,
+    CAST(CASE WHEN length(d.t) >= 32 THEN b.score END AS BIGINT)
+        AS best_score
+FROM d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+""",
+)
+def multimodal_audio_dominant_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation periodicity per payload
+    (operators/multimodal.py::audio_dominant_lag): best lag in [1,16]
+    over the first 160 samples by exact int64 shifted dot products —
+    pitch-detection plumbing whose integer arithmetic the DuckDB
+    oracle replays bit-for-bit from ord(). Arrow map stage, no
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.transform(MM.pack_media())
+    return media.transform(MM.audio_dominant_lag())

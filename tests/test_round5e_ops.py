@@ -217,3 +217,22 @@ def test_asof_tolerance_golden(spark):
     assert got[1] == (90.0, ts(9))     # 1 min old: within tolerance
     assert got[2] == (None, None)      # latest prior is 91 min old: stale
     assert got[3] == (None, None)      # no prior row at all
+
+
+def test_audio_dominant_lag_detects_planted_period(spark):
+    """A byte pattern with exact period 8 must maximize autocorrelation
+    at lag 8; short and NULL payloads yield NULLs."""
+    from rentals_data_pipeline_spark.operators.multimodal import (
+        audio_dominant_lag,
+    )
+
+    period8 = bytes([40, 200, 60, 50, 45, 55, 42, 48] * 40)  # 320 bytes
+    rows = [(1, bytearray(period8)), (2, bytearray(b"xy")), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["best_lag"], r["best_score"])
+        for r in df.transform(audio_dominant_lag()).collect()
+    }
+    assert got[1][0] == 8, got
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)
