@@ -2658,3 +2658,84 @@ def join_asof_tolerance_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             tolerance_sec=1800,
         )
     )
+
+
+@query(
+    "quality_table_checksum_orders",
+    """
+WITH r AS (
+    SELECT
+        ('0x' || substr(md5(
+            COALESCE(CAST(o_orderkey AS VARCHAR), '<null>') || '|' ||
+            COALESCE(CAST(o_custkey AS VARCHAR), '<null>') || '|' ||
+            COALESCE(o_orderstatus, '<null>') || '|' ||
+            COALESCE(o_orderpriority, '<null>')
+        ), 1, 8))::BIGINT AS h
+    FROM orders
+)
+SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(h) AS DECIMAL(38,0)) AS content_checksum
+FROM r
+""",
+)
+def quality_table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant table content checksum — the migration/CDC
+    validation primitive: hash a canonical per-row string (columns in
+    fixed order, NULLs sentineled), parse 32 bits, SUM. Because
+    addition commutes, any two engines/layouts/partitionings of the
+    same rows agree exactly, and one flipped cell changes the sum with
+    probability ~1-2^-32 — compare checksums instead of full
+    anti-joins after a copy. The sum accumulates in DECIMAL(38,0) so
+    it cannot overflow at any row count; the plan is a pure map +
+    one scalar aggregate (map-side combined), the cheapest possible
+    full-table pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.coalesce(F.col("o_orderkey").cast("string"), F.lit("<null>")),
+        F.coalesce(F.col("o_custkey").cast("string"), F.lit("<null>")),
+        F.coalesce(F.col("o_orderstatus"), F.lit("<null>")),
+        F.coalesce(F.col("o_orderpriority"), F.lit("<null>")),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+    return orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(h).cast("decimal(38,0)").alias("content_checksum"),
+    )
+
+
+@query(
+    "sql_not_in_nullable_semantics",
+    """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders
+WHERE o_custkey NOT IN (
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0.0
+)
+ORDER BY o_orderkey
+""",
+)
+def sql_not_in_nullable_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a subquery — the three-valued-logic shape a plain
+    left-anti join get WRONG when NULLs are possible: a NULL key never
+    matches but also never passes, and one NULL in the list empties
+    the result (that trap is pinned by a golden unit test). Spark
+    plans the nullable case as a null-aware anti join
+    (BroadcastNestedLoopJoin NAAJ); the oracle is DuckDB's own NOT IN.
+    Run through the raw SQL front end so the engine's SQL surface —
+    not a hand-rewritten DataFrame — is what's certified. At 100 TB
+    you would prove the key non-null and rewrite to a hash anti join;
+    the certified semantics are what make that rewrite safe."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM orders
+        WHERE o_custkey NOT IN (
+            SELECT c_custkey FROM customer WHERE c_acctbal < 0.0
+        )
+        ORDER BY o_orderkey
+        """
+    )
