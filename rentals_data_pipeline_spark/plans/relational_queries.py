@@ -9,6 +9,8 @@ CASE bucketing, distinct counts.
 
 from __future__ import annotations
 
+import pandas as pd  # module level: pandas_udf hint strings resolve here
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2738,4 +2740,68 @@ def sql_not_in_nullable_semantics(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         ORDER BY o_orderkey
         """
+    )
+
+
+@query(
+    "stats_weighted_median_orders",
+    """
+WITH ow AS (
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+           COUNT(*) AS wt
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2, 3
+),
+c AS (
+    SELECT o_orderpriority, o_totalprice, wt,
+        SUM(wt) OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum,
+        SUM(wt) OVER (PARTITION BY o_orderpriority) AS tot
+    FROM ow
+)
+SELECT o_orderpriority,
+    MIN(o_totalprice) AS weighted_median_price,
+    CAST(MAX(tot) AS BIGINT) AS total_weight
+FROM c WHERE cum >= (tot + 1) // 2
+GROUP BY 1
+""",
+)
+def stats_weighted_median_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lower weighted median of order value per priority, weighted by
+    line count — the custom-aggregate surface: a GROUPED_AGG
+    pandas_udf (Arrow-batched, two-series signature) implements an
+    aggregate Spark has no built-in for. The statistic is a pure
+    SELECTION (sort, integer cumulative weight, pick the first row at
+    half mass), so unlike interpolated weighted quantiles it is exact
+    and engine-replayable — the oracle recomputes it with windows.
+    Shape: line counts aggregate map-side on the join key; the UDAF
+    sees |orders-per-priority| pre-weighted rows, one shuffle on the
+    group key."""
+
+    @F.pandas_udf("double")
+    def wmedian(v: pd.Series, w: pd.Series) -> float:
+        order = v.sort_values().index
+        wv = w.reindex(order).astype("int64")
+        cum = wv.cumsum()
+        half = (int(wv.sum()) + 1) // 2
+        return float(v.reindex(order)[cum >= half].iloc[0])
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    ow = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    @F.pandas_udf("long")
+    def wsum(w: pd.Series) -> int:
+        # plain SUM, as a pandas agg: Spark cannot mix GROUPED_AGG
+        # pandas UDFs with JVM aggregates in one agg() call
+        return int(w.sum())
+
+    return ow.groupBy("o_orderpriority").agg(
+        wmedian("o_totalprice", "wt").alias("weighted_median_price"),
+        wsum("wt").alias("total_weight"),
     )

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pandas as pd  # module level: pandas_udf hint strings resolve here
 import pytest
 from pyspark.sql import functions as F
 
@@ -305,3 +306,32 @@ def test_table_checksum_layout_invariant_and_sensitive(spark):
     )
     c = mutated.agg(F.sum(h).cast("decimal(38,0)").alias("cs")).collect()[0]
     assert str(c["cs"]) != str(a["content_checksum"])
+
+
+def test_weighted_median_golden(spark):
+    """Hand-computed: values 1,2,3 with weights 1,1,4 -> half mass at
+    ceil(6/2)=3 lands on value 3; equal weights give the lower median."""
+    from rentals_data_pipeline_spark.plans import relational_queries as RQ5
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _wm(v: pd.Series, w: pd.Series) -> float:
+        order = v.sort_values().index
+        wv = w.reindex(order).astype("int64")
+        cum = wv.cumsum()
+        half = (int(wv.sum()) + 1) // 2
+        return float(v.reindex(order)[cum >= half].iloc[0])
+
+    wm = pandas_udf(_wm, "double")
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 4),
+         ("b", 10.0, 1), ("b", 20.0, 1)],
+        ["g", "v", "w"],
+    )
+    got = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g").agg(wm("v", "w").alias("m")).collect()
+    }
+    assert got["a"] == 3.0
+    assert got["b"] == 10.0  # lower median on even total weight
