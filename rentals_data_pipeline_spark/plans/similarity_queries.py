@@ -750,3 +750,96 @@ def sim_ivf_pq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             rec("hits_residual").alias("recall_residual"),
         )
     )
+
+
+@query(
+    "sim_knn_label_vote",
+    f"""
+WITH {_ORACLE_COSINE_PAIRS},
+lab AS (SELECT vec_id, label FROM embeddings),
+probe AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % 50 = 0),
+scored AS (
+    SELECT
+        p.probe_id,
+        c.vec_id AS match_id,
+        FLOOR((list_dot_product(p.pv, c.v)
+               / NULLIF(sqrt(list_dot_product(p.pv, p.pv))
+                        * sqrt(list_dot_product(c.v, c.v)), 0))
+              * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM probe p JOIN e c ON p.probe_id <> c.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY probe_id ORDER BY cosine DESC, match_id) AS rn
+    FROM scored
+),
+votes AS (
+    SELECT r.probe_id, l.label, COUNT(*) AS n_votes
+    FROM ranked r JOIN lab l ON l.vec_id = r.match_id
+    WHERE r.rn <= 10
+    GROUP BY 1, 2
+),
+winner AS (
+    SELECT probe_id, label AS predicted_label, n_votes,
+        ROW_NUMBER() OVER (PARTITION BY probe_id
+                           ORDER BY n_votes DESC, label) AS vr
+    FROM votes
+)
+SELECT w.probe_id, w.predicted_label,
+    CAST(w.n_votes AS BIGINT) AS n_votes,
+    t.label AS true_label,
+    (w.predicted_label = t.label) AS correct
+FROM winner w JOIN lab t ON t.vec_id = w.probe_id
+WHERE w.vr = 1
+""",
+)
+def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label classification over the embedding corpus: each probe's
+    10 nearest cosine neighbors (the certified GEMM top-k frontier —
+    rounded score, id tiebreaker) vote with exact integer counts; the
+    majority label (ties -> lexicographically smallest) is compared to
+    the probe's own label. The eval loop of an embedding-quality
+    pipeline as one plan: GEMM kernel -> WindowGroupLimit top-10 ->
+    broadcast label join -> two tiny keyed rollups. Every arithmetic
+    step past the rounded cosine is integer, so the oracle replays the
+    whole classifier."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("embedding").alias("match_vec"),
+    )
+    topk = SIM.brute_force_topk(probes, corpus, k=10, kernel="gemm")
+    lab = emb.select("vec_id", "label")
+    votes = (
+        topk.join(F.broadcast(lab), F.col("match_id") == F.col("vec_id"))
+        .groupBy("probe_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    from pyspark.sql import Window as W5
+
+    wv = W5.partitionBy("probe_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    winner = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select(
+            "probe_id",
+            F.col("label").alias("predicted_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("true_label")
+    )
+    return winner.join(F.broadcast(truth), "probe_id").select(
+        "probe_id",
+        "predicted_label",
+        "n_votes",
+        "true_label",
+        (F.col("predicted_label") == F.col("true_label")).alias("correct"),
+    )

@@ -9,6 +9,7 @@ import pandas as pd  # module level: pandas_udf hint strings resolve here
 import pytest
 from pyspark.sql import functions as F
 
+from rentals_data_pipeline_spark.plans import similarity_queries  # noqa: F401
 from rentals_data_pipeline_spark.plans import timeseries_queries  # noqa: F401
 from rentals_data_pipeline_spark.plans.catalog import QUERIES
 
@@ -335,3 +336,38 @@ def test_weighted_median_golden(spark):
     }
     assert got["a"] == 3.0
     assert got["b"] == 10.0  # lower median on even total weight
+
+
+def test_knn_label_vote_planted_clusters(spark, tmp_path):
+    """Three tight clusters with distinct labels: every probe's 10-NN
+    majority vote must return its own cluster's label."""
+    import random
+
+    from pyspark.sql import types as T5
+
+    rng = random.Random(9)
+    rows = []
+    centers = {0: [1.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0], 2: [0.0, 0.0, 1.0]}
+    for c, (lab, ctr) in enumerate(centers.items()):
+        base = c * 50  # ids 0/50/100 are probes (vec_id % 50 == 0)
+        for j in range(12):
+            vec = [x + rng.uniform(-0.01, 0.01) for x in ctr]
+            rows.append((base + j, vec, lab))
+    schema = T5.StructType(
+        [
+            T5.StructField("vec_id", T5.LongType()),
+            T5.StructField("embedding", T5.ArrayType(T5.FloatType())),
+            T5.StructField("label", T5.IntegerType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    got = {
+        r["probe_id"]: r.asDict()
+        for r in QUERIES["sim_knn_label_vote"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 50, 100}
+    for pid, r in got.items():
+        assert r["correct"], r
+        assert r["n_votes"] == 10  # all 10 neighbors in-cluster
