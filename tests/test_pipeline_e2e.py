@@ -169,3 +169,35 @@ def test_load_config_merges_over_defaults(tmp_path):
     assert cfg["dq"]["null_pct"] == 0.1        # default survives deep merge
     assert cfg["value_col"] == "rent"
     assert cfg["region_key"] == "RegionID"
+
+
+def test_run_pipeline_observed_single_pass_funnel(spark, wide_csv):
+    """Per-stage observable metrics: one action yields the whole stage
+    funnel (rows + value nulls) without extra jobs, and the numbers
+    match independently recomputed stage outputs."""
+    from rentals_data_pipeline_spark.sources.csv import read_csv_typed
+    from rentals_data_pipeline_spark.plans.pipeline import (
+        _TYPES,
+        DEFAULT_CONFIG,
+        run_pipeline,
+        run_pipeline_observed,
+    )
+
+    fixed = {c: _TYPES[t] for c, t in DEFAULT_CONFIG["id_columns"].items()}
+    wide = read_csv_typed(spark, wide_csv, fixed_fields=fixed)
+    out, obs = run_pipeline_observed(wide)
+    n_final = out.count()  # the ONE action that populates every stage
+    m = {name: o.get for name, o in obs.items()}
+    # 3 regions x 3 periods = 9 long rows; one null value dropped -> 8
+    assert m["unpivot"]["rows"] == 9
+    assert m["unpivot"]["value_nulls"] == 1
+    assert m["drop_null_values"]["rows"] == 8
+    assert m["drop_null_values"]["value_nulls"] == 0
+    assert m["rank_in_group"]["rows"] == n_final == 8
+    # funnel is monotone nonincreasing after unpivot
+    assert m["unpivot"]["rows"] >= m["dedup_keep_first"]["rows"]
+    # and the observed pipeline's OUTPUT equals the plain pipeline's
+    plain = run_pipeline(wide)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
