@@ -91,6 +91,15 @@ HEADLINE = [
     "tpch_q21_suppliers_kept_waiting",
     # int8-compressed ANN: calibrate + encode/decode (codegen) + GEMM
     "sim_quantized_cosine_topk",
+    # round-5 sixth/seventh batches: span-level dedup (digest-keyed
+    # explode), the two drift monitors' heavier sibling (KS walks the
+    # distinct-value axis), the temperature mixer (broadcast rates),
+    # gaps-and-islands, and the kNN eval loop over the GEMM kernel
+    "text_duplicated_ngram_fraction",
+    "stats_ks_value_drift",
+    "sample_corpus_mixture",
+    "analytics_activity_streaks",
+    "sim_knn_label_vote",
 ]
 
 

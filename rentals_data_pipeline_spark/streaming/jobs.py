@@ -82,8 +82,9 @@ def interval_join_streams(
     right_ts: str = "r_ts",
     max_delay: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join within an event-time interval: a right
+    """Stream-stream join within an event-time interval: a right
     row matches a left row with the same ``keys`` when it lands in
     ``[left_ts, left_ts + max_delay]``. BOTH sides carry watermarks and
     the join condition bounds event time in BOTH directions — that pair
@@ -97,6 +98,13 @@ def interval_join_streams(
     contract as the pair-output batch operators); ``keys`` maps
     left-side to right-side join columns as (left_col, right_col)
     pairs.
+
+    ``how`` extends the same bounded-state machinery to outer joins:
+    with ``leftOuter``, a left row with no in-interval partner is
+    emitted null-padded — but only once the watermark passes its
+    interval end, because until then a matching right row could still
+    arrive. Outer results are therefore watermark-delayed by design;
+    the eviction test pins that behavior.
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
@@ -105,7 +113,7 @@ def interval_join_streams(
     )
     for lcol, rcol in keys:
         cond = (lw[lcol] == rw[rcol]) & cond
-    return lw.join(rw, cond)
+    return lw.join(rw, cond, how)
 
 
 def run_available_now(

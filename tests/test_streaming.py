@@ -655,3 +655,84 @@ def test_stream_static_enrich_matches_batch(spark, events_dir, tmp_path):
     assert all(
         r["segment"] in ("heavy", "light") for r in spark.table("stream_enriched").collect()
     )
+
+
+def test_stream_interval_left_outer_join_emits_null_padded(spark, tmp_path):
+    """leftOuter interval join: a purchase with NO in-interval click is
+    emitted null-padded — but only after the watermark passes its
+    interval end (outer results are watermark-delayed by design);
+    matched pairs are identical to the inner join's."""
+    import datetime as dt
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rentals_data_pipeline_spark.streaming.jobs import EVENTS_STREAM_SCHEMA
+
+    def t(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    batches = [
+        # batch 1: user 1 purchase+click (match); user 9 purchase alone
+        [
+            (1, t(0, 0), 1, "purchase", 1.0, None),
+            (2, t(0, 10), 1, "click", 1.0, None),
+            (3, t(0, 0), 9, "purchase", 1.0, None),
+        ],
+        # batch 2: advances watermark far past batch-1 interval ends,
+        # forcing the unmatched purchase out as a null-padded row
+        [
+            (5, t(12, 0), 2, "purchase", 1.0, None),
+            (6, t(12, 5), 2, "click", 1.0, None),
+        ],
+        # batch 3: one more advance so batch-2's outer state also closes
+        [(8, t(20, 0), 3, "purchase", 1.0, None)],
+    ]
+    src = str(tmp_path / "outer_src")
+    for rows in batches:
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    now = 1_700_000_000
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            p = os.path.join(src, f)
+            first = pq.read_table(p, columns=["event_id"])["event_id"][0].as_py()
+            os.utime(p, (now + first * 3600, now + first * 3600))
+
+    stream = SJ.read_events_stream(spark, src, max_files_per_trigger=1)
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_event"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = stream.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_event"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = SJ.interval_join_streams(
+        purchases,
+        clicks,
+        [("p_user", "c_user")],
+        "p_ts",
+        "c_ts",
+        "1 hour",
+        watermark="0 seconds",
+        how="leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("outer_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r["p_event"]: r["c_event"]
+        for r in spark.table("outer_join").collect()
+    }
+    assert rows.get(1) == 2        # matched pair, same as inner join
+    assert 3 in rows and rows[3] is None  # user 9: null-padded outer row
