@@ -560,3 +560,44 @@ def duplicated_ngram_fraction(
         )
 
     return _apply
+
+
+def char_entropy(
+    id_col: str = "doc_id", text_col: str = "text"
+) -> Op:
+    """Shannon entropy (bits/char) of each document's character
+    distribution — the compressibility proxy: machine-generated or
+    template text sits far below natural language (~4.1 bits for
+    English), random noise near log2(alphabet). Rows-only in the
+    catalog (the log2 calls are engine-last-bit territory the
+    oracle-pairing discipline bans); the closed-form values are pinned
+    by golden tests instead.
+
+    Shape: per-char counts are computed INSIDE the row (filter-count
+    over the distinct-char array, then one aggregate fold), so the
+    operator is a zero-shuffle codegen map like the other quality
+    signals — no explode, nothing leaves the row.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        chars = F.split(F.col(text_col), "")
+        n = F.size(chars).cast("double")
+        distinct_chars = F.array_distinct(chars)
+        # per distinct char: p * log2(p), folded into the entropy sum
+        probs = F.transform(
+            distinct_chars,
+            lambda c: F.size(F.filter(chars, lambda x: x == c)).cast(
+                "double"
+            )
+            / n,
+        )
+        h = -F.aggregate(
+            probs,
+            F.lit(0.0),
+            lambda acc, p: acc + p * F.log2(p),
+        )
+        return df.withColumn(
+            "char_entropy_bits", round_half_up(h, 4)
+        ).withColumn("n_chars_counted", n.cast("long"))
+
+    return _apply

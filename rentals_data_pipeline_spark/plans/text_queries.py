@@ -532,3 +532,17 @@ def text_duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFram
     return docs.select("doc_id", "text").transform(
         TX.duplicated_ngram_fraction()
     )
+
+
+@query("text_char_entropy")  # rows-only: log2 is libm — engine-last-bit
+# territory the oracle-pairing discipline bans; closed-form golden
+# tests pin the arithmetic instead (aaaa=0, abab=1, abcd=2 bits)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy
+    (operators/text.py::char_entropy): the compressibility proxy that
+    flags template/generated text (low bits/char) and binary-ish noise
+    (near log2 alphabet) before training. Zero-shuffle codegen map."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "text").transform(
+        TX.char_entropy()
+    ).drop("text")

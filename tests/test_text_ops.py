@@ -249,3 +249,21 @@ def test_gopher_rules_golden(spark):
     assert got[1]["mean_word_len"] == pytest.approx(
         (len(long_ok.replace(" ", "")) / n), abs=1e-4
     )
+
+
+def test_char_entropy_closed_forms(spark):
+    """Exact closed forms: single-symbol 0 bits, two equal symbols 1,
+    four equal symbols 2; uniform k-ary = log2(k)."""
+    from rentals_data_pipeline_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "aab")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["char_entropy_bits"]
+        for r in df.transform(char_entropy()).collect()
+    }
+    assert got[1] == 0.0 and got[2] == 1.0 and got[3] == 2.0
+    # H(2/3, 1/3) = log2(3) - 2/3  ~ 0.9183
+    assert got[4] == pytest.approx(0.9183, abs=1e-4)
