@@ -510,3 +510,52 @@ def asof_join_backward_tolerance(
         )
 
     return _apply
+
+
+def salted_agg_auto(
+    keys: list[str],
+    partial_aggs: list[tuple[Column, str]],
+    final_aggs: list[Column],
+    *,
+    target_rows_per_task: int = 5_000_000,
+    max_salt: int = 1024,
+) -> Op:
+    """``salted_agg`` with the salt factor DERIVED instead of guessed:
+    one pre-pass runs quality.py::key_skew_profile on the group keys
+    and takes its integer recommendation (hottest key mass / target
+    task size, ceiling), clamped to [1, ``max_salt``]. Salt 1 short-
+    circuits to the plain two-phase-free aggregation — unskewed inputs
+    pay only the profile pre-pass (a |keys|-row count shuffle), not a
+    pointless extra phase.
+
+    The auto-parameter pattern of suggest_bucket_width /
+    suggest_quantize_bounds applied to shuffle skew: at 100 TB the
+    pre-pass is what a planner dry-run costs, and it removes the
+    config constant most likely to be stale after a data drift.
+    Result values are bit-identical to any fixed-salt run (algebraic
+    partials re-aggregate losslessly), pinned by the existing
+    salted-vs-plain property test plus the auto test.
+    """
+    if max_salt < 1:
+        raise ValueError("max_salt must be >= 1")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from rentals_data_pipeline_spark.operators.quality import (
+            key_skew_profile,
+        )
+
+        prof = key_skew_profile(
+            df.select(*keys), [keys[0]], target_rows_per_task
+        ).collect()
+        rec = int(prof[0]["recommended_salt"]) if prof else 1
+        salt = max(1, min(max_salt, rec))
+        if salt == 1:
+            plain = df.groupBy(*keys).agg(
+                *[e.alias(n) for e, n in partial_aggs]
+            )
+            return plain.groupBy(*keys).agg(*final_aggs)
+        return df.transform(
+            salted_agg(keys, partial_aggs, final_aggs, salt=salt)
+        )
+
+    return _apply

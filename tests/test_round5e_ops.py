@@ -371,3 +371,43 @@ def test_knn_label_vote_planted_clusters(spark, tmp_path):
     for pid, r in got.items():
         assert r["correct"], r
         assert r["n_votes"] == 10  # all 10 neighbors in-cluster
+
+
+def test_salted_agg_auto_matches_plain_and_routes(spark):
+    """Auto-salted aggregation equals the plain aggregation on skewed
+    data, and the derived salt follows the skew profile's integer
+    recommendation (hot key mass / target task size, ceiling)."""
+    from pyspark.sql import functions as F5
+
+    from rentals_data_pipeline_spark.operators.relational import (
+        salted_agg_auto,
+    )
+
+    rows = [("hot", float(i % 7)) for i in range(3000)] + [
+        (f"k{i}", 1.0) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    op = salted_agg_auto(
+        ["k"],
+        [(F5.count(F5.lit(1)), "n"), (F5.sum("v"), "s")],
+        [
+            F5.sum("n").cast("long").alias("n"),
+            F5.sum("s").alias("s"),
+        ],
+        target_rows_per_task=1000,  # hot key (3000 rows) -> salt 3
+    )
+    got = {r["k"]: (r["n"], r["s"]) for r in df.transform(op).collect()}
+    want = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F5.count(F5.lit(1)).cast("long").alias("n"),
+             F5.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
+    # unskewed input routes to the plain path (salt 1) and still matches
+    flat = spark.createDataFrame(
+        [(f"k{i}", 1.0) for i in range(200)], ["k", "v"]
+    )
+    got2 = {r["k"]: r["n"] for r in flat.transform(op).collect()}
+    assert all(v == 1 for v in got2.values()) and len(got2) == 200
