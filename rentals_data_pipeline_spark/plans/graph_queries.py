@@ -174,3 +174,98 @@ def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+_JACCARD_SQL = (
+    "WITH "
+    + _PAIRS_CTE.strip()
+    + """,
+sym AS (
+    SELECT part_a AS u, part_b AS v FROM pairs
+    UNION ALL
+    SELECT part_b AS u, part_a AS v FROM pairs
+),
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY 1),
+wedge AS (
+    -- endpoints (a < b) sharing neighbor w; count distinct shared w
+    SELECT s1.u AS a, s2.u AS b, COUNT(DISTINCT s1.v) AS common
+    FROM sym s1 JOIN sym s2
+      ON s1.v = s2.v AND s1.u < s2.u
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT w.a, w.b, w.common, da.d AS deg_a, db.d AS deg_b,
+        FLOOR((CAST(w.common AS DOUBLE)
+               / CAST(da.d + db.d - w.common AS DOUBLE))
+              * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM wedge w
+    JOIN deg da ON da.u = w.a
+    JOIN deg db ON db.u = w.b
+)
+SELECT a AS part_a, b AS part_b,
+    CAST(common AS BIGINT) AS n_common,
+    CAST(deg_a AS BIGINT) AS deg_a,
+    CAST(deg_b AS BIGINT) AS deg_b,
+    jaccard
+FROM scored
+ORDER BY jaccard DESC, part_a, part_b
+LIMIT 100
+"""
+)
+
+
+@query("graph_jaccard_link_prediction", _JACCARD_SQL)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighbor-set Jaccard: for every node pair
+    sharing at least one neighbor, |N(a) ∩ N(b)| / |N(a) ∪ N(b)| —
+    the classical similarity that ranks missing edges (recommender
+    candidates) — top-100 by the rounded score with id tiebreaks.
+    Candidate pairs come from the WEDGE join (neighbors-of-the-same-
+    node), so only pairs with common > 0 ever materialize — never the
+    all-pairs space; the shared-neighbor count, both degree joins, and
+    the union-size denominator are exact integers with one IEEE
+    division at the end. At 100 TB the wedge join is the triangle
+    query's shape: shuffle keyed on the shared neighbor, hub nodes
+    bounded by the support-2 edge floor (and cappable per node like
+    ivf's hot-cell guard)."""
+    edges = _pair_graph(spark, sf_dir)
+    sym = edges.select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    ).unionAll(
+        edges.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    s1 = sym.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    s2 = sym.select(F.col("u").alias("b"), F.col("v").alias("w2"))
+    wedge = (
+        s1.join(s2, (F.col("w") == F.col("w2")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count_distinct("w").alias("common"))
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("deg_b"))
+    from rentals_data_pipeline_spark.functions.rounding import (
+        round_half_up as _rnd,
+    )
+
+    scored = (
+        wedge.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("common").cast("long").alias("n_common"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            _rnd(
+                F.col("common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), "part_a", "part_b"
+    ).limit(100)

@@ -81,3 +81,47 @@ def test_triangle_candidates_open_wedge_not_counted(spark):
     # Path 0-1-2 (no closing edge): zero triangles.
     df = spark.createDataFrame([(0, 1), (1, 2)], ["part_a", "part_b"])
     assert triangle_candidates(df).count() == 0
+
+
+def test_jaccard_link_prediction_golden(spark):
+    """Hand graph: path a-b-c plus hub d connected to a,b,c.
+    Jaccard(a,c): N(a)={b,d}, N(c)={b,d} -> 2/2 = 1.0 (the classic
+    'predict the missing a-c edge' case)."""
+    from rentals_data_pipeline_spark.functions.rounding import round_half_up
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (2, 4), (3, 4)], ["part_a", "part_b"]
+    )
+    sym = edges.select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    ).unionAll(
+        edges.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    s1 = sym.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    s2 = sym.select(F.col("u").alias("b"), F.col("v").alias("w2"))
+    wedge = (
+        s1.join(s2, (F.col("w") == F.col("w2")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count_distinct("w").alias("common"))
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("deg_b"))
+    scored = (
+        wedge.join(da, "a").join(db, "b").select(
+            "a", "b",
+            round_half_up(
+                F.col("common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("j"),
+        )
+    )
+    got = {(r["a"], r["b"]): r["j"] for r in scored.collect()}
+    assert got[(1, 3)] == 1.0       # identical neighbor sets {2,4}
+    assert got[(1, 2)] == 0.25      # {2,4} vs {1,3,4}: common {4} / union 4
+    # no candidate without a shared neighbor
+    assert all(j > 0 for j in got.values())
