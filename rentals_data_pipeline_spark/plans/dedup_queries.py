@@ -406,3 +406,62 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = docs.transform(edit_distance_pairs())
     return out.select("id_a", "id_b", F.col("edit_dist").cast("int"))
+
+
+@query(
+    "dedup_normalized_documents",
+    r"""
+WITH n AS (
+    SELECT doc_id,
+        md5(trim(regexp_replace(
+            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+            ' +', ' ', 'g'))) AS norm_fp
+    FROM documents
+),
+r AS (
+    SELECT doc_id, norm_fp,
+        ROW_NUMBER() OVER (PARTITION BY norm_fp ORDER BY doc_id) AS rn,
+        COUNT(*) OVER (PARTITION BY norm_fp) AS n_variants
+    FROM n
+)
+SELECT doc_id, norm_fp, (rn = 1) AS is_kept,
+    CAST(n_variants AS BIGINT) AS n_variants
+FROM r
+""",
+)
+def dedup_normalized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: lowercase, strip non-
+    alphanumerics, collapse whitespace, md5 — the canonicalization
+    pass that catches trivially-reformatted copies (case, punctuation,
+    spacing) raw byte-exact dedup misses, while staying cheaper than
+    MinHash. Keep-first per normalized fingerprint (deterministic:
+    smallest doc_id), variant count attached. One shuffle keyed on the
+    32-byte digest (WindowGroupLimit-eligible), normalization itself
+    is codegen regex in the scan stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.lower(F.col("text")), "[^a-z0-9 ]", " "
+                ),
+                " +",
+                " ",
+            )
+        )
+    )
+    from pyspark.sql import Window as W6
+
+    w = W6.partitionBy("norm_fp").orderBy("doc_id")
+    return (
+        docs.select("doc_id", norm.alias("norm_fp"))
+        .select(
+            "doc_id",
+            "norm_fp",
+            (F.row_number().over(w) == 1).alias("is_kept"),
+            F.count(F.lit(1))
+            .over(W6.partitionBy("norm_fp"))
+            .cast("long")
+            .alias("n_variants"),
+        )
+    )

@@ -154,3 +154,32 @@ def test_cc_auto_falls_back_above_bound(spark):
     )
     # one chain component labeled by its min id
     assert out == [(i, 0) for i in range(31)]
+
+
+def test_normalized_dedup_catches_reformatted_copies(spark, tmp_path):
+    """Case/punctuation/spacing variants collapse to one fingerprint;
+    genuinely different text does not."""
+    rows = [
+        (1, "Hello, World!  This is   a test."),
+        (2, "hello world this is a test"),
+        (3, "HELLO WORLD — this is a test"),
+        (4, "completely different content"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    from rentals_data_pipeline_spark.plans import dedup_queries  # noqa: F401
+    from rentals_data_pipeline_spark.plans.catalog import QUERIES
+
+    got = {
+        r["doc_id"]: (r["is_kept"], r["n_variants"])
+        for r in QUERIES["dedup_normalized_documents"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[1] == (True, 3)   # keep-first of the 3-way variant set
+    assert got[2] == (False, 3)
+    assert got[3] == (False, 3)
+    assert got[4] == (True, 1)
