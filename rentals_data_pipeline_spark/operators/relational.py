@@ -559,3 +559,54 @@ def salted_agg_auto(
         )
 
     return _apply
+
+
+def scd2_apply_changes(
+    history: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str = "valid_from",
+    order_cols: list[str] | None = None,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incremental SCD-type-2 MERGE: apply a change batch to an
+    existing dimension history WITHOUT rebuilding untouched keys — the
+    nightly warehouse merge. Keys absent from the batch pass through
+    byte-identical (one anti join against the distinct batch keys);
+    for touched keys, their existing rows re-enter as state-change
+    events, union with the batch, and ONE per-key window re-derives
+    [valid_from, valid_to) + is_current. The result is provably equal
+    to a full rebuild over (old change stream ∪ batch) — that equality
+    is the certified contract (the incremental catalog query hashes
+    against the full-rebuild oracle).
+
+    At 100 TB the batch's distinct keys broadcast, the history is read
+    once, and the window runs only over touched keys' rows — work
+    scales with the change set, not the dimension.
+
+    ``changes`` must carry ``keys + [ts_col] + order_cols +
+    value_cols``; ``history`` the same plus valid_to/is_current.
+    """
+    order_cols = order_cols or []
+    value_cols = value_cols or ["value"]
+    cols = keys + [ts_col] + order_cols + value_cols
+    changed_keys = changes.select(*keys).distinct()
+    untouched = history.join(changed_keys, keys, "left_anti")
+    touched = history.join(F.broadcast(changed_keys), keys).select(*cols)
+    merged = touched.unionByName(changes.select(*cols))
+    w = Window.partitionBy(*keys).orderBy(ts_col, *order_cols)
+    rebuilt = merged.select(
+        *keys,
+        F.col(ts_col),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        *value_cols,
+        F.when(F.lead(ts_col).over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("is_current"),
+        *[F.col(c) for c in order_cols],
+    )
+    out_cols = keys + [ts_col, "valid_to"] + value_cols + ["is_current"]
+    return untouched.select(*out_cols).unionByName(
+        rebuilt.select(*out_cols)
+    )

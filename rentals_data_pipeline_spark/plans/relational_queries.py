@@ -2805,3 +2805,65 @@ def stats_weighted_median_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         wmedian("o_totalprice", "wt").alias("weighted_median_price"),
         wsum("wt").alias("total_weight"),
     )
+
+
+@query(
+    "scd2_apply_changes_incremental",
+    """
+SELECT
+    user_id,
+    ts AS valid_from,
+    LEAD(ts) OVER w AS valid_to,
+    value,
+    CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+FROM events
+WHERE event_type = 'signup' OR event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def scd2_apply_changes_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental SCD2 merge certified against the full rebuild: the
+    dimension history is built from the first three weeks of changes,
+    then the final week's batch is applied with
+    operators/relational.py::scd2_apply_changes (anti-join passthrough
+    for untouched users, per-key window rebuild for touched ones). The
+    oracle recomputes the WHOLE history from scratch — the hash match
+    IS the proof that the merge path equals the rebuild, the
+    correctness contract every warehouse MERGE job assumes."""
+    from pyspark.sql import Window
+    from rentals_data_pipeline_spark.operators.relational import (
+        scd2_apply_changes,
+    )
+
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    cutoff = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    old = events.where(F.col("ts") < cutoff)
+    batch = events.where(F.col("ts") >= cutoff).select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    history = old.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        "event_id",
+        "value",
+        F.when(F.lead("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("is_current"),
+    )
+    return scd2_apply_changes(
+        history,
+        batch,
+        ["user_id"],
+        ts_col="valid_from",
+        order_cols=["event_id"],
+        value_cols=["value"],
+    )

@@ -411,3 +411,49 @@ def test_salted_agg_auto_matches_plain_and_routes(spark):
     )
     got2 = {r["k"]: r["n"] for r in flat.transform(op).collect()}
     assert all(v == 1 for v in got2.values()) and len(got2) == 200
+
+
+def test_scd2_apply_changes_golden(spark):
+    """Hand case: user 1 has history [v1 @ t0, current]; batch adds
+    v2 @ t2. After apply: t0 row closes at t2, v2 is current. User 2
+    (untouched) passes through byte-identical."""
+    import datetime as dt
+
+    from rentals_data_pipeline_spark.operators.relational import (
+        scd2_apply_changes,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    t2 = dt.datetime(2024, 1, 3)
+    history = spark.createDataFrame(
+        [
+            (1, t0, None, 100, 10.0, 1),
+            (2, t0, None, 101, 20.0, 1),
+        ],
+        "user_id long, valid_from timestamp, valid_to timestamp,"
+        " event_id long, value double, is_current int",
+    )
+    batch = spark.createDataFrame(
+        [(1, t2, 102, 11.0)],
+        "user_id long, valid_from timestamp, event_id long, value double",
+    )
+    out = scd2_apply_changes(
+        history,
+        batch,
+        ["user_id"],
+        ts_col="valid_from",
+        order_cols=["event_id"],
+        value_cols=["value"],
+    )
+    rows = {
+        (r["user_id"], r["valid_from"]): (
+            r["valid_to"],
+            r["value"],
+            r["is_current"],
+        )
+        for r in out.collect()
+    }
+    assert rows[(1, t0)] == (t2, 10.0, 0)      # closed by the change
+    assert rows[(1, t2)] == (None, 11.0, 1)    # new current version
+    assert rows[(2, t0)] == (None, 20.0, 1)    # untouched passthrough
+    assert len(rows) == 3
