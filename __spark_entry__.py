@@ -97,7 +97,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "stats_weighted_median_orders", "sim_knn_label_vote",
     "text_char_entropy", "graph_jaccard_link_prediction",
     "dedup_normalized_documents", "scd2_apply_changes_incremental",
-    "analytics_rfm_segmentation",
+    "analytics_rfm_segmentation", "multimodal_shot_boundaries",
     "tpch_q4_priority_checking", "tpch_q6_forecast_revenue",
     "tpch_q8_market_share", "tpch_q13_customer_distribution",
     "tpch_q14_promo_effect", "tpch_q15_top_supplier",

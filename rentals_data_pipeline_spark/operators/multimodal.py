@@ -532,3 +532,74 @@ def audio_dominant_lag(
         return df.select(id_col, payload_col).mapInPandas(_lag, out_schema)
 
     return _apply
+
+
+def shot_boundaries(
+    payload_col: str = "payload",
+    frame_size: int = 64,
+    n_bins: int = 16,
+    threshold: int | None = None,
+) -> Op:
+    """Shot-boundary detection, codec-free: consecutive fixed-size
+    byte frames are compared by the L1 distance of their ``n_bins``
+    byte-value histograms; a jump above ``threshold`` marks a cut —
+    the standard first pass of video curation (scene segmentation
+    before frame sampling). EXACT arithmetic end to end: integer
+    histogram counts, integer L1, integer threshold — hash-certifiable
+    like audio_energy/dominant_lag.
+
+    Everything runs INSIDE the row as nested codegen array lambdas
+    (frame slice → per-bin filter-count → zip_with |Δ| fold), then one
+    posexplode to (id, frame, l1_change, is_boundary) rows — zero
+    shuffles before the explode, so at 100 TB this fuses into the
+    media scan like every extractor here.
+    """
+    thr = frame_size // 2 if threshold is None else threshold
+
+    def _apply(df: DataFrame) -> DataFrame:
+        s = F.decode(F.col(payload_col), "utf-8")
+        n_frames = F.floor(F.length(s) / F.lit(frame_size)).cast("int")
+        hists = F.transform(
+            F.sequence(F.lit(0), n_frames - 1),
+            lambda f: F.transform(
+                F.sequence(F.lit(0), F.lit(n_bins - 1)),
+                lambda b: F.size(
+                    F.filter(
+                        F.split(
+                            F.substring(
+                                s, f * F.lit(frame_size) + 1, frame_size
+                            ),
+                            "",
+                        ),
+                        lambda c: F.floor(
+                            F.ascii(c) / F.lit(256 // n_bins)
+                        ).cast("int")
+                        == b,
+                    )
+                ).cast("long"),
+            ),
+        )
+        l1 = F.transform(
+            F.sequence(F.lit(1), n_frames - 1),
+            lambda f: F.aggregate(
+                F.zip_with(
+                    F.element_at(hists, f + 1),
+                    F.element_at(hists, f),
+                    lambda a, b: F.abs(a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        out = df.where(n_frames >= 2).select(
+            F.col("doc_id"),
+            F.posexplode(l1).alias("_p", "l1_change"),
+        )
+        return out.select(
+            "doc_id",
+            (F.col("_p") + 1).cast("int").alias("frame"),
+            F.col("l1_change").cast("long").alias("l1_change"),
+            (F.col("l1_change") > F.lit(thr)).alias("is_boundary"),
+        )
+
+    return _apply

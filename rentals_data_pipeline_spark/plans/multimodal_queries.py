@@ -342,3 +342,58 @@ def multimodal_audio_dominant_lag(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, sf_dir, "documents")
     media = docs.transform(MM.pack_media())
     return media.transform(MM.audio_dominant_lag())
+
+
+@query(
+    "multimodal_shot_boundaries",
+    """
+WITH d AS (
+    SELECT doc_id, text, CAST(length(text) // 64 AS INT) AS nf
+    FROM documents
+),
+cells AS (
+    SELECT d.doc_id, f.f AS frame,
+        ord(substr(d.text, f.f * 64 + i.i + 1, 1)) // 16 AS bin
+    FROM d,
+        (SELECT unnest(range(0, 100)) AS f) f,
+        (SELECT unnest(range(0, 64)) AS i) i
+    WHERE f.f < d.nf
+),
+hist AS (
+    SELECT doc_id, frame, bin, COUNT(*) AS c FROM cells GROUP BY 1, 2, 3
+),
+grid AS (
+    SELECT d.doc_id, f.f AS frame, b.b AS bin
+    FROM d,
+        (SELECT unnest(range(0, 100)) AS f) f,
+        (SELECT unnest(range(0, 16)) AS b) b
+    WHERE f.f < d.nf
+),
+dense AS (
+    SELECT g.doc_id, g.frame, g.bin, COALESCE(h.c, 0) AS c
+    FROM grid g LEFT JOIN hist h USING (doc_id, frame, bin)
+),
+lagd AS (
+    SELECT doc_id, frame, bin, c,
+        LAG(c) OVER (PARTITION BY doc_id, bin ORDER BY frame) AS pc
+    FROM dense
+),
+l1 AS (
+    SELECT doc_id, frame, SUM(ABS(c - pc)) AS l1_change
+    FROM lagd WHERE pc IS NOT NULL GROUP BY 1, 2
+)
+SELECT doc_id, CAST(frame AS INT) AS frame,
+    CAST(l1_change AS BIGINT) AS l1_change,
+    (l1_change > 32) AS is_boundary
+FROM l1
+""",
+)
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over synthetic video payloads
+    (operators/multimodal.py::shot_boundaries): consecutive 64-byte
+    frames compared by exact integer histogram L1; cuts where the jump
+    exceeds half a frame. Zero-shuffle codegen until the one explode;
+    the oracle replays every count from ord()."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.transform(MM.pack_media())
+    return media.transform(MM.shot_boundaries())

@@ -190,3 +190,26 @@ def test_decode_media_failures_are_rows(spark):
     assert errs[1].startswith("unsupported codec: magic=ffd8")
     assert "error" in errs[2] or errs[2].startswith("wave parse")
     assert errs[3] == "unsupported sample width: 4"
+
+
+def test_shot_boundaries_planted_cut(spark):
+    """Two homogeneous 64-byte 'shots' with different bytes: the only
+    frame transition is a maximal cut (L1 = 128); a uniform payload has
+    zero change and no boundary."""
+    from rentals_data_pipeline_spark.operators.multimodal import (
+        shot_boundaries,
+    )
+
+    cut = ("a" * 64 + "Z" * 64).encode()     # bins differ entirely
+    flat = ("m" * 192).encode()              # 3 identical frames
+    df = spark.createDataFrame(
+        [(1, bytearray(cut)), (2, bytearray(flat))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        (r["doc_id"], r["frame"]): (r["l1_change"], r["is_boundary"])
+        for r in df.transform(shot_boundaries()).collect()
+    }
+    assert got[(1, 1)] == (128, True)    # full histogram swap
+    assert got[(2, 1)] == (0, False)
+    assert got[(2, 2)] == (0, False)
