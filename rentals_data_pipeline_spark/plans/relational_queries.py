@@ -3018,3 +3018,76 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("m_score"),
     )
+
+
+@query(
+    "stats_group_confidence_intervals",
+    """
+WITH s AS (
+    SELECT event_type,
+        COUNT(*) AS n,
+        SUM(CAST(value AS DECIMAL(18,6))) AS sx,
+        SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+            AS sxx
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+)
+SELECT event_type,
+    CAST(n AS BIGINT) AS n,
+    FLOOR((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+        / 1000000.0 AS mean_value,
+    FLOOR(sqrt(GREATEST(0.0,
+            (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+             / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)))
+          * 1000000.0 + 0.5) / 1000000.0 AS stddev_value,
+    FLOOR((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+           - 1.96 * sqrt(GREATEST(0.0,
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)))
+             / sqrt(CAST(n AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0
+        AS ci_lo,
+    FLOOR((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+           + 1.96 * sqrt(GREATEST(0.0,
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)))
+             / sqrt(CAST(n AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0
+        AS ci_hi
+FROM s
+""",
+)
+def stats_group_confidence_intervals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group mean with sample stddev and the normal-approximation
+    95% CI — the A/B-readout primitive. NOT Spark's fp avg/stddev
+    (order-dependent summation flakes a hash gate): the two moment
+    sums fold DECIMAL(18,6) casts — exact, order-invariant — and
+    mean/variance/CI then run once per group in IEEE doubles on
+    identical operands (sqrt is correctly rounded; 1.96 is an exact
+    literal). One map-side-combined shuffle carrying |groups| rows."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    v6 = F.col("value").cast("decimal(18,6)")
+    s = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v6).alias("sx"),
+        F.sum(v6 * v6).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    mean = sxd / nd
+    var = F.greatest(
+        F.lit(0.0), (sxxd - sxd * sxd / nd) / (nd - F.lit(1.0))
+    )
+    sd = F.sqrt(var)
+    half = F.lit(1.96) * sd / F.sqrt(nd)
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        RND(mean, 6).alias("mean_value"),
+        RND(sd, 6).alias("stddev_value"),
+        RND(mean - half, 6).alias("ci_lo"),
+        RND(mean + half, 6).alias("ci_hi"),
+    )

@@ -481,3 +481,29 @@ def test_rfm_scores_are_quintiles(spark):
     assert all(
         r["r_score"] == 5 for r in out if r["recency_days"] == freshest
     )
+
+
+def test_confidence_interval_golden(spark, tmp_path):
+    """Known sample {1..5}: mean 3, sample sd sqrt(2.5), CI = mean ±
+    1.96*sd/sqrt(5)."""
+    import datetime as dt
+    import math
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0, 1, "g", float(i + 1), None) for i in range(5)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = QUERIES["stats_group_confidence_intervals"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    sd = math.sqrt(2.5)
+    half = 1.96 * sd / math.sqrt(5)
+    assert r["n"] == 5 and r["mean_value"] == 3.0
+    assert r["stddev_value"] == pytest.approx(sd, abs=1e-6)
+    assert r["ci_lo"] == pytest.approx(3 - half, abs=1e-6)
+    assert r["ci_hi"] == pytest.approx(3 + half, abs=1e-6)
