@@ -98,7 +98,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_char_entropy", "graph_jaccard_link_prediction",
     "dedup_normalized_documents", "scd2_apply_changes_incremental",
     "analytics_rfm_segmentation", "multimodal_shot_boundaries",
-    "stats_group_confidence_intervals",
+    "stats_group_confidence_intervals", "analytics_cohort_ltv",
     "tpch_q4_priority_checking", "tpch_q6_forecast_revenue",
     "tpch_q8_market_share", "tpch_q13_customer_distribution",
     "tpch_q14_promo_effect", "tpch_q15_top_supplier",

@@ -3091,3 +3091,90 @@ def stats_group_confidence_intervals(
         RND(mean - half, 6).alias("ci_lo"),
         RND(mean + half, 6).alias("ci_hi"),
     )
+
+
+@query(
+    "analytics_cohort_ltv",
+    """
+WITH first AS (
+    SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+    FROM events GROUP BY 1
+),
+sizes AS (
+    SELECT cohort_day, COUNT(*) AS n_users FROM first GROUP BY 1
+),
+rev AS (
+    SELECT f.cohort_day,
+        CAST(CAST(date_trunc('day', e.ts) AS DATE) - f.cohort_day
+             AS BIGINT) AS age_days,
+        SUM(CAST(e.value AS DECIMAL(18,6))) AS rev
+    FROM events e JOIN first f USING (user_id)
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT cohort_day, age_days,
+        SUM(rev) OVER (PARTITION BY cohort_day ORDER BY age_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum_rev
+    FROM rev
+)
+SELECT c.cohort_day, c.age_days,
+    CAST(c.cum_rev AS DOUBLE) AS cum_revenue,
+    s.n_users AS cohort_size,
+    FLOOR((CAST(c.cum_rev AS DOUBLE) / CAST(s.n_users AS DOUBLE))
+          * 1000000.0 + 0.5) / 1000000.0 AS ltv_per_user
+FROM cum c JOIN sizes s USING (cohort_day)
+""",
+)
+def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the revenue companion to
+    analytics_retention_cohorts: users grouped by first-seen day,
+    purchase revenue accumulated by days-since-signup, normalized per
+    cohort user. Revenue folds DECIMAL(18,6) casts so every cumulative
+    point is exact and order-invariant; the per-user division is one
+    IEEE op rounded at 6 dp. Shape: one user-keyed first-seen agg
+    joins back (AQE broadcast at |users| dim scale), revenue shuffles
+    once on (cohort, age), and the cumulative window walks |cohorts x
+    ages| rows, never raw events."""
+    events = load_table(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("cohort_day")
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    rev = (
+        events.where(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"), F.col("cohort_day")
+            )
+            .cast("long")
+            .alias("age_days"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.select(
+        "cohort_day",
+        "age_days",
+        F.sum("rev").over(w).alias("cum_rev"),
+    )
+    return cum.join(sizes, "cohort_day").select(
+        "cohort_day",
+        "age_days",
+        F.col("cum_rev").cast("double").alias("cum_revenue"),
+        F.col("n_users").alias("cohort_size"),
+        RND(
+            F.col("cum_rev").cast("double")
+            / F.col("n_users").cast("double"),
+            6,
+        ).alias("ltv_per_user"),
+    )

@@ -507,3 +507,30 @@ def test_confidence_interval_golden(spark, tmp_path):
     assert r["stddev_value"] == pytest.approx(sd, abs=1e-6)
     assert r["ci_lo"] == pytest.approx(3 - half, abs=1e-6)
     assert r["ci_hi"] == pytest.approx(3 + half, abs=1e-6)
+
+
+def test_cohort_ltv_golden(spark, tmp_path):
+    """Hand cohort: 2 users signing up day 0; purchases of 10 on day 0
+    and 6 on day 2 -> cumulative 10 then 16, LTV 5.0 then 8.0."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 9)
+    rows = [
+        (1, t0, 1, "signup", 0.0, None),
+        (2, t0, 2, "signup", 0.0, None),
+        (3, t0 + dt.timedelta(hours=1), 1, "purchase", 10.0, None),
+        (4, t0 + dt.timedelta(days=2), 2, "purchase", 6.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["age_days"]: (r["cum_revenue"], r["cohort_size"], r["ltv_per_user"])
+        for r in QUERIES["analytics_cohort_ltv"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[0] == (10.0, 2, 5.0)
+    assert got[2] == (16.0, 2, 8.0)
