@@ -260,3 +260,54 @@ def test_quantize_stats_stays_jvm_side(spark):
     assert s["python"] == 0, s["plan"]
     assert s["broadcasts"] >= 1, s["plan"]
     assert s["smj"] == 0, s["plan"]
+
+
+def test_gopher_rules_is_pure_map(spark):
+    """text_gopher_quality_rules: every rule is an in-row array lambda
+    — zero exchanges, zero Python (PLANS.md row)."""
+    s = _shape(spark, "text_gopher_quality_rules")
+    assert s["shuffles"] == 0 and s["broadcasts"] == 0
+    assert s["python"] == 0
+
+
+def test_char_entropy_is_pure_map(spark):
+    s = _shape(spark, "text_char_entropy")
+    assert s["shuffles"] == 0 and s["python"] == 0
+
+
+def test_table_checksum_single_scalar_agg(spark):
+    """quality_table_checksum_orders: pure map + ONE scalar aggregate
+    (a single SinglePartition exchange of map-side partials)."""
+    s = _shape(spark, "quality_table_checksum_orders")
+    assert s["shuffles"] == 1, s["plan"]
+    assert s["python"] == 0
+
+
+def test_shot_boundaries_shuffle_free_before_explode(spark):
+    """multimodal_shot_boundaries: codegen until the explode — no
+    exchange anywhere (the output needs no aggregation)."""
+    s = _shape(spark, "multimodal_shot_boundaries")
+    assert s["shuffles"] == 0 and s["python"] == 0
+
+
+def test_dominant_lag_single_arrow_stage(spark):
+    """multimodal_audio_dominant_lag: exactly one Arrow map stage,
+    zero exchanges."""
+    s = _shape(spark, "multimodal_audio_dominant_lag")
+    assert s["shuffles"] == 0
+    assert s["python"] == 1
+
+
+def test_asof_tolerance_same_shuffles_as_plain_asof(spark):
+    """The staleness bound must not add an exchange over the plain
+    as-of (it is a row-local predicate after the window)."""
+    plain = _shape(spark, "join_asof_last_error")
+    tol = _shape(spark, "join_asof_tolerance_error")
+    assert tol["shuffles"] == plain["shuffles"]
+
+
+def test_corpus_mixture_broadcasts_rates(spark):
+    """sample_corpus_mixture: the rate table reaches the corpus as a
+    broadcast, never a shuffled join."""
+    s = _shape(spark, "sample_corpus_mixture")
+    assert s["bhj"] >= 1 and s["smj"] == 0, s["plan"]
