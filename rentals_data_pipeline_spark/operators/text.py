@@ -185,6 +185,7 @@ def chunk_documents(
     overlap: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> Op:
     """Split each document into fixed-token-count chunks with overlap —
     the sequence-prep step before LLM training: windows of
@@ -194,7 +195,11 @@ def chunk_documents(
     and re-joined, everything in whole-stage codegen, exploded to one
     row per (doc, chunk).
 
-    Emits (id, chunk_idx, chunk_text, n_chunk_tokens)."""
+    Emits (id, chunk_idx, chunk_text, n_chunk_tokens) plus any
+    ``keep_cols`` carried through unchanged — passthrough beats a
+    re-join downstream, which would recompute the upstream subtree
+    once per branch (the pipeline-composition lesson from the
+    training-prep flagship)."""
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
@@ -217,10 +222,12 @@ def chunk_documents(
         return (
             df.select(
                 F.col(id_col),
+                *[F.col(c) for c in keep_cols],
                 F.posexplode(chunks).alias("chunk_idx", "chunk_toks"),
             )
             .select(
                 id_col,
+                *keep_cols,
                 "chunk_idx",
                 F.array_join("chunk_toks", " ").alias("chunk_text"),
                 F.size("chunk_toks").cast("long").alias("n_chunk_tokens"),

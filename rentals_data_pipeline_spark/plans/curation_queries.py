@@ -260,13 +260,16 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.withColumn("fp_exact", F.md5("text"))
         .transform(R.dedup_keep_first(["fp_exact"], [F.col("doc_id")]))
     )
-    chunks = survivors.select("doc_id", "text").transform(
-        TX.chunk_documents(chunk_tokens=64, overlap=8)
+    # ONE linear plan: quality rides the chunk explode (keep_cols) and
+    # the split label is a row-local hash of doc_id — the former
+    # two-branch form (chunks JOIN split) recomputed the whole
+    # filter+decontaminate subtree once per branch
+    chunks = survivors.select("doc_id", "quality", "text").transform(
+        TX.chunk_documents(chunk_tokens=64, overlap=8, keep_cols=("quality",))
     )
-    split = survivors.select("doc_id", "quality").transform(
+    packed = chunks.transform(
         SP.train_val_test_split("doc_id", (0.8, 0.1, 0.1))
-    )
-    packed = chunks.join(split, "doc_id").transform(
+    ).transform(
         TX.pack_chunks_into_bins(
             bin_tokens=512,
             order_by=["doc_id", "chunk_idx"],
