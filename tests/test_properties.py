@@ -371,3 +371,50 @@ def test_int8_quantize_roundtrip_bound_and_code_range(spark, vecs):
     assert [(r["dmin"], r["dmax"]) for r in calib] == [
         (r["dmin"], r["dmax"]) for r in calib2
     ]
+
+
+VALS = st.lists(
+    st.integers(min_value=0, max_value=40),  # many ties
+    min_size=5,
+    max_size=60,
+)
+
+
+@given(vals=VALS, n_bins=st.integers(min_value=2, max_value=6))
+@settings(**_SETTINGS)
+def test_equal_frequency_edges_match_brute_force(spark, vals, n_bins):
+    """The distributed histogram-edge binning equals the brute-force
+    'ties stay together' qcut on arbitrary tie-heavy data: edge d =
+    the smallest value whose cumulative count reaches ceil(n*d/k)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(float(v),) for v in vals], ["v"])
+    c = df.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_tot = c.agg(F.sum("c").alias("n"))
+    cum = c.select("v", F.sum("c").over(w_cum).alias("cumc")).crossJoin(
+        F.broadcast(n_tot)
+    )
+    ds = cum.select(
+        "v", "cumc", "n",
+        F.explode(F.sequence(F.lit(1), F.lit(n_bins - 1))).alias("d"),
+    )
+    got = sorted(
+        r["edge"]
+        for r in ds.where(
+            F.col("cumc") >= F.expr(f"(n * d + {n_bins - 1}) div {n_bins}")
+        )
+        .groupBy("d")
+        .agg(F.min("v").alias("edge"))
+        .collect()
+    )
+    # brute force on the python side
+    s = sorted(vals)
+    n = len(s)
+    want = []
+    for d in range(1, n_bins):
+        rank = -(-n * d // n_bins)  # ceil
+        want.append(float(s[rank - 1]))
+    assert got == sorted(want)
