@@ -3178,3 +3178,151 @@ def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ltv_per_user"),
     )
+
+
+@query(
+    "quality_cross_field_violations",
+    """
+WITH j AS (
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           l.l_shipdate, l.l_extendedprice, l.l_discount, l.l_quantity
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)
+SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+         AS BIGINT) AS ship_before_order,
+    CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 120 DAY
+             THEN 1 ELSE 0 END) AS BIGINT) AS ship_over_120d,
+    CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS nonpositive_total,
+    CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.5
+             THEN 1 ELSE 0 END) AS BIGINT) AS discount_out_of_band,
+    CAST(SUM(CASE WHEN l_quantity <= 0.0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS nonpositive_qty
+FROM j
+""",
+)
+def quality_cross_field_violations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-field/cross-table constraint audit — the DQ tier above
+    single-column null/range checks (quality_metrics_lineitem) and
+    key-existence audits (quality_referential_integrity): business
+    rules that span columns and tables (no shipping before ordering,
+    shipping SLA, positive money, sane discount band), counted in ONE
+    pass over the join. All exact integer conditional sums; the join
+    is the star's single fact-to-orders equi-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        viol(F.col("l_shipdate") < F.col("o_orderdate")).alias(
+            "ship_before_order"
+        ),
+        viol(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 120 DAY")
+        ).alias("ship_over_120d"),
+        viol(F.col("o_totalprice") <= 0.0).alias("nonpositive_total"),
+        viol(
+            (F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.5)
+        ).alias("discount_out_of_band"),
+        viol(F.col("l_quantity") <= 0.0).alias("nonpositive_qty"),
+    )
+
+
+@query(
+    "analytics_user_lifecycle",
+    """
+WITH wk AS (
+    SELECT DISTINCT user_id,
+        CAST(date_trunc('week', ts) AS DATE) AS week
+    FROM events
+),
+mx AS (SELECT MAX(week) AS max_week FROM wk),
+seq AS (
+    SELECT user_id, week,
+        LAG(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+        LEAD(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+    FROM wk
+),
+tags AS (
+    SELECT week,
+        CASE
+            WHEN prev_week IS NULL THEN 'new'
+            WHEN prev_week = week - 7 THEN 'retained'
+            ELSE 'resurrected'
+        END AS state
+    FROM seq
+    UNION ALL
+    SELECT week + 7 AS week, 'churned' AS state
+    FROM seq CROSS JOIN mx
+    WHERE (next_week IS NULL OR next_week > week + 7)
+      AND week + 7 <= mx.max_week
+)
+SELECT week,
+    CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_new,
+    CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_retained,
+    CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_resurrected,
+    CAST(SUM(CASE WHEN state = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_churned
+FROM tags GROUP BY 1
+""",
+)
+def analytics_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: weekly user lifecycle states — new (first
+    week seen), retained (also seen the prior week), resurrected
+    (returning after a gap), churned (seen week w, absent w+7,
+    attributed to w+7 and only while w+7 is observable). The standard
+    DAU/WAU decomposition, as ONE user-keyed window over the distinct
+    (user, week) presence calendar (bounded: |users × weeks|) plus a
+    1-row max-week broadcast; all exact integer date arithmetic."""
+    events = load_table(spark, sf_dir, "events")
+    wk = events.select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+    ).distinct()
+    mx = wk.agg(F.max("week").alias("max_week"))
+    w = Window.partitionBy("user_id").orderBy("week")
+    seq = wk.select(
+        "user_id",
+        "week",
+        F.lag("week").over(w).alias("prev_week"),
+        F.lead("week").over(w).alias("next_week"),
+    )
+    present = seq.select(
+        "week",
+        F.when(F.col("prev_week").isNull(), "new")
+        .when(F.col("prev_week") == F.date_add("week", -7), "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    churned = (
+        seq.crossJoin(F.broadcast(mx))
+        .where(
+            (
+                F.col("next_week").isNull()
+                | (F.col("next_week") > F.date_add("week", 7))
+            )
+            & (F.date_add("week", 7) <= F.col("max_week"))
+        )
+        .select(F.date_add("week", 7).alias("week"), F.lit("churned").alias("state"))
+    )
+    tags = present.unionByName(churned)
+    return tags.groupBy("week").agg(
+        *[
+            F.sum(F.when(F.col("state") == s, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{s}")
+            for s in ("new", "retained", "resurrected", "churned")
+        ]
+    )

@@ -534,3 +534,33 @@ def test_cohort_ltv_golden(spark, tmp_path):
     }
     assert got[0] == (10.0, 2, 5.0)
     assert got[2] == (16.0, 2, 8.0)
+
+
+def test_user_lifecycle_golden(spark, tmp_path):
+    """Planted calendar across four Mondays: user A weeks 1,2,4 (new,
+    retained, churn@3, resurrected@4); user B week 1 only (new,
+    churn@2)."""
+    import datetime as dt
+
+    w1 = dt.datetime(2024, 1, 1, 10)  # a Monday
+    def wk(n, user, eid):
+        return (eid, w1 + dt.timedelta(weeks=n - 1), user, "click", 1.0, None)
+
+    rows = [wk(1, 1, 1), wk(2, 1, 2), wk(4, 1, 3), wk(1, 2, 4)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["week"].isocalendar()[1]: (
+            r["n_new"], r["n_retained"], r["n_resurrected"], r["n_churned"]
+        )
+        for r in QUERIES["analytics_user_lifecycle"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[1] == (2, 0, 0, 0)       # both users new
+    assert got[2] == (0, 1, 0, 1)       # A retained, B churned
+    assert got[3] == (0, 0, 0, 1)       # A churned (absent week 3)
+    assert got[4] == (0, 0, 1, 0)       # A resurrected
