@@ -178,3 +178,43 @@ def sample_stratified_split_embeddings(
     return emb.select("vec_id", "label").transform(
         SP.stratified_split("vec_id", "label")
     )
+
+
+@query(
+    "sample_balanced_labels",
+    """
+WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+m AS (SELECT MIN(n) AS min_n FROM c),
+r AS (
+    SELECT vec_id, label,
+        ROW_NUMBER() OVER (
+            PARTITION BY label
+            ORDER BY md5('bal' || CAST(vec_id AS VARCHAR)), vec_id
+        ) AS rn
+    FROM embeddings
+)
+SELECT vec_id, label FROM r CROSS JOIN m WHERE rn <= m.min_n
+""",
+)
+def sample_balanced_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every label keeps exactly
+    min-class-size rows — the rebalancing a classifier's training set
+    applies before fitting, deterministic (md5 order, id tiebreak) so
+    the same rows survive on every run, engine, and layout. The
+    per-label take executes as WindowGroupLimit (map-side partial
+    top-k); the 1-row min-size broadcast closes the dynamic limit.
+    Unlike sample_stratified_events' fixed n-per-stratum, the limit
+    here is DERIVED from the data — the auto-parameter pattern."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    m = c.agg(F.min("n").alias("min_n"))
+    from pyspark.sql import Window as W7
+
+    h = F.md5(F.concat(F.lit("bal"), F.col("vec_id").cast("string")))
+    w = W7.partitionBy("label").orderBy(h, "vec_id")
+    return (
+        emb.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .where(F.col("rn") <= F.col("min_n"))
+        .select("vec_id", "label")
+    )

@@ -976,3 +976,92 @@ def window_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_pairs"),
         RND(num / F.nullif(den, F.lit(0.0)), 6).alias("autocorr"),
     )
+
+
+@query(
+    "ts_changepoint_cusum",
+    """
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        SUM(CAST(value AS DECIMAL(18,6))) AS dv
+    FROM events GROUP BY 1, 2
+),
+tot AS (
+    SELECT event_type, SUM(dv) AS sn, COUNT(*) AS n FROM daily GROUP BY 1
+),
+walk AS (
+    SELECT d.event_type, d.day,
+        SUM(d.dv) OVER (PARTITION BY d.event_type ORDER BY d.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS st,
+        ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) AS t,
+        t2.sn, t2.n
+    FROM daily d JOIN tot t2 USING (event_type)
+),
+cusum AS (
+    SELECT event_type, day,
+        ABS(CAST(st AS DOUBLE)
+            - CAST(t AS DOUBLE) * (CAST(sn AS DOUBLE) / CAST(n AS DOUBLE)))
+            AS dev
+    FROM walk
+),
+best AS (
+    SELECT event_type, day, dev,
+        ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY dev DESC, day) AS rn
+    FROM cusum
+)
+SELECT event_type, day AS changepoint_day,
+    FLOOR(dev * 10000.0 + 0.5) / 10000.0 AS max_cusum_dev
+FROM best WHERE rn = 1
+""",
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint localization per event type: the day where
+    the cumulative deviation from the series' overall mean peaks — the
+    standard answer to "WHEN did the level shift?" after a drift
+    monitor (KS / PSI) says THAT it shifted. Daily sums fold
+    DECIMAL(18,6) (exact, order-invariant); the cumulative walk and
+    the t·mean subtraction run in IEEE doubles on identical operands;
+    the argmax frontier orders by the deviation with a day tiebreak.
+    Windows run on the |types × days| daily series, never raw
+    events."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("dv"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("dv").alias("sn"), F.count(F.lit(1)).alias("n")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("day")
+    walk = daily.join(tot, "event_type").select(
+        "event_type",
+        "day",
+        F.sum("dv").over(w_cum).alias("st"),
+        F.row_number().over(w_rn).alias("t"),
+        "sn",
+        "n",
+    )
+    dev = F.abs(
+        F.col("st").cast("double")
+        - F.col("t").cast("double")
+        * (F.col("sn").cast("double") / F.col("n").cast("double"))
+    )
+    w_best = Window.partitionBy("event_type").orderBy(
+        F.col("dev").desc(), "day"
+    )
+    return (
+        walk.select("event_type", "day", dev.alias("dev"))
+        .withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            RND(F.col("dev"), 4).alias("max_cusum_dev"),
+        )
+    )

@@ -564,3 +564,25 @@ def test_user_lifecycle_golden(spark, tmp_path):
     assert got[2] == (0, 1, 0, 1)       # A retained, B churned
     assert got[3] == (0, 0, 0, 1)       # A churned (absent week 3)
     assert got[4] == (0, 0, 1, 0)       # A resurrected
+
+
+def test_cusum_finds_planted_level_shift(spark, tmp_path):
+    """Series with a clean level shift (10/day for 10 days, then
+    30/day for 10 days): CUSUM must peak exactly at the last
+    pre-shift day."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12)
+    rows = []
+    for d in range(20):
+        v = 10.0 if d < 10 else 30.0
+        rows.append((d, t0 + dt.timedelta(days=d), 1, "s", v, None))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = QUERIES["ts_changepoint_cusum"](spark, str(tmp_path)).collect()[0]
+    assert r["changepoint_day"] == dt.date(2024, 1, 10)
+    # peak deviation: 10 days * |10 - 20| = 100
+    assert r["max_cusum_dev"] == 100.0

@@ -152,3 +152,19 @@ def test_temperature_mixture_downsamples_dominant_group(spark):
     a = {r["doc_id"] for r in sample.select("doc_id").collect()}
     b = {r["doc_id"] for r in again.select("doc_id").collect()}
     assert a == b
+
+
+def test_balanced_labels_exact_counts(spark):
+    """Every surviving class has exactly the min class size; survivors
+    are stable under repartitioning."""
+    from rentals_data_pipeline_spark.plans import sampling_queries  # noqa: F401
+    from rentals_data_pipeline_spark.plans.catalog import QUERIES
+
+    out = QUERIES["sample_balanced_labels"](spark, SF_DIR)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    min_n = min(
+        r["count"] for r in emb.groupBy("label").count().collect()
+    )
+    counts = {r["label"]: r["count"] for r in out.groupBy("label").count().collect()}
+    assert set(counts.values()) == {min_n}
+    assert len(counts) == emb.select("label").distinct().count()
