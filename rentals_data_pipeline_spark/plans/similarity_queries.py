@@ -843,3 +843,118 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_label",
         (F.col("predicted_label") == F.col("true_label")).alias("correct"),
     )
+
+
+@query(
+    "sim_matryoshka_prefix_rerank",
+    f"""
+WITH {_ORACLE_COSINE_PAIRS},
+probe AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % 50 = 0),
+pre AS (
+    SELECT
+        p.probe_id, c.vec_id AS match_id, p.pv, c.v,
+        FLOOR((list_dot_product(p.pv[1:16], c.v[1:16])
+               / NULLIF(sqrt(list_dot_product(p.pv[1:16], p.pv[1:16]))
+                        * sqrt(list_dot_product(c.v[1:16], c.v[1:16])), 0))
+              * 10000.0 + 0.5) / 10000.0 AS pre_cos
+    FROM probe p JOIN e c ON p.probe_id <> c.vec_id
+),
+cand AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY probe_id ORDER BY pre_cos DESC, match_id) AS prn
+    FROM pre
+),
+fr AS (
+    SELECT probe_id, match_id, pre_cos,
+        FLOOR((list_dot_product(pv, v)
+               / NULLIF(sqrt(list_dot_product(pv, pv))
+                        * sqrt(list_dot_product(v, v)), 0))
+              * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM cand WHERE prn <= 20
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY probe_id ORDER BY cosine DESC, match_id) AS rn
+    FROM fr
+)
+SELECT probe_id, match_id, cosine FROM ranked WHERE rn <= 5
+""",
+)
+def sim_matryoshka_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated retrieval: rank ALL candidates by
+    cosine over the first 16 of 64 dimensions (a quarter of the
+    bytes/FLOPs — the cheap pass modern nested-representation
+    embeddings are trained to support), keep 20 per probe, then
+    re-rank just those by full-dimension cosine for the final top-5.
+    Both frontiers are the certified rounded-score + id-tiebreak
+    shape. At 100 TB the prefix stage is the one that scans the
+    corpus — at 1/4 the vector bytes — while the exact stage touches
+    |probes| x 20 rows; the same two-stage plan as IVF/PQ but with
+    dimension truncation as the compression axis. Recall note: this
+    corpus's embeddings are RANDOM, so the prefix carries ~1/4 of the
+    energy and top-5 recall is only ~0.22 (pinned golden) — the
+    anti-regime; on nested-structure (Matryoshka-trained) embeddings
+    the same plan reaches ~1.0 recall (also pinned, on a structured
+    synthetic corpus). The hash certification is regime-independent:
+    it certifies the two-frontier computation itself."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = F.col("embedding").cast("array<double>")
+    probes = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.slice(dv, 1, 16).alias("probe_vec"),
+        dv.alias("probe_full"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("match_id"),
+        F.slice(dv, 1, 16).alias("match_vec"),
+        dv.alias("match_full"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def cos(a, b):
+        return RND(
+            dot(a, b)
+            / F.nullif(
+                F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)), F.lit(0.0)
+            ),
+            4,
+        )
+
+    from pyspark.sql import Window as W8
+
+    pre = (
+        probes.crossJoin(corpus)
+        .where(F.col("probe_id") != F.col("match_id"))
+        .select(
+            "probe_id",
+            "match_id",
+            "probe_full",
+            "match_full",
+            cos(F.col("probe_vec"), F.col("match_vec")).alias("pre_cos"),
+        )
+    )
+    w_pre = W8.partitionBy("probe_id").orderBy(
+        F.col("pre_cos").desc(), "match_id"
+    )
+    cand = pre.withColumn("prn", F.row_number().over(w_pre)).where(
+        F.col("prn") <= 20
+    )
+    full = cand.select(
+        "probe_id",
+        "match_id",
+        cos(F.col("probe_full"), F.col("match_full")).alias("cosine"),
+    )
+    w_full = W8.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), "match_id"
+    )
+    return (
+        full.withColumn("rn", F.row_number().over(w_full))
+        .where(F.col("rn") <= 5)
+        .select("probe_id", "match_id", "cosine")
+    )

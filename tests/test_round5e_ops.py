@@ -586,3 +586,62 @@ def test_cusum_finds_planted_level_shift(spark, tmp_path):
     assert r["changepoint_day"] == dt.date(2024, 1, 10)
     # peak deviation: 10 days * |10 - 20| = 100
     assert r["max_cusum_dev"] == 100.0
+
+
+def test_matryoshka_rerank_recall_regimes(spark, tmp_path):
+    """Recall depends on whether the representation is actually
+    nested: on this corpus's RANDOM embeddings the 16-dim prefix is
+    uninformative (recall pinned at the observed 0.22 +/- noise — the
+    anti-regime, same discipline as the PQ/SRP pinned goldens), while
+    on embeddings whose first 16 dims carry the structure (what
+    Matryoshka training produces) recall goes to 1.0."""
+    import random
+
+    from pyspark.sql import types as T8
+
+    exact = {
+        (r["probe_id"], r["match_id"])
+        for r in QUERIES["sim_cosine_topk"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    mat = {
+        (r["probe_id"], r["match_id"])
+        for r in QUERIES["sim_matryoshka_prefix_rerank"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    recall = len(exact & mat) / len(exact)
+    assert 0.05 <= recall <= 0.6, recall  # random-embedding anti-regime
+
+    # structured corpus: signal in dims 0-15, tiny noise elsewhere
+    rng = random.Random(11)
+    rows = []
+    for c in range(3):
+        head = [1.0 if i % 3 == c else 0.1 for i in range(16)]
+        for j in range(20):
+            vec = [
+                h + rng.uniform(-0.02, 0.02) for h in head
+            ] + [rng.uniform(-0.05, 0.05) for _ in range(48)]
+            rows.append((c * 50 + j, vec, c))
+    schema = T8.StructType(
+        [
+            T8.StructField("vec_id", T8.LongType()),
+            T8.StructField("embedding", T8.ArrayType(T8.FloatType())),
+            T8.StructField("label", T8.IntegerType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    exact_s = {
+        (r["probe_id"], r["match_id"])
+        for r in QUERIES["sim_cosine_topk"](spark, str(tmp_path)).collect()
+    }
+    mat_s = {
+        (r["probe_id"], r["match_id"])
+        for r in QUERIES["sim_matryoshka_prefix_rerank"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(exact_s & mat_s) / len(exact_s) >= 0.95
