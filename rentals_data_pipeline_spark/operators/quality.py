@@ -394,7 +394,12 @@ def ks_drift(
     order-invariant — no libm, no fp summation. The result rounds
     half-up at ``scale`` dp only to normalize the printed double.
     """
-    counts = df.groupBy(group_col, value_col).agg(
+    # NULL values carry no distribution mass — and engines disagree on
+    # NULL placement in window ORDER BY (Spark NULLS FIRST, ANSI
+    # engines often NULLS LAST), so they must not enter the ECDF walk
+    counts = df.where(F.col(value_col).isNotNull()).groupBy(
+        group_col, value_col
+    ).agg(
         F.sum(F.when(F.col(period_col) == 0, 1).otherwise(0)).alias("_cr"),
         F.sum(F.when(F.col(period_col) == 1, 1).otherwise(0)).alias("_cc"),
     )

@@ -685,7 +685,7 @@ WITH e AS (
     SELECT event_type, value,
         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END
             AS is_ref
-    FROM events
+    FROM events WHERE value IS NOT NULL
 ),
 g AS (
     SELECT event_type, value,

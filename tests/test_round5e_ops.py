@@ -645,3 +645,25 @@ def test_matryoshka_rerank_recall_regimes(spark, tmp_path):
         ).collect()
     }
     assert len(exact_s & mat_s) / len(exact_s) >= 0.95
+
+
+def test_ks_drift_ignores_null_values(spark):
+    """NULL values carry no distribution mass: planting NULLs on one
+    side must not change D (and must not flip cross-engine NULL
+    ordering in the cumulative walk)."""
+    from rentals_data_pipeline_spark.operators.quality import ks_drift
+
+    base = [("g", 0, v) for v in [1.0, 2.0, 3.0, 4.0]] + [
+        ("g", 1, v) for v in [3.0, 4.0, 5.0, 6.0]
+    ]
+    with_nulls = base + [("g", 0, None), ("g", 1, None), ("g", 1, None)]
+    a = ks_drift(
+        spark.createDataFrame(base, ["grp", "period", "value"]),
+        "grp", "period", "value",
+    ).collect()[0]
+    b = ks_drift(
+        spark.createDataFrame(with_nulls, ["grp", "period", "value"]),
+        "grp", "period", "value",
+    ).collect()[0]
+    assert (a["ks_d"], a["n_ref"], a["n_cur"]) == (0.5, 4, 4)
+    assert (b["ks_d"], b["n_ref"], b["n_cur"]) == (0.5, 4, 4)
