@@ -591,9 +591,22 @@ def scd2_apply_changes(
     order_cols = order_cols or []
     value_cols = value_cols or ["value"]
     cols = keys + [ts_col] + order_cols + value_cols
-    changed_keys = changes.select(*keys).distinct()
-    untouched = history.join(changed_keys, keys, "left_anti")
-    touched = history.join(F.broadcast(changed_keys), keys).select(*cols)
+    # null-SAFE key matching throughout: a NULL-keyed change must
+    # claim the NULL-keyed history slice, not slip past the anti join
+    # and duplicate it (the snapshot_diff lesson, relational.py::
+    # snapshot_diff)
+    changed_keys = changes.select(
+        *[F.col(k).alias(f"_ck_{k}") for k in keys]
+    ).distinct()
+    cond = None
+    for k in keys:
+        c = history[k].eqNullSafe(changed_keys[f"_ck_{k}"])
+        cond = c if cond is None else (cond & c)
+    untouched = history.join(changed_keys, cond, "left_anti")
+    touched = (
+        history.join(F.broadcast(changed_keys), cond, "left_semi")
+        .select(*cols)
+    )
     merged = touched.unionByName(changes.select(*cols))
     w = Window.partitionBy(*keys).orderBy(ts_col, *order_cols)
     rebuilt = merged.select(

@@ -667,3 +667,34 @@ def test_ks_drift_ignores_null_values(spark):
     ).collect()[0]
     assert (a["ks_d"], a["n_ref"], a["n_cur"]) == (0.5, 4, 4)
     assert (b["ks_d"], b["n_ref"], b["n_cur"]) == (0.5, 4, 4)
+
+
+def test_scd2_apply_changes_null_key_no_duplication(spark):
+    """A NULL-keyed change claims the NULL-keyed history slice via the
+    null-safe join — the row must be closed, not duplicated."""
+    import datetime as dt
+
+    from rentals_data_pipeline_spark.operators.relational import (
+        scd2_apply_changes,
+    )
+
+    t0, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 3)
+    history = spark.createDataFrame(
+        [(None, t0, None, 100, 1.0, 1), (7, t0, None, 101, 2.0, 1)],
+        "user_id long, valid_from timestamp, valid_to timestamp,"
+        " event_id long, value double, is_current int",
+    )
+    batch = spark.createDataFrame(
+        [(None, t2, 102, 9.0)],
+        "user_id long, valid_from timestamp, event_id long, value double",
+    )
+    out = scd2_apply_changes(
+        history, batch, ["user_id"],
+        ts_col="valid_from", order_cols=["event_id"], value_cols=["value"],
+    ).collect()
+    assert len(out) == 3  # closed NULL-key row + its new version + user 7
+    null_rows = sorted(
+        (r["valid_from"], r["is_current"], r["value"])
+        for r in out if r["user_id"] is None
+    )
+    assert null_rows == [(t0, 0, 1.0), (t2, 1, 9.0)]
