@@ -547,7 +547,8 @@ def salted_agg_auto(
         prof = key_skew_profile(
             df.select(*keys), [keys[0]], target_rows_per_task
         ).collect()
-        rec = int(prof[0]["recommended_salt"]) if prof else 1
+        raw = prof[0]["recommended_salt"] if prof else None
+        rec = int(raw) if raw is not None else 1  # empty input -> plain
         salt = max(1, min(max_salt, rec))
         if salt == 1:
             plain = df.groupBy(*keys).agg(

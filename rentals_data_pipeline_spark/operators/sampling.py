@@ -177,6 +177,10 @@ def temperature_mixture_sample(
     agg), broadcast back onto the corpus; the sampling predicate is
     row-local, so non-sampled rows are dropped at the scan-adjacent
     filter and never reach downstream shuffles.
+
+    Rows whose ``group_col`` is NULL have no defined mixing weight and
+    are dropped by the equi-join — filter or impute the group upstream
+    if they must be kept.
     """
 
     def _apply(df: DataFrame) -> DataFrame:

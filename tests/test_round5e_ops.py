@@ -698,3 +698,21 @@ def test_scd2_apply_changes_null_key_no_duplication(spark):
         for r in out if r["user_id"] is None
     )
     assert null_rows == [(t0, 0, 1.0), (t2, 1, 9.0)]
+
+
+def test_salted_agg_auto_empty_input(spark):
+    """Zero-row input routes to the plain path and returns zero rows
+    (the skew profile's NULL recommendation must not crash)."""
+    from pyspark.sql import functions as F9
+
+    from rentals_data_pipeline_spark.operators.relational import (
+        salted_agg_auto,
+    )
+
+    empty = spark.createDataFrame([], "k string, v double")
+    op = salted_agg_auto(
+        ["k"],
+        [(F9.count(F9.lit(1)), "n")],
+        [F9.sum("n").cast("long").alias("n")],
+    )
+    assert empty.transform(op).count() == 0
