@@ -3326,3 +3326,97 @@ def analytics_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in ("new", "retained", "resurrected", "churned")
         ]
     )
+
+
+@query(
+    "reshape_denormalize_star",
+    """
+SELECT
+    l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,
+    o.o_orderdate, o.o_orderpriority,
+    c.c_custkey, c.c_mktsegment,
+    n.n_name AS nation, r.r_name AS region,
+    p.p_brand, p.p_type,
+    s.s_name AS supplier
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+""",
+)
+def reshape_denormalize_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full star denormalization: the wide-table EXPORT pass (feature
+    stores, BI extracts, training-data joins) — every dimension
+    attribute attached to every fact line in one plan. The five TRUE
+    dimensions (customer/nation/region/part/supplier) carry explicit
+    broadcast hints; lineitem-orders is fact-to-fact, so it gets NO
+    hint — AQE demotes it to broadcast at test scale and falls back to
+    a co-partitioned sort-merge at 100 TB (the only shuffle in the
+    plan). Output goes straight to a partitioned sink, so everything
+    downstream of that one join is a scan-side pipeline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "o_orderdate",
+            "o_orderpriority",
+            "c_custkey",
+            "c_mktsegment",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            "p_brand",
+            "p_type",
+            F.col("s_name").alias("supplier"),
+        )
+    )
+
+
+@query(
+    "topk_orders_with_ties",
+    """
+WITH r AS (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+        RANK() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC) AS rnk
+    FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice,
+    CAST(rnk AS INTEGER) AS rnk
+FROM r WHERE rnk <= 3
+""",
+)
+def topk_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer WITH TIES (rank, not row_number): the
+    ANSI `FETCH FIRST k ROWS WITH TIES` semantic — equal-value rows at
+    the boundary all survive, so the result is total-order-free and
+    layout-invariant WITHOUT a tiebreaker column (contrast
+    topk_orders_per_customer's row_number frontier, which needs one).
+    Executes as WindowGroupLimit: rank's map-side partial top-k prunes
+    before the one customer-keyed shuffle."""
+    from pyspark.sql import Window as W9
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W9.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.rank().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+    )

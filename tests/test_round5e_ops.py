@@ -716,3 +716,21 @@ def test_salted_agg_auto_empty_input(spark):
         [F9.sum("n").cast("long").alias("n")],
     )
     assert empty.transform(op).count() == 0
+
+
+def test_topk_with_ties_keeps_boundary_ties(spark, tmp_path):
+    """Two orders tied at rank 3 must BOTH survive (4 rows out), and
+    no tiebreaker column is needed for layout invariance."""
+    rows = [
+        (1, 10, 100.0), (1, 11, 90.0), (1, 12, 80.0), (1, 13, 80.0),
+        (1, 14, 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["o_custkey", "o_orderkey", "o_totalprice"]
+    ).withColumn("o_orderstatus", F.lit("O")).withColumn(
+        "o_orderdate", F.lit("2024-01-01").cast("timestamp")
+    ).withColumn("o_orderpriority", F.lit("1-URGENT"))
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+    out = QUERIES["topk_orders_with_ties"](spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    assert {r["o_orderkey"] for r in out} == {10, 11, 12, 13}
