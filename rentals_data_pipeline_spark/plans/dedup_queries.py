@@ -465,3 +465,79 @@ def dedup_normalized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_variants"),
         )
     )
+
+
+@query(
+    "dedup_split_leakage_audit",
+    """
+WITH s AS (
+    SELECT doc_id,
+        md5(array_to_string(
+            list_sort(list_distinct(string_split_regex(text, '\\s+'))),
+            ' ')) AS fp,
+        CASE WHEN (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)),
+                    1, 8))::BIGINT % 10000) < 8000 THEN 'train'
+             WHEN (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)),
+                    1, 8))::BIGINT % 10000) < 9000 THEN 'val'
+             ELSE 'test' END AS split
+    FROM documents
+),
+g AS (
+    SELECT fp,
+        COUNT(*) AS n_docs,
+        COUNT(DISTINCT split) AS n_splits,
+        SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+        SUM(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS n_eval
+    FROM s GROUP BY 1
+)
+SELECT fp,
+    CAST(n_docs AS BIGINT) AS n_docs,
+    CAST(n_train AS BIGINT) AS n_train,
+    CAST(n_eval AS BIGINT) AS n_eval
+FROM g
+WHERE n_splits > 1 AND n_train > 0 AND n_eval > 0
+""",
+)
+def dedup_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit: near-duplicate documents (same
+    bag-of-words fingerprint — the certified near-dup signature of
+    pipeline_corpus_curation) whose copies landed on BOTH sides of the
+    split — the eval-hygiene check
+    that must run AFTER splitting (deduping before splitting prevents
+    it; this query verifies, or quantifies the damage when dedup was
+    skipped). Reuses the certified deterministic hash split and the
+    exact content fingerprint; one digest-keyed count shuffle, then
+    the leak filter. Every flagged fingerprint is a benchmark answer
+    sitting in the training set."""
+    from rentals_data_pipeline_spark.operators import sampling as SP2
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bow = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.col("text"), r"\s+"))),
+            " ",
+        )
+    )
+    s = docs.transform(
+        SP2.train_val_test_split("doc_id", (0.8, 0.1, 0.1))
+    ).select("doc_id", bow.alias("fp"), "split")
+    g = s.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("split").alias("n_splits"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "n_train"
+        ),
+        F.sum(F.when(F.col("split") != "train", 1).otherwise(0)).alias(
+            "n_eval"
+        ),
+    )
+    return g.where(
+        (F.col("n_splits") > 1)
+        & (F.col("n_train") > 0)
+        & (F.col("n_eval") > 0)
+    ).select(
+        "fp",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("n_eval").cast("long").alias("n_eval"),
+    )

@@ -183,3 +183,38 @@ def test_normalized_dedup_catches_reformatted_copies(spark, tmp_path):
     assert got[2] == (False, 3)
     assert got[3] == (False, 3)
     assert got[4] == (True, 1)
+
+
+def test_split_leakage_audit_flags_cross_split_dups_only(spark, tmp_path):
+    """Planted near-dup pair forced across splits is flagged; a
+    same-split dup pair and unique docs are not."""
+    from rentals_data_pipeline_spark.operators.sampling import hash_bucket
+    from rentals_data_pipeline_spark.plans import dedup_queries  # noqa: F401
+    from rentals_data_pipeline_spark.plans.catalog import QUERIES
+
+    # find doc_ids whose hash split differs (train vs non-train)
+    probe = spark.createDataFrame(
+        [(i,) for i in range(200)], ["doc_id"]
+    ).withColumn("b", hash_bucket(F.col("doc_id"), 10000, "split"))
+    rows = {r["doc_id"]: r["b"] for r in probe.collect()}
+    train_ids = [i for i, b in rows.items() if b < 8000]
+    eval_ids = [i for i, b in rows.items() if b >= 8000]
+    leak_a, leak_b = train_ids[0], eval_ids[0]       # cross-split pair
+    same_a, same_b = train_ids[1], train_ids[2]      # same-split pair
+    uniq = train_ids[3]
+    text = "alpha beta gamma delta epsilon"
+    docs = [
+        (leak_a, text), (leak_b, text),
+        (same_a, "one two three"), (same_b, "one two three"),
+        (uniq, "solo words only here"),
+    ]
+    spark.createDataFrame(docs, ["doc_id", "text"]).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["dedup_split_leakage_audit"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_train"] == 1 and out[0]["n_eval"] == 1
