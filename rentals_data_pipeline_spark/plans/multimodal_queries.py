@@ -397,3 +397,143 @@ def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = docs.transform(MM.pack_media())
     return media.transform(MM.shot_boundaries())
+
+
+@query(
+    "pipeline_media_curation",
+    """
+WITH d AS (
+    SELECT doc_id, text, length(text) AS n_bytes,
+        CAST(length(text) // 64 AS INT) AS nf
+    FROM documents
+),
+sq AS (
+    SELECT d.doc_id,
+        SUM(ord(substr(d.text, i.i + 1, 1))
+            * ord(substr(d.text, i.i + 1, 1))) AS total_sq
+    FROM d, (SELECT unnest(range(0, (SELECT COALESCE(MAX(n_bytes), 0)
+                                     FROM d))) AS i) i
+    WHERE i.i < d.n_bytes
+    GROUP BY 1
+),
+lagp AS (
+    SELECT d.doc_id, l.lag AS lag,
+        SUM(ord(substr(d.text, i.i + 1, 1))
+            * ord(substr(d.text, i.i + 1 + l.lag, 1))) AS score
+    FROM d,
+        (SELECT unnest(range(1, 17)) AS lag) l,
+        (SELECT unnest(range(0, 160)) AS i) i
+    WHERE i.i + l.lag < LEAST(length(d.text), 160)
+    GROUP BY 1, 2
+),
+bestlag AS (
+    SELECT doc_id, lag, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, lag) AS rn
+    FROM lagp
+),
+cells AS (
+    SELECT d.doc_id, f.f AS frame,
+        ord(substr(d.text, f.f * 64 + i.i + 1, 1)) // 16 AS bin
+    FROM d,
+        (SELECT unnest(range(0, 100)) AS f) f,
+        (SELECT unnest(range(0, 64)) AS i) i
+    WHERE f.f < d.nf
+),
+hist AS (
+    SELECT doc_id, frame, bin, COUNT(*) AS c FROM cells GROUP BY 1, 2, 3
+),
+grid AS (
+    SELECT d.doc_id, f.f AS frame, b.b AS bin
+    FROM d,
+        (SELECT unnest(range(0, 100)) AS f) f,
+        (SELECT unnest(range(0, 16)) AS b) b
+    WHERE f.f < d.nf
+),
+dense AS (
+    SELECT g.doc_id, g.frame, g.bin, COALESCE(h.c, 0) AS c
+    FROM grid g LEFT JOIN hist h USING (doc_id, frame, bin)
+),
+lagd AS (
+    SELECT doc_id, frame, c,
+        LAG(c) OVER (PARTITION BY doc_id, bin ORDER BY frame) AS pc
+    FROM dense
+),
+l1 AS (
+    SELECT doc_id, frame, SUM(ABS(c - pc)) AS l1c
+    FROM lagd WHERE pc IS NOT NULL GROUP BY 1, 2
+),
+cuts AS (
+    SELECT doc_id, SUM(CASE WHEN l1c > 32 THEN 1 ELSE 0 END) AS n_cuts
+    FROM l1 GROUP BY 1
+)
+SELECT d.doc_id,
+    CAST(d.n_bytes AS BIGINT) AS n_bytes,
+    CAST(COALESCE(sq.total_sq, 0) AS BIGINT) AS total_sq_energy,
+    CAST(CASE WHEN LEAST(d.n_bytes, 160) >= 32 THEN b.lag END AS INTEGER)
+        AS dominant_lag,
+    CAST(COALESCE(c.n_cuts, 0) AS BIGINT) AS n_cuts,
+    (d.n_bytes >= 128 AND COALESCE(c.n_cuts, 0) >= 1) AS keep
+FROM d
+LEFT JOIN sq USING (doc_id)
+LEFT JOIN (SELECT doc_id, lag FROM bestlag WHERE rn = 1) b USING (doc_id)
+LEFT JOIN cuts c USING (doc_id)
+""",
+)
+def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEDIA curation flagship — the third modality's end-to-end
+    plan next to pipeline_corpus_curation (text) and
+    pipeline_embedding_curation (vectors): pack to opaque payloads,
+    extract per-asset features (byte volume, total squared energy,
+    autocorrelation dominant period, scene-cut count), and apply the
+    keep rule (enough bytes AND at least one scene change — the
+    static/too-short asset filter). EVERY feature is exact integer
+    arithmetic, so one hash certifies the whole composition. Shape:
+    the energy and cut features come from the zero-shuffle codegen
+    kernels; the lag feature is the single Arrow map stage; the three
+    per-doc feature branches re-join on doc_id (co-partitioned,
+    AQE-broadcast at test scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.transform(MM.pack_media())
+
+    chars = F.split(F.decode(F.col("payload"), "utf-8"), "")
+    total_sq = F.aggregate(
+        F.transform(
+            chars, lambda c: (F.ascii(c) * F.ascii(c)).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    base = media.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        total_sq.alias("total_sq_energy"),
+    )
+    lag = media.transform(MM.audio_dominant_lag()).select(
+        "doc_id", F.col("best_lag").alias("dominant_lag")
+    )
+    cuts = (
+        media.transform(MM.shot_boundaries())
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("is_boundary"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cuts")
+        )
+    )
+    out = (
+        base.join(lag, "doc_id", "left")
+        .join(cuts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bytes",
+            "total_sq_energy",
+            "dominant_lag",
+            F.coalesce("n_cuts", F.lit(0)).cast("long").alias("n_cuts"),
+        )
+    )
+    return out.select(
+        "*",
+        (
+            (F.col("n_bytes") >= 128) & (F.col("n_cuts") >= 1)
+        ).alias("keep"),
+    )

@@ -213,3 +213,31 @@ def test_shot_boundaries_planted_cut(spark):
     assert got[(1, 1)] == (128, True)    # full histogram swap
     assert got[(2, 1)] == (0, False)
     assert got[(2, 2)] == (0, False)
+
+
+def test_media_curation_keep_rule(spark, tmp_path):
+    """Flagship keep rule: a long dynamic doc passes; a short doc and
+    a long-but-static doc fail."""
+    from rentals_data_pipeline_spark.plans import multimodal_queries  # noqa: F401
+    from rentals_data_pipeline_spark.plans.catalog import QUERIES
+
+    dynamic = "a" * 64 + "Z" * 64 + "q" * 64       # cut between frames
+    static = "m" * 256                              # no cuts
+    short = "tiny"
+    rows = [(1, dynamic), (2, static), (3, short)]
+    spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["pipeline_media_curation"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[1]["keep"] and got[1]["n_cuts"] >= 1
+    assert not got[2]["keep"] and got[2]["n_cuts"] == 0
+    assert not got[3]["keep"] and got[3]["n_bytes"] == 4
+    # exact energy: 256 * ord('m')^2 for the static doc
+    assert got[2]["total_sq_energy"] == 256 * ord("m") ** 2
