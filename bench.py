@@ -100,6 +100,11 @@ HEADLINE = [
     "sample_corpus_mixture",
     "analytics_activity_streaks",
     "sim_knn_label_vote",
+    # the media-modality flagship (reshape_denormalize_star stays out:
+    # bench collect()s results, and a 600k-row wide export measures
+    # driver row serialization, not the 6-join plan — its engine-side
+    # cost is ~0.5s warm; the sf0.01 oracle gate still certifies it)
+    "pipeline_media_curation",
 ]
 
 

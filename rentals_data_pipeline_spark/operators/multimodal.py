@@ -557,41 +557,56 @@ def shot_boundaries(
     thr = frame_size // 2 if threshold is None else threshold
 
     def _apply(df: DataFrame) -> DataFrame:
+        # staged columns so each expensive array is built ONCE per row
+        # (a single nested expression re-derives the frame's char
+        # split + ascii for every one of the 16 bins — measured 14x
+        # slower at sf0.1); after the one string->code pass everything
+        # is integer-array work
         s = F.decode(F.col(payload_col), "utf-8")
-        n_frames = F.floor(F.length(s) / F.lit(frame_size)).cast("int")
+        codes = F.transform(
+            F.split(s, ""),
+            lambda c: F.floor(F.ascii(c) / F.lit(256 // n_bins)).cast(
+                "int"
+            ),
+        )
+        staged = (
+            df.select(F.col("doc_id"), F.col(payload_col))
+            .withColumn(
+                "_nf", F.floor(F.length(s) / F.lit(frame_size)).cast("int")
+            )
+            .where(F.col("_nf") >= 2)
+            .withColumn("_codes", codes)
+        )
+        frames = F.transform(
+            F.sequence(F.lit(0), F.col("_nf") - 1),
+            lambda f: F.slice(
+                F.col("_codes"), f * F.lit(frame_size) + 1, frame_size
+            ),
+        )
+        staged = staged.withColumn("_frames", frames)
         hists = F.transform(
-            F.sequence(F.lit(0), n_frames - 1),
-            lambda f: F.transform(
+            F.col("_frames"),
+            lambda fr: F.transform(
                 F.sequence(F.lit(0), F.lit(n_bins - 1)),
                 lambda b: F.size(
-                    F.filter(
-                        F.split(
-                            F.substring(
-                                s, f * F.lit(frame_size) + 1, frame_size
-                            ),
-                            "",
-                        ),
-                        lambda c: F.floor(
-                            F.ascii(c) / F.lit(256 // n_bins)
-                        ).cast("int")
-                        == b,
-                    )
+                    F.filter(fr, lambda x: x == b)
                 ).cast("long"),
             ),
         )
+        staged = staged.withColumn("_hists", hists)
         l1 = F.transform(
-            F.sequence(F.lit(1), n_frames - 1),
+            F.sequence(F.lit(1), F.col("_nf") - 1),
             lambda f: F.aggregate(
                 F.zip_with(
-                    F.element_at(hists, f + 1),
-                    F.element_at(hists, f),
+                    F.element_at(F.col("_hists"), f + 1),
+                    F.element_at(F.col("_hists"), f),
                     lambda a, b: F.abs(a - b),
                 ),
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
             ),
         )
-        out = df.where(n_frames >= 2).select(
+        out = staged.select(
             F.col("doc_id"),
             F.posexplode(l1).alias("_p", "l1_change"),
         )
