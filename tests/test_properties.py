@@ -418,3 +418,87 @@ def test_equal_frequency_edges_match_brute_force(spark, vals, n_bins):
         rank = -(-n * d // n_bins)  # ceil
         want.append(float(s[rank - 1]))
     assert got == sorted(want)
+
+
+KSROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),       # period
+        st.integers(min_value=-20, max_value=20),    # value (ties likely)
+    ),
+    min_size=4,
+    max_size=40,
+).filter(lambda rs: {r[0] for r in rs} == {0, 1})
+
+
+@given(rows=KSROWS)
+@settings(**_SETTINGS)
+def test_ks_drift_bounds_and_identity(spark, rows):
+    """0 <= D <= 1 on arbitrary data; D == 0 when both periods hold
+    identical multisets (constructed by mirroring period 0)."""
+    from rentals_data_pipeline_spark.operators.quality import ks_drift
+
+    df = spark.createDataFrame(
+        [("g", p, float(v)) for p, v in rows], ["grp", "period", "value"]
+    )
+    d = ks_drift(df, "grp", "period", "value").collect()[0]["ks_d"]
+    assert 0.0 <= d <= 1.0
+    mirrored = [("g", 0, float(v)) for _, v in rows] + [
+        ("g", 1, float(v)) for _, v in rows
+    ]
+    df2 = spark.createDataFrame(mirrored, ["grp", "period", "value"])
+    assert ks_drift(df2, "grp", "period", "value").collect()[0]["ks_d"] == 0.0
+
+
+DAYSETS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),    # user
+        st.integers(min_value=0, max_value=20),   # active day number
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(pairs=DAYSETS)
+@settings(**_SETTINGS)
+def test_activity_streaks_conservation(spark, pairs):
+    """Streak lengths per user must partition the distinct active-day
+    set: sum(streak lengths) == n distinct days, and the longest
+    streak equals the python-computed longest consecutive run."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    base = dt.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(u, base + dt.timedelta(days=d)) for u, d in pairs],
+        ["user_id", "day"],
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = df.select(
+        "user_id",
+        "day",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    s = r.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    got = {
+        row["user_id"]: (row["total"], row["longest"])
+        for row in s.groupBy("user_id")
+        .agg(
+            F.sum("len").alias("total"), F.max("len").alias("longest")
+        )
+        .collect()
+    }
+    bydays: dict = {}
+    for u, d in pairs:
+        bydays.setdefault(u, set()).add(d)
+    for u, days in bydays.items():
+        days = sorted(days)
+        longest, run = 1, 1
+        for a, b in zip(days, days[1:]):
+            run = run + 1 if b == a + 1 else 1
+            longest = max(longest, run)
+        assert got[u] == (len(days), longest), (u, days, got[u])
