@@ -3423,3 +3423,75 @@ def topk_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.rank().over(w).cast("int"))
         .where(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "join_temporal_validity_intersection",
+    """
+WITH a AS (
+    SELECT user_id, ts AS a_from, LEAD(ts) OVER w AS a_to, value AS a_value
+    FROM events WHERE event_type IN ('signup', 'purchase')
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+b AS (
+    SELECT user_id, ts AS b_from, LEAD(ts) OVER w2 AS b_to,
+           value AS b_value
+    FROM events WHERE event_type = 'error'
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT a.user_id,
+    GREATEST(a.a_from, b.b_from) AS valid_from,
+    CASE WHEN a.a_to IS NULL THEN b.b_to
+         WHEN b.b_to IS NULL THEN a.a_to
+         ELSE LEAST(a.a_to, b.b_to) END AS valid_to,
+    a.a_value, b.b_value
+FROM a JOIN b ON a.user_id = b.user_id
+    AND (a.a_to IS NULL OR b.b_from < a.a_to)
+    AND (b.b_to IS NULL OR a.a_from < b.b_to)
+""",
+)
+def join_temporal_validity_intersection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temporal-algebra join of two SCD2 histories: intersect each
+    user's value-state intervals with their error-state intervals,
+    emitting one row per overlapping validity window ([max(from),
+    min(to)), NULL = still open) carrying both states — the
+    dimension-history × dimension-history join every point-in-time
+    reporting stack needs (contrast join_point_in_time_scd2, which
+    joins EVENTS to one history). Both histories derive from one
+    window pass each; the intersection is a user-keyed equi join with
+    codegen overlap predicates — co-partitioned at scale, per-user
+    interval counts bounded by change counts, never event counts."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+
+    def history(filtered, prefix):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return filtered.select(
+            "user_id",
+            F.col("ts").alias(f"{prefix}_from"),
+            F.lead("ts").over(w).alias(f"{prefix}_to"),
+            F.col("value").alias(f"{prefix}_value"),
+        )
+
+    a = history(
+        events.where(F.col("event_type").isin("signup", "purchase")), "a"
+    )
+    b = history(events.where(F.col("event_type") == "error"), "b")
+    cond = (
+        (a["user_id"] == b["user_id"])
+        & (a["a_to"].isNull() | (b["b_from"] < a["a_to"]))
+        & (b["b_to"].isNull() | (a["a_from"] < b["b_to"]))
+    )
+    return a.join(b, cond).select(
+        a["user_id"],
+        F.greatest(a["a_from"], b["b_from"]).alias("valid_from"),
+        F.when(a["a_to"].isNull(), b["b_to"])
+        .when(b["b_to"].isNull(), a["a_to"])
+        .otherwise(F.least(a["a_to"], b["b_to"]))
+        .alias("valid_to"),
+        "a_value",
+        "b_value",
+    )

@@ -734,3 +734,32 @@ def test_topk_with_ties_keeps_boundary_ties(spark, tmp_path):
     out = QUERIES["topk_orders_with_ties"](spark, str(tmp_path)).collect()
     assert len(out) == 4
     assert {r["o_orderkey"] for r in out} == {10, 11, 12, 13}
+
+
+def test_temporal_intersection_golden(spark, tmp_path):
+    """Hand-built histories: A-state changes at t0 and t4; B-state
+    changes at t2. Intersections: [t0,t2) A1xB-none? B starts at t2 ->
+    first overlap is [t2,t4) A1xB1, then [t4,open) A2xB1."""
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    rows = [
+        (1, t(0), 1, "purchase", 10.0, None),
+        (2, t(4), 1, "purchase", 20.0, None),
+        (3, t(2), 1, "error", 7.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = sorted(
+        (r["valid_from"], r["valid_to"], r["a_value"], r["b_value"])
+        for r in QUERIES["join_temporal_validity_intersection"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert got == [
+        (t(2), t(4), 10.0, 7.0),   # A1 x B1 overlap clipped to [t2,t4)
+        (t(4), None, 20.0, 7.0),   # A2 x B1, both open-ended -> open
+    ]
