@@ -3495,3 +3495,63 @@ def join_temporal_validity_intersection(
         "a_value",
         "b_value",
     )
+
+
+@query(
+    "analytics_rank_movers",
+    """
+WITH wk AS (
+    SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+        SUM(CAST(value AS DECIMAL(18,6))) AS wv
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT user_id, week,
+        CAST(RANK() OVER (PARTITION BY week
+                          ORDER BY wv DESC, user_id) AS INTEGER) AS rnk
+    FROM wk
+),
+delta AS (
+    SELECT user_id, week, rnk,
+        LAG(rnk) OVER (PARTITION BY user_id ORDER BY week) AS prev_rnk
+    FROM ranked
+)
+SELECT user_id, week, rnk,
+    CAST(prev_rnk - rnk AS INTEGER) AS rank_gain
+FROM delta WHERE prev_rnk IS NOT NULL
+""",
+)
+def analytics_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Movers-and-shakers: each user's weekly revenue leaderboard rank
+    and its week-over-week change (positive = climbed) — the
+    rank-composition report (rank within period, then lag across
+    periods — two DIFFERENT window partitionings chained). Weekly
+    revenue folds exact decimals so the leaderboard order is
+    engine-stable (user_id tiebreak); everything after is integer.
+    Shape: one fact shuffle to (user, week) sums, then two small
+    windows over the |users × weeks| leaderboard."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    wk = events.groupBy(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("wv"))
+    w_rank = Window.partitionBy("week").orderBy(
+        F.col("wv").desc(), "user_id"
+    )
+    ranked = wk.select(
+        "user_id", "week", F.rank().over(w_rank).cast("int").alias("rnk")
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("week")
+    return (
+        ranked.withColumn("prev_rnk", F.lag("rnk").over(w_lag))
+        .where(F.col("prev_rnk").isNotNull())
+        .select(
+            "user_id",
+            "week",
+            "rnk",
+            (F.col("prev_rnk") - F.col("rnk")).cast("int").alias(
+                "rank_gain"
+            ),
+        )
+    )
