@@ -3555,3 +3555,90 @@ def analytics_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "analytics_interval_union_coverage",
+    """
+WITH closed AS (
+    SELECT user_id,
+        CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+        CAST(FLOOR(epoch(ts)) AS BIGINT) + 1800 AS e
+    FROM events WHERE event_type = 'click'
+),
+marked AS (
+    SELECT user_id, s, e,
+        MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS prev_max_e
+    FROM closed
+),
+isl AS (
+    SELECT user_id, s, e,
+        SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS island
+    FROM marked
+),
+per_island AS (
+    SELECT user_id, island, MIN(s) AS island_s, MAX(e) AS island_e
+    FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+    CAST(COUNT(*) AS BIGINT) AS n_islands,
+    CAST(SUM(island_e - island_s) AS BIGINT) AS covered_seconds
+FROM per_island GROUP BY 1
+""",
+)
+def analytics_interval_union_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Union-of-intervals coverage per user — the interval-algebra
+    complement to join_temporal_validity_intersection: every click
+    opens a 30-minute activity interval; overlapping intervals merge
+    into disjoint bursts via the running-max-end sweep (a burst starts
+    where an interval begins past every previous end), reported as
+    burst count + total covered seconds. The SLA/uptime/engaged-time
+    primitive (and the interval form of gaps-and-islands). All exact integer epoch arithmetic; ONE user-keyed sort
+    shared by the sweep window, the island id, and both rollups."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    s_col = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    closed = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        s_col.alias("s"),
+        (s_col + F.lit(1800)).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = closed.withColumn("prev_max_e", F.max("e").over(w_prev))
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = marked.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max_e").isNull()
+                | (F.col("s") > F.col("prev_max_e")),
+                1,
+            ).otherwise(0)
+        ).over(w_cum),
+    )
+    per_island = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_s"), F.max("e").alias("island_e")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("island_e") - F.col("island_s"))
+        .cast("long")
+        .alias("covered_seconds"),
+    )

@@ -763,3 +763,26 @@ def test_temporal_intersection_golden(spark, tmp_path):
         (t(2), t(4), 10.0, 7.0),   # A1 x B1 overlap clipped to [t2,t4)
         (t(4), None, 20.0, 7.0),   # A2 x B1, both open-ended -> open
     ]
+
+
+def test_interval_union_coverage_golden(spark, tmp_path):
+    """Clicks at 0min, 10min (overlap -> one 40-min burst) and 120min
+    (second 30-min burst): 2 bursts, 4200 covered seconds."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "click", 1.0, None),
+        (2, t0 + dt.timedelta(minutes=10), 1, "click", 1.0, None),
+        (3, t0 + dt.timedelta(minutes=120), 1, "click", 1.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = QUERIES["analytics_interval_union_coverage"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert r["n_islands"] == 2
+    assert r["covered_seconds"] == 40 * 60 + 30 * 60
