@@ -269,3 +269,39 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     return scored.orderBy(
         F.col("jaccard").desc(), "part_a", "part_b"
     ).limit(100)
+
+
+_DEGREE_SQL = (
+    "WITH "
+    + _PAIRS_CTE.strip()
+    + """,
+sym AS (
+    SELECT part_a AS u, part_b AS v FROM pairs
+    UNION ALL
+    SELECT part_b AS u, part_a AS v FROM pairs
+),
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY 1)
+SELECT CAST(d AS BIGINT) AS degree,
+    CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1
+"""
+)
+
+
+@query("graph_degree_distribution", _DEGREE_SQL)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph — the first
+    diagnostic of any graph workload (hub detection, join-skew
+    prediction for the wedge/triangle family, power-law check). Two
+    tiny aggregations over the edge list; at 100 TB this is the
+    pre-flight that decides the hot-cell caps for the wedge joins."""
+    edges = _pair_graph(spark, sf_dir)
+    sym = edges.select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    ).unionAll(
+        edges.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    return deg.groupBy(F.col("d").cast("long").alias("degree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

@@ -546,3 +546,45 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").transform(
         TX.char_entropy()
     ).drop("text")
+
+
+@query("text_unigram_logprob")  # rows-only: ln() is engine-last-bit
+# territory the oracle-pairing discipline bans; ordering/regime
+# goldens pin the semantics instead
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative unigram negative log-likelihood per document —
+    the language-model-free perplexity proxy: documents made of words
+    RARE in this corpus score high (candidates for junk/outlier
+    review), template text scores low. Complements char_entropy
+    (within-doc) with a corpus-relative signal. Shape: one token-keyed
+    corpus frequency agg (map-side combined) re-joined onto the
+    exploded tokens (co-partitioned on token), then one doc rollup;
+    the 1-row corpus total broadcasts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = freq.agg(F.sum("tf").alias("n_total"))
+    scored = (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (
+                -F.sum(
+                    F.log(
+                        F.col("tf").cast("double")
+                        / F.col("n_total").cast("double")
+                    )
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("nll_per_token"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round("nll_per_token", 4).alias("nll_per_token"),
+    )

@@ -786,3 +786,40 @@ def test_interval_union_coverage_golden(spark, tmp_path):
     ).collect()[0]
     assert r["n_islands"] == 2
     assert r["covered_seconds"] == 40 * 60 + 30 * 60
+
+
+def test_unigram_logprob_rare_words_score_higher(spark, tmp_path):
+    """A doc of corpus-rare words must carry higher NLL/token than a
+    doc of corpus-common words."""
+    from rentals_data_pipeline_spark.plans import text_queries  # noqa: F401
+
+    common = "the the the and and of"
+    rows = [(i, common) for i in range(10)] + [
+        (10, "zyx wvu tsr qpo"),        # words appearing once each
+        (11, common),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("s")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: r["nll_per_token"]
+        for r in QUERIES["text_unigram_logprob"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[10] > got[11]
+    assert got[0] == got[11]  # identical docs, identical score
+
+
+def test_degree_distribution_conserves_edge_mass(spark):
+    """sum(degree * n_nodes) must equal 2x the undirected edge count
+    (handshake lemma) on the real corpus graph."""
+    from rentals_data_pipeline_spark.plans import graph_queries as GQ
+
+    sf = "/root/testdata/sf0.001"
+    dist = QUERIES["graph_degree_distribution"](spark, sf).collect()
+    n_edges = GQ._pair_graph(spark, sf).count()
+    assert sum(r["degree"] * r["n_nodes"] for r in dist) == 2 * n_edges
