@@ -69,3 +69,52 @@ def test_asof_join_partition_invariant(spark):
     want = _rows(clicks.transform(op))
     for layout in _layouts(clicks):
         assert _rows(layout.transform(op)) == want
+
+
+def test_duplicated_ngram_fraction_layout_invariant(spark):
+    """Span-dedup signal must not depend on physical layout: same
+    per-doc fractions after adversarial repartitioning."""
+    from rentals_data_pipeline_spark.operators.text import (
+        duplicated_ngram_fraction,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    op = duplicated_ngram_fraction()
+    want = _rows(docs.transform(op))
+    for layout in _layouts(docs):
+        assert _rows(layout.transform(op)) == want
+
+
+def test_ks_drift_layout_invariant(spark):
+    """KS statistic is an aggregation over exact counts — identical on
+    every partitioning of the events table."""
+    from pyspark.sql import functions as F
+
+    from rentals_data_pipeline_spark.operators.quality import ks_drift
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type",
+        "value",
+        (F.col("event_id") % 2).cast("int").alias("period"),
+    )
+    want = _rows(ks_drift(ev, "event_type", "period", "value"))
+    for layout in _layouts(ev):
+        assert _rows(ks_drift(layout, "event_type", "period", "value")) == want
+
+
+def test_temperature_mixture_layout_invariant(spark):
+    """The mixture sample is a pure function of (key, group counts):
+    identical membership under any layout."""
+    from rentals_data_pipeline_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    op = temperature_mixture_sample("doc_id", "lang", 0.3, "mix")
+    want = _rows(docs.transform(op))
+    for layout in _layouts(docs):
+        assert _rows(layout.transform(op)) == want
