@@ -106,6 +106,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "pipeline_media_curation", "join_temporal_validity_intersection",
     "analytics_rank_movers", "analytics_interval_union_coverage",
     "graph_degree_distribution", "text_unigram_logprob",
+    "agg_boolean_aggregates",
     "tpch_q4_priority_checking", "tpch_q6_forecast_revenue",
     "tpch_q8_market_share", "tpch_q13_customer_distribution",
     "tpch_q14_promo_effect", "tpch_q15_top_supplier",

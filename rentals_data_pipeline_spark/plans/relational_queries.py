@@ -3642,3 +3642,35 @@ def analytics_interval_union_coverage(
         .cast("long")
         .alias("covered_seconds"),
     )
+
+
+@query(
+    "agg_boolean_aggregates",
+    """
+SELECT o_orderpriority,
+    CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS BIGINT)
+        AS n_big,
+    bool_and(o_totalprice > 0.0) AS all_positive,
+    bool_or(o_orderstatus = 'P') AS any_pending,
+    CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+        AS n_finished
+FROM orders
+GROUP BY 1
+""",
+)
+def agg_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate surface: count_if (the FILTER
+    clause), bool_and (every), bool_or (any) per group — the
+    assert-style aggregates data-quality SQL leans on. All exact; one
+    map-side-combined shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000.0)
+        .cast("long")
+        .alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0.0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.count_if(F.col("o_orderstatus") == "F")
+        .cast("long")
+        .alias("n_finished"),
+    )
