@@ -2677,7 +2677,7 @@ WITH r AS (
 )
 SELECT
     CAST(COUNT(*) AS BIGINT) AS n_rows,
-    CAST(SUM(h) AS DECIMAL(38,0)) AS content_checksum
+    CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS VARCHAR) AS content_checksum
 FROM r
 """,
 )
@@ -2689,9 +2689,12 @@ def quality_table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     same rows agree exactly, and one flipped cell changes the sum with
     probability ~1-2^-32 — compare checksums instead of full
     anti-joins after a copy. The sum accumulates in DECIMAL(38,0) so
-    it cannot overflow at any row count; the plan is a pure map +
-    one scalar aggregate (map-side combined), the cheapest possible
-    full-table pass."""
+    it cannot overflow at any row count, and is EMITTED AS A STRING:
+    a 38-digit integer pushed through the driver's pandas float64
+    widening would silently lose precision (53-bit mantissa), so both
+    engines stringify the exact decimal instead. The plan is a pure
+    map + one scalar aggregate (map-side combined), the cheapest
+    possible full-table pass."""
     orders = load_table(spark, sf_dir, "orders")
     canon = F.concat_ws(
         "|",
@@ -2703,7 +2706,7 @@ def quality_table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
     return orders.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(h).cast("decimal(38,0)").alias("content_checksum"),
+        F.sum(h).cast("decimal(38,0)").cast("string").alias("content_checksum"),
     )
 
 

@@ -147,7 +147,9 @@ ranked AS (
         ) AS rnk
     FROM daily
 )
-SELECT day, o_orderpriority, revenue, CAST(rnk AS INT) AS rnk
+SELECT day, o_orderpriority,
+    FLOOR(CAST(revenue AS DOUBLE) * 1e2 + 0.5) / 1e2 AS revenue,
+    CAST(rnk AS INT) AS rnk
 FROM ranked
 WHERE rnk <= 3
 """
@@ -164,7 +166,11 @@ def sql_cte_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k plan the DataFrame catalog pins in test_plan_shapes, here
     certified through raw SQL text that runs verbatim on DuckDB.
     Revenue sums decimal-cast prices (exact, order-invariant), so rank
-    boundaries cannot flip between engines."""
+    boundaries cannot flip between engines; the final SELECT rounds the
+    exact decimal to a 2-dp DOUBLE because the driver's pandas-side
+    oracle fetch widens DuckDB decimals to float64 — emitting raw
+    DECIMAL(38,6) stringifies '123.450000' vs '123.45' and fails the
+    hash gate on equal values (round-5 red row)."""
     register_views(spark, sf_dir)
     return spark.sql(_CTE_WINDOW_SQL)
 

@@ -533,11 +533,11 @@ def sketch_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     "window_range_frame_events",
     """
 SELECT event_id, event_type,
-    SUM(CAST(value AS DECIMAL(38,6))) OVER (
+    FLOOR(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
         PARTITION BY event_type
         ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
-    ) AS sum_1h,
+    ) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS sum_1h,
     COUNT(*) OVER (
         PARTITION BY event_type
         ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
@@ -553,7 +553,10 @@ def window_range_frame_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (peers at the same second share a frame, the RANGE semantic ROWS
     frames can't express). Ordering key is integer epoch seconds so
     both engines build identical frames; the sum is decimal-exact per
-    value, so frame totals are order-invariant and hash directly. At
+    value (order-invariant), then rounded to a 2-dp DOUBLE on output —
+    raw DECIMAL(38,6) would stringify differently after the driver's
+    pandas-side float64 widening of the DuckDB oracle (the r5 red-row
+    class). At
     scale this is one shuffle on event_type + one sort — same cost
     envelope as any other window, state bounded by the hour span."""
     events = load_table(spark, sf_dir, "events")
@@ -565,7 +568,9 @@ def window_range_frame_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id",
         "event_type",
-        F.sum(F.col("value").cast("decimal(38,6)")).over(w).alias("sum_1h"),
+        RND(F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")).alias(
+            "sum_1h"
+        ),
         F.count(F.lit(1)).over(w).alias("n_1h"),
     )
 

@@ -41,3 +41,29 @@ def test_queries_and_oracles_align():
     assert set(o) <= set(q)
     # every oracle string is non-trivial SQL
     assert all("SELECT" in sql.upper() for sql in o.values())
+
+
+def test_no_decimal_columns_in_oracle_paired_schemas(spark):
+    """Driver-typing lint (round-5 red row): the driver fetches the
+    DuckDB oracle through pandas, which widens DECIMAL to float64 —
+    so a Spark result that emits DecimalType stringifies differently
+    ('123.450000' vs '123.45') and hash-fails on EQUAL values; 38-digit
+    decimals additionally lose precision through the float. Every
+    oracle-paired query must round to DOUBLE (round_half_up) or
+    stringify before emitting. Schema derivation is analysis-only
+    (no job runs), so this sweeps all ~178 queries cheaply."""
+    q = entry.queries()
+    offenders = {}
+    for name in entry.oracle_sql():
+        df = q[name](spark, "/root/testdata/sf0.001")
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString().startswith("decimal")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracle-paired queries emitting DecimalType columns (the driver's "
+        f"pandas oracle fetch widens these to float64 → hash-red): {offenders}"
+    )

@@ -100,6 +100,21 @@ def main() -> int:
         # becomes float64 — "0.0" vs Spark's "0" breaks its value hash even
         # though fetchall() agrees. Flag integral Spark columns that pandas
         # widens to float on the oracle side.
+        # Any DecimalType in an oracle-paired Spark schema is an automatic
+        # failure: Spark collects Decimal('123.450000') while the driver's
+        # pandas fetch of the DuckDB oracle widens DECIMAL to float64
+        # ('123.45') — equal values, different strings, hash-red (round-5
+        # red row sql_cte_window_topn). 38-digit decimals additionally
+        # LOSE precision through float64. Round to DOUBLE via
+        # functions.rounding.round_half_up / sql_round, or stringify.
+        for f in sdf.schema.fields:
+            if f.dataType.simpleString().startswith("decimal"):
+                problems.append(
+                    f"driver-typing: Spark col {f.name!r} is "
+                    f"{f.dataType.simpleString()} — the driver's pandas "
+                    "oracle fetch widens decimals to float64; emit a "
+                    "rounded DOUBLE or a string instead"
+                )
         spark_integral = {
             f.name
             for f in sdf.schema.fields
