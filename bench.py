@@ -149,6 +149,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                # Measurement rules are FROZEN as of round 5 (the
+                # round-5 verdict flagged three rounds of methodology
+                # churn): runs+1 passes per query, first pass dropped
+                # (codegen/JIT), median of the rest. Any future change
+                # must bump this version string so rounds stay
+                # longitudinally comparable.
+                "harness": "warm-median-of-3_v1",
             }
         )
     )

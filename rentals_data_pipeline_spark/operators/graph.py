@@ -27,6 +27,51 @@ from pyspark.sql import functions as F
 PR_SCALE = 10**12
 
 
+def basket_pairs(
+    sets: DataFrame,
+    key_col: str,
+    parts_col: str = "parts",
+    out_a: str = "part_a",
+    out_b: str = "part_b",
+    width_threshold: int = 256,
+) -> DataFrame:
+    """All (a < b) item-pair instances per basket, width-routed
+    (round-5 verdict item 8): the in-array transform builds every pair
+    of a basket as structs INSIDE ONE ROW — ~w²/2 structs for a
+    w-item basket, which is the cheap single-shuffle form at normal
+    widths (TPC-H ~13 → ≤78 pairs) but materializes 50M structs /
+    ~1 GB in a single row for one 10k-item hot basket. Baskets wider
+    than ``width_threshold`` (default 256 → ≤ ~32k structs ≈ 512 KB
+    per row) route to the exploded self-join form instead: the same
+    pair set, but emitted as STREAMED join rows (a sort-merge join
+    yields pairs iteratively, never holding a basket's pair space in
+    memory). Pair membership defines a pair on both routes, so the
+    union is exactly the naive self-join's output — certified by the
+    unchanged DISTINCT-self-join oracles of every caller, and pinned
+    by a hot-basket property test."""
+    parts = F.col(parts_col)
+    narrow = sets.where(F.size(parts) <= width_threshold)
+    wide = sets.where(F.size(parts) > width_threshold)
+    pair_structs = F.flatten(
+        F.transform(
+            parts,
+            lambda a: F.transform(
+                F.filter(parts, lambda b: b > a),
+                lambda b: F.struct(a.alias(out_a), b.alias(out_b)),
+            ),
+        )
+    )
+    narrow_pairs = narrow.select(F.explode(pair_structs).alias("p")).select(
+        f"p.{out_a}", f"p.{out_b}"
+    )
+    wa = wide.select(F.col(key_col).alias("_k"), F.explode(parts).alias(out_a))
+    wb = wide.select(F.col(key_col).alias("_k"), F.explode(parts).alias(out_b))
+    wide_pairs = wa.join(
+        wb, (wa["_k"] == wb["_k"]) & (F.col(out_a) < F.col(out_b))
+    ).select(out_a, out_b)
+    return narrow_pairs.unionByName(wide_pairs)
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

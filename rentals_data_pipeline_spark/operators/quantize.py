@@ -218,28 +218,60 @@ def train_pq_codebooks(
     k: int = 16,
     sample_mod: int = 1,
     iters: int = 10,
+    max_sample_rows: int = 100_000,
 ) -> list:
     """Train m per-subspace codebooks (k centroids each) on a
     deterministic sample (id % sample_mod == 0), driver-side numpy.
 
-    Bounded-collect contract: the caller sizes ``sample_mod`` so the
-    sample is a training-set constant (~1e4-1e5 rows), independent of
-    corpus scale — the same contract as the IVF centroid matrix.
-    Vectors are unit-normalized first so ADC inner product ranks like
-    cosine. Returns a list of m (k x d/m) float64 arrays.
+    Bounded-collect contract — ENFORCED (round-5 verdict item 7): the
+    caller sizes ``sample_mod`` so the sample is a training-set
+    constant (~1e4-1e5 rows) independent of corpus scale, and the
+    collect itself is a ``limit(bound + 1)`` probe (the
+    ``pagerank_auto`` pattern) that raises when the sample exceeds
+    ``max_sample_rows`` — a miscalled ``sample_mod=1`` on a huge
+    corpus fails fast instead of collecting the world. Vectors are
+    unit-normalized first so ADC inner product ranks like cosine.
+    Returns a list of m (k x d/m) float64 arrays.
     """
+    rows = _bounded_training_sample(
+        df, vec_col, id_col, sample_mod, max_sample_rows
+    )
+    X = _as_unit_rows(np.asarray([r["v"] for r in rows], dtype=np.float64))
+    return _kmeans_books(X, m, k, iters)
+
+
+def _bounded_training_sample(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    sample_mod: int,
+    max_sample_rows: int,
+) -> list:
+    """Deterministic id-mod sample with the enforced collect bound.
+    ``orderBy(id).limit(bound + 1)`` executes as a TakeOrdered (a
+    bounded heap per partition + one driver merge), so even the probe
+    itself never materializes an unbounded row set."""
     rows = (
         df.where(
             F.col(vec_col).isNotNull() & (F.col(id_col) % sample_mod == 0)
         )
-        .select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
+        .select(
+            F.col(id_col).alias("i"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
         .orderBy("i")
+        .limit(max_sample_rows + 1)
         .collect()
     )
     if not rows:
         raise ValueError("empty PQ training sample")
-    X = _as_unit_rows(np.asarray([r["v"] for r in rows], dtype=np.float64))
-    return _kmeans_books(X, m, k, iters)
+    if len(rows) > max_sample_rows:
+        raise ValueError(
+            f"PQ training sample exceeds max_sample_rows={max_sample_rows}: "
+            f"increase sample_mod so the deterministic sample stays a "
+            f"training-set constant (bounded-collect contract)"
+        )
+    return rows
 
 
 def pq_encode(
@@ -524,6 +556,7 @@ def train_pq_codebooks_residual(
     k: int = 256,
     sample_mod: int = 1,
     iters: int = 10,
+    max_sample_rows: int = 100_000,
 ) -> list:
     """Train PQ codebooks on RESIDUALS (x − centroid[cell]) — the
     classic IVF-PQ refinement (Jegou et al. §IV): after the coarse
@@ -531,20 +564,10 @@ def train_pq_codebooks_residual(
     their bits on within-cell detail, so reconstruction error (and
     hence ADC ranking error) drops at the same byte budget. Same
     deterministic sample / init / iteration contract as the raw
-    trainer."""
-    rows = (
-        df.where(
-            F.col(vec_col).isNotNull() & (F.col(id_col) % sample_mod == 0)
-        )
-        .select(
-            F.col(id_col).alias("i"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-        .orderBy("i")
-        .collect()
+    trainer, including the enforced ``max_sample_rows`` collect bound."""
+    rows = _bounded_training_sample(
+        df, vec_col, id_col, sample_mod, max_sample_rows
     )
-    if not rows:
-        raise ValueError("empty PQ training sample")
     X = _as_unit_rows(np.asarray([r["v"] for r in rows], dtype=np.float64))
     cn = _unit_centroids(centroids)
     sims = X @ cn.T

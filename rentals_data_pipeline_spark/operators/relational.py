@@ -521,12 +521,15 @@ def salted_agg_auto(
     max_salt: int = 1024,
 ) -> Op:
     """``salted_agg`` with the salt factor DERIVED instead of guessed:
-    one pre-pass runs quality.py::key_skew_profile on the group keys
-    and takes its integer recommendation (hottest key mass / target
-    task size, ceiling), clamped to [1, ``max_salt``]. Salt 1 short-
-    circuits to the plain two-phase-free aggregation — unskewed inputs
-    pay only the profile pre-pass (a |keys|-row count shuffle), not a
-    pointless extra phase.
+    one pre-pass runs quality.py::key_skew_profile on the COMPOSITE
+    grouping key (a struct of all key columns — profiling only the
+    first column would see a hot first value and trigger a useless
+    salting phase over an unskewed composite) and takes its integer
+    recommendation (hottest key mass / target task size, ceiling),
+    clamped to [1, ``max_salt``]. Salt 1 short-circuits to the plain
+    two-phase-free aggregation — unskewed inputs pay only the profile
+    pre-pass (a |keys|-row count shuffle), not a pointless extra
+    phase.
 
     The auto-parameter pattern of suggest_bucket_width /
     suggest_quantize_bounds applied to shuffle skew: at 100 TB the
@@ -545,7 +548,9 @@ def salted_agg_auto(
         )
 
         prof = key_skew_profile(
-            df.select(*keys), [keys[0]], target_rows_per_task
+            df.select(F.struct(*keys).alias("_composite_key")),
+            ["_composite_key"],
+            target_rows_per_task,
         ).collect()
         raw = prof[0]["recommended_salt"] if prof else None
         rec = int(raw) if raw is not None else 1  # empty input -> plain

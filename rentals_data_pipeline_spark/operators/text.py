@@ -607,12 +607,21 @@ def duplicated_ngram_fraction(
     near-copies or heavy quoters — the band the doc-level MinHash path
     can miss when only a long span (not the whole doc) is shared.
 
-    Scale shape: n-grams are assembled INSIDE the token array (codegen
-    sequence + slice + concat) and immediately md5-digested, so every
-    shuffle carries 32-byte keys, never text spans. One digest-keyed
-    count (distinct-doc frequency, map-side combined), re-joined
-    co-partitioned on the same digest, then one doc-keyed rollup.
-    Fractions are exact-integer divisions rounded half-up at 4 dp.
+    Scale shape (round-6 rewrite; the round-5 form evaluated the
+    tokenize->md5->explode subtree TWICE — once for the digest
+    frequency agg, once for the join-back — and shuffled 64-byte hex
+    strings): n-grams are assembled INSIDE the token array (codegen
+    sequence + slice + concat) and immediately digested to BINARY(16)
+    via unhex(md5), so every shuffle carries 16-byte keys, never text
+    spans. A gram instance is cross-doc duplicated iff its digest
+    occurs in >= 2 distinct documents, which a full-frame window over
+    the digest detects as min(doc) != max(doc) — no distinct-count, no
+    self-join, ONE evaluation of the expensive subtree and exactly two
+    exchanges (digest window, doc rollup). Documents too short for any
+    gram ride the same plan via explode_outer with a per-doc sentinel
+    digest (unique key — the NULL-key partition would otherwise
+    concentrate every short doc in one task at 100 TB). Fractions are
+    exact-integer divisions rounded half-up at 4 dp.
     """
 
     def _apply(df: DataFrame) -> DataFrame:
@@ -621,33 +630,51 @@ def duplicated_ngram_fraction(
             F.size(toks) >= n,
             F.transform(
                 F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+                lambda i: F.unhex(F.md5(F.concat_ws(" ", F.slice(toks, i, n)))),
             ),
-        ).otherwise(F.array().cast("array<string>"))
-        g = df.select(F.col(id_col), F.explode(grams).alias("gh"))
-        dfreq = g.groupBy("gh").agg(
-            F.count_distinct(F.col(id_col)).alias("_dfc")
+        ).otherwise(F.array().cast("array<binary>"))
+        g = df.select(
+            F.col(id_col), F.explode_outer(grams).alias("gh")
+        ).select(
+            F.col(id_col),
+            F.col("gh").isNotNull().alias("_real"),
+            F.coalesce(
+                F.col("gh"),
+                F.unhex(
+                    F.md5(
+                        F.concat(
+                            F.lit("empty:"), F.col(id_col).cast("string")
+                        )
+                    )
+                ),
+            ).alias("gh"),
         )
-        per = (
-            g.join(dfreq, "gh")
+        wg = Window.partitionBy("gh")
+        dup = (
+            (F.min(id_col).over(wg) != F.max(id_col).over(wg))
+            & F.col("_real")
+        )
+        return (
+            g.withColumn("_dup", dup)
             .groupBy(id_col)
             .agg(
-                F.count(F.lit(1)).alias("n_grams"),
-                F.sum(F.when(F.col("_dfc") >= 2, 1).otherwise(0)).alias(
-                    "n_dup"
-                ),
+                F.sum(F.when(F.col("_real"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_grams"),
+                F.sum(F.when(F.col("_dup"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_dup_grams"),
             )
-        )
-        base = df.select(F.col(id_col))
-        return base.join(per, id_col, "left").select(
-            F.col(id_col),
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_grams"),
-            round_half_up(
-                F.col("n_dup").cast("double")
-                / F.nullif(F.col("n_grams").cast("double"), F.lit(0.0)),
-                4,
-            ).alias("dup_span_frac"),
+            .select(
+                F.col(id_col),
+                "n_grams",
+                "n_dup_grams",
+                round_half_up(
+                    F.col("n_dup_grams").cast("double")
+                    / F.nullif(F.col("n_grams").cast("double"), F.lit(0.0)),
+                    4,
+                ).alias("dup_span_frac"),
+            )
         )
 
     return _apply

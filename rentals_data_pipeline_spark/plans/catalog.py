@@ -705,8 +705,11 @@ c AS (
     FROM g
 )
 SELECT event_type,
-    FLOOR(MAX(ABS(CAST(cumr AS DOUBLE) / CAST(nr AS DOUBLE)
-                  - CAST(cumc AS DOUBLE) / CAST(nc AS DOUBLE)))
+    -- NULLIF: a single-period group divides by zero — NULL in Spark's
+    -- ANSI-off division but Inf/NaN under DuckDB's IEEE mode; the
+    -- guard makes both engines agree on NULL
+    FLOOR(MAX(ABS(CAST(cumr AS DOUBLE) / NULLIF(CAST(nr AS DOUBLE), 0.0)
+                  - CAST(cumc AS DOUBLE) / NULLIF(CAST(nc AS DOUBLE), 0.0)))
           * 1000000.0 + 0.5) / 1000000.0 AS ks_d,
     CAST(MAX(nr) AS BIGINT) AS n_ref,
     CAST(MAX(nc) AS BIGINT) AS n_cur

@@ -290,14 +290,25 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = survivors.select("doc_id", "quality", "text").transform(
         TX.chunk_documents(chunk_tokens=64, overlap=8, keep_cols=("quality",))
     )
-    packed = chunks.transform(
-        SP.train_val_test_split("doc_id", (0.8, 0.1, 0.1))
-    ).transform(
-        TX.pack_chunks_into_bins(
-            bin_tokens=512,
-            order_by=["doc_id", "chunk_idx"],
-            partition_by=["split"],
-            n_shards=16,
+    # Two-level packing reads its input twice (running-sum windows +
+    # the shard-totals aggregate); truncate the lineage so the
+    # filter->decontaminate->dedup->chunk chain above — joins and
+    # shingle windows — evaluates ONCE (the pagerank localCheckpoint
+    # pattern; on a durable cluster use checkpoint() to shared storage
+    # for executor-loss tolerance). Project down FIRST: a checkpoint
+    # materializes every column it is handed, and nothing downstream
+    # needs chunk_text — pruning cannot push through an RDD boundary.
+    packed = (
+        chunks.transform(SP.train_val_test_split("doc_id", (0.8, 0.1, 0.1)))
+        .select("doc_id", "chunk_idx", "n_chunk_tokens", "quality", "split")
+        .localCheckpoint(eager=True)
+        .transform(
+            TX.pack_chunks_into_bins(
+                bin_tokens=512,
+                order_by=["doc_id", "chunk_idx"],
+                partition_by=["split"],
+                n_shards=16,
+            )
         )
     )
     return packed.select(

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from rentals_data_pipeline_spark.operators.graph import (
     PR_SCALE,
+    basket_pairs,
     pagerank,  # noqa: F401 — distributed tier, used via pagerank_auto
     pagerank_auto,
     triangle_candidates,
@@ -46,24 +47,15 @@ pairs AS (
 
 def _pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(part_a < part_b) edges of the support-2 co-purchase graph via
-    the one-fact-shuffle collect_set pair generation."""
+    the one-fact-shuffle collect_set pair generation, width-routed so
+    a pathological hot basket streams through a self-join instead of
+    materializing its pair space in one row (basket_pairs)."""
     li = load_table(spark, sf_dir, "lineitem")
     sets = li.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("parts")
     )
-    parts = F.col("parts")
-    pair_structs = F.flatten(
-        F.transform(
-            parts,
-            lambda a: F.transform(
-                F.filter(parts, lambda b: b > a),
-                lambda b: F.struct(a.alias("part_a"), b.alias("part_b")),
-            ),
-        )
-    )
     return (
-        sets.select(F.explode(pair_structs).alias("p"))
-        .select("p.part_a", "p.part_b")
+        basket_pairs(sets, "l_orderkey")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_together"))
         .where(F.col("n_together") >= 2)

@@ -355,7 +355,8 @@ cells AS (
     SELECT d.doc_id, f.f AS frame,
         ord(substr(d.text, f.f * 64 + i.i + 1, 1)) // 16 AS bin
     FROM d,
-        (SELECT unnest(range(0, 100)) AS f) f,
+        (SELECT unnest(range(0, (SELECT COALESCE(MAX(nf), 0)
+                                     FROM d))) AS f) f,
         (SELECT unnest(range(0, 64)) AS i) i
     WHERE f.f < d.nf
 ),
@@ -365,7 +366,8 @@ hist AS (
 grid AS (
     SELECT d.doc_id, f.f AS frame, b.b AS bin
     FROM d,
-        (SELECT unnest(range(0, 100)) AS f) f,
+        (SELECT unnest(range(0, (SELECT COALESCE(MAX(nf), 0)
+                                     FROM d))) AS f) f,
         (SELECT unnest(range(0, 16)) AS b) b
     WHERE f.f < d.nf
 ),
@@ -435,7 +437,8 @@ cells AS (
     SELECT d.doc_id, f.f AS frame,
         ord(substr(d.text, f.f * 64 + i.i + 1, 1)) // 16 AS bin
     FROM d,
-        (SELECT unnest(range(0, 100)) AS f) f,
+        (SELECT unnest(range(0, (SELECT COALESCE(MAX(nf), 0)
+                                     FROM d))) AS f) f,
         (SELECT unnest(range(0, 64)) AS i) i
     WHERE f.f < d.nf
 ),
@@ -445,7 +448,8 @@ hist AS (
 grid AS (
     SELECT d.doc_id, f.f AS frame, b.b AS bin
     FROM d,
-        (SELECT unnest(range(0, 100)) AS f) f,
+        (SELECT unnest(range(0, (SELECT COALESCE(MAX(nf), 0)
+                                     FROM d))) AS f) f,
         (SELECT unnest(range(0, 16)) AS b) b
     WHERE f.f < d.nf
 ),

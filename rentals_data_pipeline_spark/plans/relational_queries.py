@@ -1649,30 +1649,24 @@ def analytics_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= 78 pairs/order) — no self-join, no second fact scan, no
     re-shuffle, where the naive DISTINCT self-join (the oracle's form,
     which certifies the rewrite is equivalent) scans and shuffles the
-    fact twice. Pair membership, not array position, defines a pair,
+    fact twice. Baskets wider than 256 items route to a streamed
+    self-join instead (operators/graph.py::basket_pairs) so one hot
+    basket can never materialize its w²/2 pair space in a single row. Pair membership, not array position, defines a pair,
     so collect_set's nondeterministic order cannot change the result.
     Pair counts and per-part counts are map-side combined; the
     |parts|-row count table joins back under AQE broadcast, and the
     1-row total cross-joins as a broadcast. Lift divides exact integer
     products in one IEEE division (values << 2^53), so the unrounded
     double hashes identically on both engines."""
+    from rentals_data_pipeline_spark.operators.graph import basket_pairs
+
     li = load_table(spark, sf_dir, "lineitem")
     sets = li.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("parts")
     )
     parts = F.col("parts")
-    pair_structs = F.flatten(
-        F.transform(
-            parts,
-            lambda a: F.transform(
-                F.filter(parts, lambda b: b > a),
-                lambda b: F.struct(a.alias("part_a"), b.alias("part_b")),
-            ),
-        )
-    )
     pairs = (
-        sets.select(F.explode(pair_structs).alias("p"))
-        .select("p.part_a", "p.part_b")
+        basket_pairs(sets, "l_orderkey")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_together"))
         .where(F.col("n_together") >= 2)

@@ -887,68 +887,70 @@ def sim_matryoshka_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings are trained to support), keep 20 per probe, then
     re-rank just those by full-dimension cosine for the final top-5.
     Both frontiers are the certified rounded-score + id-tiebreak
-    shape. At 100 TB the prefix stage is the one that scans the
-    corpus — at 1/4 the vector bytes — while the exact stage touches
-    |probes| x 20 rows; the same two-stage plan as IVF/PQ but with
-    dimension truncation as the compression axis. Recall note: this
-    corpus's embeddings are RANDOM, so the prefix carries ~1/4 of the
-    energy and top-5 recall is only ~0.22 (pinned golden) — the
-    anti-regime; on nested-structure (Matryoshka-trained) embeddings
-    the same plan reaches ~1.0 recall (also pinned, on a structured
-    synthetic corpus). The hash certification is regime-independent:
-    it certifies the two-frontier computation itself."""
+    shape. Round-6 rewrite (round-5 verdict item 6): the prefix stage
+    was a ``probes.crossJoin(corpus)`` — |probes| x |corpus| ROWS
+    materialized through the plan; it now runs through the blocked-GEMM
+    exact top-k kernel (``brute_force_topk(kernel="gemm")`` on the
+    16-dim slices), which scores the same pair space as FLOPs inside
+    one matmul per Arrow batch and emits only per-batch top-20
+    survivors — no cartesian/BroadcastNestedLoop node anywhere in the
+    plan (pinned by test_plan_shapes). Results are IDENTICAL (same
+    rounded score, same match-id tiebreak), so the exact-oracle hash
+    certification is preserved — unlike SRP/IVF candidate pruning,
+    which would change the frontier; those approximate tiers are
+    covered by their own queries (sim_srp_lsh_recall, sim_ivf_topk)
+    and at 100 TB one composes them ahead of this re-rank. The exact
+    stage then touches |probes| x 20 rows, joined back to full vectors
+    by id. Recall note: this corpus's embeddings are RANDOM, so the
+    prefix carries ~1/4 of the energy and top-5 recall is only ~0.22
+    (pinned golden) — the anti-regime; on nested-structure
+    (Matryoshka-trained) embeddings the same plan reaches ~1.0 recall
+    (also pinned, on a structured synthetic corpus). The hash
+    certification is regime-independent: it certifies the two-frontier
+    computation itself."""
     emb = load_table(spark, sf_dir, "embeddings")
     dv = F.col("embedding").cast("array<double>")
-    probes = emb.where(F.col("vec_id") % 50 == 0).select(
+    pre_probes = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("probe_id"),
         F.slice(dv, 1, 16).alias("probe_vec"),
-        dv.alias("probe_full"),
     )
-    corpus = emb.select(
+    pre_corpus = emb.select(
         F.col("vec_id").alias("match_id"),
         F.slice(dv, 1, 16).alias("match_vec"),
-        dv.alias("match_full"),
     )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    cand = SIM.brute_force_topk(
+        pre_probes, pre_corpus, k=20, kernel="gemm"
+    ).select("probe_id", "match_id")
 
     def cos(a, b):
         return RND(
-            dot(a, b)
+            SIM.dot(a, b)
             / F.nullif(
-                F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)), F.lit(0.0)
+                F.sqrt(SIM.dot(a, a)) * F.sqrt(SIM.dot(b, b)), F.lit(0.0)
             ),
             4,
         )
 
     from pyspark.sql import Window as W8
 
-    pre = (
-        probes.crossJoin(corpus)
-        .where(F.col("probe_id") != F.col("match_id"))
+    full = (
+        cand.join(
+            emb.select(
+                F.col("vec_id").alias("match_id"), dv.alias("match_full")
+            ),
+            "match_id",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("probe_id"), dv.alias("probe_full")
+            ),
+            "probe_id",
+        )
         .select(
             "probe_id",
             "match_id",
-            "probe_full",
-            "match_full",
-            cos(F.col("probe_vec"), F.col("match_vec")).alias("pre_cos"),
+            cos(F.col("probe_full"), F.col("match_full")).alias("cosine"),
         )
-    )
-    w_pre = W8.partitionBy("probe_id").orderBy(
-        F.col("pre_cos").desc(), "match_id"
-    )
-    cand = pre.withColumn("prn", F.row_number().over(w_pre)).where(
-        F.col("prn") <= 20
-    )
-    full = cand.select(
-        "probe_id",
-        "match_id",
-        cos(F.col("probe_full"), F.col("match_full")).alias("cosine"),
     )
     w_full = W8.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), "match_id"

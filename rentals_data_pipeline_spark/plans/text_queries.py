@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rentals_data_pipeline_spark.functions.rounding import round_half_up as RND
 from rentals_data_pipeline_spark.operators import text as TX
 from rentals_data_pipeline_spark.plans.catalog import query
 from rentals_data_pipeline_spark.sources.tables import load_table
@@ -586,32 +587,52 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (within-doc) with a corpus-relative signal. Shape: one token-keyed
     corpus frequency agg (map-side combined) re-joined onto the
     exploded tokens (co-partitioned on token), then one doc rollup;
-    the 1-row corpus total broadcasts."""
+    the 1-row corpus total broadcasts.
+
+    Layout invariance (round-6 ADVICE): the per-token negative log is
+    ROUNDED ONCE per distinct token (half-up at 8 dp) and anchored as
+    DECIMAL(28,8), so the per-doc sum is exact integer-decimal
+    addition — order-invariant across any partition layout, where a
+    float sum of raw ln() terms could flip a 4-dp boundary with the
+    shuffle order. The ln() itself runs |vocab| times (once per
+    distinct token in the frequency relation), not |corpus tokens|
+    times. Output rounding uses the repo's floor-based round_half_up,
+    not Spark's string-mediated F.round."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
     )
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
     total = freq.agg(F.sum("tf").alias("n_total"))
+    anchored = (
+        freq.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            RND(
+                -F.log(
+                    F.col("tf").cast("double")
+                    / F.col("n_total").cast("double")
+                ),
+                8,
+            )
+            .cast("decimal(28,8)")
+            .alias("nlp8"),
+        )
+    )
     scored = (
-        tok.join(freq, "token")
-        .crossJoin(F.broadcast(total))
+        tok.join(anchored, "token")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            (
-                -F.sum(
-                    F.log(
-                        F.col("tf").cast("double")
-                        / F.col("n_total").cast("double")
-                    )
-                )
-                / F.count(F.lit(1)).cast("double")
-            ).alias("nll_per_token"),
+            F.sum("nlp8").alias("nll_sum"),
         )
     )
     return scored.select(
         "doc_id",
         "n_tokens",
-        F.round("nll_per_token", 4).alias("nll_per_token"),
+        RND(
+            F.col("nll_sum").cast("double")
+            / F.col("n_tokens").cast("double"),
+            4,
+        ).alias("nll_per_token"),
     )

@@ -241,3 +241,41 @@ def test_media_curation_keep_rule(spark, tmp_path):
     assert not got[3]["keep"] and got[3]["n_bytes"] == 4
     # exact energy: 256 * ord('m')^2 for the static doc
     assert got[2]["total_sq_energy"] == 256 * ord("m") ** 2
+
+
+def test_shot_boundaries_oracle_handles_long_docs(spark, tmp_path):
+    """Round-6 ADVICE: the oracle's frame spine is derived from
+    MAX(nf), not a hard-coded 100-frame cap — a document longer than
+    6400 chars (100 frames) must produce identical engine-vs-oracle
+    results instead of silently truncating the oracle side."""
+    import duckdb
+
+    import __spark_entry__  # noqa: F401 — populates the catalog registry
+    from rentals_data_pipeline_spark.plans.catalog import ORACLE_SQL, QUERIES
+
+    long_text = ("a" * 640 + "z" * 640) * 8  # 10240 chars = 160 frames
+    rows = [(1, long_text, "en", 0), (2, "short doc text here", "en", 0)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, label int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r["doc_id"], r["frame"]): (r["l1_change"], r["is_boundary"])
+        for r in QUERIES["multimodal_shot_boundaries"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert max(f for _, f in got) == 159  # all 160 frames, not 100
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = {
+        (d, f): (l1, b)
+        for d, f, l1, b in con.execute(
+            ORACLE_SQL["multimodal_shot_boundaries"]
+        ).fetchall()
+    }
+    assert got == want

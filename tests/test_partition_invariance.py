@@ -118,3 +118,22 @@ def test_temperature_mixture_layout_invariant(spark):
     want = _rows(docs.transform(op))
     for layout in _layouts(docs):
         assert _rows(layout.transform(op)) == want
+
+
+def test_unigram_logprob_layout_invariant(spark):
+    """The per-doc NLL sums decimal-anchored per-token logs (rounded
+    once per distinct token), so the 4-dp output cannot flip with
+    partition layout — the float-sum order-dependence the round-6
+    ADVICE flagged."""
+    import __spark_entry__  # noqa: F401 — populates the catalog
+    from rentals_data_pipeline_spark.plans.catalog import QUERIES
+
+    fn = QUERIES["text_unigram_logprob"]
+    want = _rows(fn(spark, SF_DIR))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n in ("1", "13"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            assert _rows(fn(spark, SF_DIR)) == want
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

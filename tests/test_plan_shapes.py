@@ -344,3 +344,15 @@ def test_packing_window_is_sharded_not_per_split(spark, name):
             assert "sum(_pack_nb" in ln, (
                 f"fact-sized window partitioned by split alone: {ln}"
             )
+
+
+def test_matryoshka_prefix_has_no_cartesian(spark):
+    """Round-5 verdict item 6: the prefix stage must not materialize
+    the |probes| x |corpus| pair space as rows. The GEMM kernel scores
+    it as FLOPs inside mapInPandas; any cartesian or broadcast
+    nested-loop node means the crossJoin crept back."""
+    df = entry.queries()["sim_matryoshka_prefix_rerank"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "MapInPandas" in plan, plan  # the GEMM stage

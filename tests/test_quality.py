@@ -106,3 +106,24 @@ def test_profile_table_single_pass_stats(spark):
         for r in profile_table(df, exact_distinct=False).collect()
     }
     assert approx["k"]["n_distinct"] > 0
+
+
+def test_ks_drift_single_period_group_is_null_not_inf(spark):
+    """Round-6 ADVICE: a group whose rows all fall in ONE period has a
+    zero denominator on the other side — the nullif guard must yield
+    NULL (no two-sample statistic), never Inf/NaN, and must match the
+    DuckDB oracle's NULLIF behavior."""
+    import math
+
+    from rentals_data_pipeline_spark.operators.quality import ks_drift
+
+    rows = [("only_ref", 0, v) for v in [1.0, 2.0, 3.0]] + [
+        ("both", 0, 1.0),
+        ("both", 1, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, period int, value double")
+    out = {r["g"]: r for r in ks_drift(df, "g", "period", "value").collect()}
+    assert out["only_ref"]["ks_d"] is None
+    assert out["only_ref"]["n_cur"] == 0
+    d = out["both"]["ks_d"]
+    assert d is not None and math.isfinite(d) and d == 1.0

@@ -823,3 +823,50 @@ def test_degree_distribution_conserves_edge_mass(spark):
     dist = QUERIES["graph_degree_distribution"](spark, sf).collect()
     n_edges = GQ._pair_graph(spark, sf).count()
     assert sum(r["degree"] * r["n_nodes"] for r in dist) == 2 * n_edges
+
+
+def test_salted_agg_auto_profiles_composite_key(spark):
+    """Round-6 ADVICE: the auto-salt profile must look at the COMPOSITE
+    grouping key. A hot first column over an unskewed composite (every
+    (k1, k2) pair unique-ish) must recommend salt 1 — the profile of
+    the struct shows no hot key — while results stay identical to the
+    plain aggregation either way."""
+    from pyspark.sql import functions as F5
+
+    from rentals_data_pipeline_spark.operators.quality import (
+        key_skew_profile,
+    )
+    from rentals_data_pipeline_spark.operators.relational import (
+        salted_agg_auto,
+    )
+
+    # k1 is 'hot' for 3000 rows, but (k1, k2) has max mass 2
+    rows = [("hot", i % 1500, 1.0) for i in range(3000)] + [
+        (f"k{i}", 0, 1.0) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["k1", "k2", "v"])
+    prof = key_skew_profile(
+        df.select(F5.struct("k1", "k2").alias("_composite_key")),
+        ["_composite_key"],
+        target_rows_per_task=1000,
+    ).collect()[0]
+    assert prof["recommended_salt"] == 1  # composite is unskewed
+    single = key_skew_profile(
+        df.select("k1"), ["k1"], target_rows_per_task=1000
+    ).collect()[0]
+    assert single["recommended_salt"] >= 3  # first column alone IS hot
+
+    op = salted_agg_auto(
+        ["k1", "k2"],
+        [(F5.count(F5.lit(1)), "n"), (F5.sum("v"), "s")],
+        [F5.sum("n").cast("long").alias("n"), F5.sum("s").alias("s")],
+        target_rows_per_task=1000,
+    )
+    got = {(r["k1"], r["k2"]): (r["n"], r["s"]) for r in df.transform(op).collect()}
+    want = {
+        (r["k1"], r["k2"]): (r["n"], r["s"])
+        for r in df.groupBy("k1", "k2")
+        .agg(F5.count(F5.lit(1)).cast("long").alias("n"), F5.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
