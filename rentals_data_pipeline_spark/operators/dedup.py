@@ -40,8 +40,6 @@ surface (BASELINE.json "dedup").
 
 from __future__ import annotations
 
-import functools
-import operator
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, Window
@@ -76,36 +74,33 @@ def shingle_hash_rows(
     id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> Callable[[DataFrame], DataFrame]:
     """One (id, h) row per word n-gram occurrence, h = xxhash64 of the
-    space-joined gram — the codegen shingling path.
+    space-joined gram.
 
-    ``token_ngram_set`` builds the same grams with ``transform`` over a
-    ``sequence``, which Spark evaluates interpreted (~1.5ms/doc — it
-    dominated both LSH queries' runtime at sf0.1). This shape is
-    posexplode → ``lead`` window → concat_ws → xxhash64: everything in
-    whole-stage codegen, and the window's hash-partitioning on the id
-    is exactly what downstream per-doc groupBys need, so Catalyst
-    plans no second exchange. Rows are NOT deduped (aggregate with
+    Round-6 shape: grams build INSIDE the token array by indexed
+    concat over a positional transform (ten O(1) element reads per
+    gram — NOT ``slice`` copies, the interpreted form that dominated
+    the LSH queries before round 2, and NOT the r2-r5 posexplode →
+    ``lead``-window form, which shuffled EVERY RAW TOKEN on the id to
+    sort for the window). The gram stage is now a pure map fused into
+    the scan; the downstream per-doc MinHash aggregate partially
+    combines map-side, so the only shuffle carries one
+    (id, 64 partial mins) row per doc per task instead of the whole
+    tokenized corpus — the at-scale win that motivated the change.
+    Hashes are byte-identical (same gram strings), so every certified
+    consumer is unchanged. Rows are NOT deduped (aggregate with
     ``collect_set``/``min`` downstream, both duplicate-insensitive);
     docs with fewer than n words emit nothing.
     """
+    tail = " , ' ', ".join(f"_toks[i + {j}]" for j in range(1, n))
+    gram_expr = (
+        f"transform(slice(_toks, 1, greatest(size(_toks) - {n - 1}, 0)), "
+        f"(t, i) -> xxhash64(concat(t, ' ', {tail})))"
+    )
 
     def _apply(df: DataFrame) -> DataFrame:
-        toks = df.select(
-            F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "tok"),
-        )
-        w = Window.partitionBy(id_col).orderBy("pos")
-        lead_cols = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, n)]
-        grams = toks.select(F.col(id_col), F.col("tok"), *lead_cols)
-        full = functools.reduce(
-            operator.and_, [F.col(f"t{j}").isNotNull() for j in range(1, n)]
-        )
-        return grams.where(full).select(
-            F.col(id_col),
-            F.xxhash64(
-                F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)])
-            ).alias("h"),
-        )
+        return df.select(
+            F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_toks")
+        ).select(F.col(id_col), F.explode(F.expr(gram_expr)).alias("h"))
 
     return _apply
 
@@ -545,33 +540,33 @@ def shingle_digest_rows(
     id_col: str = "doc_id", text_col: str = "text", n: int = 5
 ) -> Callable[[DataFrame], DataFrame]:
     """One (id, d) row per word n-gram, d = md5 hex digest of the
-    space-joined gram. Same codegen shape as ``shingle_hash_rows``
-    (posexplode → lead window → concat_ws) but digesting with md5
-    instead of xxhash64: md5 is the hash both engines share, so
+    space-joined gram. md5 is the hash both engines share, so
     digest-keyed set operations (decontamination's overlap join)
     certify against a DuckDB oracle value-for-value, and the shuffle
     key is a fixed 32-byte digest rather than a variable-width gram
     string. Docs with fewer than ``n`` words emit nothing; rows are
     NOT deduped (downstream joins/distincts are duplicate-safe).
-    """
+
+    Round-6 shape: grams are built INSIDE the token array by indexed
+    concat over a positional transform — ten O(1) element reads per
+    gram — and exploded already digested. The previous posexplode →
+    lead-window form SHUFFLED every token on the id to sort for the
+    window: a full-corpus token shuffle at 100 TB that this form
+    eliminates entirely (the gram stage is now a pure map fused into
+    the scan; byte-identical digests, so every certified consumer is
+    unchanged — same lesson as text.py::duplicated_ngram_fraction,
+    where the indexed concat also measured 2.5x faster than
+    per-position ``slice`` copies)."""
+    tail = " , ' ', ".join(f"_toks[i + {j}]" for j in range(1, n))
+    gram_expr = (
+        f"transform(slice(_toks, 1, greatest(size(_toks) - {n - 1}, 0)), "
+        f"(t, i) -> md5(concat(t, ' ', {tail})))"
+    )
 
     def _apply(df: DataFrame) -> DataFrame:
-        toks = df.select(
-            F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "tok"),
-        )
-        w = Window.partitionBy(id_col).orderBy("pos")
-        lead_cols = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, n)]
-        grams = toks.select(F.col(id_col), F.col("tok"), *lead_cols)
-        full = functools.reduce(
-            operator.and_, [F.col(f"t{j}").isNotNull() for j in range(1, n)]
-        )
-        return grams.where(full).select(
-            F.col(id_col),
-            F.md5(
-                F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)])
-            ).alias("d"),
-        )
+        return df.select(
+            F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_toks")
+        ).select(F.col(id_col), F.explode(F.expr(gram_expr)).alias("d"))
 
     return _apply
 
@@ -588,10 +583,12 @@ def decontaminate(
     document sharing at least one word ``n``-gram with any benchmark
     document. Returns the surviving ``train`` rows unchanged.
 
-    Plan shape: both sides shingle through the codegen window path
-    (``shingle_digest_rows``), the benchmark's digest SET is
-    deduplicated, and contamination is two hash joins — a semi join
-    marking contaminated train ids, then an anti join dropping them.
+    Plan shape: both sides shingle through the in-array indexed-concat
+    path (``shingle_digest_rows`` — a pure map fused into the scan; as
+    of round 6 NO window, so no token-level shuffle anywhere), the
+    benchmark's digest SET is deduplicated, and contamination is two
+    hash joins — a semi join marking contaminated train ids, then an
+    anti join dropping them.
     No text ever crosses a shuffle: only 32-byte digests and ids. At
     100 TB the benchmark side is eval-suite-sized (thousands of docs →
     at most a few million distinct digests), so AQE broadcasts it and

@@ -124,11 +124,15 @@ def test_pii_redaction_is_map_only(spark):
 
 def test_decontaminate_shape(spark):
     s = _shape(spark, "dedup_decontaminate_train")
-    # benchmark digest set + contaminated-id set replicate as broadcasts;
-    # the only shuffles key the per-doc shingle windows on doc_id
+    # benchmark digest set + contaminated-id set replicate as broadcasts
     assert s["bhj"] >= 2, s["plan"]        # semi + anti stay broadcast
     assert s["smj"] == 0, s["plan"]
-    assert s["python"] == 0, s["plan"]     # shingling is codegen windows
+    assert s["python"] == 0, s["plan"]     # shingling is in-row expressions
+    # r6: grams build inside the token array — NO window, so no
+    # token-level shuffle; the only exchanges are the digest/id
+    # distincts (full-corpus token shuffle was the 100 TB leak)
+    assert "Window [" not in s["plan"], s["plan"]
+    assert s["shuffles"] <= 2, s["plan"]
 
 
 def test_runtime_bloom_filter_injects_on_selective_join(spark):
