@@ -442,33 +442,38 @@ def repetition_stats(id_col: str = "doc_id", text_col: str = "text") -> Op:
     - ``top_bigram_frac``: share of all word bigrams taken by the
       single most frequent bigram (NULL for docs with < 2 tokens).
 
-    Plan shape: one posexplode + lead window builds bigrams in codegen
-    (the shingle path's shape at n=2), then token and bigram aggregates
-    both key on the id — Catalyst reuses a single hash partitioning
-    across the window, both groupBys, and the final co-partitioned
-    join, so the whole operator costs ONE shuffle of (id, token) rows.
-    Fractions are rounded half-up at 4 decimals so the oracle replays
-    them exactly.
+    Plan shape (round-6): the token-level stats are IN-ROW array
+    expressions (size / array_distinct — no explode, no shuffle), and
+    bigrams build inside the token array by indexed concat, digested
+    to BINARY(16) before the explode. The only fact-sized shuffle is
+    the (id, digest) count — partially combined map-side and carrying
+    fixed 16-byte keys — where the previous posexplode + lead-window
+    form shuffled every RAW TOKEN on the id (windows have no map-side
+    combine, so the whole tokenized corpus crossed the wire at 100 TB).
+    The digest never reaches the output, so grouping by md5(bigram)
+    instead of the bigram string is result-identical (128-bit digest:
+    collision-free at any certifiable scale). Fractions are rounded
+    half-up at 4 decimals so the oracle replays them exactly.
     """
+    bigram_expr = (
+        "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)), "
+        "(t, i) -> unhex(md5(concat(t, ' ', _toks[i + 1]))))"
+    )
 
     def _apply(df: DataFrame) -> DataFrame:
-        toks = df.select(
+        # NULL-text docs emitted nothing under the old exploded form
+        # (no token rows -> absent from the output); keep that contract
+        df = df.where(F.col(text_col).isNotNull())
+        toks = F.split(F.col(text_col), r"\s+")
+        tstats = df.select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "tok"),
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
         )
-        tstats = toks.groupBy(id_col).agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.count_distinct(F.col("tok")).alias("n_distinct"),
-        )
-        w = Window.partitionBy(id_col).orderBy("pos")
         bigrams = (
-            toks.select(
-                F.col(id_col),
-                F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("g"),
-                F.lead("tok", 1).over(w).alias("_t1"),
-            )
-            .where(F.col("_t1").isNotNull())
-            .groupBy(id_col, "g")
+            df.select(F.col(id_col), toks.alias("_toks"))
+            .select(F.col(id_col), F.explode(F.expr(bigram_expr)).alias("d"))
+            .groupBy(id_col, "d")
             .agg(F.count(F.lit(1)).alias("c"))
             .groupBy(id_col)
             .agg(F.max("c").alias("_maxc"), F.sum("c").alias("_total"))
