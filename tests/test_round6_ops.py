@@ -1,0 +1,111 @@
+"""Round-6 operator invariants.
+
+Pins the contracts of the round-6 scale-shape rewrites: two-level bin
+packing (sharded windows + prefix-sum offsets) and the in-array
+indexed-concat shingle path that replaced the lead-window form.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import functions as F
+
+from rentals_data_pipeline_spark.operators.text import pack_chunks_into_bins
+
+
+def _chunk_rows(seed: int = 3, n_docs: int = 120):
+    rng = random.Random(seed)
+    rows = []
+    for d in range(n_docs):
+        split = ["train", "val", "test"][d % 3]
+        for c in range(rng.randint(1, 6)):
+            rows.append((d, c, rng.randint(8, 64), split))
+    return rows
+
+
+def test_two_level_packing_invariants(spark):
+    """For ANY n_shards: every chunk is assigned exactly one bin; bins
+    are contiguous 1..max per split; no bin's token total exceeds the
+    budget by a full chunk (each shard's running-sum walk can overshoot
+    by less than one chunk, and shards never share a bin id after the
+    prefix-sum offset)."""
+    df = spark.createDataFrame(
+        _chunk_rows(),
+        "doc_id long, chunk_idx long, n_chunk_tokens long, split string",
+    )
+    budget = 128
+    for n_shards in (0, 1, 4, 16):
+        out = df.transform(
+            pack_chunks_into_bins(
+                bin_tokens=budget,
+                order_by=["doc_id", "chunk_idx"],
+                partition_by=["split"],
+                n_shards=n_shards,
+            )
+        ).collect()
+        assert len(out) == df.count()  # every chunk assigned
+        by_split_bin: dict = {}
+        for r in out:
+            by_split_bin.setdefault(r["split"], {}).setdefault(
+                r["bin_id"], 0
+            )
+            by_split_bin[r["split"]][r["bin_id"]] += r["n_chunk_tokens"]
+        max_chunk = max(r["n_chunk_tokens"] for r in out)
+        for split, bins in by_split_bin.items():
+            ids = sorted(bins)
+            assert ids == list(range(1, len(ids) + 1)), (
+                f"bins not contiguous for {split} at n_shards={n_shards}: {ids[:10]}"
+            )
+            for b, total in bins.items():
+                assert total < budget + max_chunk, (
+                    f"bin {split}/{b} overshoots by a full chunk: {total}"
+                )
+
+
+def test_two_level_packing_layout_invariant(spark):
+    """Bin assignment is a pure function of the data — identical on
+    any physical layout of the input."""
+    df = spark.createDataFrame(
+        _chunk_rows(seed=11),
+        "doc_id long, chunk_idx long, n_chunk_tokens long, split string",
+    )
+    op = pack_chunks_into_bins(
+        bin_tokens=96,
+        order_by=["doc_id", "chunk_idx"],
+        partition_by=["split"],
+        n_shards=8,
+    )
+    want = sorted(tuple(r) for r in df.transform(op).collect())
+    for layout in (df.repartition(13), df.repartition(1), df.orderBy(F.rand(seed=5))):
+        assert sorted(tuple(r) for r in layout.transform(op).collect()) == want
+
+
+def test_shingle_digest_rows_matches_naive_ngrams(spark):
+    """The in-array indexed-concat shingle path emits exactly the md5
+    digests of the naive per-document n-gram walk — one row per gram
+    OCCURRENCE (duplicates kept), none for docs shorter than n."""
+    from rentals_data_pipeline_spark.operators.dedup import (
+        shingle_digest_rows,
+    )
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "x"]
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for d in range(40)
+    ]
+    n = 5
+    want = []
+    for d, text in docs:
+        w = text.split(" ") if text else [""]
+        for i in range(len(w) - n + 1):
+            gram = " ".join(w[i : i + n])
+            want.append((d, hashlib.md5(gram.encode()).hexdigest()))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["d"])
+        for r in df.transform(shingle_digest_rows("doc_id", "text", n)).collect()
+    ]
+    assert sorted(got) == sorted(want)
