@@ -360,3 +360,13 @@ def test_matryoshka_prefix_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "MapInPandas" in plan, plan  # the GEMM stage
+
+
+def test_minhash_gram_stage_has_no_window(spark):
+    """r6: shingles build in-array (pure map) — the former lead-window
+    form shuffled every raw token on the doc id. The MinHash plan must
+    contain NO Window node; its only shuffles are the map-side-combined
+    signature aggregate and the banding/verify joins."""
+    s = _shape(spark, "dedup_minhash_lsh_pairs")
+    assert "Window [" not in s["plan"], s["plan"]
+    assert s["python"] == 0, s["plan"]
