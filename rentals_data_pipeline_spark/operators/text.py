@@ -632,6 +632,17 @@ def duplicated_ngram_fraction(
     NULL-key partition would otherwise concentrate every short doc in
     one task at 100 TB). Fractions are exact-integer divisions rounded
     half-up at 4 dp. Measured at sf0.1: 5.71s (r5) -> 1.2s.
+
+    Residual skew note: a single gram present in a large fraction of
+    ALL documents (corpus-wide boilerplate) concentrates its instances
+    in one window partition — windows cannot split partitions the way
+    AQE splits skewed joins. If a corpus is known to carry such grams,
+    either pre-drop the ubiquitous digests (corpus_ngram_topk finds
+    them; any dropped gram is dup-by-definition, so add its count to
+    both n_grams and n_dup_grams) or fall back to the
+    groupBy(gh)+join-back form with a localCheckpoint on the digest
+    relation — exact same output, AQE-skew-splittable join, one extra
+    materialization.
     """
     tail = " , ' ', ".join(f"_toks[i + {j}]" for j in range(1, n))
     gram_expr = (
