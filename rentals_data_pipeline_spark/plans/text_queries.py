@@ -313,8 +313,15 @@ def text_pack_chunks_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = docs.select("doc_id").transform(
         SP.train_val_test_split("doc_id", (0.8, 0.1, 0.1))
     )
+    # Prune + checkpoint before packing (the training-prep discipline):
+    # two-level packing reads its input twice (running-sum windows +
+    # shard totals); without the checkpoint the tokenize+chunk explode
+    # re-runs for the totals branch — a second full-corpus tokenize at
+    # 100 TB. chunk_text is not in the output, so it never materializes.
     packed = (
         chunks.join(split, "doc_id")
+        .select("doc_id", "chunk_idx", "n_chunk_tokens", "split")
+        .localCheckpoint(eager=True)
         .transform(
             TX.pack_chunks_into_bins(
                 bin_tokens=512,
