@@ -219,8 +219,13 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     division at the end. At 100 TB the wedge join is the triangle
     query's shape: shuffle keyed on the shared neighbor, hub nodes
     bounded by the support-2 edge floor (and cappable per node like
-    ivf's hot-cell guard)."""
-    edges = _pair_graph(spark, sf_dir)
+    ivf's hot-cell guard). The edge list localCheckpoints up front
+    (the pagerank discipline): FIVE consumers read it (degree agg +
+    both wedge sides + both degree joins' lineage), and without
+    materialization the whole pair-graph build — fact shuffle,
+    collect_set, width routing — replays once per consumer (plan
+    audit measured 39 exchanges -> 7 after the checkpoint)."""
+    edges = _pair_graph(spark, sf_dir).localCheckpoint(eager=True)
     sym = edges.select(
         F.col("part_a").alias("u"), F.col("part_b").alias("v")
     ).unionAll(
