@@ -49,7 +49,15 @@ def _pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(part_a < part_b) edges of the support-2 co-purchase graph via
     the one-fact-shuffle collect_set pair generation, width-routed so
     a pathological hot basket streams through a self-join instead of
-    materializing its pair space in one row (basket_pairs)."""
+    materializing its pair space in one row (basket_pairs).
+
+    The edge list localCheckpoints before returning: every graph query
+    reads it at least twice (symmetrization alone is two reads; the
+    triangle wedge join three, jaccard five), and without
+    materialization the whole build — fact shuffle, collect_set, width
+    routing — replays once per read. The support-2 edge list is tiny
+    relative to the fact (~1.9k edges at sf0.1), so this is the
+    pagerank edge-checkpoint discipline applied one level down."""
     li = load_table(spark, sf_dir, "lineitem")
     sets = li.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("parts")
@@ -60,6 +68,7 @@ def _pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_together"))
         .where(F.col("n_together") >= 2)
         .drop("n_together")
+        .localCheckpoint(eager=True)
     )
 
 
@@ -219,13 +228,11 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     division at the end. At 100 TB the wedge join is the triangle
     query's shape: shuffle keyed on the shared neighbor, hub nodes
     bounded by the support-2 edge floor (and cappable per node like
-    ivf's hot-cell guard). The edge list localCheckpoints up front
-    (the pagerank discipline): FIVE consumers read it (degree agg +
-    both wedge sides + both degree joins' lineage), and without
-    materialization the whole pair-graph build — fact shuffle,
-    collect_set, width routing — replays once per consumer (plan
-    audit measured 39 exchanges -> 7 after the checkpoint)."""
-    edges = _pair_graph(spark, sf_dir).localCheckpoint(eager=True)
+    ivf's hot-cell guard). FIVE consumers read the edge list (degree
+    agg + both wedge sides + both degree joins' lineage); the
+    _pair_graph checkpoint keeps the build single-evaluation (plan
+    audit measured 39 exchanges -> 7 with the materialized edges)."""
+    edges = _pair_graph(spark, sf_dir)
     sym = edges.select(
         F.col("part_a").alias("u"), F.col("part_b").alias("v")
     ).unionAll(
