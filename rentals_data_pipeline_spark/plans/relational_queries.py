@@ -2968,6 +2968,13 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary_exact",
         )
+        # FOUR consumers read the per-customer base (the scored output
+        # + three quintile-edge derivations); localCheckpoint keeps the
+        # orders scan + customer aggregate single-evaluation (plan
+        # audit: 14 parquet scans / 26 exchanges -> 1 scan + bounded
+        # edge walks). The base is |customers|-sized and distributed —
+        # executor-local storage, no driver materialization.
+        .localCheckpoint(eager=True)
     )
 
     def edges_of(col: str) -> DataFrame:
