@@ -1059,9 +1059,12 @@ def cdc_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = old.transform(
         aggregate_snapshot(["o_orderpriority"], ["o_totalprice"])
     )
+    # the diff feeds both the removed and the added semi joins;
+    # materialize it once (it is |changed rows|-sized) instead of
+    # re-running the snapshot comparison join per consumer
     diff = snapshot_diff(
         old, new, keys=["o_orderkey"], compare=["o_totalprice", "o_orderpriority"]
-    )
+    ).localCheckpoint(eager=True)
     removed = old.join(
         diff.where(F.col("change_type").isin("deleted", "changed"))
         .select("o_orderkey"),
@@ -1822,10 +1825,17 @@ def analytics_funnel_conversion_window(
     events = load_table(spark, sf_dir, "events")
     win = F.expr("INTERVAL 48 HOURS")
 
+    # each stage frame is read by THREE consumers (the next stage's
+    # join, its delay rollup, and the top-line count) and s3's lineage
+    # nests s2's nests s1's — without materialization the event scans
+    # multiply down the chain (plan audit: 9 scans / 11 exchanges ->
+    # 3 scans, one per stage filter). The frames are per-user minima —
+    # tiny, distributed, executor-local.
     s1 = (
         events.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=True)
     )
 
     def stage(prev: DataFrame, etype: str, tcol: str, prev_t: str) -> DataFrame:
@@ -1838,6 +1848,7 @@ def analytics_funnel_conversion_window(
             )
             .groupBy("user_id")
             .agg(F.min("ts").alias(tcol))
+            .localCheckpoint(eager=True)
         )
 
     s2 = stage(s1, "click", "t2", "t1")
