@@ -2189,24 +2189,32 @@ def analytics_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFr
     "agg_collect_event_types",
     """
 SELECT user_id,
-       array_agg(DISTINCT event_type ORDER BY event_type) AS types,
+       array_to_string(array_agg(DISTINCT event_type ORDER BY event_type),
+                       '|') AS types,
        CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
 FROM events
 GROUP BY user_id
 """,
 )
 def agg_collect_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user sorted distinct event-type array — the array_agg /
+    """Per-user sorted distinct event-type set — the array_agg /
     collect_set aggregation shape (feature lists, label sets, session
     traces). Sorting inside the aggregate makes the nested value
-    deterministic under any shuffle order, which is what lets an
-    array-typed column participate in a value-hash gate at all. The
-    collected set is bounded by the event-type vocabulary (5 here) —
-    at 100 TB collect only bounded-cardinality sets; unbounded
-    per-group arrays belong in explode-joins, not rows."""
+    deterministic under any shuffle order; the sorted set is EMITTED
+    AS A '|'-JOINED STRING because the driver's pandas-side oracle
+    fetch renders DuckDB LISTs as numpy arrays, which stringify
+    differently from Spark's collected Python lists ("['a' 'b']" vs
+    "['a', 'b']") — the same local-green/driver-red class as the
+    round-5 decimal row, pre-empted here (this was the catalog's only
+    array-typed oracle-paired output). The collected set is bounded by
+    the event-type vocabulary (5 here) — at 100 TB collect only
+    bounded-cardinality sets; unbounded per-group arrays belong in
+    explode-joins, not rows."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("types"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), "|").alias(
+            "types"
+        ),
         F.countDistinct("event_type").cast("long").alias("n_types"),
     )
 

@@ -59,11 +59,14 @@ def test_no_decimal_columns_in_oracle_paired_schemas(spark):
         bad = [
             f.name
             for f in df.schema.fields
-            if f.dataType.simpleString().startswith("decimal")
+            if f.dataType.simpleString().startswith(
+                ("decimal", "array", "map", "struct")
+            )
         ]
         if bad:
             offenders[name] = bad
     assert not offenders, (
-        "oracle-paired queries emitting DecimalType columns (the driver's "
-        f"pandas oracle fetch widens these to float64 → hash-red): {offenders}"
+        "oracle-paired queries emitting Decimal/array/map/struct columns "
+        "(the driver's pandas oracle fetch widens decimals to float64 and "
+        f"renders LISTs as numpy arrays → hash-red): {offenders}"
     )

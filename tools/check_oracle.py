@@ -3,7 +3,16 @@
 Runs every catalog query in Spark AND its DuckDB oracle on the same
 parquet, compares row count, column names, and an order-insensitive
 value hash (columns sorted by name, floats rounded for stringification).
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--pandas-oracle] [sf_dir] [query ...]
+
+``--pandas-oracle`` fetches the oracle through pandas (``.df()``)
+instead of ``fetchall()``, replicating the DRIVER's fetch path — the
+round-5 red row (sql_cte_window_topn) was locally green under fetchall
+(DuckDB DECIMAL arrives as exact ``Decimal``) but driver-red under
+pandas (DECIMAL widens to float64, '123.450000' vs '123.45'). Running
+both modes certifies against BOTH normalizations; numpy scalars are
+unwrapped so bools/ints/floats normalize like their Python
+counterparts.
 """
 
 from __future__ import annotations
@@ -23,6 +32,11 @@ from rentals_data_pipeline_spark.session import create_spark_session  # noqa: E4
 
 
 def norm_cell(v: object) -> str:
+    # unwrap numpy scalars (the pandas-oracle path yields np.bool_ /
+    # np.int64 / np.float64, which would stringify differently from
+    # their Python counterparts: np.bool_ is NOT a bool instance)
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        v = v.item()
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -49,8 +63,11 @@ def value_hash(rows: list[tuple], columns: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    pandas_oracle = "--pandas-oracle" in args
+    args = [a for a in args if a != "--pandas-oracle"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     # Mirror the driver's gate: Spark 4 defaults to ANSI-on and the
     # driver does not opt out, so the engine's permissive session config
@@ -87,9 +104,40 @@ def main() -> int:
                 failures.append(name)
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            if pandas_oracle:
+                # the driver's fetch path: DECIMAL -> float64,
+                # HUGEINT -> float64, BOOLEAN -> np.bool_, NULL ints
+                # -> NaN floats — divergences fetchall() hides
+                odf = con.execute(oracles[name]).df()
+                ocols = list(odf.columns)
+                # pandas widens DATE to midnight Timestamps; certified
+                # date-emitting queries prove the driver normalizes
+                # both sides consistently, so fold Timestamps back to
+                # dates for columns Spark types as DATE (schema-driven
+                # — a true midnight TIMESTAMP stays a timestamp)
+                date_cols = {
+                    f.name
+                    for f in sdf.schema.fields
+                    if f.dataType.simpleString() == "date"
+                }
+                di = [i for i, c in enumerate(ocols) if c in date_cols]
+
+                def _norm_pd(c, i):
+                    # NaN/NaT are pandas' NULL markers (c != c both)
+                    if c is None or c != c:
+                        return None
+                    if i in di and hasattr(c, "date"):
+                        return c.date()
+                    return c
+
+                orows = [
+                    tuple(_norm_pd(c, i) for i, c in enumerate(t))
+                    for t in odf.itertuples(index=False, name=None)
+                ]
+            else:
+                res = con.execute(oracles[name])
+                ocols = [d[0] for d in res.description]
+                orows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
@@ -114,6 +162,14 @@ def main() -> int:
                     f"{f.dataType.simpleString()} — the driver's pandas "
                     "oracle fetch widens decimals to float64; emit a "
                     "rounded DOUBLE or a string instead"
+                )
+            if f.dataType.simpleString().startswith(("array", "map", "struct")):
+                problems.append(
+                    f"driver-typing: Spark col {f.name!r} is "
+                    f"{f.dataType.simpleString()} — the driver's pandas "
+                    "oracle fetch renders DuckDB LISTs as numpy arrays "
+                    "(different stringification); join/serialize the "
+                    "nested value to a string on both sides"
                 )
         spark_integral = {
             f.name
