@@ -3,12 +3,16 @@
 Media is modeled the way a 100 TB training-data lake stores it: an
 opaque ``binary`` payload column plus typed metadata columns, processed
 by Arrow-batched ``mapInPandas`` stages. ``decode_media`` is a REAL
-decode path for the two containers pure Python can parse — RIFF/WAVE
-PCM via stdlib ``wave`` (``pack_wav`` builds genuine WAV payloads to
-feed it) and binary PPM (P6) images (``pack_ppm`` builds genuine P6
-containers); compressed codecs stay environment-gated — no PIL/ffmpeg
-in this container — and surface as ``unsupported codec`` error ROWS,
-never task failures. Everything Spark-side is real and tested:
+decode path dispatching on magic bytes to the pure-Python container
+parsers in ``operators/codecs.py`` — RIFF/WAVE (PCM 8/16/24/32-bit,
+IEEE float, G.711 mu-law/A-law, EXTENSIBLE wrappers), PNG (zlib
+inflate, all five scanline filters, 8/16-bit, gray/RGB/palette/alpha),
+GIF (full LZW, interlace), BMP (BI_RGB 24/32) and binary PPM P6
+(``pack_wav``/``pack_ppm`` build genuine containers to feed it);
+entropy-coded codecs (JPEG/FLAC/MP4) stay environment-gated — no
+PIL/ffmpeg in this container — and surface as ``unsupported codec``
+error ROWS, never task failures. Everything Spark-side is real and
+tested:
 
 - ``pack_media``: documents → media-shaped rows (payload bytes + typed
   metadata). Deterministic fake payloads (utf-8 of the text) so every
@@ -184,18 +188,23 @@ def pack_ppm(
 def decode_media(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Real media decode for the containers pure Python can parse:
-    RIFF/WAVE with 8-bit unsigned or 16-bit signed PCM (mono or
-    multi-channel) and binary PPM (P6) images with maxval <= 255.
+    """Real media decode for every container pure Python can parse —
+    magic-byte dispatch to ``operators/codecs.py``: RIFF/WAVE (PCM
+    8/16/24/32-bit, IEEE float32/64, G.711 mu-law/A-law, EXTENSIBLE
+    wrappers), PNG (8/16-bit; gray/RGB/palette/gray+alpha/RGBA; all
+    five scanline filters), GIF 87a/89a first frame (full LZW,
+    interlace), BMP (BI_RGB 24/32) and binary PPM P6 (maxval <= 255).
     mapInPandas over (id, payload) yielding one row per media item with
     ``n_channels``, ``sample_rate`` (NULL for images),
     ``decoded: array<array<double>>`` (one inner array per channel,
-    de-interleaved; audio 8-bit 0..255 / 16-bit -32768..32767, image
-    channels R,G,B row-major 0..255) and ``decode_error: string`` (NULL
-    on success). Decode failures — NULL payloads, foreign magic bytes,
-    truncated containers, unsupported sample widths / maxvals — are
-    ROWS, not task failures: at 100 TB a corrupt blob must never kill a
-    stage. Compressed codecs (JPEG/FLAC/MP4) stay environment-gated: no
+    de-interleaved; audio sample values at native width — 8-bit
+    unsigned 0..255, wider widths signed, G.711 expanded to 16-bit
+    linear — image channels R,G,B(,A) row-major 0..255, 16-bit PNG
+    0..65535) and ``decode_error: string`` (NULL on success). Decode
+    failures — NULL payloads, foreign magic bytes, truncated
+    containers, unsupported sample widths / maxvals — are ROWS, not
+    task failures: at 100 TB a corrupt blob must never kill a stage.
+    Entropy-coded codecs (JPEG/FLAC/MP4) stay environment-gated: no
     image/av libs in this container, so they surface as ``unsupported
     codec`` error rows with the magic recorded for triage.
     """
@@ -210,14 +219,12 @@ def decode_media(
     )
 
     def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import io
-        import re
-        import wave as wavelib
-
-        import numpy as np
         import pandas as pd
 
-        ppm_header = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+        from rentals_data_pipeline_spark.operators.codecs import (
+            CodecError,
+            sniff_and_decode,
+        )
 
         for pdf in batches:
             cols: dict[str, list] = {
@@ -238,48 +245,12 @@ def decode_media(
                 if payload is None:
                     emit(err="null payload")
                     continue
-                raw = bytes(payload)
-                if raw[:2] == b"P6":
-                    m = ppm_header.match(raw)
-                    if not m:
-                        emit(err="ppm parse error: malformed header")
-                        continue
-                    w_px, h_px, maxval = (int(g) for g in m.groups())
-                    if maxval > 255:
-                        emit(err=f"unsupported ppm maxval: {maxval}")
-                        continue
-                    data = raw[m.end() : m.end() + w_px * h_px * 3]
-                    if len(data) < w_px * h_px * 3:
-                        emit(err="ppm parse error: truncated pixel data")
-                        continue
-                    px = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
-                    emit(nch=3, sr=None, decoded=[px[c::3].tolist() for c in range(3)])
-                    continue
-                if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
-                    emit(err=f"unsupported codec: magic={raw[:4].hex()}")
-                    continue
                 try:
-                    with wavelib.open(io.BytesIO(raw)) as w:
-                        nch = w.getnchannels()
-                        sw = w.getsampwidth()
-                        sr = w.getframerate()
-                        frames = w.readframes(w.getnframes())
-                except Exception as e:  # corrupt blob != task failure
-                    emit(err=f"wave parse error: {e}")
+                    nch, sr, channels = sniff_and_decode(bytes(payload))
+                except CodecError as e:  # corrupt blob != task failure
+                    emit(err=str(e))
                     continue
-                if sw == 1:
-                    arr = np.frombuffer(frames, dtype=np.uint8)
-                elif sw == 2:
-                    arr = np.frombuffer(frames, dtype="<i2")
-                else:
-                    emit(err=f"unsupported sample width: {sw}")
-                    continue
-                arr = arr.astype(np.float64)
-                emit(
-                    nch=nch,
-                    sr=sr,
-                    decoded=[arr[c::nch].tolist() for c in range(nch)],
-                )
+                emit(nch=nch, sr=sr, decoded=[c.tolist() for c in channels])
             yield pd.DataFrame(cols)
 
     return df.select(id_col, payload_col).mapInPandas(_decode, out_schema)

@@ -169,27 +169,34 @@ def test_decode_media_16bit_stereo(spark):
 def test_decode_media_failures_are_rows(spark):
     """Foreign magic, truncated containers, and unsupported widths all
     yield decode_error ROWS — a corrupt blob never kills the stage."""
-    import io
-    import wave
+    import struct
 
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(4)  # 32-bit: parses, then rejected by width
-        w.setframerate(8000)
-        w.writeframes(b"\x00\x00\x00\x00")
+    # Hand-built WAV claiming 64-bit PCM — parses, then rejected by width
+    # (8/16/24/32-bit PCM all decode for real as of round 6).
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 64000, 8, 64)
+    wide = (
+        b"RIFF"
+        + struct.pack("<I", 36 + 8)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", 8)
+        + b"\x00" * 8
+    )
     df = spark.createDataFrame(
         [
             (1, bytearray(b"\xff\xd8\xff\xe0JFIF-not-a-wav")),
             (2, bytearray(b"RIFF\x00\x00\x00\x00WAVEtruncated")),
-            (3, bytearray(buf.getvalue())),
+            (3, bytearray(wide)),
         ],
         "doc_id long, payload binary",
     )
     errs = {r["doc_id"]: r["decode_error"] for r in MM.decode_media(df).collect()}
     assert errs[1].startswith("unsupported codec: magic=ffd8")
     assert "error" in errs[2] or errs[2].startswith("wave parse")
-    assert errs[3] == "unsupported sample width: 4"
+    assert errs[3] == "unsupported sample width: 8"
 
 
 def test_shot_boundaries_planted_cut(spark):
