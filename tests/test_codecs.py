@@ -489,3 +489,110 @@ def test_decode_media_all_containers(spark):
     assert rows[5]["n_channels"] == 3 and rows[5]["sample_rate"] is None
     assert rows[5]["decoded"] == [[0.0, 3.0], [1.0, 4.0], [2.0, 5.0]]
     assert rows[6]["decode_error"].startswith("unsupported codec: magic=ffd8")
+
+
+# ---------------------------------------------------------------------------
+# property-based roundtrips (pure decoders, no Spark)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_DIMS = st.tuples(st.integers(1, 12), st.integers(1, 12))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    dims=_DIMS,
+    color=st.sampled_from([0, 2, 4, 6]),
+    depth=st.sampled_from([8, 16]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(dims, color, depth, seed):
+    """Any image, any color type, both depths, rotating row filters:
+    decode(encode(px)) == px exactly."""
+    h, w = dims
+    nch = C._PNG_CHANNELS[color]
+    rng = np.random.default_rng(seed)
+    hi = 65536 if depth == 16 else 256
+    px = rng.integers(0, hi, size=(h, w, nch), dtype=np.uint16)
+    got_nch, sr, chans = C.decode_png(_png(px, color=color, depth=depth))
+    assert (got_nch, sr) == (nch, None)
+    for c in range(nch):
+        assert np.array_equal(chans[c].reshape(h, w), px[:, :, c].astype(float))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    dims=_DIMS,
+    ncolors=st.sampled_from([2, 4, 16, 256]),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(dims, ncolors, interlace, seed):
+    """Any palette size (hence any LZW min code size 2..8), interlaced
+    or not: the decoded planes equal palette[idx] exactly. Random index
+    streams drive the LZW dictionary through arbitrary growth."""
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncolors, size=(h, w), dtype=np.uint8)
+    mcs = max(2, (ncolors - 1).bit_length())
+    raw = _gif(idx, pal, interlace=interlace, min_code_size=mcs)
+    nch, sr, chans = C.decode_gif(raw)
+    assert (nch, sr) == (3, None)
+    want = pal[idx].astype(float)
+    for c in range(3):
+        assert np.array_equal(chans[c].reshape(h, w), want[:, :, c])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(0, 64),
+    nch=st.integers(1, 4),
+    code=st.sampled_from(["pcm16", "pcm24", "pcm32", "f32", "f64"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, nch, code, seed):
+    """Any channel count and sample width: interleave -> container ->
+    decode de-interleaves to the exact per-channel sequences."""
+    rng = np.random.default_rng(seed)
+    total = n * nch
+    if code == "pcm16":
+        vals = rng.integers(-(2**15), 2**15, size=total, dtype="<i2")
+        data, fmt, bits = vals.tobytes(), C._WAV_PCM, 16
+    elif code == "pcm24":
+        vals = rng.integers(-(2**23), 2**23, size=total).astype(np.int64)
+        data = b"".join(int(v).to_bytes(3, "little", signed=True) for v in vals)
+        fmt, bits = C._WAV_PCM, 24
+    elif code == "pcm32":
+        vals = rng.integers(-(2**31), 2**31, size=total, dtype="<i4")
+        data, fmt, bits = vals.tobytes(), C._WAV_PCM, 32
+    elif code == "f32":
+        vals = rng.standard_normal(total).astype("<f4")
+        data, fmt, bits = vals.tobytes(), C._WAV_FLOAT, 32
+    else:
+        vals = rng.standard_normal(total).astype("<f8")
+        data, fmt, bits = vals.tobytes(), C._WAV_FLOAT, 64
+    got_nch, sr, chans = C.decode_wav(_wav(fmt, nch, 8000, bits, data))
+    assert (got_nch, sr) == (nch, 8000)
+    for c in range(nch):
+        assert chans[c].tolist() == [float(v) for v in vals[c::nch]]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    dims=_DIMS,
+    alpha=st.booleans(),
+    top_down=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_roundtrip_property(dims, alpha, top_down, seed):
+    h, w = dims
+    nch = 4 if alpha else 3
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint8)
+    got_nch, sr, chans = C.decode_bmp(_bmp(px, top_down=top_down))
+    assert (got_nch, sr) == (nch, None)
+    for c in range(nch):
+        assert np.array_equal(chans[c].reshape(h, w), px[:, :, c].astype(float))
