@@ -74,6 +74,36 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    group_by: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Event-time SESSION windows on a stream: per group, events gapped
+    <= ``gap`` merge into one session whose end is last-event + gap.
+    Unlike tumbling windows, session state is mergeable — a session
+    whose events arrive in different micro-batches unions in the state
+    store (Spark's streaming session-window merge), so out-of-order
+    arrival within the watermark cannot split a session. The watermark
+    is what closes sessions (append-mode emission) and evicts their
+    state; without it an unbounded stream would buffer every open
+    session forever. Works on batch frames too (watermark no-op) —
+    the merge rule itself is oracle-certified by ts_session_windows."""
+    with_wm = events.withWatermark("ts", watermark)
+    return with_wm.transform(
+        TW.session(
+            "ts",
+            gap,
+            list(group_by),
+            [
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("total_value"),
+            ],
+        )
+    )
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,

@@ -173,6 +173,83 @@ def test_late_data_dropped_across_microbatches(spark, tmp_path):
     assert ("00:00", 3) in ctl
 
 
+def test_session_windows_merge_across_microbatches(spark, tmp_path):
+    """Streaming session windows MERGE in the state store: user 7's
+    session starts in micro-batch A (two events) and its third event
+    arrives in micro-batch B within the 30-minute gap — the result must
+    be ONE session row of 3 events, not a split pair. A far-future
+    event in batch B advances the watermark past every 10:xx session so
+    append mode finalizes and emits them; the far-future session itself
+    stays open (never emitted) — the bounded-state contract."""
+    import datetime as dt
+    import os
+
+    from rentals_data_pipeline_spark.streaming.jobs import EVENTS_STREAM_SCHEMA
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    batch_a = [
+        (1, t(10, 0), 7, "click", 1.0, None),
+        (2, t(10, 10), 7, "click", 2.0, None),
+        (3, t(10, 5), 8, "view", 5.0, None),
+    ]
+    batch_b = [
+        (4, t(10, 20), 7, "buy", 4.0, None),   # within gap of 10:10 -> merges
+        (5, t(20, 0), 9, "click", 8.0, None),  # watermark -> 18:00, closes 10:xx
+    ]
+    src = str(tmp_path / "sess_src")
+    for rows in (batch_a, batch_b):
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    import pyarrow.parquet as pq
+
+    now = 1_700_000_000
+    age_by_rows = {len(batch_a): now, len(batch_b): now + 3600}
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            n = pq.read_metadata(os.path.join(src, f)).num_rows
+            os.utime(os.path.join(src, f), (age_by_rows[n], age_by_rows[n]))
+
+    stream = SJ.read_events_stream(spark, src, max_files_per_trigger=1)
+    SJ.run_available_now(
+        SJ.session_counts(stream, gap="30 minutes", watermark="2 hours"),
+        "sessions_stream",
+        str(tmp_path / "ckpt_sess"),
+        output_mode="append",
+    )
+    got = {
+        r["user_id"]: (
+            r["session_start"].strftime("%H:%M"),
+            r["session_end"].strftime("%H:%M"),
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in spark.table("sessions_stream").collect()
+    }
+    # ONE merged session for user 7 spanning both micro-batches;
+    # end = last event + gap (Spark session semantics)
+    assert got[7] == ("10:00", "10:50", 3, 7.0)
+    assert got[8] == ("10:05", "10:35", 1, 5.0)
+    assert 9 not in got  # open session: watermark never passed it
+
+    # batch duality: the same frame through the same operator (watermark
+    # a no-op) yields the identical closed sessions plus the open one
+    batch = spark.createDataFrame(batch_a + batch_b, EVENTS_STREAM_SCHEMA)
+    bat = {
+        r["user_id"]: (
+            r["session_start"].strftime("%H:%M"),
+            r["session_end"].strftime("%H:%M"),
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in SJ.session_counts(batch, gap="30 minutes").collect()
+    }
+    assert bat[7] == got[7] and bat[8] == got[8]
+    assert bat[9] == ("20:00", "20:30", 1, 8.0)
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     """dropDuplicatesWithinWatermark across micro-batches: a duplicate
     key arriving in a later batch within the watermark delay is dropped;
