@@ -249,6 +249,120 @@ def minhash_near_dup_pairs(
     return _apply
 
 
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Persistable LSH index over a corpus, for INCREMENTAL dedup: new
+    batches are checked against the stored index without re-scanning
+    (or re-pairing) the corpus — the production shape when a 100 TB
+    corpus grows by a few TB a day.
+
+    Returns two frames with the storage layout that keeps the query
+    path cheap:
+
+    - ``bands``: one row per (doc, band) — (id, band, band_key). Write
+      it partitioned/bucketed by (band, band_key) so the probe join is
+      pruned and co-located.
+    - ``sets``: one row per doc — (id, hset), the xxhash64 shingle set
+      used for the exact-Jaccard verify. Kept separate so the 16x band
+      fanout never duplicates the sets.
+
+    The index is a pure per-doc map: ``minhash_index(A union B)`` ==
+    ``minhash_index(A) union minhash_index(B)`` row-for-row, so daily
+    growth is an append, never a rebuild (pinned by test). Same
+    signature parameters must be used at build and probe time. Docs
+    shorter than ``ngram`` words are absent (same degenerate-bucket
+    rationale as ``minhash_near_dup_pairs``).
+    """
+    elems = df.transform(shingle_hash_rows(id_col, text_col, ngram))
+    grouped = elems.groupBy(id_col).agg(
+        F.collect_set("h").alias("hset"),
+        *minhash_agg_exprs(F.col("h"), num_hashes),
+    )
+    banded = grouped.select(
+        id_col,
+        F.posexplode(
+            band_keys([F.col(f"mh{s}") for s in range(num_hashes)], bands, rows)
+        ).alias("band", "band_key"),
+    )
+    return banded, grouped.select(id_col, "hset")
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    index_sets: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    threshold: float = 0.5,
+    scale: int = 4,
+) -> DataFrame:
+    """Near-dup check of a NEW batch against an existing corpus index
+    (from ``minhash_index``): returns (new_id, corpus_id, jaccard) for
+    every cross pair above ``threshold``. Anti-join ``new_docs`` on
+    ``new_id`` to keep only novel documents; pairs WITHIN the new batch
+    are ``minhash_near_dup_pairs``'s job.
+
+    Recall is identical to pairing over the unioned corpus (same
+    signature function, same banding — pinned by an equivalence test),
+    but the work is |new| shingling + an equi-join that touches only
+    the index buckets the new batch's band keys land in. At scale the
+    new batch's (band, band_key) probe side is small — Spark broadcasts
+    it into the partitioned index scan, so the corpus-sized index is
+    filtered, never shuffled; the verify join then gathers shingle sets
+    for just the candidate corpus docs.
+    """
+    probe_bands, probe_sets = minhash_index(
+        new_docs, id_col, text_col, ngram, num_hashes, bands, rows
+    )
+    cand = (
+        probe_bands.select(
+            F.col(id_col).alias("new_id"), "band", "band_key"
+        )
+        .join(
+            index_bands.select(
+                F.col(id_col).alias("corpus_id"), "band", "band_key"
+            ),
+            ["band", "band_key"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    return (
+        cand.join(
+            probe_sets.select(
+                F.col(id_col).alias("new_id"), F.col("hset").alias("new_set")
+            ),
+            "new_id",
+        )
+        .join(
+            index_sets.select(
+                F.col(id_col).alias("corpus_id"),
+                F.col("hset").alias("corpus_set"),
+            ),
+            "corpus_id",
+        )
+        .select(
+            "new_id",
+            "corpus_id",
+            round_half_up(
+                jaccard(F.col("new_set"), F.col("corpus_set")), scale
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") > threshold)
+    )
+
+
 def simhash(text_col: Column, nbits: int = 16) -> Column:
     """SimHash fingerprint as an ``nbits``-char '0'/'1' string.
 

@@ -218,3 +218,58 @@ def test_split_leakage_audit_flags_cross_split_dups_only(spark, tmp_path):
     ).collect()
     assert len(out) == 1
     assert out[0]["n_train"] == 1 and out[0]["n_eval"] == 1
+
+
+def test_minhash_index_is_append_composable(spark):
+    """index(A union B) == index(A) union index(B) row-for-row: daily
+    corpus growth is an append, never a rebuild."""
+    a = spark.createDataFrame(DOCS[:3], ["doc_id", "text"])
+    b = spark.createDataFrame(DOCS[3:], ["doc_id", "text"])
+    ab = spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+    def key_bands(df):
+        return {tuple(r) for r in df.collect()}
+
+    def key_sets(df):
+        return {(r["doc_id"], tuple(sorted(r["hset"]))) for r in df.collect()}
+
+    ab_bands, ab_sets = DD.minhash_index(ab)
+    a_bands, a_sets = DD.minhash_index(a)
+    b_bands, b_sets = DD.minhash_index(b)
+    assert key_bands(ab_bands) == key_bands(a_bands) | key_bands(b_bands)
+    assert key_sets(ab_sets) == key_sets(a_sets) | key_sets(b_sets)
+
+
+def test_dedup_against_index_equals_full_pairing(spark):
+    """Incremental dedup finds EXACTLY the cross pairs that re-pairing
+    the unioned corpus would find (same signatures, same banding — the
+    equivalence is deterministic, not probabilistic), and never reports
+    pairs internal to the new batch."""
+    corpus = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [
+            (11, "the quick brown fox jumps over the dog"),  # = docs 1/2
+            (12, "the quick brown fox leaps over a cat"),    # near doc 3
+            (13, "entirely novel content with no corpus overlap"),
+            (14, "entirely novel content with no corpus overlap"),  # = 13
+        ],
+        ["doc_id", "text"],
+    )
+    idx_bands, idx_sets = DD.minhash_index(corpus)
+    inc = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in DD.dedup_against_index(
+            new, idx_bands, idx_sets, threshold=0.3
+        ).collect()
+    }
+
+    full = corpus.union(new).transform(DD.minhash_near_dup_pairs(threshold=0.3))
+    cross = {
+        (r["id_b"], r["id_a"], r["jaccard"])  # id_a < id_b => corpus, new
+        for r in full.collect()
+        if r["id_a"] <= 6 and r["id_b"] >= 11
+    }
+    assert inc == cross
+    assert (11, 1, 1.0) in inc and (11, 2, 1.0) in inc
+    # novel docs match nothing; the 13/14 internal pair is NOT reported
+    assert not any(n in (13, 14) for n, _, _ in inc)
