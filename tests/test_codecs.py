@@ -596,3 +596,14 @@ def test_bmp_roundtrip_property(dims, alpha, top_down, seed):
     assert (got_nch, sr) == (nch, None)
     for c in range(nch):
         assert np.array_equal(chans[c].reshape(h, w), px[:, :, c].astype(float))
+
+
+def test_decode_media_empty_frame(spark):
+    """Zero-row input: the Arrow stage yields an empty frame with the
+    declared schema, no task failures."""
+    df = spark.createDataFrame([], "doc_id long, payload binary")
+    out = MM.decode_media(df)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_channels", "sample_rate", "decoded", "decode_error",
+    ]

@@ -273,3 +273,16 @@ def test_dedup_against_index_equals_full_pairing(spark):
     assert (11, 1, 1.0) in inc and (11, 2, 1.0) in inc
     # novel docs match nothing; the 13/14 internal pair is NOT reported
     assert not any(n in (13, 14) for n, _, _ in inc)
+
+
+def test_dedup_against_index_empty_sides(spark):
+    """Empty new batch, or an empty index, yields an empty result with
+    the declared columns — never an error."""
+    corpus = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    idx_bands, idx_sets = DD.minhash_index(corpus)
+    out = DD.dedup_against_index(empty, idx_bands, idx_sets)
+    assert out.columns == ["new_id", "corpus_id", "jaccard"]
+    assert out.count() == 0
+    e_bands, e_sets = DD.minhash_index(empty)
+    assert DD.dedup_against_index(corpus, e_bands, e_sets).count() == 0

@@ -102,3 +102,13 @@ def test_parse_xml_strings_column(spark):
     assert out[1]["lang"] == "en" and out[1]["stars"] == 5
     assert out[2]["lang"] == "fr" and out[2]["stars"] is None
     assert out[3] is None or out[3]["lang"] is None
+
+
+def test_read_xml_no_matching_rows(spark, tmp_path):
+    """A document with zero row tags reads as an empty frame with the
+    declared schema (plus the quarantine column)."""
+    p = tmp_path / "empty.xml"
+    p.write_text("<rows></rows>\n")
+    df = read_xml(spark, str(p), SCHEMA)
+    assert df.count() == 0
+    assert set(df.columns) == {"doc_id", "text", "_corrupt_record"}
