@@ -693,6 +693,123 @@ def kmeans_refine_centroids(
     return cents
 
 
+def ivf_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    match_id: str = "match_id",
+    match_vec: str = "match_vec",
+    refine_iters: int = 0,
+    max_cell_size: int | None = None,
+    centroids: list[list[float]] | None = None,
+) -> tuple[list[list[float]], DataFrame]:
+    """Build (or extend) the IVF serving index: returns ``(centroids,
+    cells)`` where ``cells`` is the corpus with a ``cell`` assignment
+    column — persist it partitioned by ``cell`` and every probe scan
+    prunes to the probed cells.
+
+    Pass ``centroids`` to ASSIGN AGAINST AN EXISTING INDEX instead of
+    sampling new ones: assignment is a pure per-row map, so
+    ``ivf_index(A + B, centroids=C)`` equals ``ivf_index(A,
+    centroids=C)`` union ``ivf_index(B, centroids=C)`` row-for-row
+    (pinned by test) — daily corpus growth is an append of the new
+    batch's assignments, never a rebuild. ``refine_iters`` is ignored
+    when centroids are supplied (moving them would orphan the stored
+    assignments); periodic re-centering is a rebuild by design.
+    ``max_cell_size`` caps cells within THIS batch — a capped index
+    grown by appends needs the cap re-applied over the union (or a
+    compaction pass) to stay globally bounded.
+    """
+    if centroids is None:
+        cents = [
+            row["_v"]
+            for row in corpus.where(F.col(match_vec).isNotNull())
+            .select(
+                F.col(match_vec).alias("_v"),
+                F.xxhash64(F.col(match_id)).alias("_r"),
+            )
+            .orderBy("_r", match_id)
+            .limit(n_cells)
+            .collect()
+        ]
+        if cents and refine_iters:
+            cents = kmeans_refine_centroids(
+                corpus.where(F.col(match_vec).isNotNull()),
+                cents,
+                refine_iters,
+                match_vec,
+            )
+    else:
+        cents = centroids
+    if not cents:
+        empty = corpus.sparkSession.createDataFrame(
+            [], f"{match_id} long, {match_vec} array<double>, cell int"
+        )
+        return [], empty
+    cells = corpus.where(F.col(match_vec).isNotNull()).select(
+        match_id,
+        match_vec,
+        F.element_at(ivf_assign_udf(cents, 1)(F.col(match_vec)), 1).alias("cell"),
+    )
+    if max_cell_size is not None:
+        wcell = Window.partitionBy("cell").orderBy(
+            F.xxhash64(F.col(match_id)), F.col(match_id)
+        )
+        cells = (
+            cells.withColumn("_cr", F.row_number().over(wcell))
+            .where(F.col("_cr") <= max_cell_size)
+            .drop("_cr")
+        )
+    return cents, cells
+
+
+def ivf_probe(
+    probes: DataFrame,
+    centroids: list[list[float]],
+    cells: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+    match_id: str = "match_id",
+    match_vec: str = "match_vec",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Serve top-k from a built (possibly persisted) IVF index: assign
+    each probe to its ``n_probe`` nearest centroids, equi-join the cell
+    column (pruned scan on a cell-partitioned index), score candidates,
+    keep k. Same candidate-volume and join-shape story as ``ivf_topk``
+    — which is now exactly ``ivf_index`` + this."""
+    if not centroids:
+        return cells.sparkSession.createDataFrame(
+            [], f"{probe_id} long, {match_id} long, cosine double"
+        )
+    probe_cells = probes.where(F.col(probe_vec).isNotNull()).select(
+        probe_id,
+        probe_vec,
+        F.explode(ivf_assign_udf(centroids, n_probe)(F.col(probe_vec))).alias(
+            "cell"
+        ),
+    )
+    probe_side = F.broadcast(probe_cells) if broadcast_probes else probe_cells
+    scored = (
+        probe_side.join(cells, "cell")
+        .where(F.col(probe_id) != F.col(match_id))
+        .select(
+            probe_id,
+            match_id,
+            cosine_udf()(F.col(probe_vec), F.col(match_vec)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("cosine").desc(), F.col(match_id)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def ivf_topk(
     probes: DataFrame,
     corpus: DataFrame,
@@ -744,63 +861,24 @@ def ivf_topk(
     which the golden test pins; size the bound ≥ expected cell size ×
     skew tolerance so only pathological cells trim.
     """
-    cents = [
-        row["_v"]
-        for row in corpus.where(F.col(match_vec).isNotNull())
-        .select(
-            F.col(match_vec).alias("_v"), F.xxhash64(F.col(match_id)).alias("_r")
-        )
-        .orderBy("_r", match_id)
-        .limit(n_cells)
-        .collect()
-    ]
+    cents, cells = ivf_index(
+        corpus, n_cells, match_id, match_vec, refine_iters, max_cell_size
+    )
     if not cents:
         # empty corpus (or all-null vectors): no cells to build — empty
         # result with the output schema
         return corpus.sparkSession.createDataFrame(
             [], f"{probe_id} long, {match_id} long, cosine double"
         )
-    # null vectors: no cell assignment possible — drop on both sides
-    # (they would abort the assignment UDF's numpy stack)
-    corpus = corpus.where(F.col(match_vec).isNotNull())
-    probes = probes.where(F.col(probe_vec).isNotNull())
-    if refine_iters:
-        # optional Lloyd refinement: centroids move to their cells'
-        # means, rebalancing cell populations (recall vs n_probe
-        # trade-off is corpus-dependent; measure before enabling)
-        cents = kmeans_refine_centroids(corpus, cents, refine_iters, match_vec)
-    corpus_cells = corpus.select(
-        match_id,
-        match_vec,
-        F.element_at(ivf_assign_udf(cents, 1)(F.col(match_vec)), 1).alias("cell"),
-    )
-    if max_cell_size is not None:
-        wcell = Window.partitionBy("cell").orderBy(
-            F.xxhash64(F.col(match_id)), F.col(match_id)
-        )
-        corpus_cells = (
-            corpus_cells.withColumn("_cr", F.row_number().over(wcell))
-            .where(F.col("_cr") <= max_cell_size)
-            .drop("_cr")
-        )
-    probe_cells = probes.select(
+    return ivf_probe(
+        probes,
+        cents,
+        cells,
+        k,
+        n_probe,
         probe_id,
         probe_vec,
-        F.explode(ivf_assign_udf(cents, n_probe)(F.col(probe_vec))).alias("cell"),
-    )
-    probe_side = F.broadcast(probe_cells) if broadcast_probes else probe_cells
-    scored = (
-        probe_side.join(corpus_cells, "cell")
-        .where(F.col(probe_id) != F.col(match_id))
-        .select(
-            probe_id,
-            match_id,
-            cosine_udf()(F.col(probe_vec), F.col(match_vec)).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(), F.col(match_id))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .drop("rn")
+        match_id,
+        match_vec,
+        broadcast_probes,
     )

@@ -481,3 +481,63 @@ def test_ivf_hot_cell_guard_bounds_work(spark):
         probes, corpus, k=5, n_cells=8, n_probe=2, max_cell_size=20
     ).collect()
     assert len(top5) == 5 and all(r["cosine"] > 0.99 for r in top5)
+
+
+def test_ivf_index_split_equals_monolithic(spark):
+    """ivf_topk == ivf_index + ivf_probe on real embeddings (the
+    serving split must not change a single result row), and the probe
+    path works off a PERSISTED, cell-partitioned index."""
+    from rentals_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probes = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("match_vec")
+    )
+    direct = sorted(
+        map(tuple, SIM.ivf_topk(probes, corpus, k=3, n_cells=8, n_probe=3).collect())
+    )
+    cents, cells = SIM.ivf_index(corpus, n_cells=8)
+    via_index = sorted(
+        map(tuple, SIM.ivf_probe(probes, cents, cells, k=3, n_probe=3).collect())
+    )
+    assert via_index == direct and len(direct) > 0
+
+
+def test_ivf_index_append_composable(spark, tmp_path):
+    """With FIXED centroids, assignment is a pure per-row map:
+    index(A+B) == index(A) union index(B), so corpus growth is an
+    append; probing the unioned (persisted) index matches probing a
+    freshly built one."""
+    from rentals_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("match_vec")
+    )
+    old = corpus.where(F.col("match_id") % 3 != 0)
+    new = corpus.where(F.col("match_id") % 3 == 0)
+    cents, old_cells = SIM.ivf_index(old, n_cells=8)
+    _, new_cells = SIM.ivf_index(new, centroids=cents)
+    _, full_cells = SIM.ivf_index(corpus, centroids=cents)
+    key = lambda df: sorted(
+        (r["match_id"], r["cell"]) for r in df.collect()
+    )
+    assert key(full_cells) == key(old_cells.unionByName(new_cells))
+
+    # probe the persisted union (cell-partitioned parquet) vs in-memory
+    path = str(tmp_path / "ivf_index")
+    old_cells.unionByName(new_cells).write.partitionBy("cell").parquet(path)
+    stored = spark.read.parquet(path)
+    probes = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    got = sorted(
+        map(tuple, SIM.ivf_probe(probes, cents, stored, k=3, n_probe=3).collect())
+    )
+    want = sorted(
+        map(tuple, SIM.ivf_probe(probes, cents, full_cells, k=3, n_probe=3).collect())
+    )
+    assert got == want and len(got) > 0
