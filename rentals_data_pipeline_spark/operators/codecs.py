@@ -17,10 +17,15 @@ plus numpy. Coverage:
 - BMP — uncompressed BI_RGB 24/32-bit, bottom-up or top-down.
 - PPM — binary P6, maxval <= 255 (moved verbatim from the round-5
   ``decode_media`` body; identical error strings).
+- JPEG — baseline sequential DCT (SOF0/SOF1, 8-bit, Huffman): real
+  entropy decode + dequant + orthonormal IDCT, restart intervals,
+  integer chroma subsampling (4:4:4/4:2:2/4:2:0), JFIF YCbCr->RGB.
+  Progressive/arithmetic/12-bit surface as ``unsupported`` rows.
 
-Truly compressed AV codecs (JPEG/FLAC/MP4) remain environment-gated —
-DCT/entropy decoders are out of scope without libs — and surface as
-``unsupported codec`` rows with the magic recorded for triage.
+Remaining compressed AV codecs (FLAC/MP4/H.264) stay environment-gated
+— full audio/video entropy stacks are out of scope without libs — and
+surface as ``unsupported codec`` rows with the magic recorded for
+triage.
 
 Contract: each ``decode_*`` takes the raw payload bytes and returns
 ``(n_channels, sample_rate, channels)`` where ``channels`` is a list
@@ -515,6 +520,327 @@ def decode_bmp(raw: bytes) -> Decoded:
 
 
 # ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_order() -> np.ndarray:
+    """Natural (row-major) index of each zigzag position, generated
+    from the diagonal-walk definition rather than hardcoded."""
+    out = []
+    for d in range(15):
+        rng = range(max(0, d - 7), min(d, 7) + 1)
+        for r in (reversed(rng) if d % 2 == 0 else rng):
+            out.append(8 * r + (d - r))
+    return np.array(out, dtype=np.int64)
+
+
+_ZZ = _zigzag_order()
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis C (C[u, x]); IDCT of an 8x8
+    coefficient block F is C.T @ F @ C."""
+    u = np.arange(8).reshape(-1, 1).astype(np.float64)
+    x = np.arange(8).reshape(1, -1).astype(np.float64)
+    c = np.cos((2 * x + 1) * u * np.pi / 16.0) * np.sqrt(2.0 / 8.0)
+    c[0, :] = np.sqrt(1.0 / 8.0)
+    return c
+
+
+_DCT_C = _dct_basis()
+
+
+def _build_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman table: (code length, code) -> symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                raise CodecError("jpeg parse error: malformed DHT")
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy segment (stuffing removed)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise CodecError("jpeg parse error: truncated entropy data")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _decode_symbol(br: _BitReader, tbl: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = tbl.get((length, code))
+        if sym is not None:
+            return sym
+    raise CodecError("jpeg parse error: bad huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    # JPEG F.2.2.1 EXTEND: low categories are stored offset-coded
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_block(
+    br: _BitReader,
+    dc_tbl: dict[tuple[int, int], int],
+    ac_tbl: dict[tuple[int, int], int],
+    pred: int,
+) -> tuple[np.ndarray, int]:
+    coef = np.zeros(64, dtype=np.int32)
+    s = _decode_symbol(br, dc_tbl)
+    if s > 11:
+        raise CodecError("jpeg parse error: bad DC category")
+    dc = pred + (_extend(br.bits(s), s) if s else 0)
+    coef[0] = dc
+    k = 1
+    while k < 64:
+        rs = _decode_symbol(br, ac_tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise CodecError("jpeg parse error: coefficient overrun")
+        coef[k] = _extend(br.bits(s), s)
+        k += 1
+    return coef, dc
+
+
+def _split_entropy(raw: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data from ``pos``: 0xFF00 byte-stuffing removed,
+    split at restart markers; stops at the first real marker."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    n = len(raw)
+    while pos < n:
+        b = raw[pos]
+        if b == 0xFF:
+            nxt = raw[pos + 1] if pos + 1 < n else None
+            if nxt == 0x00:
+                cur.append(0xFF)
+                pos += 2
+                continue
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                pos += 2
+                continue
+            break
+        cur.append(b)
+        pos += 1
+    segs.append(bytes(cur))
+    return segs, pos
+
+
+def decode_jpeg(raw: bytes) -> Decoded:
+    """Baseline sequential JPEG (SOF0/SOF1, 8-bit, Huffman): DQT/DHT
+    parsing, restart intervals, any 1-4 component layout with integer
+    subsampling ratios (4:4:4 / 4:2:2 / 4:2:0 / grayscale), JFIF
+    YCbCr -> RGB. Huffman decoding walks bits in Python (inside an
+    Arrow batch, a slow blob only slows its own row); dequant, the
+    orthonormal IDCT (one einsum over ALL blocks of a component) and
+    color conversion are whole-plane numpy. Progressive (SOF2),
+    arithmetic coding and 12-bit precision surface as ``unsupported``
+    rows."""
+    if raw[:2] != b"\xff\xd8":
+        raise CodecError("jpeg parse error: bad signature")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    sof = None
+    scan = None
+    dri = 0
+    pos = 2
+    n = len(raw)
+    while pos + 2 <= n:
+        if raw[pos] != 0xFF:
+            raise CodecError("jpeg parse error: marker expected")
+        m = raw[pos + 1]
+        if m == 0xD9:  # EOI before SOS: no image
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / stray RST
+            pos += 2
+            continue
+        if pos + 4 > n:
+            raise CodecError("jpeg parse error: truncated segment")
+        ln = int.from_bytes(raw[pos + 2 : pos + 4], "big")
+        body = raw[pos + 4 : pos + 2 + ln]
+        if ln < 2 or len(body) < ln - 2:
+            raise CodecError("jpeg parse error: truncated segment")
+        if m == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(body[i : i + 64], np.uint8).astype(
+                        np.int32
+                    )
+                    i += 64
+                else:
+                    qt[tq] = np.frombuffer(body[i : i + 128], ">u2").astype(
+                        np.int32
+                    )
+                    i += 128
+                if len(qt[tq]) < 64:
+                    raise CodecError("jpeg parse error: malformed DQT")
+        elif m == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1 : i + 17])
+                i += 17
+                nv = sum(bits)
+                vals = body[i : i + nv]
+                i += nv
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(
+                    bits, vals
+                )
+        elif m in (0xC0, 0xC1):  # baseline / extended sequential
+            prec = body[0]
+            if prec != 8:
+                raise CodecError(f"unsupported jpeg precision: {prec}-bit")
+            h_px = int.from_bytes(body[1:3], "big")
+            w_px = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            if h_px == 0 or w_px == 0 or not 1 <= ncomp <= 4:
+                raise CodecError("jpeg parse error: bad frame header")
+            comps = []
+            for c in range(ncomp):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, body[8 + 3 * c]))
+            sof = (w_px, h_px, comps)
+        elif m == 0xC2:
+            raise CodecError("unsupported jpeg: progressive")
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise CodecError("unsupported jpeg: non-baseline frame type")
+        elif m == 0xDD:  # DRI
+            dri = int.from_bytes(body[:2], "big")
+        elif m == 0xDA:  # SOS
+            ns = body[0]
+            scan = [
+                (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 15)
+                for c in range(ns)
+            ]
+            pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if sof is None or scan is None:
+        raise CodecError("jpeg parse error: missing SOF/SOS")
+    w_px, h_px, comps = sof
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    if hmax < 1 or vmax < 1:
+        raise CodecError("jpeg parse error: bad sampling factors")
+    mcux = -(-w_px // (8 * hmax))
+    mcuy = -(-h_px // (8 * vmax))
+
+    # natural-order quant table per scan component, validated up front
+    order = []
+    for cid, dci, aci in scan:
+        if cid not in by_id:
+            raise CodecError("jpeg parse error: scan references unknown component")
+        hs, vs, tq = by_id[cid]
+        if tq not in qt or dci not in huff_dc or aci not in huff_ac:
+            raise CodecError("jpeg parse error: missing table for scan")
+        qnat = np.zeros(64, dtype=np.int32)
+        qnat[_ZZ] = qt[tq]
+        order.append((cid, hs, vs, qt[tq], huff_dc[dci], huff_ac[aci]))
+
+    segs, _ = _split_entropy(raw, pos)
+    blocks: dict[int, list] = {cid: [] for cid, *_ in order}
+    preds = {cid: 0 for cid, *_ in order}
+    seg_i = 0
+    br = _BitReader(segs[0])
+    total_mcus = mcux * mcuy
+    for mcu in range(total_mcus):
+        if dri and mcu and mcu % dri == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise CodecError("jpeg parse error: missing restart segment")
+            br = _BitReader(segs[seg_i])
+            preds = {cid: 0 for cid, *_ in order}
+        my, mx = divmod(mcu, mcux)
+        for cid, hs, vs, qzz, dct, act in order:
+            for by in range(vs):
+                for bx in range(hs):
+                    coef, preds[cid] = _decode_block(br, dct, act, preds[cid])
+                    blocks[cid].append((my * vs + by, mx * hs + bx, coef * qzz))
+
+    planes: list[np.ndarray] = []
+    for cid, hs, vs, _, _, _ in order:
+        bw, bh = mcux * hs, mcuy * vs
+        coefs = np.zeros((len(blocks[cid]), 64), dtype=np.float64)
+        for i, (_, _, czz) in enumerate(blocks[cid]):
+            coefs[i][_ZZ] = czz  # dezigzag
+        spatial = (
+            np.einsum(
+                "ux,nuv,vy->nxy", _DCT_C, coefs.reshape(-1, 8, 8), _DCT_C
+            )
+            + 128.0
+        )
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for i, (r, c, _) in enumerate(blocks[cid]):
+            plane[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = spatial[i]
+        ry, rx = vmax // vs, hmax // hs
+        if ry * vs != vmax or rx * hs != hmax:
+            raise CodecError("unsupported jpeg: fractional subsampling")
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[:h_px, :w_px])
+
+    if len(planes) == 1:
+        gray = np.clip(np.round(planes[0]), 0, 255)
+        return 1, None, [gray.reshape(-1)]
+    if len(planes) == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        return 3, None, [
+            np.clip(np.round(p), 0, 255).reshape(-1) for p in (r, g, b)
+        ]
+    raise CodecError(f"unsupported jpeg component count: {len(planes)}")
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
@@ -533,4 +859,6 @@ def sniff_and_decode(raw: bytes) -> Decoded:
         return decode_wav(raw)
     if raw[:2] == b"BM":
         return decode_bmp(raw)
+    if raw[:2] == b"\xff\xd8":
+        return decode_jpeg(raw)
     raise CodecError(f"unsupported codec: magic={raw[:4].hex()}")

@@ -459,13 +459,14 @@ def test_bmp_errors():
 
 
 def test_sniff_dispatch_unknown_magic():
-    with pytest.raises(C.CodecError, match="unsupported codec: magic=ffd8"):
-        C.sniff_and_decode(b"\xff\xd8\xff\xe0JFIF")
+    with pytest.raises(C.CodecError, match="unsupported codec: magic=664c6143"):
+        C.sniff_and_decode(b"fLaC\x00\x00\x00\x22not-parsed")
 
 
 def test_decode_media_all_containers(spark):
-    """One Spark pass over five container formats plus a JPEG: every
-    format decodes to its known planes; the JPEG is an error ROW."""
+    """One Spark pass over five container formats plus a FLAC blob:
+    every format decodes to its known planes; the FLAC is an error
+    ROW."""
     png_px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
     gif_idx = np.array([[1, 2], [3, 0]], dtype=np.uint8)
     bmp_px = np.arange(100, 112, dtype=np.uint8).reshape(2, 2, 3)
@@ -476,7 +477,7 @@ def test_decode_media_all_containers(spark):
         (3, bytearray(_bmp(bmp_px))),
         (4, bytearray(_wav(C._WAV_FLOAT, 1, 22050, 32, f32.tobytes()))),
         (5, bytearray(b"P6\n2 1\n255\n" + bytes(range(6)))),
-        (6, bytearray(b"\xff\xd8\xff\xe0JFIF")),
+        (6, bytearray(b"fLaC\x00\x00\x00\x22entropy-coded")),
     ]
     df = spark.createDataFrame(payloads, "doc_id long, payload binary")
     rows = {r["doc_id"]: r for r in MM.decode_media(df).collect()}
@@ -488,7 +489,7 @@ def test_decode_media_all_containers(spark):
     assert rows[4]["decoded"] == [[1.5, -2.25]]
     assert rows[5]["n_channels"] == 3 and rows[5]["sample_rate"] is None
     assert rows[5]["decoded"] == [[0.0, 3.0], [1.0, 4.0], [2.0, 5.0]]
-    assert rows[6]["decode_error"].startswith("unsupported codec: magic=ffd8")
+    assert rows[6]["decode_error"].startswith("unsupported codec: magic=664c")
 
 
 # ---------------------------------------------------------------------------
@@ -607,3 +608,295 @@ def test_decode_media_empty_frame(spark):
     assert [f.name for f in out.schema.fields] == [
         "doc_id", "n_channels", "sample_rate", "decoded", "decode_error",
     ]
+
+
+# ---------------------------------------------------------------------------
+# JPEG: independent test-side encoder (forward DCT + quant + Huffman)
+# ---------------------------------------------------------------------------
+
+
+class _JpegBits:
+    """MSB-first bit writer with JPEG 0xFF00 byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        for i in reversed(range(length)):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0)
+                self.acc = 0
+                self.n = 0
+
+    def pad(self):
+        while self.n:
+            self.put(1, 1)
+
+
+def _cat(v):
+    return abs(int(v)).bit_length()
+
+
+def _equal_length_table(symbols):
+    """Canonical table with every code the same length L, 2^L > n, so
+    the all-ones code stays unused (spec padding rule)."""
+    syms = sorted(symbols)
+    L = max(2, len(syms).bit_length())
+    return {s: (i, L) for i, s in enumerate(syms)}, L, syms
+
+
+def _dht(tc, th, codes_L_syms):
+    _, L, syms = codes_L_syms
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    return bytes([16 * tc + th]) + bytes(bits) + bytes(syms)
+
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _encode_jpeg(px, sampling=None, qluma=None, qchroma=None, restart=0):
+    """Baseline JFIF encoder: forward orthonormal DCT, quantization,
+    equal-length canonical Huffman tables (declared via DHT), optional
+    chroma subsampling and restart intervals. Independent of the
+    decoder under test; shares only the public zigzag/basis constants."""
+    C_ = C._DCT_C
+    zz = C._ZZ
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    assert nch in (1, 3)
+    if sampling is None:
+        sampling = [(1, 1)] * nch
+    if qluma is None:
+        qluma = np.ones(64, dtype=np.int32)
+    if qchroma is None:
+        qchroma = qluma
+    if nch == 3:
+        r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        planes = [px[:, :, 0].astype(np.float64)]
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    def prep(plane, hs, vs):
+        ry, rx = vmax // vs, hmax // hs
+        if ry > 1 or rx > 1:  # box-average subsample
+            ph = -(-plane.shape[0] // ry) * ry
+            pw = -(-plane.shape[1] // rx) * rx
+            p = np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])), mode="edge")
+            plane = p.reshape(ph // ry, ry, pw // rx, rx).mean(axis=(1, 3))
+        th, tw = mcuy * vs * 8, mcux * hs * 8
+        return np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+
+    comps = [prep(p, *sampling[i]) for i, p in enumerate(planes)]
+    qnat = []
+    for i in range(nch):
+        qz = qluma if i == 0 else qchroma
+        qn = np.zeros(64, dtype=np.float64)
+        qn[zz] = qz
+        qnat.append(qn.reshape(8, 8))
+
+    # pass 1: MCU-ordered quantized blocks
+    mcu_blocks = []  # list per MCU of (comp, zigzag coefs)
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        row = []
+        for ci in range(nch):
+            hs, vs = sampling[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    r0, c0 = (my * vs + by) * 8, (mx * hs + bx) * 8
+                    blk = comps[ci][r0 : r0 + 8, c0 : c0 + 8] - 128.0
+                    F_ = C_ @ blk @ C_.T
+                    q = np.round(F_ / qnat[ci]).astype(np.int64)
+                    row.append((ci, q.reshape(-1)[zz]))
+        mcu_blocks.append(row)
+
+    # pass 2: symbol streams per table class (luma=0, chroma=1)
+    def stream(restart_reset):
+        preds = [0] * nch
+        toks = []  # (cls, 'dc'|'ac', symbol, extra_val, extra_len) or 'rst'
+        for mcu, row in enumerate(mcu_blocks):
+            if restart and mcu and mcu % restart == 0:
+                toks.append(("rst",))
+                preds = [0] * nch
+            for ci, coef in row:
+                cls = 0 if ci == 0 else 1
+                diff = int(coef[0]) - preds[ci]
+                preds[ci] = int(coef[0])
+                s = _cat(diff)
+                extra = diff if diff >= 0 else diff + (1 << s) - 1
+                toks.append((cls, "dc", s, extra, s))
+                run = 0
+                for k in range(1, 64):
+                    v = int(coef[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        toks.append((cls, "ac", 0xF0, 0, 0))
+                        run -= 16
+                    s = _cat(v)
+                    extra = v if v >= 0 else v + (1 << s) - 1
+                    toks.append((cls, "ac", (run << 4) | s, extra, s))
+                    run = 0
+                if run:
+                    toks.append((cls, "ac", 0x00, 0, 0))
+        return toks
+
+    toks = stream(restart)
+    ncls = 1 if nch == 1 else 2
+    dc_tbl = [
+        _equal_length_table(
+            {t[2] for t in toks if t[0] == c and t[1] == "dc"} or {0}
+        )
+        for c in range(ncls)
+    ]
+    ac_tbl = [
+        _equal_length_table(
+            {t[2] for t in toks if t[0] == c and t[1] == "ac"} or {0}
+        )
+        for c in range(ncls)
+    ]
+
+    out = bytearray(b"\xff\xd8")
+    dqt = bytes([0]) + bytes(int(x) for x in qluma)
+    if nch == 3:
+        dqt += bytes([1]) + bytes(int(x) for x in qchroma)
+    out += _seg(0xDB, dqt)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nch])
+    for ci in range(nch):
+        hs, vs = sampling[ci]
+        sof += bytes([ci + 1, 16 * hs + vs, 0 if ci == 0 else 1])
+    out += _seg(0xC0, sof)
+    dht = b"".join(
+        _dht(0, c, dc_tbl[c]) + _dht(1, c, ac_tbl[c]) for c in range(ncls)
+    )
+    out += _seg(0xC4, dht)
+    if restart:
+        out += _seg(0xDD, restart.to_bytes(2, "big"))
+    sos = bytes([nch])
+    for ci in range(nch):
+        c = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, 16 * c + c])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    bw = _JpegBits()
+    rst_i = 0
+    for t in toks:
+        if t[0] == "rst":
+            bw.pad()
+            out += bw.out
+            bw = _JpegBits()
+            out += bytes([0xFF, 0xD0 + (rst_i % 8)])
+            rst_i += 1
+            continue
+        cls, kind, sym, extra, elen = t
+        code, L = (dc_tbl if kind == "dc" else ac_tbl)[cls][0][sym]
+        bw.put(code, L)
+        if elen:
+            bw.put(extra, elen)
+    bw.pad()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_uniform_gray_is_exact():
+    """Analytic anchor: a constant image is DC-only; with unit quant
+    tables the DC path is exact end-to-end, so decode == input exactly
+    (this breaks encoder/decoder error-cancellation circularity)."""
+    px = np.full((16, 24), 100, dtype=np.uint8)
+    nch, sr, chans = C.decode_jpeg(_encode_jpeg(px))
+    assert (nch, sr) == (1, None)
+    assert np.array_equal(chans[0], np.full(16 * 24, 100.0))
+
+
+def test_jpeg_rgb_444_near_lossless_roundtrip():
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    nch, _, chans = C.decode_jpeg(_encode_jpeg(px))
+    assert nch == 3
+    worst = max(
+        np.abs(chans[c].reshape(24, 17) - px[:, :, c]).max() for c in range(3)
+    )
+    assert worst <= 4.0  # unit quant: only DCT-coefficient rounding
+
+
+def test_jpeg_420_subsampling_and_restart():
+    """4:2:0 MCU interleave + upsampling + restart markers: use an
+    R=G=B image so chroma is exactly 128 (subsampling lossless) and the
+    luma path bounds the error; DRI=2 forces three restart segments."""
+    rng = np.random.default_rng(9)
+    gray = rng.integers(0, 256, size=(24, 20), dtype=np.uint8)
+    px = np.stack([gray] * 3, axis=2)
+    raw = _encode_jpeg(
+        px, sampling=[(2, 2), (1, 1), (1, 1)], restart=2
+    )
+    assert b"\xff\xd0" in raw or b"\xff\xd1" in raw  # RST really emitted
+    nch, _, chans = C.decode_jpeg(raw)
+    assert nch == 3
+    for c in range(3):
+        err = np.abs(chans[c].reshape(24, 20) - gray).max()
+        assert err <= 4.0
+
+
+def test_jpeg_coarse_quant_uniform_blocks():
+    """Uniform image under a COARSE table: only the DC survives, and
+    the error is bounded by q00/16 per the DC arithmetic."""
+    q = np.full(64, 16, dtype=np.int32)
+    px = np.full((8, 8), 77, dtype=np.uint8)
+    _, _, chans = C.decode_jpeg(_encode_jpeg(px, qluma=q))
+    assert np.all(np.abs(chans[0] - 77.0) <= 1.5)
+
+
+def test_jpeg_unsupported_modes_are_rows():
+    px = np.full((8, 8), 50, dtype=np.uint8)
+    good = _encode_jpeg(px)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(C.CodecError, match="progressive"):
+        C.decode_jpeg(prog)
+    with pytest.raises(C.CodecError, match="truncated"):
+        C.decode_jpeg(good[:20])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    dims=st.tuples(st.integers(8, 40), st.integers(8, 40)),
+    color=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_property(dims, color, seed):
+    """Any size (non-multiple-of-8 included), gray or RGB: unit-quant
+    roundtrip error stays within the DCT rounding bound."""
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    if color:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    else:
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    nch, _, chans = C.decode_jpeg(_encode_jpeg(px))
+    want = px if px.ndim == 3 else px[:, :, None]
+    assert nch == want.shape[2]
+    for c in range(nch):
+        assert np.abs(chans[c].reshape(h, w) - want[:, :, c]).max() <= 4.0
