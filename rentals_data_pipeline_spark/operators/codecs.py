@@ -21,11 +21,15 @@ plus numpy. Coverage:
   entropy decode + dequant + orthonormal IDCT, restart intervals,
   integer chroma subsampling (4:4:4/4:2:2/4:2:0), JFIF YCbCr->RGB.
   Progressive/arithmetic/12-bit surface as ``unsupported`` rows.
+- FLAC — native frame decode: constant/verbatim/fixed-predictor/LPC
+  subframes, Rice + Rice2 residual partitions with escape codes,
+  wasted bits, left-side/right-side/mid-side stereo decorrelation.
+  Lossless, so roundtrip tests assert exact equality.
 
-Remaining compressed AV codecs (FLAC/MP4/H.264) stay environment-gated
-— full audio/video entropy stacks are out of scope without libs — and
-surface as ``unsupported codec`` rows with the magic recorded for
-triage.
+Remaining compressed AV containers (MP4/H.264/Ogg) stay
+environment-gated — video entropy stacks are out of scope without
+libs — and surface as ``unsupported codec`` rows with the magic
+recorded for triage.
 
 Contract: each ``decode_*`` takes the raw payload bytes and returns
 ``(n_channels, sample_rate, channels)`` where ``channels`` is a list
@@ -841,6 +845,221 @@ def decode_jpeg(raw: bytes) -> Decoded:
 
 
 # ---------------------------------------------------------------------------
+# FLAC
+# ---------------------------------------------------------------------------
+
+_FLAC_BLOCK_SIZES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+_FLAC_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_FLAC_SSIZE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+class _FlacBits(_BitReader):
+    """FLAC additions to the MSB-first reader: signed reads, unary
+    (zeros terminated by a one), and byte re-alignment between frames."""
+
+    def sbits(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if v >= 1 << (n - 1) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bit() == 0:
+            q += 1
+            if q > 1 << 20:
+                raise CodecError("flac parse error: runaway unary code")
+        return q
+
+    def align(self) -> None:
+        self.nbits = 0
+
+
+def _flac_residual(br: _FlacBits, bs: int, order: int) -> list[int]:
+    method = br.bits(2)
+    if method > 1:
+        raise CodecError("flac parse error: reserved residual method")
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    porder = br.bits(4)
+    if bs % (1 << porder):
+        raise CodecError("flac parse error: bad partition order")
+    out: list[int] = []
+    for p in range(1 << porder):
+        count = (bs >> porder) - (order if p == 0 else 0)
+        if count < 0:
+            raise CodecError("flac parse error: partition smaller than order")
+        param = br.bits(pbits)
+        if param == escape:  # raw n-bit residuals
+            nb = br.bits(5)
+            out.extend(br.sbits(nb) if nb else 0 for _ in range(count))
+            continue
+        for _ in range(count):
+            q = br.unary()
+            v = (q << param) | br.bits(param)
+            out.append((v >> 1) ^ -(v & 1))  # zigzag
+    return out
+
+
+def _flac_subframe(br: _FlacBits, bs: int, bps: int) -> list[int]:
+    if br.bit():
+        raise CodecError("flac parse error: bad subframe padding bit")
+    t = br.bits(6)
+    wasted = 0
+    if br.bit():
+        wasted = 1
+        while br.bit() == 0:
+            wasted += 1
+    eff = bps - wasted
+    if eff <= 0:
+        raise CodecError("flac parse error: wasted bits exceed sample size")
+    if t == 0:  # constant
+        out = [br.sbits(eff)] * bs
+    elif t == 1:  # verbatim
+        out = [br.sbits(eff) for _ in range(bs)]
+    elif 8 <= t <= 12:  # fixed predictor, order 0-4
+        order = t - 8
+        out = [br.sbits(eff) for _ in range(order)]
+        res = _flac_residual(br, bs, order)
+        coefs = _FIXED_COEFS[order]
+        for r in res:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
+            out.append(r + pred)
+    elif t >= 32:  # LPC
+        order = (t & 31) + 1
+        out = [br.sbits(eff) for _ in range(order)]
+        prec = br.bits(4) + 1
+        if prec == 16:
+            raise CodecError("flac parse error: invalid LPC precision")
+        shift = br.sbits(5)
+        coefs = [br.sbits(prec) for _ in range(order)]
+        res = _flac_residual(br, bs, order)
+        for r in res:
+            acc = sum(c * out[-1 - j] for j, c in enumerate(coefs))
+            out.append(r + (acc >> shift))
+    else:
+        raise CodecError(f"flac parse error: reserved subframe type {t}")
+    if wasted:
+        out = [s << wasted for s in out]
+    return out
+
+
+def decode_flac(raw: bytes) -> Decoded:
+    """Native FLAC: STREAMINFO + frame stream; constant / verbatim /
+    fixed-predictor / LPC subframes, Rice and Rice2 residual partitions
+    (incl. escaped raw partitions), wasted-bits, independent and
+    left-side / right-side / mid-side stereo decorrelation. Header and
+    frame CRCs are consumed, not verified (same stance as PNG: a bad
+    checksum on otherwise-parseable data should still decode at scale).
+    Bit-level walks run in Python — inside an Arrow batch a slow blob
+    only slows its own row; FLAC is lossless so the decoded samples are
+    bit-exact, which the roundtrip tests assert with equality."""
+    if raw[:4] != b"fLaC":
+        raise CodecError("flac parse error: bad signature")
+    pos = 4
+    info: bytes | None = None
+    while pos + 4 <= len(raw):
+        hdr = raw[pos]
+        ln = int.from_bytes(raw[pos + 1 : pos + 4], "big")
+        body = raw[pos + 4 : pos + 4 + ln]
+        if len(body) < ln:
+            raise CodecError("flac parse error: truncated metadata block")
+        if hdr & 0x7F == 0:
+            info = body
+        pos += 4 + ln
+        if hdr & 0x80:
+            break
+    else:
+        raise CodecError("flac parse error: unterminated metadata")
+    if info is None or len(info) < 34:
+        raise CodecError("flac parse error: missing STREAMINFO")
+    sr = (info[10] << 12) | (info[11] << 4) | (info[12] >> 4)
+    nch = ((info[12] >> 1) & 0x7) + 1
+    bps = (((info[12] & 1) << 4) | (info[13] >> 4)) + 1
+    total = ((info[13] & 0x0F) << 32) | int.from_bytes(info[14:18], "big")
+    if sr == 0:
+        raise CodecError("flac parse error: zero sample rate")
+    if total == 0:
+        raise CodecError("unsupported flac: unknown total sample count")
+
+    br = _FlacBits(raw[pos:])
+    chans: list[list[int]] = [[] for _ in range(nch)]
+    got = 0
+    while got < total:
+        if br.bits(14) != 0x3FFE:
+            raise CodecError("flac parse error: lost frame sync")
+        br.bit()  # reserved
+        br.bit()  # blocking strategy
+        bs_code = br.bits(4)
+        sr_code = br.bits(4)
+        ch_code = br.bits(4)
+        ss_code = br.bits(3)
+        br.bit()  # reserved
+        first = br.bits(8)  # UTF-8-coded frame/sample number
+        if first >= 0x80:
+            n_cont = 0
+            b = first
+            while b & 0x40:
+                n_cont += 1
+                b <<= 1
+            for _ in range(n_cont):
+                br.bits(8)
+        if bs_code == 6:
+            bs = br.bits(8) + 1
+        elif bs_code == 7:
+            bs = br.bits(16) + 1
+        elif bs_code in _FLAC_BLOCK_SIZES:
+            bs = _FLAC_BLOCK_SIZES[bs_code]
+        else:
+            raise CodecError("flac parse error: reserved block size")
+        if sr_code == 12:
+            br.bits(8)
+        elif sr_code in (13, 14):
+            br.bits(16)
+        fbps = _FLAC_SSIZE.get(ss_code, bps) if ss_code else bps
+        br.bits(8)  # header CRC-8 (consumed, unverified)
+
+        if ch_code <= 7:
+            if ch_code + 1 != nch:
+                raise CodecError("flac parse error: channel count mismatch")
+            frame = [_flac_subframe(br, bs, fbps) for _ in range(nch)]
+        elif ch_code in (8, 9, 10):
+            if nch != 2:
+                raise CodecError("flac parse error: stereo mode on non-stereo")
+            if ch_code == 8:  # left/side
+                left = _flac_subframe(br, bs, fbps)
+                side = _flac_subframe(br, bs, fbps + 1)
+                frame = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side
+                side = _flac_subframe(br, bs, fbps + 1)
+                right = _flac_subframe(br, bs, fbps)
+                frame = [[r + s for r, s in zip(right, side)], right]
+            else:  # mid/side
+                mid = _flac_subframe(br, bs, fbps)
+                side = _flac_subframe(br, bs, fbps + 1)
+                frame = [[], []]
+                for m, s in zip(mid, side):
+                    m2 = (m << 1) | (s & 1)
+                    frame[0].append((m2 + s) >> 1)
+                    frame[1].append((m2 - s) >> 1)
+        else:
+            raise CodecError("flac parse error: reserved channel assignment")
+        br.align()
+        br.bits(16)  # frame CRC-16 (consumed, unverified)
+        take = min(bs, total - got)
+        for c in range(nch):
+            chans[c].extend(frame[c][:take])
+        got += take
+    return nch, sr, [np.array(c, dtype=np.float64) for c in chans]
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
@@ -861,4 +1080,6 @@ def sniff_and_decode(raw: bytes) -> Decoded:
         return decode_bmp(raw)
     if raw[:2] == b"\xff\xd8":
         return decode_jpeg(raw)
+    if raw[:4] == b"fLaC":
+        return decode_flac(raw)
     raise CodecError(f"unsupported codec: magic={raw[:4].hex()}")

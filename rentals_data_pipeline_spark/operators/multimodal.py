@@ -8,9 +8,10 @@ parsers in ``operators/codecs.py`` — RIFF/WAVE (PCM 8/16/24/32-bit,
 IEEE float, G.711 mu-law/A-law, EXTENSIBLE wrappers), PNG (zlib
 inflate, all five scanline filters, 8/16-bit, gray/RGB/palette/alpha),
 GIF (full LZW, interlace), BMP (BI_RGB 24/32), baseline JPEG (Huffman
-entropy decode + IDCT, subsampling, restart markers) and binary PPM P6
+entropy decode + IDCT, subsampling, restart markers), FLAC (Rice/LPC
+frame decode, stereo decorrelation) and binary PPM P6
 (``pack_wav``/``pack_ppm`` build genuine containers to feed it);
-remaining AV codecs (FLAC/MP4) stay environment-gated — no
+remaining AV containers (MP4/Ogg) stay environment-gated — no
 PIL/ffmpeg in this container — and surface as ``unsupported codec``
 error ROWS, never task failures. Everything Spark-side is real and
 tested:
@@ -195,8 +196,10 @@ def decode_media(
     wrappers), PNG (8/16-bit; gray/RGB/palette/gray+alpha/RGBA; all
     five scanline filters), GIF 87a/89a first frame (full LZW,
     interlace), BMP (BI_RGB 24/32), baseline-sequential JPEG (Huffman
-    + IDCT, 4:2:0/4:2:2/4:4:4, restart intervals, JFIF YCbCr->RGB)
-    and binary PPM P6 (maxval <= 255).
+    + IDCT, 4:2:0/4:2:2/4:4:4, restart intervals, JFIF YCbCr->RGB),
+    FLAC (constant/verbatim/fixed/LPC subframes, Rice residuals,
+    stereo decorrelation — lossless, bit-exact) and binary PPM P6
+    (maxval <= 255).
     mapInPandas over (id, payload) yielding one row per media item with
     ``n_channels``, ``sample_rate`` (NULL for images),
     ``decoded: array<array<double>>`` (one inner array per channel,
@@ -207,9 +210,9 @@ def decode_media(
     failures — NULL payloads, foreign magic bytes, truncated
     containers, unsupported sample widths / maxvals — are ROWS, not
     task failures: at 100 TB a corrupt blob must never kill a stage.
-    Remaining AV codecs (FLAC/MP4) stay environment-gated: no av libs
-    in this container, so they surface as ``unsupported codec`` error
-    rows with the magic recorded for triage.
+    Remaining AV containers (MP4/Ogg) stay environment-gated: no av
+    libs in this container, so they surface as ``unsupported codec``
+    error rows with the magic recorded for triage.
     """
     out_schema = T.StructType(
         [

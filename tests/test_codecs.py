@@ -459,13 +459,13 @@ def test_bmp_errors():
 
 
 def test_sniff_dispatch_unknown_magic():
-    with pytest.raises(C.CodecError, match="unsupported codec: magic=664c6143"):
-        C.sniff_and_decode(b"fLaC\x00\x00\x00\x22not-parsed")
+    with pytest.raises(C.CodecError, match="unsupported codec: magic=4f676753"):
+        C.sniff_and_decode(b"OggS\x00\x02vorbis-not-parsed")
 
 
 def test_decode_media_all_containers(spark):
-    """One Spark pass over five container formats plus a FLAC blob:
-    every format decodes to its known planes; the FLAC is an error
+    """One Spark pass over five container formats plus an Ogg blob:
+    every format decodes to its known planes; the Ogg is an error
     ROW."""
     png_px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
     gif_idx = np.array([[1, 2], [3, 0]], dtype=np.uint8)
@@ -477,7 +477,7 @@ def test_decode_media_all_containers(spark):
         (3, bytearray(_bmp(bmp_px))),
         (4, bytearray(_wav(C._WAV_FLOAT, 1, 22050, 32, f32.tobytes()))),
         (5, bytearray(b"P6\n2 1\n255\n" + bytes(range(6)))),
-        (6, bytearray(b"fLaC\x00\x00\x00\x22entropy-coded")),
+        (6, bytearray(b"OggS\x00\x02vorbis")),
     ]
     df = spark.createDataFrame(payloads, "doc_id long, payload binary")
     rows = {r["doc_id"]: r for r in MM.decode_media(df).collect()}
@@ -489,7 +489,7 @@ def test_decode_media_all_containers(spark):
     assert rows[4]["decoded"] == [[1.5, -2.25]]
     assert rows[5]["n_channels"] == 3 and rows[5]["sample_rate"] is None
     assert rows[5]["decoded"] == [[0.0, 3.0], [1.0, 4.0], [2.0, 5.0]]
-    assert rows[6]["decode_error"].startswith("unsupported codec: magic=664c")
+    assert rows[6]["decode_error"].startswith("unsupported codec: magic=4f67")
 
 
 # ---------------------------------------------------------------------------
@@ -900,3 +900,223 @@ def test_jpeg_roundtrip_property(dims, color, seed):
     assert nch == want.shape[2]
     for c in range(nch):
         assert np.abs(chans[c].reshape(h, w) - want[:, :, c]).max() <= 4.0
+
+
+# ---------------------------------------------------------------------------
+# FLAC: independent test-side encoder (lossless -> roundtrips are EXACT)
+# ---------------------------------------------------------------------------
+
+
+class _FlacWriterBits:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        for i in reversed(range(length)):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc = 0
+                self.n = 0
+
+    def sput(self, v, length):
+        self.put(v & ((1 << length) - 1), length)
+
+    def align(self):
+        while self.n:
+            self.put(0, 1)
+
+
+_FIXED = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _flac_subframe_bits(bw, samples, bps, kind):
+    bw.put(0, 1)  # padding
+    if kind == "constant":
+        assert len(set(samples)) == 1
+        bw.put(0, 6)
+        bw.put(0, 1)  # no wasted bits
+        bw.sput(int(samples[0]), bps)
+        return
+    if kind == "verbatim":
+        bw.put(1, 6)
+        bw.put(0, 1)
+        for s in samples:
+            bw.sput(int(s), bps)
+        return
+    # "fixedK"; a real encoder never picks order > block length
+    order = min(int(kind[-1]), len(samples))
+    bw.put(8 + order, 6)
+    bw.put(0, 1)
+    for s in samples[:order]:
+        bw.sput(int(s), bps)
+    coefs = _FIXED[order]
+    res = [
+        int(samples[i]) - sum(c * int(samples[i - 1 - j]) for j, c in enumerate(coefs))
+        for i in range(order, len(samples))
+    ]
+    zig = [2 * r if r >= 0 else -2 * r - 1 for r in res]
+    bw.put(0, 2)  # rice (4-bit params)
+    bw.put(0, 4)  # partition order 0
+    param = max((z.bit_length() for z in zig), default=0)
+    if param > 14:  # escaped raw partition
+        bw.put(15, 4)
+        nb = max(r.bit_length() + 1 for r in res)
+        bw.put(nb, 5)
+        for r in res:
+            bw.sput(r, nb)
+    else:
+        bw.put(param, 4)
+        for z in zig:
+            q = z >> param
+            bw.put(1, q + 1)  # q zeros then a one
+            if param:
+                bw.put(z & ((1 << param) - 1), param)
+
+
+def _encode_flac(channels, sr=44100, bps=16, block_size=None, kind="verbatim",
+                 stereo_mode="independent"):
+    """Spec-shaped FLAC writer: STREAMINFO + fixed-blocking frames.
+    CRC bytes are written as zero (the decoder under test consumes but
+    does not verify them, PNG-style)."""
+    nch = len(channels)
+    total = len(channels[0])
+    block_size = block_size or max(total, 16)
+    bw = _FlacWriterBits()
+    bw.put(0x664C6143, 32)  # fLaC
+    bw.put(0x80, 8)  # last block, STREAMINFO
+    bw.put(34, 24)
+    bw.put(block_size, 16)
+    bw.put(block_size, 16)
+    bw.put(0, 24)
+    bw.put(0, 24)
+    bw.put(sr, 20)
+    bw.put(nch - 1, 3)
+    bw.put(bps - 1, 5)
+    bw.put(total, 36)
+    for _ in range(16):
+        bw.put(0, 8)  # md5 zeros
+    ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}[bps]
+    nframes = -(-total // block_size) if total else 1
+    for f in range(nframes):
+        lo, hi = f * block_size, min((f + 1) * block_size, total)
+        bs = hi - lo
+        bw.put(0x3FFE, 14)
+        bw.put(0, 1)
+        bw.put(0, 1)
+        bw.put(7, 4)  # explicit 16-bit block size
+        bw.put(0, 4)  # rate from STREAMINFO
+        ch_code = {"independent": nch - 1, "left-side": 8}[stereo_mode]
+        bw.put(ch_code, 4)
+        bw.put(ss_code, 3)
+        bw.put(0, 1)
+        assert f < 128
+        bw.put(f, 8)  # UTF-8 frame number, single byte
+        bw.put(bs - 1, 16)
+        bw.put(0, 8)  # CRC-8 (unverified)
+        if stereo_mode == "left-side":
+            left = channels[0][lo:hi]
+            side = [int(a) - int(b) for a, b in zip(left, channels[1][lo:hi])]
+            _flac_subframe_bits(bw, left, bps, kind)
+            _flac_subframe_bits(bw, side, bps + 1, kind)
+        else:
+            for c in range(nch):
+                _flac_subframe_bits(bw, channels[c][lo:hi], bps, kind)
+        bw.align()
+        bw.put(0, 16)  # CRC-16 (unverified)
+    return bytes(bw.out)
+
+
+def test_flac_constant_and_verbatim_exact():
+    const = np.full(100, -12345, dtype=np.int64)
+    nch, sr, chans = C.decode_flac(_encode_flac([const], kind="constant"))
+    assert (nch, sr) == (1, 44100)
+    assert chans[0].tolist() == const.astype(float).tolist()
+
+    rng = np.random.default_rng(2)
+    l = rng.integers(-(2**15), 2**15, size=130, dtype=np.int64)
+    r = rng.integers(-(2**15), 2**15, size=130, dtype=np.int64)
+    raw = _encode_flac([l, r], sr=48000, block_size=48)  # 3 frames
+    nch, sr, chans = C.decode_flac(raw)
+    assert (nch, sr) == (2, 48000)
+    assert chans[0].tolist() == l.astype(float).tolist()
+    assert chans[1].tolist() == r.astype(float).tolist()
+
+
+def test_flac_fixed_predictor_rice_exact():
+    """Order-2 fixed predictor over a noisy ramp: small residuals ride
+    the rice path; FLAC is lossless so equality is exact."""
+    rng = np.random.default_rng(3)
+    n = 200
+    ramp = (np.arange(n) * 7 + rng.integers(-5, 6, size=n)).astype(np.int64)
+    raw = _encode_flac([ramp], kind="fixed2", block_size=64)
+    _, _, chans = C.decode_flac(raw)
+    assert chans[0].tolist() == ramp.astype(float).tolist()
+
+
+def test_flac_escaped_partition_exact():
+    """Residuals too wide for a rice param (max 14 bits) force the
+    escaped raw-bits partition path."""
+    jumps = np.array([0, 30000, -30000, 29999, -29998, 5, -5, 0], dtype=np.int64)
+    raw = _encode_flac([jumps], kind="fixed1")
+    _, _, chans = C.decode_flac(raw)
+    assert chans[0].tolist() == jumps.astype(float).tolist()
+
+
+def test_flac_left_side_stereo_exact():
+    rng = np.random.default_rng(4)
+    l = rng.integers(-1000, 1000, size=96, dtype=np.int64)
+    r = l + rng.integers(-50, 50, size=96)  # correlated -> small side
+    raw = _encode_flac([l, r], stereo_mode="left-side", kind="fixed1")
+    nch, _, chans = C.decode_flac(raw)
+    assert nch == 2
+    assert chans[0].tolist() == l.astype(float).tolist()
+    assert chans[1].tolist() == r.astype(float).tolist()
+
+
+def test_flac_errors():
+    good = _encode_flac([np.zeros(10, dtype=np.int64)])
+    with pytest.raises(C.CodecError, match="bad signature"):
+        C.decode_flac(b"fLaX" + good[4:])
+    with pytest.raises(C.CodecError, match="truncated|lost frame sync"):
+        C.decode_flac(good[:30])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 300),
+    nch=st.integers(1, 3),
+    bps=st.sampled_from([8, 16, 24]),
+    kind=st.sampled_from(["verbatim", "fixed0", "fixed1", "fixed2", "fixed3", "fixed4"]),
+    bsz=st.sampled_from([16, 48, 4096]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_flac_roundtrip_property(n, nch, bps, kind, bsz, seed):
+    """Lossless: any signal, width, channel count, predictor order and
+    framing decodes to EXACTLY the input samples."""
+    rng = np.random.default_rng(seed)
+    hi = 1 << (bps - 1)
+    chans_in = [
+        rng.integers(-hi, hi, size=n, dtype=np.int64) for _ in range(nch)
+    ]
+    raw = _encode_flac(chans_in, bps=bps, kind=kind, block_size=bsz)
+    nch_out, sr, chans = C.decode_flac(raw)
+    assert (nch_out, sr) == (nch, 44100)
+    for c in range(nch):
+        assert chans[c].tolist() == chans_in[c].astype(float).tolist()
+
+
+def test_decode_media_flac_payload(spark):
+    rng = np.random.default_rng(8)
+    sig = rng.integers(-2000, 2000, size=64, dtype=np.int64)
+    raw = _encode_flac([sig], sr=22050, kind="fixed2")
+    df = spark.createDataFrame(
+        [(1, bytearray(raw))], "doc_id long, payload binary"
+    )
+    row = MM.decode_media(df).collect()[0]
+    assert row["decode_error"] is None
+    assert row["n_channels"] == 1 and row["sample_rate"] == 22050
+    assert row["decoded"] == [sig.astype(float).tolist()]

@@ -187,14 +187,14 @@ def test_decode_media_failures_are_rows(spark):
     )
     df = spark.createDataFrame(
         [
-            (1, bytearray(b"fLaC\x00\x00\x00\x22not-a-wav")),
+            (1, bytearray(b"OggS\x00\x02not-a-wav")),
             (2, bytearray(b"RIFF\x00\x00\x00\x00WAVEtruncated")),
             (3, bytearray(wide)),
         ],
         "doc_id long, payload binary",
     )
     errs = {r["doc_id"]: r["decode_error"] for r in MM.decode_media(df).collect()}
-    assert errs[1].startswith("unsupported codec: magic=664c")
+    assert errs[1].startswith("unsupported codec: magic=4f67")
     assert "error" in errs[2] or errs[2].startswith("wave parse")
     assert errs[3] == "unsupported sample width: 8"
 
