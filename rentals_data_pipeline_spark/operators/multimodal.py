@@ -288,6 +288,9 @@ def byte_histogram_features(
         for pdf in batches:
             feats = []
             for payload in pdf[payload_col]:
+                if payload is None:  # null blob -> null features, not a crash
+                    feats.append(None)
+                    continue
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 hist = np.bincount(arr // width, minlength=n_bins)[:n_bins]
                 total = hist.sum()
@@ -370,6 +373,9 @@ def resize_grid(
         for pdf in batches:
             out = []
             for payload in pdf[payload_col]:
+                if payload is None:  # null blob -> null grid, not a crash
+                    out.append(None)
+                    continue
                 arr = np.frombuffer(payload[:n], dtype=np.uint8)
                 if len(arr) < n:
                     arr = np.pad(arr, (0, n - len(arr)))

@@ -1,0 +1,58 @@
+"""Robustness sweep: every catalog query must run on a NULL-heavy corpus.
+
+The empty-corpus sweep covers the zero-rows axis; this one covers the
+partial-nulls axis: a third of document texts, embedding vectors and
+event props (and a fifth of event values) are NULL — the shape real
+100 TB ingest has after failed fetches, decode errors, or schema
+drift. Key columns stay non-null (TPC-H semantics define them as
+such); only value-bearing columns are nulled. Every ``queries()``
+entry must plan and execute without raising — operators are expected
+to drop or absorb NULLs, never to crash on them.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from rentals_data_pipeline_spark.sources.tables import TABLES, load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_NULLED = {
+    "documents": lambda df: df.withColumn(
+        "text", F.when(F.col("doc_id") % 3 == 0, None).otherwise(F.col("text"))
+    ),
+    "embeddings": lambda df: df.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 3 == 0, None).otherwise(F.col("embedding")),
+    ),
+    "events": lambda df: df.withColumn(
+        "props",
+        F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("props")),
+    ).withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value")),
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def nully_sf_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("nully_sf")
+    for t in TABLES:
+        df = load_table(spark, SF_DIR, t)
+        df = _NULLED.get(t, lambda d: d)(df)
+        df.write.mode("overwrite").parquet(str(root / f"{t}.parquet"))
+    return str(root)
+
+
+@pytest.mark.parametrize("name", sorted(entry.queries()))
+def test_query_survives_null_heavy_corpus(spark, nully_sf_dir, name):
+    fn = entry.queries()[name]
+    df = fn(spark, nully_sf_dir)
+    # executing must not raise; values are the oracle gate's concern —
+    # this sweep checks the crash class (NPE-ish expression errors,
+    # numpy stacking of None vectors, regex over NULL text)
+    df.collect()
