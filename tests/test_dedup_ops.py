@@ -286,3 +286,19 @@ def test_dedup_against_index_empty_sides(spark):
     assert out.count() == 0
     e_bands, e_sets = DD.minhash_index(empty)
     assert DD.dedup_against_index(corpus, e_bands, e_sets).count() == 0
+
+
+def test_dedup_against_index_plan_is_equi_join(spark):
+    """The probe path must stay an equi-join on (band, band_key) plus
+    id-keyed verify joins — no cartesian/nested-loop node anywhere."""
+    corpus = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    new = spark.createDataFrame([(11, "the quick brown fox")], ["doc_id", "text"])
+    idx_bands, idx_sets = DD.minhash_index(corpus)
+    plan = (
+        DD.dedup_against_index(new, idx_bands, idx_sets)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

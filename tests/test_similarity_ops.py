@@ -541,3 +541,27 @@ def test_ivf_index_append_composable(spark, tmp_path):
         map(tuple, SIM.ivf_probe(probes, cents, full_cells, k=3, n_probe=3).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_ivf_probe_plan_is_equi_join(spark):
+    """Serving path: the candidate join is an equi-join on the cell id
+    (pruned scan on a cell-partitioned index at scale) — never a
+    cartesian/nested-loop pair blowup."""
+    from rentals_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("match_vec")
+    )
+    probes = emb.limit(5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    cents, cells = SIM.ivf_index(corpus, n_cells=4)
+    plan = (
+        SIM.ivf_probe(probes, cents, cells, k=2, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
