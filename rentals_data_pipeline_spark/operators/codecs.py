@@ -62,6 +62,12 @@ class CodecError(ValueError):
 
 Decoded = tuple[int, "int | None", list[np.ndarray]]
 
+# Dimension cap for formats whose header can command allocations far
+# larger than the blob itself (PNG inflate, GIF LZW): 64M pixels is
+# far above any training-data image while keeping the worst-case
+# buffer for one corrupt row in the hundreds of MB, not GBs.
+_MAX_PIXELS = 1 << 26
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 _WAV_PCM = 0x0001
@@ -301,6 +307,10 @@ def decode_png(raw: bytes) -> Decoded:
         raise CodecError(f"unsupported png bit depth: {depth}")
     if w == 0 or h == 0:
         raise CodecError("png parse error: zero dimensions")
+    if w * h > _MAX_PIXELS:
+        # cap BEFORE the inflate: a 100-byte header must not be able to
+        # command a multi-GB allocation (decompression-bomb shape)
+        raise CodecError(f"png parse error: implausible dimensions {w}x{h}")
     if not idat:
         raise CodecError("png parse error: missing IDAT")
     nch = _PNG_CHANNELS[color]
@@ -442,6 +452,10 @@ def decode_gif(raw: bytes) -> Decoded:
             raise CodecError("gif parse error: no color table")
         if w == 0 or h == 0:
             raise CodecError("gif parse error: zero dimensions")
+        if w * h > _MAX_PIXELS:
+            # LZW expansion is bounded by w*h; bound w*h itself so a
+            # crafted descriptor can't command a multi-GB buffer
+            raise CodecError(f"gif parse error: implausible dimensions {w}x{h}")
         if off >= len(raw):
             raise CodecError("gif parse error: truncated image data")
         min_code_size = raw[off]
@@ -585,7 +599,8 @@ class _BitReader:
     def bit(self) -> int:
         if self.nbits == 0:
             if self.pos >= len(self.data):
-                raise CodecError("jpeg parse error: truncated entropy data")
+                # shared by the JPEG and FLAC readers: codec-neutral text
+                raise CodecError("parse error: truncated entropy data")
             self.acc = self.data[self.pos]
             self.pos += 1
             self.nbits = 8
@@ -709,18 +724,20 @@ def decode_jpeg(raw: bytes) -> Decoded:
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 15
                 i += 1
+                width = 64 if pq == 0 else 128
+                if len(body) - i < width:  # validate BEFORE frombuffer:
+                    # an odd-length slice makes >u2 frombuffer raise
+                    # ValueError, not CodecError
+                    raise CodecError("jpeg parse error: malformed DQT")
                 if pq == 0:
                     qt[tq] = np.frombuffer(body[i : i + 64], np.uint8).astype(
                         np.int32
                     )
-                    i += 64
                 else:
                     qt[tq] = np.frombuffer(body[i : i + 128], ">u2").astype(
                         np.int32
                     )
-                    i += 128
-                if len(qt[tq]) < 64:
-                    raise CodecError("jpeg parse error: malformed DQT")
+                i += width
         elif m == 0xC4:  # DHT
             i = 0
             while i + 17 <= len(body):
@@ -734,6 +751,8 @@ def decode_jpeg(raw: bytes) -> Decoded:
                     bits, vals
                 )
         elif m in (0xC0, 0xC1):  # baseline / extended sequential
+            if len(body) < 6:
+                raise CodecError("jpeg parse error: truncated frame header")
             prec = body[0]
             if prec != 8:
                 raise CodecError(f"unsupported jpeg precision: {prec}-bit")
@@ -742,6 +761,12 @@ def decode_jpeg(raw: bytes) -> Decoded:
             ncomp = body[5]
             if h_px == 0 or w_px == 0 or not 1 <= ncomp <= 4:
                 raise CodecError("jpeg parse error: bad frame header")
+            if w_px * h_px > _MAX_PIXELS:
+                raise CodecError(
+                    f"jpeg parse error: implausible dimensions {w_px}x{h_px}"
+                )
+            if len(body) < 6 + 3 * ncomp:
+                raise CodecError("jpeg parse error: truncated frame header")
             comps = []
             for c in range(ncomp):
                 cid = body[6 + 3 * c]
@@ -755,6 +780,8 @@ def decode_jpeg(raw: bytes) -> Decoded:
         elif m == 0xDD:  # DRI
             dri = int.from_bytes(body[:2], "big")
         elif m == 0xDA:  # SOS
+            if not body or len(body) < 1 + 2 * body[0]:
+                raise CodecError("jpeg parse error: truncated scan header")
             ns = body[0]
             scan = [
                 (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 15)
@@ -987,6 +1014,10 @@ def decode_flac(raw: bytes) -> Decoded:
         raise CodecError("flac parse error: zero sample rate")
     if total == 0:
         raise CodecError("unsupported flac: unknown total sample count")
+    if total * nch > _MAX_PIXELS * 4:
+        # a 16-byte constant frame can command 65535 samples, so bound
+        # the DECLARED total: one corrupt row must stay memory-sane
+        raise CodecError(f"flac parse error: implausible sample count {total}")
 
     br = _FlacBits(raw[pos:])
     chans: list[list[int]] = [[] for _ in range(nch)]

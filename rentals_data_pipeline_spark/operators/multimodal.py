@@ -256,6 +256,12 @@ def decode_media(
                 except CodecError as e:  # corrupt blob != task failure
                     emit(err=str(e))
                     continue
+                except Exception as e:  # decoder BUG != task failure either:
+                    # at 100 TB one hostile blob tripping an unforeseen
+                    # IndexError/ValueError must not kill the stage —
+                    # surface it as a distinguishable error row instead
+                    emit(err=f"decode failure: {type(e).__name__}: {str(e)[:120]}")
+                    continue
                 emit(nch=nch, sr=sr, decoded=[c.tolist() for c in channels])
             yield pd.DataFrame(cols)
 

@@ -1120,3 +1120,127 @@ def test_decode_media_flac_payload(spark):
     assert row["decode_error"] is None
     assert row["n_channels"] == 1 and row["sample_rate"] == 22050
     assert row["decoded"] == [sig.astype(float).tolist()]
+
+
+# ---------------------------------------------------------------------------
+# hostile-blob hardening: mutation fuzz + decompression-bomb guards
+# ---------------------------------------------------------------------------
+
+
+def _small_valid_blobs() -> dict[str, bytes]:
+    """One small valid blob per container, from the test-side writers."""
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    idx = (np.arange(16, dtype=np.uint8) % 2).reshape(4, 4)
+    sig = np.array([0, 100, -100, 50], dtype=np.int64)
+    return {
+        "wav": _wav(1, 1, 8000, 16,
+                    np.array([0, 1000, -1000], dtype="<i2").tobytes()),
+        "png": _png(px, color=2),
+        "gif": _gif(idx, pal),
+        "bmp": _bmp(px),
+        "jpeg": _encode_jpeg(px[:, :, 0]),
+        "flac": _encode_flac([sig]),
+        "ppm": b"P6\n4 4\n255\n" + bytes(48),
+    }
+
+
+def test_decoder_mutation_fuzz_codecerror_only():
+    """Truncations, bit flips and spliced garbage over every container
+    must either decode or raise CodecError — never IndexError /
+    ValueError / struct.error leaking out of a parser.  This is the
+    unit-level guarantee behind ``decode_media``'s corrupt-blob-is-a-
+    row contract (the broad except there is defense in depth, not the
+    primary mechanism)."""
+    import random
+
+    rng = random.Random(20260814)
+    for name, blob in _small_valid_blobs().items():
+        for _ in range(400):
+            b = bytearray(blob)
+            op = rng.randrange(3)
+            if op == 0:  # truncate
+                b = b[: rng.randrange(len(b))]
+            elif op == 1:  # flip 1-5 bytes
+                for _ in range(rng.randrange(1, 6)):
+                    if b:
+                        b[rng.randrange(len(b))] = rng.randrange(256)
+            else:  # truncate + splice random tail
+                b = b[: rng.randrange(len(b))] + bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(40))
+                )
+            try:
+                C.sniff_and_decode(bytes(b))
+            except C.CodecError:
+                pass  # the contract: corrupt blob -> typed error
+
+def _bomb_png() -> bytes:
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    return C._PNG_SIG + _png_chunk(b"IHDR", ihdr)
+
+
+def _bomb_gif() -> bytes:
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    b = bytearray(_gif(idx, pal))
+    # descriptor: 0x2C left(2) top(2) w(2) h(2) -- the all-0/255
+    # palette and the writer's fixed extension contain no 0x2C, so
+    # the first occurrence IS the descriptor
+    at = bytes(b).index(b"\x2c")
+    b[at + 5 : at + 9] = b"\xff\xff\xff\xff"  # 65535 x 65535 declared
+    return bytes(b)
+
+
+def _bomb_jpeg() -> bytes:
+    b = bytearray(_encode_jpeg(np.zeros((4, 4), dtype=np.uint8)))
+    at = bytes(b).index(b"\xff\xc0")
+    b[at + 5 : at + 9] = b"\xff\xff\xff\xff"  # h=w=65535 in SOF
+    return bytes(b)
+
+
+def _bomb_flac() -> bytes:
+    b = bytearray(_encode_flac([np.zeros(8, dtype=np.int64)]))
+    # STREAMINFO packed u64 at bytes 18..26: sr(20) nch(3) bps(5)
+    # total(36) -- declare 2^35 total samples
+    v = int.from_bytes(b[18:26], "big")
+    v = (v & ~((1 << 36) - 1)) | (1 << 35)
+    b[18:26] = v.to_bytes(8, "big")
+    return bytes(b)
+
+
+@pytest.mark.parametrize("maker", [_bomb_png, _bomb_gif, _bomb_jpeg,
+                                   _bomb_flac])
+def test_decompression_bomb_headers_rejected_fast(maker):
+    """A tiny blob whose header commands a multi-GB allocation must be
+    rejected BEFORE the allocation: at 100 TB one crafted row must not
+    OOM an executor.  The cap fires on declared dimensions, so the
+    error arrives in microseconds regardless of payload size."""
+    import time
+
+    blob = maker()
+    assert len(blob) < 4096  # the whole point: tiny blob, huge claim
+    t0 = time.time()
+    with pytest.raises(C.CodecError, match="implausible"):
+        C.sniff_and_decode(blob)
+    assert time.time() - t0 < 1.0
+
+
+def test_decode_media_hostile_batch(spark):
+    """A batch mixing valid, corrupt, bomb-header and NULL payloads
+    comes back as one row each -- good rows decoded, bad rows carrying
+    decode_error -- with no task failure."""
+    good = _small_valid_blobs()["wav"]
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(good[:20])),          # truncated
+        (3, bytearray(_bomb_png())),        # bomb header
+        (4, bytearray(b"\x00\x01garbage")), # foreign magic
+        (5, None),                          # NULL payload
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in MM.decode_media(df).collect()}
+    assert len(out) == 5
+    assert out[1]["decode_error"] is None and out[1]["n_channels"] == 1
+    for k in (2, 3, 4, 5):
+        assert out[k]["decode_error"] is not None
+    assert "implausible" in out[3]["decode_error"]
