@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in dict order.  With 190 catalog queries we order by certification need.
+# in dict order.  With 191 catalog queries we order by certification need.
 # Round-6 order (history: CORRECTNESS_r01..r05.json; round-5 verdict item 2
 # mandated rotating every never-driver-certified oracle-paired query to the
 # front):
@@ -52,9 +52,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #       the ones whose code round 6 touches (duplicated-ngram perf rewrite,
 #       Matryoshka bucketed prefix, ks-drift nullif guard, shot-boundary
 #       oracle bound), then the sql/tpch/stats/dedup/sim/graph families.
-#   group 1 (round-7 queue, positions 51-90) — the ordered remainder of the
-#     never-certified set; round 7 MUST rotate these 40 to the front (they
-#     complete certification of every oracle-paired query, ending the debt).
+#   group 1 (round-7 queue, positions 51-91) — the ordered remainder of the
+#     never-certified set plus the one round-6 addition
+#     (multimodal_container_probe, locally certified at sf0.001/0.01/0.1
+#     incl. --pandas-oracle mode); round 7 MUST rotate these 41 to the
+#     front (they complete certification of every oracle-paired query,
+#     ending the debt).
 #   group 2 — driver-certified in r1-r5 on code this round leaves
 #     byte-identical or re-verifies: the FULL 190-query catalog was
 #     re-certified on final round-6 code at sf0.01 in driver-faithful
@@ -91,7 +94,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "graph_degree_distribution", "multimodal_audio_dominant_lag",
     "text_gopher_quality_rules",
 
-    # -- group 1: round-7 rotation queue (40, never driver-certified) -----
+    # -- group 1: round-7 rotation queue (41, never driver-certified) -----
     "cdc_incremental_agg_orders", "scalar_array_suite", "scalar_nested_suite",
     "scalar_try_suite", "agg_mode_orders_priority", "join_point_in_time_scd2",
     "window_share_of_total", "analytics_funnel_conversion_window",
@@ -110,7 +113,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sketch_heavy_hitters_event_types", "ts_session_windows_dynamic_gap",
     "ts_seasonal_naive_backtest", "ts_ewma_hourly_smoothing",
     "ts_interpolate_linear", "window_rolling_autocorr",
-    "ts_changepoint_cusum",
+    "ts_changepoint_cusum", "multimodal_container_probe",
 
     # -- group 2: driver-certified r1-r5, code byte-identical or locally
     # re-certified after this round's edits ------------------------------

@@ -1114,3 +1114,384 @@ def sniff_and_decode(raw: bytes) -> Decoded:
     if raw[:4] == b"fLaC":
         return decode_flac(raw)
     raise CodecError(f"unsupported codec: magic={raw[:4].hex()}")
+
+
+# ---------------------------------------------------------------------------
+# header-only container probe (triage pass: never decodes payload bytes)
+# ---------------------------------------------------------------------------
+
+_WAV_CODEC_NAMES = {
+    _WAV_PCM: "pcm",
+    _WAV_FLOAT: "ieee_float",
+    _WAV_ALAW: "g711_alaw",
+    _WAV_ULAW: "g711_ulaw",
+}
+
+# one fixed shape for every probe result; None = not applicable
+_PROBE_KEYS = (
+    "format", "codec", "n_tracks", "width", "height",
+    "channels", "sample_rate", "duration_s",
+)
+
+
+def _probe(fmt: str, codec: "str | None" = None, n_tracks: int = 1,
+           width: "int | None" = None, height: "int | None" = None,
+           channels: "int | None" = None, sample_rate: "int | None" = None,
+           duration_s: "float | None" = None) -> dict:
+    return {
+        "format": fmt, "codec": codec, "n_tracks": n_tracks,
+        "width": width, "height": height, "channels": channels,
+        "sample_rate": sample_rate, "duration_s": duration_s,
+    }
+
+
+def _probe_wav(raw: bytes) -> dict:
+    """fmt-chunk + data-chunk SIZE only — sample bytes are never read,
+    so probing a 1 GB WAV costs the same as probing a 1 KB one."""
+    fmt: bytes | None = None
+    data_len: "int | None" = None
+    off, n = 12, len(raw)
+    while off + 8 <= n:
+        cid = raw[off : off + 4]
+        size = int.from_bytes(raw[off + 4 : off + 8], "little")
+        if cid == b"fmt " and fmt is None:
+            fmt = raw[off + 8 : off + 8 + size]
+        elif cid == b"data" and data_len is None:
+            data_len = min(size, n - off - 8)  # truncated data: count
+            # what is actually present, like decode_wav does
+        off += 8 + size + (size & 1)
+    if fmt is None or len(fmt) < 16:
+        raise CodecError("wave parse error: missing fmt chunk")
+    if data_len is None:
+        raise CodecError("wave parse error: missing data chunk")
+    code, nch, sr = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if code == _WAV_EXTENSIBLE:
+        if len(fmt) < 26:
+            raise CodecError("wave parse error: truncated extensible fmt")
+        code = struct.unpack_from("<H", fmt, 24)[0]
+    if nch < 1 or sr == 0 or bits == 0:
+        raise CodecError("wave parse error: bad fmt fields")
+    name = _WAV_CODEC_NAMES.get(code)
+    if name is None:
+        raise CodecError(f"unsupported wav format: 0x{code:04x}")
+    if name == "pcm":
+        name = "pcm_u8" if bits == 8 else f"pcm_s{bits}le"
+    frames = data_len // (nch * max(bits // 8, 1))
+    return _probe("wav", name, channels=int(nch), sample_rate=int(sr),
+                  duration_s=frames / sr)
+
+
+def _probe_png(raw: bytes) -> dict:
+    if len(raw) < 8 + 8 + 13 or raw[12:16] != b"IHDR":
+        raise CodecError("png parse error: missing IHDR")
+    w, h, depth, color = struct.unpack(">IIBB", raw[16:26])
+    if color not in _PNG_CHANNELS:
+        raise CodecError(f"unsupported png color type: {color}")
+    return _probe("png", f"png/{color}-{depth}", width=int(w), height=int(h),
+                  channels=int(_PNG_CHANNELS[color]))
+
+
+def _probe_gif(raw: bytes) -> dict:
+    if len(raw) < 13:
+        raise CodecError("gif parse error: truncated header")
+    w, h = struct.unpack_from("<HH", raw, 6)
+    return _probe("gif", "gif/lzw", width=int(w), height=int(h), channels=3)
+
+
+def _probe_bmp(raw: bytes) -> dict:
+    if len(raw) < 34:
+        raise CodecError("bmp parse error: truncated header")
+    w = int.from_bytes(raw[18:22], "little", signed=True)
+    h = int.from_bytes(raw[22:26], "little", signed=True)
+    bits = struct.unpack_from("<H", raw, 28)[0]
+    if w <= 0 or h == 0:
+        raise CodecError("bmp parse error: bad dimensions")
+    return _probe("bmp", f"bmp/{bits}", width=int(w), height=abs(int(h)),
+                  channels=4 if bits == 32 else 3)
+
+
+def _probe_ppm(raw: bytes) -> dict:
+    m = _PPM_HEADER.match(raw)
+    if not m:
+        raise CodecError("ppm parse error: malformed header")
+    w, h, _ = (int(g) for g in m.groups())
+    return _probe("ppm", "ppm/p6", width=w, height=h, channels=3)
+
+
+def _probe_jpeg(raw: bytes) -> dict:
+    """Marker walk to the first SOF — entropy data is never touched."""
+    pos, n = 2, len(raw)
+    while pos + 4 <= n:
+        if raw[pos] != 0xFF:
+            raise CodecError("jpeg parse error: marker expected")
+        m = raw[pos + 1]
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        ln = int.from_bytes(raw[pos + 2 : pos + 4], "big")
+        body = raw[pos + 4 : pos + 2 + ln]
+        if ln < 2 or len(body) < ln - 2:
+            raise CodecError("jpeg parse error: truncated segment")
+        if m in (0xC0, 0xC1, 0xC2):  # probe reports progressive too:
+            # triage must SEE what decode would reject
+            if len(body) < 6:
+                raise CodecError("jpeg parse error: truncated frame header")
+            h_px = int.from_bytes(body[1:3], "big")
+            w_px = int.from_bytes(body[3:5], "big")
+            kind = "progressive" if m == 0xC2 else "baseline"
+            return _probe("jpeg", f"jpeg/{kind}", width=w_px, height=h_px,
+                          channels=int(body[5]))
+        if m == 0xDA:
+            break
+        pos += 2 + ln
+    raise CodecError("jpeg parse error: missing SOF/SOS")
+
+
+def _probe_flac(raw: bytes) -> dict:
+    pos = 4
+    info: bytes | None = None
+    while pos + 4 <= len(raw):
+        hdr = raw[pos]
+        ln = int.from_bytes(raw[pos + 1 : pos + 4], "big")
+        body = raw[pos + 4 : pos + 4 + ln]
+        if len(body) < ln:
+            raise CodecError("flac parse error: truncated metadata block")
+        if hdr & 0x7F == 0:
+            info = body
+        pos += 4 + ln
+        if hdr & 0x80:
+            break
+    if info is None or len(info) < 34:
+        raise CodecError("flac parse error: missing STREAMINFO")
+    sr = (info[10] << 12) | (info[11] << 4) | (info[12] >> 4)
+    nch = ((info[12] >> 1) & 0x7) + 1
+    bps = (((info[12] & 1) << 4) | (info[13] >> 4)) + 1
+    total = ((info[13] & 0x0F) << 32) | int.from_bytes(info[14:18], "big")
+    if sr == 0:
+        raise CodecError("flac parse error: zero sample rate")
+    return _probe("flac", f"flac/{bps}bit", channels=int(nch),
+                  sample_rate=int(sr),
+                  duration_s=(total / sr) if total else None)
+
+
+def _mp4_boxes(raw: bytes, lo: int, hi: int, tolerate_tail: bool = False):
+    """Iterate (type, body_lo, body_hi) over ISO-BMFF boxes in
+    raw[lo:hi]; 64-bit largesize and size-0 (to end) both handled.
+    ``tolerate_tail`` (top level only): a final box whose declared
+    size runs past the buffer ends the walk instead of raising — a
+    probe reading the first N bytes of a huge faststart file must
+    still report the moov it already has."""
+    p = lo
+    while p + 8 <= hi:
+        size = int.from_bytes(raw[p : p + 4], "big")
+        typ = raw[p + 4 : p + 8]
+        hdr = 8
+        if size == 1:
+            if p + 16 > hi:
+                raise CodecError("mp4 parse error: truncated largesize")
+            size = int.from_bytes(raw[p + 8 : p + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = hi - p
+        if size < hdr or p + size > hi:
+            if tolerate_tail and size >= hdr:
+                return
+            raise CodecError("mp4 parse error: bad box size")
+        yield typ, p + hdr, p + size
+        p += size
+
+
+def _mp4_fullbox_u32_u64(body: bytes, v0_off: int) -> tuple[int, int]:
+    """(timescale, duration) from an mvhd/mdhd FullBox body: version 0
+    packs them as u32 after two u32 timestamps, version 1 after two
+    u64 timestamps with a u64 duration."""
+    if not body:
+        raise CodecError("mp4 parse error: empty header box")
+    if body[0] == 1:
+        if len(body) < 4 + 8 + 8 + 4 + 8:
+            raise CodecError("mp4 parse error: truncated v1 header box")
+        ts = int.from_bytes(body[20:24], "big")
+        dur = int.from_bytes(body[24:32], "big")
+    else:
+        if len(body) < v0_off + 8:
+            raise CodecError("mp4 parse error: truncated header box")
+        ts = int.from_bytes(body[v0_off : v0_off + 4], "big")
+        dur = int.from_bytes(body[v0_off + 4 : v0_off + 8], "big")
+    return ts, dur
+
+
+def _probe_mp4(raw: bytes) -> dict:
+    """ISO base-media box walk: ftyp brand, mvhd movie duration, per-
+    trak hdlr handler + stsd sample-entry fourcc, visual width/height,
+    audio channels/rate. Structural metadata only — mdat is skipped by
+    size, so the probe cost is independent of media size. Public
+    structure per ISO/IEC 14496-12."""
+    brand = None
+    movie = None  # (timescale, duration)
+    tracks: list[dict] = []
+    for typ, lo, hi in _mp4_boxes(raw, 0, len(raw), tolerate_tail=True):
+        if typ == b"ftyp":
+            brand = raw[lo : lo + 4].decode("ascii", "replace").strip()
+        elif typ == b"moov":
+            for t2, lo2, hi2 in _mp4_boxes(raw, lo, hi):
+                if t2 == b"mvhd":
+                    movie = _mp4_fullbox_u32_u64(raw[lo2:hi2], 12)
+                elif t2 == b"trak":
+                    tracks.append(_mp4_trak(raw, lo2, hi2))
+    if brand is None and not tracks:
+        raise CodecError("mp4 parse error: no ftyp or moov box")
+    dur = None
+    if movie and movie[0]:
+        dur = movie[1] / movie[0]
+    vid = next((t for t in tracks if t.get("handler") == "vide"), None)
+    aud = next((t for t in tracks if t.get("handler") == "soun"), None)
+    lead = vid or aud or (tracks[0] if tracks else {})
+    return _probe(
+        "mp4", lead.get("codec") or (f"brand/{brand}" if brand else None),
+        n_tracks=len(tracks),
+        width=vid.get("width") if vid else None,
+        height=vid.get("height") if vid else None,
+        channels=aud.get("channels") if aud else None,
+        sample_rate=aud.get("sample_rate") if aud else None,
+        duration_s=dur,
+    )
+
+
+def _mp4_trak(raw: bytes, lo: int, hi: int) -> dict:
+    out: dict = {}
+    for typ, lo2, hi2 in _mp4_boxes(raw, lo, hi):
+        if typ != b"mdia":
+            continue
+        for t3, lo3, hi3 in _mp4_boxes(raw, lo2, hi2):
+            if t3 == b"mdhd":
+                ts, dur = _mp4_fullbox_u32_u64(raw[lo3:hi3], 12)
+                if ts:
+                    out["duration_s"] = dur / ts
+            elif t3 == b"hdlr":
+                body = raw[lo3:hi3]
+                if len(body) >= 12:
+                    out["handler"] = body[8:12].decode("ascii", "replace")
+            elif t3 == b"minf":
+                for t4, lo4, hi4 in _mp4_boxes(raw, lo3, hi3):
+                    if t4 != b"stbl":
+                        continue
+                    for t5, lo5, hi5 in _mp4_boxes(raw, lo4, hi4):
+                        if t5 == b"stsd":
+                            _mp4_stsd(raw, lo5, hi5, out)
+    return out
+
+
+def _mp4_stsd(raw: bytes, lo: int, hi: int, out: dict) -> None:
+    """First sample entry of an stsd box: fourcc + the fixed-layout
+    visual (width/height @32) or audio (channels @24, 16.16 rate @32)
+    sample-entry fields."""
+    if hi - lo < 8 + 8:
+        return
+    entry = lo + 8  # version+flags(4) + entry_count(4)
+    if int.from_bytes(raw[entry : entry + 4], "big") < 16:
+        return
+    out["codec"] = raw[entry + 4 : entry + 8].decode("ascii", "replace")
+    if out.get("handler") == "vide" and hi - entry >= 36:
+        out["width"] = int.from_bytes(raw[entry + 32 : entry + 34], "big")
+        out["height"] = int.from_bytes(raw[entry + 34 : entry + 36], "big")
+    elif out.get("handler") == "soun" and hi - entry >= 36:
+        out["channels"] = int.from_bytes(raw[entry + 24 : entry + 26], "big")
+        out["sample_rate"] = (
+            int.from_bytes(raw[entry + 32 : entry + 36], "big") >> 16
+        )
+
+
+def _probe_ogg(raw: bytes) -> dict:
+    """Ogg page walk (capture pattern, segment-table skip): BOS pages
+    identify the codec (Vorbis / Opus / Theora ident headers), the
+    final granule position gives audio duration (Vorbis granules are
+    PCM samples at the stream rate; Opus granules run at a fixed
+    48 kHz per RFC 7845). Payload bytes beyond the ident headers are
+    skipped, never parsed."""
+    pos, n = 0, len(raw)
+    streams: dict[int, dict] = {}
+    while pos + 27 <= n:
+        if raw[pos : pos + 4] != b"OggS":
+            raise CodecError("ogg parse error: lost page sync")
+        granule = int.from_bytes(raw[pos + 6 : pos + 14], "little", signed=True)
+        serial = int.from_bytes(raw[pos + 14 : pos + 18], "little")
+        htype = raw[pos + 5]
+        nsegs = raw[pos + 26]
+        seg_end = pos + 27 + nsegs
+        if seg_end > n:
+            raise CodecError("ogg parse error: truncated page header")
+        paylen = sum(raw[pos + 27 : seg_end])
+        if seg_end + paylen > n:
+            raise CodecError("ogg parse error: truncated page body")
+        st = streams.setdefault(serial, {})
+        if htype & 0x02:  # BOS: codec ident header
+            pay = raw[seg_end : seg_end + paylen]
+            if pay[:7] == b"\x01vorbis" and len(pay) >= 16:
+                st["codec"] = "vorbis"
+                st["channels"] = pay[11]
+                st["sample_rate"] = int.from_bytes(pay[12:16], "little")
+            elif pay[:8] == b"OpusHead" and len(pay) >= 16:
+                st["codec"] = "opus"
+                st["channels"] = pay[9]
+                st["sample_rate"] = int.from_bytes(pay[12:16], "little")
+                st["granule_rate"] = 48000
+            elif pay[:7] == b"\x80theora" and len(pay) >= 20:
+                st["codec"] = "theora"
+                st["width"] = int.from_bytes(pay[14:17], "big")
+                st["height"] = int.from_bytes(pay[17:20], "big")
+        if granule >= 0:
+            st["last_granule"] = max(st.get("last_granule", 0), granule)
+        pos = seg_end + paylen
+    if not streams:
+        raise CodecError("ogg parse error: no pages")
+    aud = next(
+        (s for s in streams.values() if s.get("codec") in ("vorbis", "opus")),
+        None,
+    )
+    vid = next((s for s in streams.values() if s.get("codec") == "theora"), None)
+    lead = vid or aud or next(iter(streams.values()))
+    dur = None
+    if aud:
+        rate = aud.get("granule_rate") or aud.get("sample_rate")
+        if rate and "last_granule" in aud:
+            dur = aud["last_granule"] / rate
+    return _probe(
+        "ogg", lead.get("codec"), n_tracks=len(streams),
+        width=vid.get("width") if vid else None,
+        height=vid.get("height") if vid else None,
+        channels=aud.get("channels") if aud else None,
+        sample_rate=aud.get("sample_rate") if aud else None,
+        duration_s=dur,
+    )
+
+
+def probe_container(raw: bytes) -> dict:
+    """Header-only media triage: format, codec, track count,
+    dimensions, channels, sample rate and duration WITHOUT decoding a
+    single payload byte. Covers every decodable container plus the two
+    decode-gated ones (MP4 via ISO-BMFF box walk, Ogg via page walk) —
+    at 100 TB this is the cheap first pass that decides which rows are
+    worth a real decode, and it is the only structural visibility into
+    AV containers this environment cannot decode. Raises CodecError on
+    malformed or foreign blobs (same corrupt-blob-is-a-row contract as
+    ``sniff_and_decode``)."""
+    if raw[:2] == b"P6":
+        return _probe_ppm(raw)
+    if raw[:8] == _PNG_SIG:
+        return _probe_png(raw)
+    if raw[:4] == b"GIF8":
+        return _probe_gif(raw)
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        return _probe_wav(raw)
+    if raw[:2] == b"BM":
+        return _probe_bmp(raw)
+    if raw[:2] == b"\xff\xd8":
+        return _probe_jpeg(raw)
+    if raw[:4] == b"fLaC":
+        return _probe_flac(raw)
+    if raw[4:8] in (b"ftyp", b"moov", b"mdat", b"free", b"wide", b"styp"):
+        return _probe_mp4(raw)
+    if raw[:4] == b"OggS":
+        return _probe_ogg(raw)
+    raise CodecError(f"unsupported codec: magic={raw[:4].hex()}")

@@ -268,6 +268,82 @@ def decode_media(
     return df.select(id_col, payload_col).mapInPandas(_decode, out_schema)
 
 
+def probe_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Header-only media triage over a binary column: format, codec,
+    track count, dimensions, channels, sample rate and duration per
+    blob — WITHOUT decoding payload bytes (codecs.py::probe_container).
+    Covers the seven decodable containers plus MP4 (ISO-BMFF box walk)
+    and Ogg (page walk), which this environment cannot decode — so a
+    curation pipeline can still filter/route/report on AV blobs it
+    will never decode here. At 100 TB this is the pass that runs on
+    EVERYTHING (cost independent of blob size for framed containers)
+    and decides what the expensive ``decode_media`` pass touches.
+    Corrupt/foreign/NULL blobs are rows carrying ``probe_error``,
+    never task failures — same contract as ``decode_media``.
+    ``passthrough`` columns ride along untouched (e.g. an event-time
+    column, so a streaming triage can watermark the probe output)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            *(df.schema[c] for c in passthrough),
+            T.StructField("format", T.StringType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("n_tracks", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("probe_error", T.StringType()),
+        ]
+    )
+    fields = ("format", "codec", "n_tracks", "width", "height",
+              "channels", "sample_rate", "duration_s")
+
+    def _probe(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from rentals_data_pipeline_spark.operators.codecs import (
+            CodecError,
+            probe_container,
+        )
+
+        for pdf in batches:
+            cols: dict[str, list] = {id_col: list(pdf[id_col])}
+            for c in passthrough:
+                cols[c] = list(pdf[c])
+            for f in fields:
+                cols[f] = []
+            cols["probe_error"] = []
+
+            def emit(meta: "dict | None", err: "str | None" = None) -> None:
+                for f in fields:
+                    cols[f].append(meta.get(f) if meta else None)
+                cols["probe_error"].append(err)
+
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    emit(None, "null payload")
+                    continue
+                try:
+                    emit(probe_container(bytes(payload)))
+                except CodecError as e:
+                    emit(None, str(e))
+                except Exception as e:  # prober BUG != task failure
+                    emit(None, f"probe failure: {type(e).__name__}: "
+                               f"{str(e)[:120]}")
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, *passthrough, payload_col).mapInPandas(
+        _probe, out_schema
+    )
+
+
 def byte_histogram_features(
     payload_col: str = "payload",
     id_col: str = "doc_id",

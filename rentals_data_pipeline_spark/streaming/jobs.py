@@ -402,3 +402,60 @@ def enrich_stream_with_dim(
     batches; pin a cached df for a frozen dim). Works identically on a
     batch frame, which is how the equivalence test certifies it."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+MEDIA_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def read_media_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of (doc_id, ts, payload) parquet — the
+    arrival feed of a media ingest pipeline."""
+    return spark.readStream.schema(MEDIA_STREAM_SCHEMA).parquet(input_dir)
+
+
+def media_triage_counts(
+    media: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming ingest triage: header-only probe of every arriving
+    blob (``operators/multimodal.py::probe_media`` — format, codec,
+    duration, never a payload byte), then watermarked tumbling counts
+    per (format, codec) with error totals and summed media seconds.
+    The probe is an Arrow ``mapInPandas`` stage, so it runs inside the
+    micro-batch with no extra shuffle; the event-time column rides
+    through it via ``passthrough`` so the watermark and window bind to
+    ARRIVAL time, not probe time. Corrupt blobs land in the counts as
+    ``format='error'`` rows — a poisoned feed shows up as a spike on
+    the triage dashboard, not a dead stream. Works identically on a
+    batch frame (watermark is a no-op there), which is how the test
+    pins stream/batch equivalence."""
+    from rentals_data_pipeline_spark.operators.multimodal import probe_media
+
+    probed = probe_media(media, passthrough=("ts",))
+    shaped = probed.select(
+        "ts",
+        F.coalesce("format", F.lit("error")).alias("format"),
+        F.coalesce("codec", F.lit("error")).alias("codec"),
+        F.col("probe_error").isNotNull().cast("int").alias("is_error"),
+        F.coalesce("duration_s", F.lit(0.0)).alias("duration_s"),
+    )
+    with_wm = shaped.withWatermark("ts", watermark)
+    return with_wm.transform(
+        TW.tumbling(
+            "ts",
+            duration,
+            ["format", "codec"],
+            [
+                F.count(F.lit(1)).alias("n_blobs"),
+                F.sum("is_error").alias("n_errors"),
+                F.sum("duration_s").alias("media_seconds"),
+            ],
+        )
+    )

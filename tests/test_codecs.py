@@ -1244,3 +1244,204 @@ def test_decode_media_hostile_batch(spark):
     for k in (2, 3, 4, 5):
         assert out[k]["decode_error"] is not None
     assert "implausible" in out[3]["decode_error"]
+
+
+# ---------------------------------------------------------------------------
+# header-only container probe (probe_container / probe_media)
+# ---------------------------------------------------------------------------
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def _mp4_mvhd(timescale: int, duration: int) -> bytes:
+    body = bytes(4)  # version 0 + flags
+    body += struct.pack(">IIII", 0, 0, timescale, duration)
+    body += struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+    body += bytes(10) + bytes(36) + bytes(24) + struct.pack(">I", 3)
+    return _box(b"mvhd", body)
+
+
+def _mp4_trak(handler: bytes, fourcc: bytes, *, timescale: int,
+              duration: int, width: int = 0, height: int = 0,
+              channels: int = 0, rate: int = 0) -> bytes:
+    mdhd = _box(b"mdhd", bytes(4) + struct.pack(">IIII", 0, 0, timescale,
+                                                duration)
+                + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _box(b"hdlr", bytes(4) + bytes(4) + handler + bytes(12) + b"\x00")
+    if handler == b"vide":
+        entry = (bytes(6) + struct.pack(">H", 1)          # dri
+                 + struct.pack(">HH", 0, 0) + bytes(12)   # pre/reserved
+                 + struct.pack(">HH", width, height)
+                 + struct.pack(">II", 0x00480000, 0x00480000)
+                 + bytes(4) + struct.pack(">H", 1) + bytes(32)
+                 + struct.pack(">Hh", 24, -1))
+    else:
+        entry = (bytes(6) + struct.pack(">H", 1)
+                 + bytes(8)                               # reserved
+                 + struct.pack(">HH", channels, 16)
+                 + bytes(4)                               # predef+reserved
+                 + struct.pack(">I", rate << 16))
+    stsd = _box(b"stsd", bytes(4) + struct.pack(">I", 1)
+                + _box(fourcc, entry))
+    stbl = _box(b"stbl", stsd)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    return _box(b"trak", mdia)
+
+
+def _mp4(tracks: list[bytes], timescale: int = 1000,
+         duration: int = 2500) -> bytes:
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2avc1")
+    moov = _box(b"moov", _mp4_mvhd(timescale, duration) + b"".join(tracks))
+    return ftyp + moov + _box(b"mdat", bytes(64))
+
+
+def _ogg_page(serial: int, seq: int, granule: int, payload: bytes,
+              htype: int = 0) -> bytes:
+    segs = []
+    rest = payload
+    while True:
+        segs.append(min(len(rest), 255))
+        if len(rest) < 255:
+            break
+        rest = rest[255:]
+    return (b"OggS" + bytes([0, htype])
+            + granule.to_bytes(8, "little", signed=True)
+            + struct.pack("<IIi", serial, seq, 0)  # crc unchecked by probe
+            + bytes([len(segs)]) + bytes(segs) + payload)
+
+
+def _ogg_opus(granule_end: int = 96000, in_rate: int = 24000) -> bytes:
+    head = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+            + struct.pack("<I", in_rate) + struct.pack("<h", 0) + b"\x00")
+    tags = b"OpusTags" + struct.pack("<I", 4) + b"test" + struct.pack("<I", 0)
+    return (_ogg_page(7, 0, 0, head, htype=2)
+            + _ogg_page(7, 1, -1, tags)
+            + _ogg_page(7, 2, granule_end, bytes(40), htype=4))
+
+
+def _ogg_vorbis(granule_end: int = 88200, rate: int = 44100) -> bytes:
+    ident = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+             + struct.pack("<I", rate) + bytes(12) + b"\xb8\x01")
+    return (_ogg_page(9, 0, 0, ident, htype=2)
+            + _ogg_page(9, 1, granule_end, bytes(25), htype=4))
+
+
+def test_probe_decodable_formats():
+    blobs = _small_valid_blobs()
+    p = C.probe_container(blobs["wav"])
+    assert (p["format"], p["codec"]) == ("wav", "pcm_s16le")
+    assert (p["channels"], p["sample_rate"]) == (1, 8000)
+    assert p["duration_s"] == pytest.approx(3 / 8000)
+    p = C.probe_container(blobs["png"])
+    assert (p["format"], p["width"], p["height"], p["channels"]) == (
+        "png", 4, 4, 3)
+    p = C.probe_container(blobs["gif"])
+    assert (p["format"], p["width"], p["height"]) == ("gif", 4, 4)
+    p = C.probe_container(blobs["bmp"])
+    assert (p["format"], p["width"], p["height"], p["channels"]) == (
+        "bmp", 4, 4, 3)
+    p = C.probe_container(blobs["jpeg"])
+    assert (p["format"], p["codec"], p["width"], p["height"]) == (
+        "jpeg", "jpeg/baseline", 4, 4)
+    p = C.probe_container(blobs["flac"])
+    assert (p["format"], p["channels"], p["sample_rate"]) == (
+        "flac", 1, 44100)
+    assert p["duration_s"] == pytest.approx(4 / 44100)
+    p = C.probe_container(blobs["ppm"])
+    assert (p["format"], p["width"], p["height"]) == ("ppm", 4, 4)
+
+
+def test_probe_mp4_video_and_audio_tracks():
+    raw = _mp4([
+        _mp4_trak(b"vide", b"avc1", timescale=30000, duration=75000,
+                  width=640, height=360),
+        _mp4_trak(b"soun", b"mp4a", timescale=48000, duration=120000,
+                  channels=2, rate=48000),
+    ])
+    p = C.probe_container(raw)
+    assert p["format"] == "mp4" and p["codec"] == "avc1"
+    assert (p["n_tracks"], p["width"], p["height"]) == (2, 640, 360)
+    assert (p["channels"], p["sample_rate"]) == (2, 48000)
+    assert p["duration_s"] == pytest.approx(2.5)  # mvhd 2500/1000
+
+
+def test_probe_mp4_audio_only_64bit_boxes():
+    raw = _mp4([_mp4_trak(b"soun", b"mp4a", timescale=8000, duration=16000,
+                          channels=1, rate=8000)])
+    p = C.probe_container(raw)
+    assert p["codec"] == "mp4a" and p["width"] is None
+    assert (p["channels"], p["sample_rate"]) == (1, 8000)
+
+
+def test_probe_ogg_opus_duration_at_48k():
+    p = C.probe_container(_ogg_opus(granule_end=96000))
+    assert (p["format"], p["codec"], p["channels"]) == ("ogg", "opus", 2)
+    assert p["sample_rate"] == 24000  # declared input rate
+    assert p["duration_s"] == pytest.approx(2.0)  # granules run at 48k
+
+
+def test_probe_ogg_vorbis_duration_at_stream_rate():
+    p = C.probe_container(_ogg_vorbis(granule_end=88200, rate=44100))
+    assert (p["codec"], p["sample_rate"]) == ("vorbis", 44100)
+    assert p["duration_s"] == pytest.approx(2.0)
+    assert p["n_tracks"] == 1
+
+
+def test_probe_never_reads_payload_bytes():
+    """Truncating every payload byte after the headers must not change
+    the probe result: the triage pass is header-only by contract."""
+    full = _mp4([_mp4_trak(b"vide", b"avc1", timescale=1000, duration=1000,
+                           width=64, height=64)])
+    headless = full[: full.index(b"mdat") + 4]  # drop all mdat bytes
+    assert C.probe_container(full) == C.probe_container(headless)
+
+
+def test_probe_mutation_fuzz_codecerror_only():
+    import random
+
+    rng = random.Random(20260815)
+    blobs = list(_small_valid_blobs().values()) + [
+        _mp4([_mp4_trak(b"soun", b"mp4a", timescale=8000, duration=8000,
+                        channels=1, rate=8000)]),
+        _ogg_opus(),
+        _ogg_vorbis(),
+    ]
+    for blob in blobs:
+        for _ in range(300):
+            b = bytearray(blob)
+            op = rng.randrange(3)
+            if op == 0:
+                b = b[: rng.randrange(len(b))]
+            elif op == 1:
+                for _ in range(rng.randrange(1, 6)):
+                    if b:
+                        b[rng.randrange(len(b))] = rng.randrange(256)
+            else:
+                b = b[: rng.randrange(len(b))] + bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(40))
+                )
+            try:
+                C.probe_container(bytes(b))
+            except C.CodecError:
+                pass
+
+
+def test_probe_media_mixed_batch(spark):
+    rows = [
+        (1, bytearray(_small_valid_blobs()["wav"])),
+        (2, bytearray(_mp4([_mp4_trak(b"vide", b"avc1", timescale=1000,
+                                      duration=1000, width=64, height=48)]))),
+        (3, bytearray(_ogg_opus())),
+        (4, bytearray(b"\x00\x01garbage")),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in MM.probe_media(df).collect()}
+    assert out[1]["format"] == "wav" and out[1]["probe_error"] is None
+    assert out[2]["format"] == "mp4" and out[2]["width"] == 64
+    assert out[3]["codec"] == "opus"
+    assert out[4]["format"] is None and "unsupported" in out[4]["probe_error"]
+    assert out[5]["probe_error"] == "null payload"

@@ -813,3 +813,63 @@ def test_stream_interval_left_outer_join_emits_null_padded(spark, tmp_path):
     }
     assert rows.get(1) == 2        # matched pair, same as inner join
     assert 3 in rows and rows[3] is None  # user 9: null-padded outer row
+
+
+def test_media_triage_stream_matches_batch(spark, tmp_path):
+    """Streaming ingest triage (header-only probe → watermarked
+    per-format counts) drains AvailableNow to the same totals the
+    batch path computes, with corrupt blobs surfacing as
+    format='error' rows in the counts rather than killing the
+    stream."""
+    import datetime as dt
+    import struct as _struct
+    import wave as wavelib
+    import io
+
+    def _wav_payload(text: bytes) -> bytes:
+        buf = io.BytesIO()
+        with wavelib.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframes(text)
+        return buf.getvalue()
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(60):
+        ts = base + dt.timedelta(minutes=7 * i)
+        if i % 3 == 0:
+            payload = bytearray(_wav_payload(bytes(40 + i)))
+        elif i % 3 == 1:
+            payload = bytearray(
+                b"P6\n4 4\n255\n" + bytes(48)
+            )
+        else:  # corrupt: valid magic, truncated body
+            payload = bytearray(b"\x89PNG\r\n\x1a\n" + _struct.pack(">I", 13))
+        rows.append((i, ts, payload))
+    src = str(tmp_path / "media_src")
+    spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, payload binary"
+    ).repartition(3).write.mode("overwrite").parquet(src)
+
+    batch = spark.read.parquet(src)
+    expected = sorted(
+        (r["window_start"], r["format"], r["codec"], r["n_blobs"],
+         r["n_errors"], round(r["media_seconds"], 6))
+        for r in SJ.media_triage_counts(batch).collect()
+    )
+    assert len(expected) > 0
+    assert any(f == "error" and e == n for _, f, _, n, e, _ in expected)
+    assert any(f == "wav" and e == 0 for _, f, _, n, e, _ in expected)
+
+    stream = SJ.read_media_stream(spark, src)
+    SJ.run_available_now(
+        SJ.media_triage_counts(stream), "media_triage", str(tmp_path / "ck")
+    )
+    got = sorted(
+        (r["window_start"], r["format"], r["codec"], r["n_blobs"],
+         r["n_errors"], round(r["media_seconds"], 6))
+        for r in spark.table("media_triage").collect()
+    )
+    assert got == expected
