@@ -141,6 +141,26 @@ def main() -> None:
         timings[name] = round(statistics.median(passes), 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Host-speed calibration: a fixed CPU-bound probe, measured the
+    # same way as the queries (median of `runs` after one warmup).
+    # The sandbox's CPU allocation varies across sessions (round-6
+    # calibration measured queries untouched since round 1 at ~2x
+    # their round-5 times, uniformly) — this field lets cross-round
+    # BENCH comparisons normalize out ambient host speed without
+    # touching the frozen query-measurement rules.
+    import numpy as _np
+
+    rng = _np.random.default_rng(0)
+    mat = rng.random((1500, 1500))
+    calib_passes = []
+    for i in range(runs + 1):
+        t0 = time.perf_counter()
+        (mat @ mat).sum()
+        if i > 0:
+            calib_passes.append(time.perf_counter() - t0)
+    calib = round(statistics.median(calib_passes), 4)
+
     print(
         json.dumps(
             {
@@ -148,6 +168,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "calib_gemm_1500_sec": calib,
                 "sf": float(sf),
                 # Measurement rules are FROZEN as of round 5 (the
                 # round-5 verdict flagged three rounds of methodology
