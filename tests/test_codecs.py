@@ -1445,3 +1445,44 @@ def test_probe_media_mixed_batch(spark):
     assert out[3]["codec"] == "opus"
     assert out[4]["format"] is None and "unsupported" in out[4]["probe_error"]
     assert out[5]["probe_error"] == "null payload"
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    kind=st.sampled_from(["wav", "png", "gif", "bmp", "flac", "ppm"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_probe_agrees_with_decode_property(kind, seed):
+    """Coherence contract: for every decodable container, the header
+    fields the probe CLAIMS must match what the full decode PRODUCES —
+    channel count, sample rate, and pixel/sample geometry. A probe
+    that lies would mis-route the triage pass at scale."""
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(1, 12)), int(rng.integers(1, 12))
+    if kind == "wav":
+        n = int(rng.integers(1, 200))
+        raw = _wav(1, 1, 8000, 16,
+                   rng.integers(-1000, 1000, size=n).astype("<i2").tobytes())
+    elif kind == "png":
+        raw = _png(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint16),
+                   color=2)
+    elif kind == "gif":
+        pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+        raw = _gif(rng.integers(0, 4, size=(h, w)).astype(np.uint8), pal)
+    elif kind == "bmp":
+        raw = _bmp(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+    elif kind == "flac":
+        n = int(rng.integers(1, 120))
+        raw = _encode_flac(
+            [rng.integers(-500, 500, size=n).astype(np.int64)])
+    else:
+        raw = (f"P6\n{w} {h}\n255\n".encode()
+               + bytes(int(w) * int(h) * 3))
+    p = C.probe_container(raw)
+    nch, sr, chans = C.sniff_and_decode(raw)
+    assert p["channels"] == nch
+    assert p["sample_rate"] == sr
+    if p["width"] is not None:
+        assert p["width"] * p["height"] == len(chans[0])
+    if p["duration_s"] is not None and sr:
+        assert p["duration_s"] == pytest.approx(len(chans[0]) / sr)
