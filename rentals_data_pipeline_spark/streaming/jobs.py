@@ -459,3 +459,96 @@ def media_triage_counts(
             ],
         )
     )
+
+
+DOCS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def init_dedup_index(spark: SparkSession, index_dir: str) -> None:
+    """Seed an empty persisted LSH index (bands + sets parquet) so the
+    first micro-batch of ``streaming_dedup_gate`` has something to
+    probe."""
+    from rentals_data_pipeline_spark.operators.dedup import minhash_index
+
+    empty = spark.createDataFrame([], DOCS_STREAM_SCHEMA)
+    bands, sets = minhash_index(empty)
+    bands.write.mode("overwrite").parquet(f"{index_dir}/bands")
+    sets.write.mode("overwrite").parquet(f"{index_dir}/sets")
+
+
+def streaming_dedup_gate(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    max_files_per_trigger: int = 1,
+):
+    """Online near-dup gate for an arriving corpus: each micro-batch is
+    (1) deduped WITHIN itself (``minhash_near_dup_pairs`` — keep the
+    lowest doc_id of every near-dup pair), (2) probed against the
+    PERSISTED LSH index (``dedup_against_index`` — broadcast band-key
+    probe into the partitioned index, never an index re-scan), then
+    (3) the novel survivors append to ``output_dir`` and their index
+    rows append to the index — so the next batch probes a corpus that
+    includes this one.
+
+    The index lives in STORAGE (parquet bands + shingle sets), not in
+    executor state: at 100 TB the corpus index is itself TB-scale, far
+    beyond ``applyInPandasWithState``'s per-key memory model, and
+    storage-resident state is exactly what survives executor loss and
+    cluster restarts. ``foreachBatch`` supplies the transactional
+    seam: the streaming checkpoint replays an interrupted batch, and
+    every operator inside the batch is the already-certified batch
+    implementation (operators/dedup.py — same recall as pairing over
+    the unioned corpus, pinned by the batch equivalence test).
+    AvailableNow + maxFilesPerTrigger=1 makes arrival order — and
+    therefore which member of a cross-batch dup pair survives —
+    deterministic."""
+    from rentals_data_pipeline_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index,
+        minhash_near_dup_pairs,
+    )
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)  # file-source
+        # lineage is not re-resolvable inside foreachBatch joins
+        pairs = batch_df.transform(
+            minhash_near_dup_pairs(threshold=threshold)
+        )
+        losers = pairs.select(
+            F.greatest("id_a", "id_b").alias("doc_id")
+        ).distinct()
+        survivors = batch_df.join(losers, "doc_id", "left_anti")
+        idx_bands = sp.read.parquet(f"{index_dir}/bands")
+        idx_sets = sp.read.parquet(f"{index_dir}/sets")
+        hits = dedup_against_index(
+            survivors, idx_bands, idx_sets, threshold=threshold
+        )
+        novel = survivors.join(
+            hits.select(F.col("new_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        ).localCheckpoint(eager=True)  # one computation feeds 3 writes
+        novel.write.mode("append").parquet(output_dir)
+        nb, ns = minhash_index(novel)
+        nb.write.mode("append").parquet(f"{index_dir}/bands")
+        ns.write.mode("append").parquet(f"{index_dir}/sets")
+
+    return (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -873,3 +873,95 @@ def test_media_triage_stream_matches_batch(spark, tmp_path):
         for r in spark.table("media_triage").collect()
     )
     assert got == expected
+
+
+def test_streaming_dedup_gate_matches_sequential_batches(spark, tmp_path):
+    """The online near-dup gate (foreachBatch + persisted LSH index)
+    keeps exactly the docs that sequentially applying the certified
+    batch operators to each micro-batch would keep: within-batch
+    near-dups drop to the lowest id, cross-batch near-dups lose to any
+    earlier-arrived document, novel docs grow the index for later
+    batches."""
+    from rentals_data_pipeline_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index,
+        minhash_near_dup_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while seven "
+            "wizards brew strong potions under a pale winter moon and "
+            "count bright stars above the frozen river bend tonight")
+    words = base.split()
+
+    def variant(k: int) -> str:  # near-dup: one word swapped
+        w = list(words)
+        w[5 + (k % 10)] = f"tok{k}"
+        return " ".join(w)
+
+    def fresh(k: int) -> str:  # unrelated text
+        return " ".join(f"unique{k}w{i}" for i in range(30))
+
+    batches = [
+        [(1, base), (2, fresh(2))],
+        # 3 ~ 1 (cross-batch dup), 4 novel, 5 ~ 4 (within-batch dup)
+        [(3, variant(1)), (4, fresh(4)), (5, fresh(4) + " extra tail")],
+        # 6 ~ 4 (dup of an earlier BATCH-2 survivor), 7 novel
+        [(6, fresh(4)), (7, fresh(7))],
+    ]
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"b{i}"))
+    # one flat dir of files, named so arrival order == batch order
+    flat = tmp_path / "arrivals"
+    flat.mkdir()
+    import shutil
+
+    for i in range(len(batches)):
+        part = next((src / f"b{i}").glob("part-*.parquet"))
+        shutil.copy(part, flat / f"{i:03d}.parquet")
+
+    # expected: the same operators applied sequentially per batch
+    kept_ids: list[int] = []
+    idx_b, idx_s = None, None
+    for rows in batches:
+        bdf = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = bdf.transform(minhash_near_dup_pairs(threshold=0.5))
+        losers = {r["id_b"] for r in pairs.collect()}
+        surv = bdf.where(~F.col("doc_id").isin(losers) if losers
+                         else F.lit(True))
+        if idx_b is not None:
+            hits = dedup_against_index(surv, idx_b, idx_s, threshold=0.5)
+            hit_ids = {r["new_id"] for r in hits.collect()}
+            surv = surv.where(~F.col("doc_id").isin(hit_ids) if hit_ids
+                              else F.lit(True))
+        kept_ids += [r["doc_id"] for r in surv.collect()]
+        nb, ns = minhash_index(surv)
+        idx_b = nb if idx_b is None else idx_b.unionByName(nb)
+        idx_s = ns if idx_s is None else idx_s.unionByName(ns)
+        idx_b = idx_b.localCheckpoint(eager=True)
+        idx_s = idx_s.localCheckpoint(eager=True)
+
+    # sanity on the scenario itself
+    assert sorted(kept_ids) == [1, 2, 4, 7]
+
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "kept")
+    SJ.init_dedup_index(spark, index_dir)
+    q = SJ.streaming_dedup_gate(
+        spark, str(flat), index_dir, out_dir, str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == sorted(kept_ids)
+    # the persisted index covers exactly the kept docs
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{index_dir}/sets").collect()
+    ) == sorted(kept_ids)
