@@ -59,11 +59,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     front (they complete certification of every oracle-paired query,
 #     ending the debt).
 #   group 2 — driver-certified in r1-r5 on code this round leaves
-#     byte-identical or re-verifies: the FULL 190-query catalog was
+#     byte-identical or re-verifies: the FULL 191-query catalog was
 #     re-certified on final round-6 code at sf0.01 in driver-faithful
 #     --pandas-oracle mode (all queries match; recorded in COVERAGE.md),
 #     covering every module this round touched (multimodal codec
-#     dispatch, similarity IVF split, dedup index additions).
+#     dispatch + hostile-blob hardening, container probe, similarity
+#     IVF split, dedup index additions).
 #   group 3 — rows-only by design (no_oracle rows>0; golden tests pin
 #     semantics).
 _CHECK_PRIORITY: tuple[str, ...] = (

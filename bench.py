@@ -105,6 +105,10 @@ HEADLINE = [
     # driver row serialization, not the 6-join plan — its engine-side
     # cost is ~0.5s warm; the sf0.01 oracle gate still certifies it)
     "pipeline_media_curation",
+    # round-6 late addition: the header-only triage pass (2 pack
+    # stages + probe, zero exchanges) — the cheap sibling the decode
+    # stats queries are routed BY at scale
+    "multimodal_container_probe",
 ]
 
 

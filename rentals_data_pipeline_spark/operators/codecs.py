@@ -1127,13 +1127,6 @@ _WAV_CODEC_NAMES = {
     _WAV_ULAW: "g711_ulaw",
 }
 
-# one fixed shape for every probe result; None = not applicable
-_PROBE_KEYS = (
-    "format", "codec", "n_tracks", "width", "height",
-    "channels", "sample_rate", "duration_s",
-)
-
-
 def _probe(fmt: str, codec: "str | None" = None, n_tracks: int = 1,
            width: "int | None" = None, height: "int | None" = None,
            channels: "int | None" = None, sample_rate: "int | None" = None,
