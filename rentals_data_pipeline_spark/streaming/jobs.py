@@ -477,8 +477,11 @@ def init_dedup_index(spark: SparkSession, index_dir: str) -> None:
 
     empty = spark.createDataFrame([], DOCS_STREAM_SCHEMA)
     bands, sets = minhash_index(empty)
-    bands.write.mode("overwrite").parquet(f"{index_dir}/bands")
-    sets.write.mode("overwrite").parquet(f"{index_dir}/sets")
+    # batch=-1 seeds the hive-partitioned layout the gate writes into:
+    # each micro-batch owns the batch=<id> subdir, so a checkpoint
+    # REPLAY overwrites its own partition instead of appending twice
+    bands.write.mode("overwrite").parquet(f"{index_dir}/bands/batch=-1")
+    sets.write.mode("overwrite").parquet(f"{index_dir}/sets/batch=-1")
 
 
 def streaming_dedup_gate(
@@ -505,12 +508,17 @@ def streaming_dedup_gate(
     storage-resident state is exactly what survives executor loss and
     cluster restarts. ``foreachBatch`` supplies the transactional
     seam: the streaming checkpoint replays an interrupted batch, and
-    every operator inside the batch is the already-certified batch
+    because every write targets the batch's OWN ``batch=<id>``
+    partition with overwrite (never a blind append), the replay is
+    idempotent — exactly-once output without a table format. Every
+    operator inside the batch is the already-certified batch
     implementation (operators/dedup.py — same recall as pairing over
     the unioned corpus, pinned by the batch equivalence test).
     AvailableNow + maxFilesPerTrigger=1 makes arrival order — and
     therefore which member of a cross-batch dup pair survives —
-    deterministic."""
+    deterministic (the file source orders by MODIFICATION time;
+    equal mtimes tie-break arbitrarily, so a real feed should stamp
+    arrival order into the mtime or run one-file batches)."""
     from rentals_data_pipeline_spark.operators.dedup import (
         dedup_against_index,
         minhash_index,
@@ -528,8 +536,17 @@ def streaming_dedup_gate(
             F.greatest("id_a", "id_b").alias("doc_id")
         ).distinct()
         survivors = batch_df.join(losers, "doc_id", "left_anti")
-        idx_bands = sp.read.parquet(f"{index_dir}/bands")
-        idx_sets = sp.read.parquet(f"{index_dir}/sets")
+        # probe only STRICTLY-EARLIER batch partitions (partition-
+        # pruned scan). This is what makes replay idempotent: a batch
+        # that crashed after writing its own index partition would
+        # otherwise SELF-MATCH on replay and overwrite its output
+        # with an empty partition.
+        idx_bands = sp.read.parquet(f"{index_dir}/bands").where(
+            F.col("batch") < batch_id
+        )
+        idx_sets = sp.read.parquet(f"{index_dir}/sets").where(
+            F.col("batch") < batch_id
+        )
         hits = dedup_against_index(
             survivors, idx_bands, idx_sets, threshold=threshold
         )
@@ -538,10 +555,16 @@ def streaming_dedup_gate(
             "doc_id",
             "left_anti",
         ).localCheckpoint(eager=True)  # one computation feeds 3 writes
-        novel.write.mode("append").parquet(output_dir)
+        novel.write.mode("overwrite").parquet(
+            f"{output_dir}/batch={batch_id}"
+        )
         nb, ns = minhash_index(novel)
-        nb.write.mode("append").parquet(f"{index_dir}/bands")
-        ns.write.mode("append").parquet(f"{index_dir}/sets")
+        nb.write.mode("overwrite").parquet(
+            f"{index_dir}/bands/batch={batch_id}"
+        )
+        ns.write.mode("overwrite").parquet(
+            f"{index_dir}/sets/batch={batch_id}"
+        )
 
     return (
         spark.readStream.schema(DOCS_STREAM_SCHEMA)

@@ -920,9 +920,16 @@ def test_streaming_dedup_gate_matches_sequential_batches(spark, tmp_path):
     flat.mkdir()
     import shutil
 
+    import os as _os
+
     for i in range(len(batches)):
         part = next((src / f"b{i}").glob("part-*.parquet"))
-        shutil.copy(part, flat / f"{i:03d}.parquet")
+        dst = flat / f"{i:03d}.parquet"
+        shutil.copy(part, dst)
+        # the file source orders by MODIFICATION TIME; fast sequential
+        # copies can tie, so pin strictly increasing mtimes to make
+        # arrival order (and thus dup-survivor choice) deterministic
+        _os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
 
     # expected: the same operators applied sequentially per batch
     kept_ids: list[int] = []
@@ -965,3 +972,43 @@ def test_streaming_dedup_gate_matches_sequential_batches(spark, tmp_path):
         r["doc_id"]
         for r in spark.read.parquet(f"{index_dir}/sets").collect()
     ) == sorted(kept_ids)
+
+
+def test_streaming_dedup_gate_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay contract: reprocessing the same files with a fresh
+    checkpoint — batch ids restart, every write re-targets its own
+    batch=<id> partition, and the probe sees an index that ALREADY
+    contains these very documents — reproduces the identical kept set
+    instead of self-matching everything to an empty output."""
+    docs = [(i, " ".join(f"doc{i}w{j}" for j in range(25)))
+            for i in range(6)]
+    flat = tmp_path / "arrivals"
+    flat.mkdir()
+    for i in range(3):
+        spark.createDataFrame(
+            docs[2 * i : 2 * i + 2], "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"b{i}")
+        )
+        import os as _os
+        import shutil
+
+        part = next((tmp_path / f"b{i}").glob("part-*.parquet"))
+        dst = flat / f"{i:03d}.parquet"
+        shutil.copy(part, dst)
+        _os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "kept")
+    SJ.init_dedup_index(spark, index_dir)
+    SJ.streaming_dedup_gate(
+        spark, str(flat), index_dir, out_dir, str(tmp_path / "ck1")
+    ).awaitTermination()
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert first == [0, 1, 2, 3, 4, 5]  # all-novel feed: everything kept
+
+    SJ.streaming_dedup_gate(
+        spark, str(flat), index_dir, out_dir, str(tmp_path / "ck2")
+    ).awaitTermination()
+    replay = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert replay == first  # no self-match wipeout, no duplication
