@@ -575,3 +575,78 @@ def streaming_dedup_gate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def consolidate_gate_storage(
+    spark: SparkSession,
+    path: str,
+    keep_last: int = 2,
+    key: str = "batch",
+    archive_value: int = -2,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Maintenance for ``streaming_dedup_gate`` storage (output corpus
+    or either index dir): fold every batch partition older than the
+    newest ``keep_last`` — plus the existing archive — into ONE
+    ``batch=-2`` archive partition, then drop the folded dirs. Without
+    this, per-batch idempotent partitioning accumulates one tiny dir
+    per micro-batch forever; with it, partition count is bounded by
+    ``keep_last + 2`` while the gate's replay contract survives:
+
+    - the streaming checkpoint only ever replays the NEWEST in-flight
+      batch, and ``keep_last >= 1`` keeps that batch out of the fold;
+    - the probe filter ``batch < batch_id`` still sees the archive
+      (``-2`` sorts below every live id);
+    - the fold itself is crash-safe by construction: it writes
+      ``distinct(archive ∪ folded)`` BEFORE deleting, so a crash
+      between write and delete leaves duplicates that the next run's
+      ``distinct`` removes — re-running the fold IS the repair.
+
+    Uses the Hadoop FileSystem API, so the same code runs on HDFS/S3A
+    paths, not just local disk. Returns a report dict; ``folded: []``
+    means the dataset was already consolidated."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    vals: list[int] = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith(f"{key}="):
+            try:
+                vals.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    live = sorted(v for v in vals if v >= 0)
+    cutoff = (live[-1] - keep_last + 1) if live else 0
+    folded = [v for v in live if v < cutoff]
+    if not folded:
+        return {"folded": [], "cutoff": cutoff}
+    read_vals = folded + (
+        [archive_value] if archive_value in vals else []
+    )
+    total_bytes = sum(
+        fs.getContentSummary(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/{key}={v}")
+        ).getLength()
+        for v in read_vals
+    )
+    n_files = max(1, -(-total_bytes // target_file_bytes))
+    merged = (
+        spark.read.parquet(path)
+        .where(F.col(key).isin(read_vals))
+        .drop(key)
+        .distinct()  # crash-repair: duplicates from an interrupted
+        # previous fold collapse here
+        .repartition(int(n_files))
+        .localCheckpoint(eager=True)  # materialize BEFORE overwriting
+        # a dir that is an input of this very plan
+    )
+    merged.write.mode("overwrite").parquet(f"{path}/{key}={archive_value}")
+    for v in folded:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{key}={v}"), True)
+    return {
+        "folded": folded,
+        "cutoff": cutoff,
+        "archive_files": int(n_files),
+        "archive_bytes": int(total_bytes),
+    }

@@ -1012,3 +1012,88 @@ def test_streaming_dedup_gate_replay_is_idempotent(spark, tmp_path):
     ).awaitTermination()
     replay = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
     assert replay == first  # no self-match wipeout, no duplication
+
+
+def test_consolidate_gate_storage_bounds_partitions(spark, tmp_path):
+    """Folding old batch partitions into the archive keeps (a) every
+    row, (b) the gate's dedup behavior when the SAME checkpointed
+    stream continues — a new arrival that near-dups an ARCHIVED doc is
+    still dropped — and (c) is idempotent/crash-repairing (a re-run
+    after a simulated interrupted fold removes the duplicates)."""
+    import os
+    import shutil
+
+    def doc(i: int) -> tuple[int, str]:
+        return (i, " ".join(f"d{i}w{j}" for j in range(25)))
+
+    flat = tmp_path / "arrivals"
+    flat.mkdir()
+
+    def arrive(fname: str, rows, mtime: int) -> None:
+        tmpdir = tmp_path / f"w_{fname}"
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmpdir))
+        dst = flat / fname
+        shutil.copy(next(tmpdir.glob("part-*.parquet")), dst)
+        os.utime(dst, (mtime, mtime))
+
+    for i in range(3):
+        arrive(f"{i:03d}.parquet", [doc(2 * i), doc(2 * i + 1)],
+               1700000000 + i * 60)
+
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ck")
+    SJ.init_dedup_index(spark, index_dir)
+    SJ.streaming_dedup_gate(
+        spark, str(flat), index_dir, out_dir, ckpt
+    ).awaitTermination()
+
+    before = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    assert before == [0, 1, 2, 3, 4, 5]
+
+    for path in (out_dir, f"{index_dir}/bands", f"{index_dir}/sets"):
+        rep = SJ.consolidate_gate_storage(spark, path, keep_last=1)
+        assert rep["folded"] == [0, 1]
+    dirs = {p.name for p in (tmp_path / "kept").iterdir()
+            if p.name.startswith("batch=")}
+    assert dirs == {"batch=-2", "batch=2"}
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    ) == before
+
+    # idempotent: nothing left to fold
+    assert SJ.consolidate_gate_storage(spark, out_dir, keep_last=1)[
+        "folded"
+    ] == []
+
+    # crash repair: a REAL interrupted fold leaves an old batch dir
+    # whose rows the archive already contains (write happened, delete
+    # did not). Simulate exactly that — resurrect two ARCHIVED docs as
+    # a leftover batch=1 dir — and re-run: distinct() repairs it
+    spark.read.parquet(out_dir).where(
+        F.col("doc_id").isin([0, 1])
+    ).drop("batch").coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "kept" / "batch=1")
+    )
+    rep = SJ.consolidate_gate_storage(spark, out_dir, keep_last=1)
+    assert rep["folded"] == [1]
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    ) == before
+
+    # the CONTINUED stream still dedups against archived docs: doc 6
+    # near-dups doc 0 (archived), doc 7 is novel
+    dup_of_0 = doc(0)[1].replace("d0w5", "swapped")
+    arrive("003.parquet", [(6, dup_of_0), (7, doc(7)[1])],
+           1700000000 + 300)
+    SJ.streaming_dedup_gate(
+        spark, str(flat), index_dir, out_dir, ckpt
+    ).awaitTermination()
+    after = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    assert after == [0, 1, 2, 3, 4, 5, 7]
