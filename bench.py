@@ -152,15 +152,20 @@ def main() -> None:
     # calibration measured queries untouched since round 1 at ~2x
     # their round-5 times, uniformly) — this field lets cross-round
     # BENCH comparisons normalize out ambient host speed without
-    # touching the frozen query-measurement rules.
-    import numpy as _np
+    # touching the frozen query-measurement rules. A SCALAR
+    # interpreter loop, deliberately: a parallel BLAS GEMM probe
+    # measured a 10x spread across back-to-back passes (thread
+    # ramp-up + contention) while this loop holds ~±30%.
+    def _calib_work() -> int:
+        x = 0
+        for k in range(3_000_000):
+            x += k
+        return x
 
-    rng = _np.random.default_rng(0)
-    mat = rng.random((1500, 1500))
     calib_passes = []
     for i in range(runs + 1):
         t0 = time.perf_counter()
-        (mat @ mat).sum()
+        _calib_work()
         if i > 0:
             calib_passes.append(time.perf_counter() - t0)
     calib = round(statistics.median(calib_passes), 4)
@@ -172,7 +177,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "calib_gemm_1500_sec": calib,
+                "calib_pyloop_3m_sec": calib,
                 "sf": float(sf),
                 # Measurement rules are FROZEN as of round 5 (the
                 # round-5 verdict flagged three rounds of methodology

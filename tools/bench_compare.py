@@ -84,6 +84,25 @@ def main() -> int:
     if t_ratio > args.threshold:
         failures.append(("TOTAL(shared)", t_ratio))
 
+    # Host-speed normalization: when both files carry the calibration
+    # probe (round 6+), divide the shared-total ratio by the calib
+    # ratio. The sandbox's CPU allocation swings up to ~2x across
+    # sessions, uniformly inflating every query; the normalized ratio
+    # estimates the ENGINE delta. Informational only — the gate above
+    # stays on raw numbers so a real regression can't hide behind a
+    # conveniently slow calibration run.
+    def calib_of(d: dict):
+        return d.get("calib_pyloop_3m_sec") or d.get("calib_gemm_1500_sec")
+
+    o_cal = calib_of(old)
+    n_cal = calib_of(new)
+    if o_cal and n_cal:
+        cal_ratio = n_cal / o_cal
+        print(
+            f"  calib {o_cal:.4f}s -> {n_cal:.4f}s ({cal_ratio:.2f}x host);"
+            f" host-normalized shared total: {t_ratio / cal_ratio:.2f}x"
+        )
+
     if failures:
         print(f"{len(failures)} regression(s) over {args.threshold}x:")
         for name, ratio in failures:
