@@ -1,0 +1,115 @@
+"""JDBC ingest/egress — the operational-database side door.
+
+A 100 TB lakehouse still ingests dimension and operational tables from
+RDBMSes. The scale rules for JDBC are different from file sources and
+are baked in here:
+
+- **One connection reads nothing at scale.** ``read_jdbc`` splits the
+  table into ``num_partitions`` range predicates on a numeric/temporal
+  ``partition_column`` (Spark's partitionColumn/lowerBound/upperBound
+  machinery), so the scan is N parallel cursors, not one. Bounds are
+  discovered with a single MIN/MAX probe query when not supplied —
+  the one driver-side round trip, returning exactly one row.
+- **Pushdown still applies.** Catalyst compiles ``.where``/``select``
+  into the generated SQL (WHERE + column list), so the database ships
+  only matching rows/columns; the plan shows the pushed filters on
+  the JDBCRelation node.
+- **Streamed cursors.** ``fetchsize`` keeps the JDBC driver from
+  buffering whole result sets per partition.
+- **Batched writes.** ``write_jdbc`` uses ``batchsize`` inserts; for
+  idempotent reloads use mode="overwrite" with ``truncate`` so the
+  table is truncated, not dropped (keeps grants/indexes).
+
+No driver jars are assumed beyond what the Spark distribution carries;
+tests exercise the embedded Derby engine that ships with Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def discover_bounds(
+    spark: SparkSession, url: str, table: str, partition_column: str,
+    properties: dict | None = None,
+) -> tuple[int, int]:
+    """One-row MIN/MAX probe for partition bounds — the only
+    non-parallel query in a partitioned JDBC ingest."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option(
+            # ANSI-quote the column: unquoted identifiers case-fold in
+            # most engines (Derby/Postgres fold differently than the
+            # quoted names Spark's JDBC writer creates)
+            "query",
+            f'SELECT MIN("{partition_column}") AS "lo", '
+            f'MAX("{partition_column}") AS "hi" FROM {table}',
+        )
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    row = reader.load().collect()[0]
+    if row["lo"] is None:
+        return 0, 0
+    return int(row["lo"]), int(row["hi"])
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    bounds: tuple[int, int] | None = None,
+    fetch_size: int = 10_000,
+    properties: dict | None = None,
+) -> DataFrame:
+    """Parallel JDBC table scan. Without ``partition_column`` the read
+    is a single cursor (fine for dimension tables); with one, the scan
+    becomes ``num_partitions`` range queries with bounds auto-probed
+    unless given."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("fetchsize", str(fetch_size))
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        lo, hi = bounds if bounds is not None else discover_bounds(
+            spark, url, table, partition_column, properties
+        )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lo))
+            .option("upperBound", str(max(hi, lo + 1)))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 10_000,
+    truncate: bool = False,
+    properties: dict | None = None,
+) -> None:
+    """Batched JDBC write; ``truncate=True`` with mode="overwrite"
+    empties the table instead of dropping it (preserves DDL)."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    if truncate:
+        writer = writer.option("truncate", "true")
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -1,0 +1,74 @@
+"""JDBC source/sink against the embedded Derby engine Spark ships.
+
+Real round trips — no mocks: Spark writes through JDBC into an
+in-memory Derby table, reads it back in parallel range partitions,
+and the plan shows the pushed filter on the JDBC relation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rentals_data_pipeline_spark.sources.jdbc import (
+    discover_bounds,
+    read_jdbc,
+    write_jdbc,
+)
+
+URL = "jdbc:derby:memory:graft_test;create=true"
+
+
+@pytest.fixture(scope="module")
+def seeded(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 3).cast("double").alias("val"),
+    )
+    write_jdbc(df, URL, "items", mode="overwrite")
+    return df
+
+
+def test_roundtrip_values(spark, seeded):
+    got = read_jdbc(spark, URL, "items")
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in seeded.collect()
+    )
+
+
+def test_partitioned_read_splits_and_agrees(spark, seeded):
+    got = read_jdbc(
+        spark, URL, "items", partition_column="k", num_partitions=4
+    )
+    assert got.rdd.getNumPartitions() == 4
+    assert got.count() == 1000
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in seeded.collect()
+    )
+
+
+def test_bounds_probe(spark, seeded):
+    assert discover_bounds(spark, URL, "items", "k") == (0, 999)
+
+
+def test_filter_pushdown_reaches_jdbc(spark, seeded):
+    got = read_jdbc(spark, URL, "items").where(F.col("grp") == 3).select(
+        "k", "val"
+    )
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "GRP" in plan.upper()
+    assert got.count() == len([i for i in range(1000) if i % 7 == 3])
+
+
+def test_overwrite_truncate_reload(spark, seeded):
+    df2 = spark.range(0, 10).select(
+        F.col("id").alias("k"),
+        F.lit(0).alias("grp"),
+        F.lit(1.5).alias("val"),
+    )
+    write_jdbc(df2, URL, "items_reload", mode="overwrite")
+    write_jdbc(df2, URL, "items_reload", mode="overwrite", truncate=True)
+    assert read_jdbc(spark, URL, "items_reload").count() == 10
