@@ -164,6 +164,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sim_ivf_pq_residual_recall", "sample_weighted_documents",
     "sketch_distinct_users_rollup", "sketch_sliding_distinct_users",
     "sketch_distinct_overlap_users", "ts_downsample_lttb",
+    # round-6 late: BPE merge table (iterative argmax — certified
+    # against the pure-Python reference in tests/test_tokenizer_ops.py)
+    "text_bpe_merges",
 )
 
 

@@ -112,6 +112,16 @@ HEADLINE = [
 ]
 
 
+def _calib_parallel_work(_: int) -> int:
+    """Same scalar loop as the in-process probe, run in N forked
+    workers to measure the sandbox's aggregate-CPU allowance (module
+    level: Pool.map resolves it by name in the children)."""
+    x = 0
+    for k in range(3_000_000):
+        x += k
+    return x
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -170,6 +180,23 @@ def main() -> None:
             calib_passes.append(time.perf_counter() - t0)
     calib = round(statistics.median(calib_passes), 4)
 
+    # Parallel-scaling calibration: the scalar probe cannot see the
+    # sandbox's AGGREGATE cpu quota. Round-6 late measurement: scalar
+    # probe at full speed while 16 worker processes achieved only ~6x
+    # scaling — queries under local[32] ran ~1.5x slower than a round
+    # with the same scalar speed. Fork-based pool, compute-only
+    # children (they never touch the JVM/py4j).
+    import multiprocessing as _mp
+
+    try:
+        t0 = time.perf_counter()
+        with _mp.get_context("fork").Pool(16) as pool:
+            pool.map(_calib_parallel_work, range(16))
+        par_wall = time.perf_counter() - t0
+        calib_scaling = round(16 * calib / par_wall, 2) if par_wall > 0 else None
+    except Exception:
+        calib_scaling = None
+
     print(
         json.dumps(
             {
@@ -178,6 +205,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "calib_pyloop_3m_sec": calib,
+                # 16x the scalar probe in forked workers / wall time:
+                # ~16 on an unthrottled 32-core host, ~6 when the
+                # sandbox caps aggregate cpu (observed round 6).
+                "calib_parallel_scaling_16w": calib_scaling,
                 "sf": float(sf),
                 # Measurement rules are FROZEN as of round 5 (the
                 # round-5 verdict flagged three rounds of methodology

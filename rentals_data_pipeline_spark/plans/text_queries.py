@@ -643,3 +643,29 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("nll_per_token"),
     )
+
+
+@query("text_bpe_merges")  # rows-only: iterative argmax has no SQL oracle
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 30 BPE merges learned from the documents corpus.
+
+    Distributed Sennrich-style BPE (operators/tokenizer.py): one
+    corpus-scale groupBy builds the word histogram; every merge
+    iteration is a vocab-sized pair count + a 1-row argmax collect +
+    one JVM regexp_replace — no Python in the loop, lineage
+    checkpointed every 10 merges. Deterministic for a given corpus
+    (ties break by count DESC then pair ASC, independent of
+    partitioning — pinned by tests/test_tokenizer_ops.py), so the
+    rows-only gate sees a stable 30-row result. Rows-only because the
+    merge table is the fixpoint of 30 data-dependent argmax steps —
+    not expressible as one ANSI query; correctness is certified
+    against a pure-Python reference implementation instead.
+    """
+    from rentals_data_pipeline_spark.operators import tokenizer as TK
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = TK.bpe_train(docs, num_merges=30)
+    rows = [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank INT, pair_a STRING, pair_b STRING, merged STRING"
+    )

@@ -1,0 +1,155 @@
+"""Distributed BPE training/encoding vs a pure-Python reference.
+
+The reference implements Sennrich-style BPE directly on a word-count
+dict (the same statistics the Spark histogram carries); every Spark
+result must match it exactly — merges are discrete, so there is no
+tolerance, and ties are broken identically (count DESC, pair ASC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rentals_data_pipeline_spark.operators import tokenizer as TK
+
+# ---------------------------------------------------------------- reference
+
+
+def _ref_merge(syms: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _ref_train(
+    word_counts: dict[str, int], num_merges: int, min_pair_count: int = 2
+) -> list[tuple[str, str]]:
+    vocab = {
+        tuple(list(w) + [TK.EOW]): c for w, c in word_counts.items()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not pairs:
+            break
+        best, cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append(best)
+        vocab = {_ref_merge(s, *best): c for s, c in vocab.items()}
+    return merges
+
+
+def _ref_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    syms = tuple(list(word) + [TK.EOW])
+    for a, b in merges:
+        syms = _ref_merge(syms, a, b)
+    return list(syms)
+
+
+# The classic Sennrich corpus, spread across rows so training has to
+# aggregate counts across documents and partitions.
+SENNRICH = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def _sennrich_docs(spark, n_parts: int = 1):
+    words: list[str] = []
+    for w, c in SENNRICH.items():
+        words.extend([w] * c)
+    rows = [(i, " ".join(words[i::4])) for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return df.repartition(n_parts) if n_parts > 1 else df
+
+
+def test_word_histogram_counts(spark):
+    hist = {
+        r["word"]: r["cnt"]
+        for r in TK.word_histogram(_sennrich_docs(spark)).collect()
+    }
+    assert hist == SENNRICH
+
+
+def test_bpe_train_matches_reference(spark):
+    got = TK.bpe_train(_sennrich_docs(spark), num_merges=10)
+    want = _ref_train(SENNRICH, 10)
+    assert got == want
+    # sanity on the classic example: 'est' forms early from newest+widest
+    assert ("es", "t") in got or ("e", "st") in got
+
+
+def test_bpe_train_partition_invariant(spark):
+    assert TK.bpe_train(_sennrich_docs(spark, 7), num_merges=8) == _ref_train(
+        SENNRICH, 8
+    )
+
+
+def test_bpe_train_early_stop_on_unique_pairs(spark):
+    # every word occurs once -> every pair count is 1 < min_pair_count
+    df = spark.createDataFrame([(0, "abc xyz qrs")], ["doc_id", "text"])
+    assert TK.bpe_train(df, num_merges=5) == []
+
+
+def test_bpe_train_punctuation_symbols(spark):
+    # regex-special symbols must be literal-quoted in the merge pattern
+    df = spark.createDataFrame([(0, "a.b a.b a.b c++ c++ c++")], ["doc_id", "text"])
+    got = TK.bpe_train(df, num_merges=4)
+    want = _ref_train({"a": 3, ".": 3, "b": 3, "c": 3, "+": 6}, 4)
+    assert got == want
+
+
+def test_bpe_train_max_words_truncates_by_mass(spark):
+    # max_words=2 keeps newest(6) and low(5); merges must come from
+    # those two words only
+    got = TK.bpe_train(_sennrich_docs(spark), num_merges=6, max_words=2)
+    want = _ref_train({"newest": 6, "low": 5}, 6)
+    assert got == want
+
+
+def test_bpe_segment_matches_reference_encode(spark):
+    merges = _ref_train(SENNRICH, 8)
+    df = spark.createDataFrame(
+        [(0, "lowest newest low"), (1, "wider lower")], ["doc_id", "text"]
+    )
+    rows = df.select(
+        "doc_id", TK.bpe_segment_expr(merges).alias("toks")
+    ).collect()
+    for r in rows:
+        text = {0: "lowest newest low", 1: "wider lower"}[r["doc_id"]]
+        want: list[str] = []
+        for w in text.split():
+            want.extend(_ref_encode(w, merges))
+        assert r["toks"] == want
+
+
+def test_bpe_segment_roundtrip(spark):
+    """Stripping </w> and re-joining tokens reconstructs the words."""
+    merges = _ref_train(SENNRICH, 8)
+    df = spark.createDataFrame([(0, "newest widest lower low")], ["doc_id", "text"])
+    toks = df.select(TK.bpe_segment_expr(merges).alias("t")).collect()[0]["t"]
+    rebuilt = "".join(toks).replace(TK.EOW, " ").strip()
+    assert rebuilt == "newest widest lower low"
+
+
+def test_bpe_token_count(spark):
+    merges = _ref_train(SENNRICH, 8)
+    df = spark.createDataFrame([(0, "low lower")], ["doc_id", "text"])
+    n = df.select(TK.bpe_token_count_expr(merges).alias("n")).collect()[0]["n"]
+    want = len(_ref_encode("low", merges)) + len(_ref_encode("lower", merges))
+    assert n == want
+
+
+def test_bpe_train_empty_corpus(spark):
+    df = spark.createDataFrame([], "doc_id INT, text STRING")
+    assert TK.bpe_train(df, num_merges=3) == []

@@ -31,6 +31,7 @@ never spill at sf<=0.1; any spill means a partition-sizing bug that
 Usage:
     python tools/shuffle_audit.py [sf_dir] [query ...]   # JSON lines
     (no query args: runs the bench HEADLINE set)
+    python tools/shuffle_audit.py [sf_dir] --all         # full catalog
 """
 
 from __future__ import annotations
@@ -122,9 +123,13 @@ def check_budgets(row: dict) -> list[str]:
 
 def main() -> int:
     args = sys.argv[1:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    names = args[1:] or [q for q in HEADLINE if q in entrymod.queries()]
+    sf_dir = args[0] if args and not args[0].startswith("--") else "/root/testdata/sf0.01"
+    rest = args[1:] if args and not args[0].startswith("--") else args
     queries = entrymod.queries()
+    if rest == ["--all"]:
+        names = list(queries)
+    else:
+        names = rest or [q for q in HEADLINE if q in queries]
     spark = create_spark_session("shuffle-audit")
     failures: list[str] = []
     for name in names:
