@@ -38,9 +38,11 @@ because every word ends with the ``</w>`` symbol and no learnable pair
 starts with ``</w>`` — cross-word positions can never match an
 intra-word pattern. The chain is JVM-side and shuffle-free, right for
 the merge-table sizes this engine trains in-session (tens to
-hundreds); for production 30k-merge vocabularies, encode distinct
-words once with the trained table and broadcast-join the segmentation
-back (the histogram trick again) rather than chaining 30k regexes.
+hundreds); for production 30k-merge vocabularies use
+``bpe_segment_via_vocab``, which runs the regex chain over the
+DISTINCT-WORD relation (vocab-sized — the histogram trick again) and
+joins the segmentation back, trading one token-level shuffle for
+per-word regex work that is O(vocab) instead of O(corpus).
 
 No reference counterpart (the rentals reference has zero text
 functions, SURVEY §2.9); mandated LLM-pipeline extension surface.
@@ -196,3 +198,76 @@ def bpe_token_count_expr(
     """Token count under the learned vocabulary — the statistic
     curation pipelines bin and pack by."""
     return F.size(bpe_segment_expr(merges, text_col))
+
+
+def _segment_word_col(word_col: Column, merges: list[tuple[str, str]]) -> Column:
+    """array<string> of BPE tokens for ONE word column (the per-word
+    regex chain ``bpe_segment_expr`` applies to whole documents)."""
+    syms = _to_symbols(word_col)
+    for a, b in merges:
+        syms = F.regexp_replace(syms, _merge_pattern(a, b), a + b)
+    return F.split(syms, " ")
+
+
+def bpe_segment_via_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    output_col: str = "bpe_tokens",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Scale path for LARGE merge tables: segment each DISTINCT word
+    once, then map the segmentation back over the corpus.
+
+    ``bpe_segment_expr`` chains ``len(merges)`` regexp_replace passes
+    over EVERY document — right for the tens-of-merges tables this
+    engine trains in-session, wrong for a production 30k-merge
+    vocabulary (30k regex passes × corpus bytes). Here the regex chain
+    runs over the distinct-word relation — vocab-sized, the same
+    histogram trick training uses — and documents rebuild their token
+    arrays by joining words back to the segmented vocab:
+
+    - tokenize each doc to its word array (ONE pass, no merges),
+    - posexplode to (id, pos, word),
+    - equi-join the segmented vocab — broadcast when the caller says
+      the vocab fits an executor (default), plain equi-join (sort-merge
+      at scale, AQE may still demote it) otherwise,
+    - reassemble: collect_list of (pos, toks) structs, array_sort
+      (struct ordering = field order, pos leads and is unique per
+      doc), flatten; left-join back so word-less docs keep an empty
+      array instead of vanishing.
+
+    Output is exactly ``bpe_segment_expr``'s (pinned by test); the
+    explicit trade is one token-level shuffle (the reassembly groupBy)
+    to cut per-word regex work from O(corpus) to O(vocab). ``id_col``
+    must be unique — the reassembly groups by it.
+    """
+    words = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(BPE_ISH_PATTERN), F.lit(0)
+    )
+    with_words = docs.withColumn("_words", words)
+    vocab = (
+        with_words.select(F.explode("_words").alias("_word"))
+        .distinct()
+        .select("_word", _segment_word_col(F.col("_word"), merges).alias("_toks"))
+    )
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    segmented = (
+        with_words.select(id_col, F.posexplode("_words").alias("_pos", "_word"))
+        .join(vocab, "_word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_toks"))),
+                    lambda s: s["_toks"],
+                )
+            ).alias(output_col)
+        )
+    )
+    return (
+        docs.join(segmented, id_col, "left")
+        .withColumn(output_col, F.coalesce(F.col(output_col), F.array()))
+    )

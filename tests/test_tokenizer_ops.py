@@ -153,3 +153,43 @@ def test_bpe_token_count(spark):
 def test_bpe_train_empty_corpus(spark):
     df = spark.createDataFrame([], "doc_id INT, text STRING")
     assert TK.bpe_train(df, num_merges=3) == []
+
+
+def _vocab_parity_corpus(spark):
+    rows = [
+        (0, "lowest newest low low"),
+        (1, "wider lower c++ a.b"),
+        (2, ""),  # word-less doc must survive with an empty array
+        (3, "newest newest widest"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).repartition(5)
+
+
+def test_bpe_segment_via_vocab_matches_chained_regex(spark):
+    """The vocab-join scale path must produce EXACTLY the chained-regex
+    segmentation, including empty docs, across a multi-partition corpus
+    and in both join modes (broadcast vocab / plain equi-join)."""
+    merges = _ref_train(SENNRICH, 8)
+    df = _vocab_parity_corpus(spark)
+    want = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", TK.bpe_segment_expr(merges).alias("t")
+        ).collect()
+    }
+    assert want[2] == []  # the empty doc really is the edge case
+    for bcast in (True, False):
+        got = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in TK.bpe_segment_via_vocab(
+                df, merges, broadcast_vocab=bcast
+            ).collect()
+        }
+        assert got == want, f"broadcast_vocab={bcast}"
+
+
+def test_bpe_segment_via_vocab_keeps_columns(spark):
+    merges = _ref_train(SENNRICH, 4)
+    out = TK.bpe_segment_via_vocab(_vocab_parity_corpus(spark), merges)
+    assert set(out.columns) == {"doc_id", "text", "bpe_tokens"}
+    assert out.count() == 4
