@@ -54,6 +54,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rentals_data_pipeline_spark.operators.text import BPE_ISH_PATTERN
+from rentals_data_pipeline_spark.operators.topn import global_top_n
 
 #: End-of-word marker symbol (its own symbol, so merges may absorb it:
 #: ("t", "</w>") is learnable and yields the suffix symbol "t</w>").
@@ -123,12 +124,14 @@ def bpe_train(
     """
     spark = docs.sparkSession
     hist = word_histogram(docs, text_col)
-    # Enforced histogram bound: keep the highest-mass vocabulary. The
-    # orderBy is a vocab-sized sort (driver never sees it); only the
-    # retained rows iterate.
+    # Enforced histogram bound: keep the highest-mass vocabulary.
+    # global_top_n, not orderBy().limit() — the latter is
+    # TakeOrderedAndProject, whose driver merge of max_words x
+    # numPartitions candidate rows is exactly the unbounded-driver
+    # shape this engine bans (1M-word cap over a 1000-partition
+    # histogram = a billion rows on the driver).
     hist = (
-        hist.orderBy(F.col("cnt").desc(), F.col("word").asc())
-        .limit(max_words)
+        global_top_n(hist, [F.col("cnt").desc(), F.col("word").asc()], max_words)
         .select(_to_symbols(F.col("word")).alias("syms"), "cnt")
         .localCheckpoint()
     )

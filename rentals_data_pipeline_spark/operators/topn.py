@@ -1,0 +1,94 @@
+"""Exact global top-N for LARGE N, without a driver-side merge.
+
+``df.orderBy(...).limit(n)`` compiles to ``TakeOrderedAndProject``:
+each task keeps an n-row heap, then the DRIVER merges ``n x
+numPartitions`` candidate rows. Right for small n (it is what
+``sample_weighted_documents`` wants at n<=10k); a driver-memory hazard
+for the large-N truncations a corpus engine needs (BPE's
+``max_words=1M`` vocabulary cap over a 1000-partition word histogram
+would merge a billion rows on the driver). The other naive form —
+a global ``Window.orderBy`` row_number — plans a SINGLE-TASK sort of
+the entire input.
+
+``global_top_n`` keeps both the sort and the selection distributed:
+
+1. ``repartitionByRange(order) + sortWithinPartitions(order)`` — the
+   distributed sort Spark already scales (sampled range boundaries,
+   spill-able per-partition sorts).
+2. ``monotonically_increasing_id()`` over the sorted partitions gives
+   each row ``(partition id << 33) | sequence``; the sequence IS the
+   row's rank within its partition because ids are assigned in
+   partition iteration order.
+3. A per-partition count aggregate (numPartitions rows — the same
+   bounded-collect contract as ``graph.pagerank_auto``'s probes)
+   prefix-sums to exclusive offsets on the driver; a tiny broadcast
+   join maps them back.
+4. ``filter(offset + sequence < n)`` — partitions wholly inside the
+   top-N pass rows through untouched; the one straddling partition
+   truncates locally; later partitions emit nothing.
+
+The input is materialized once (``localCheckpoint``) after step 2 so
+the count job and the filter job read the SAME partitioning and ids —
+range-boundary sampling and id assignment must not re-run between the
+two consumers. Cost: one full pass + local-disk blocks, the price of
+exactness.
+
+Determinism: ``order`` must be a TOTAL order (include a unique
+tie-break column, e.g. ``(cnt DESC, word ASC)``) — with duplicate
+full keys the boundary selection among ties follows the range
+partitioner's placement, not a semantic rule.
+
+No reference counterpart (the rentals reference materializes
+single-node pandas frames, reference etl.py:1-721); this is
+scale-path infrastructure for the histogram-bounded operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: monotonically_increasing_id packs the partition id above bit 33.
+_SEQ_MASK = (1 << 33) - 1
+
+
+def global_top_n(
+    df: DataFrame, order: list[Column], n: int, num_partitions: int | None = None
+) -> DataFrame:
+    """First ``n`` rows of ``df`` under ``order``, selected without a
+    driver merge or a single-task sort; output rows keep only the
+    original columns (order preserved within partitions, not globally
+    re-sorted — consumers needing a sorted frame sort the n survivors).
+    """
+    if n <= 0:
+        return df.limit(0)
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranked = (
+        df.repartitionByRange(parts, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        # pid derived from the id itself so both fields can never
+        # disagree about which partition a row sat in
+        .withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
+        .withColumn("_seq", F.col("_mid").bitwiseAND(F.lit(_SEQ_MASK)))
+        .localCheckpoint()  # one materialization shared by both jobs
+    )
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    if not offsets:
+        return df.limit(0)
+    off = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, "_pid INT, _off LONG")
+    )
+    keep = [c for c in ranked.columns if c not in ("_mid", "_pid", "_seq")]
+    return (
+        ranked.join(off, "_pid")
+        .where(F.col("_off") + F.col("_seq") < F.lit(n))
+        .select(*keep)
+    )

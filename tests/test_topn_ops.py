@@ -1,0 +1,75 @@
+"""global_top_n vs the orderBy().limit() reference it replaces.
+
+The operator exists because TakeOrderedAndProject's driver merge does
+not survive large N; semantically the two must be IDENTICAL whenever
+the order is total, across partition counts and boundary positions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rentals_data_pipeline_spark.operators.topn import global_top_n
+
+
+def _corpus(spark, rows: int, parts: int):
+    # deterministic, collision-heavy counts (ties!) + unique tiebreak
+    data = [(f"w{i:04d}", (i * 7919) % 13) for i in range(rows)]
+    return spark.createDataFrame(data, ["word", "cnt"]).repartition(parts)
+
+
+def _want(spark, df, n):
+    return [
+        (r["word"], r["cnt"])
+        for r in df.orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(n)
+        .collect()
+    ]
+
+
+def _got(df, n, parts=None):
+    out = global_top_n(
+        df, [F.col("cnt").desc(), F.col("word").asc()], n, num_partitions=parts
+    )
+    return sorted(
+        ((r["word"], r["cnt"]) for r in out.collect()),
+        key=lambda t: (-t[1], t[0]),
+    )
+
+
+def test_matches_take_ordered_across_boundaries(spark):
+    df = _corpus(spark, 500, 11)
+    for n in (1, 7, 137, 499, 500, 501, 10_000):
+        assert _got(df, n) == _want(spark, df, n), f"n={n}"
+
+
+def test_partition_count_invariant(spark):
+    df = _corpus(spark, 300, 5)
+    want = _want(spark, df, 100)
+    for parts in (1, 3, 17, 64):
+        assert _got(df, 100, parts=parts) == want, f"parts={parts}"
+
+
+def test_zero_and_empty(spark):
+    df = _corpus(spark, 50, 3)
+    assert _got(df, 0) == []
+    empty = spark.createDataFrame([], "word STRING, cnt INT")
+    assert _got(empty, 10) == []
+
+
+def test_keeps_original_columns_only(spark):
+    df = _corpus(spark, 20, 2)
+    out = global_top_n(df, [F.col("cnt").desc(), F.col("word").asc()], 5)
+    assert out.columns == ["word", "cnt"]
+    assert out.count() == 5
+
+
+def test_no_take_ordered_in_plan(spark):
+    """The point of the operator: the executed selection contains no
+    TakeOrderedAndProject (driver merge) and no global single-task
+    Window sort."""
+    df = _corpus(spark, 200, 8)
+    out = global_top_n(df, [F.col("cnt").desc(), F.col("word").asc()], 50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan
+    assert "Window" not in plan
