@@ -26,9 +26,17 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rentals_data_pipeline_spark.operators.topn import global_top_n
+
 Op = Callable[[DataFrame], DataFrame]
 
 N_SPLIT_BUCKETS = 10_000
+
+#: weighted_sample_topk switches from TakeOrdered (driver merges
+#: n x n_partitions candidates) to the distributed global_top_n above
+#: this sample size — 100k x 1000 partitions already means 100M driver
+#: rows, well past any sane driver heap.
+LARGE_SAMPLE_N = 100_000
 
 
 def hash_bucket(key: Column, n_buckets: int, seed: str = "") -> Column:
@@ -124,9 +132,16 @@ def weighted_sample_topk(
     sequential weighted draw's; determinism comes from the md5-derived
     u (same row → same u on any partitioning, run, or cluster).
 
-    The scale shape is a global top-n (TakeOrdered: per-partition heap,
-    driver merges n·n_partitions candidates — no full sort). Rows with
-    NULL or non-positive weight carry no sampling mass and are dropped.
+    The scale shape is n-dependent: small samples ride TakeOrdered
+    (per-partition heap, driver merges n·n_partitions candidates — no
+    sort exchange); above ``LARGE_SAMPLE_N`` the driver merge itself
+    becomes the hazard (n=1M × 1000 partitions = a billion candidate
+    rows on the driver), so the selection routes through
+    ``topn.global_top_n`` (distributed range sort + offset filter,
+    driver sees only per-partition counts). Same rows either way —
+    the priority order is total ((_pri DESC, key ASC), key unique).
+    Rows with NULL or non-positive weight carry no sampling mass and
+    are dropped.
 
     Rows-only in the catalog: ln() is engine-last-bit territory, which
     the oracle-pairing discipline bans (see verify notes) — properties
@@ -140,13 +155,13 @@ def weighted_sample_topk(
         h32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
         u = (h32.cast("double") + F.lit(1.0)) / F.lit(float(1 << 32))
         priority = F.log(u) / F.col(weight_col)
-        return (
-            df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
-            .withColumn("_pri", priority)
-            .orderBy(F.col("_pri").desc(), F.col(key_col))
-            .limit(n)
-            .drop("_pri")
-        )
+        ranked = df.where(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        ).withColumn("_pri", priority)
+        order = [F.col("_pri").desc(), F.col(key_col).asc()]
+        if n > LARGE_SAMPLE_N:
+            return global_top_n(ranked, order, n).drop("_pri")
+        return ranked.orderBy(*order).limit(n).drop("_pri")
 
     return _apply
 

@@ -83,6 +83,24 @@ def test_weighted_sample_properties(spark):
     assert sorted(r["k"] for r in all_rows) == [1, 4]  # zero/null weight dropped
 
 
+def test_weighted_sample_large_n_route_identical(spark, monkeypatch):
+    """Above LARGE_SAMPLE_N the selection routes through global_top_n
+    instead of TakeOrdered — the rows must be IDENTICAL (the priority
+    order is total), only the plan shape changes."""
+    from rentals_data_pipeline_spark.operators import sampling as SP
+
+    rows = [(i, 1.0 + (i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, w double").repartition(9)
+    want = sorted(
+        r["k"] for r in df.transform(SP.weighted_sample_topk("k", "w", 80)).collect()
+    )
+    monkeypatch.setattr(SP, "LARGE_SAMPLE_N", 50)
+    large = df.transform(SP.weighted_sample_topk("k", "w", 80))
+    assert sorted(r["k"] for r in large.collect()) == want
+    plan = large._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan
+
+
 def test_stratified_split_exact_proportions(spark):
     # Every stratum lands within one row of 80/10/10 — including a
     # tiny 7-row stratum where the expectation-only hash split could
