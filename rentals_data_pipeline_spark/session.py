@@ -50,6 +50,13 @@ def create_spark_session(
         # Parquet scans: vectorized reader + pushdown are Spark defaults;
         # restated here because the engine depends on them at 100 TB.
         "spark.sql.parquet.filterPushdown": "true",
+        # Runtime bloom-filter injection (also a default, restated as a
+        # dependency): when a decontamination/dedup anti-join's digest
+        # side outgrows broadcast and falls back to shuffle, the
+        # optimizer builds a bloom filter from the small side and
+        # prunes the corpus side BEFORE its shuffle — the scale path
+        # for huge benchmark digest sets.
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.files.maxPartitionBytes": "134217728",
         "spark.ui.enabled": "false",
     }
