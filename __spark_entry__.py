@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in dict order.  With 191 catalog queries we order by certification need.
+# in dict order.  With 192 catalog queries we order by certification need.
 # Round-6 order (history: CORRECTNESS_r01..r05.json; round-5 verdict item 2
 # mandated rotating every never-driver-certified oracle-paired query to the
 # front):
