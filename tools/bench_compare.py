@@ -103,6 +103,23 @@ def main() -> int:
             f" host-normalized shared total: {t_ratio / cal_ratio:.2f}x"
         )
 
+    # Aggregate-CPU normalization: the scalar probe misses the sandbox's
+    # MULTI-CORE quota (measured: scalar speed unchanged while 16-worker
+    # scaling fell 16 -> ~6 and every query ran ~1.5x slower). When both
+    # files carry the parallel-scaling probe, also report the ratio
+    # normalized by effective parallelism — the closer estimate of the
+    # engine delta for local[32] workloads. Informational only, like the
+    # scalar normalization above.
+    o_par = old.get("calib_parallel_scaling_16w")
+    n_par = new.get("calib_parallel_scaling_16w")
+    if o_par and n_par:
+        par_ratio = o_par / n_par  # fewer effective cores -> slower wall
+        print(
+            f"  parallel scaling {o_par:.2f} -> {n_par:.2f} effective"
+            f" ({par_ratio:.2f}x host); parallelism-normalized shared"
+            f" total: {t_ratio / par_ratio:.2f}x"
+        )
+
     if failures:
         print(f"{len(failures)} regression(s) over {args.threshold}x:")
         for name, ratio in failures:
