@@ -7,6 +7,8 @@ the order is total, across partition counts and boundary positions.
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from rentals_data_pipeline_spark.operators.topn import global_top_n
@@ -62,6 +64,38 @@ def test_keeps_original_columns_only(spark):
     out = global_top_n(df, [F.col("cnt").desc(), F.col("word").asc()], 5)
     assert out.columns == ["word", "cnt"]
     assert out.count() == 5
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=4),
+            st.integers(min_value=0, max_value=9),  # heavy tie collisions
+        ),
+        min_size=0,
+        max_size=40,
+        unique_by=lambda r: r[0],  # unique word -> total order holds
+    ),
+    n=st.integers(min_value=0, max_value=45),
+    nparts=st.integers(min_value=1, max_value=6),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_property_matches_python_sort(spark, rows, n, nparts):
+    """For ANY data, n, and partitioning: global_top_n == the Python
+    sort's first n under the same total order."""
+    df = spark.createDataFrame(rows, "word string, cnt int").repartition(nparts)
+    got = sorted(
+        ((r["word"], r["cnt"]) for r in global_top_n(
+            df, [F.col("cnt").desc(), F.col("word").asc()], n
+        ).collect()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    want = sorted(rows, key=lambda t: (-t[1], t[0]))[:n]
+    assert got == want
 
 
 def test_no_take_ordered_in_plan(spark):
