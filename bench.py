@@ -185,15 +185,26 @@ def main() -> None:
     # probe at full speed while 16 worker processes achieved only ~6x
     # scaling — queries under local[32] ran ~1.5x slower than a round
     # with the same scalar speed. Fork-based pool, compute-only
-    # children (they never touch the JVM/py4j).
+    # children (they never touch the JVM/py4j). Both the 1-worker
+    # baseline and the 16-worker run go through the same pool.map
+    # path, so fork/teardown overhead cancels in the ratio; .get with
+    # a timeout guards against a fork-while-threaded child deadlock
+    # hanging the whole bench.
     import multiprocessing as _mp
 
     try:
+        ctx = _mp.get_context("fork")
         t0 = time.perf_counter()
-        with _mp.get_context("fork").Pool(16) as pool:
-            pool.map(_calib_parallel_work, range(16))
+        with ctx.Pool(1) as pool:
+            pool.map_async(_calib_parallel_work, range(1)).get(timeout=120)
+        one_wall = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        with ctx.Pool(16) as pool:
+            pool.map_async(_calib_parallel_work, range(16)).get(timeout=120)
         par_wall = time.perf_counter() - t0
-        calib_scaling = round(16 * calib / par_wall, 2) if par_wall > 0 else None
+        calib_scaling = (
+            round(16 * one_wall / par_wall, 2) if par_wall > 0 else None
+        )
     except Exception:
         calib_scaling = None
 

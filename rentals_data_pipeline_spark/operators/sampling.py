@@ -138,10 +138,13 @@ def weighted_sample_topk(
     becomes the hazard (n=1M × 1000 partitions = a billion candidate
     rows on the driver), so the selection routes through
     ``topn.global_top_n`` (distributed range sort + offset filter,
-    driver sees only per-partition counts). Same rows either way —
-    the priority order is total ((_pri DESC, key ASC), key unique).
-    Rows with NULL or non-positive weight carry no sampling mass and
-    are dropped.
+    driver sees only per-partition counts). Same row SET either way —
+    the priority order is total ((_pri DESC, key ASC), key unique) —
+    but the large-n route returns rows in partition order (sort the
+    survivors if ordered output matters) and runs EAGERLY at call
+    time (global_top_n checkpoints + counts), where the TakeOrdered
+    path stays lazy. Rows with NULL or non-positive weight carry no
+    sampling mass and are dropped.
 
     Rows-only in the catalog: ln() is engine-last-bit territory, which
     the oracle-pairing discipline bans (see verify notes) — properties

@@ -78,6 +78,16 @@ def _merge_pattern(a: str, b: str) -> str:
     return f"(?<=^|[ ]){_quote_regex(a)} {_quote_regex(b)}(?=[ ]|$)"
 
 
+def _quote_replacement(sym: str) -> str:
+    """Escape Java replacement-string metacharacters
+    (``Matcher.quoteReplacement`` semantics): a raw ``$`` is an illegal
+    group reference (a corpus with standalone '$' price tokens would
+    crash the merge regexp_replace at runtime) and a raw ``\\``
+    silently disappears, letting a backslash symbol collide with the
+    EOW marker."""
+    return sym.replace("\\", "\\\\").replace("$", "\\$")
+
+
 def word_histogram(
     docs: DataFrame, text_col: str = "text", pattern: str = BPE_ISH_PATTERN
 ) -> DataFrame:
@@ -167,7 +177,8 @@ def bpe_train(
         a, b = pairs[0]["a"], pairs[0]["b"]
         merges.append((a, b))
         hist = hist.withColumn(
-            "syms", F.regexp_replace("syms", _merge_pattern(a, b), a + b)
+            "syms",
+            F.regexp_replace("syms", _merge_pattern(a, b), _quote_replacement(a + b)),
         )
         if (step + 1) % checkpoint_every == 0:
             hist = hist.localCheckpoint()
@@ -191,7 +202,7 @@ def bpe_segment_expr(
     )
     syms = F.concat_ws(" ", F.transform(words, _to_symbols))
     for a, b in merges:
-        syms = F.regexp_replace(syms, _merge_pattern(a, b), a + b)
+        syms = F.regexp_replace(syms, _merge_pattern(a, b), _quote_replacement(a + b))
     return F.filter(F.split(syms, " "), lambda t: t != F.lit(""))
 
 
@@ -208,7 +219,7 @@ def _segment_word_col(word_col: Column, merges: list[tuple[str, str]]) -> Column
     regex chain ``bpe_segment_expr`` applies to whole documents)."""
     syms = _to_symbols(word_col)
     for a, b in merges:
-        syms = F.regexp_replace(syms, _merge_pattern(a, b), a + b)
+        syms = F.regexp_replace(syms, _merge_pattern(a, b), _quote_replacement(a + b))
     return F.split(syms, " ")
 
 
@@ -231,7 +242,12 @@ def bpe_segment_via_vocab(
     histogram trick training uses — and documents rebuild their token
     arrays by joining words back to the segmented vocab:
 
-    - tokenize each doc to its word array (ONE pass, no merges),
+    - tokenize each doc to its word array (the cheap codegen
+      tokenizer, no merges; it evaluates twice — once in the
+      vocab-distinct branch, once in the probe branch — a deliberate
+      trade: re-running a narrow regex scan is cheaper at corpus
+      scale than checkpointing the tokenized corpus to executor
+      disk just to share it),
     - posexplode to (id, pos, word),
     - equi-join the segmented vocab — broadcast when the caller says
       the vocab fits an executor (default), plain equi-join (sort-merge

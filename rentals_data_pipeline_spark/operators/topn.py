@@ -59,9 +59,19 @@ def global_top_n(
     driver merge or a single-task sort; output rows keep only the
     original columns (order preserved within partitions, not globally
     re-sorted — consumers needing a sorted frame sort the n survivors).
+
+    EAGER: calling this runs Spark jobs immediately (the checkpoint
+    materialization and the per-partition count), unlike a lazy
+    ``orderBy().limit()`` — build the input plan fully (filters,
+    projections) BEFORE calling, since nothing below the checkpoint
+    can be pushed down afterwards. Reserved internal column names
+    ``_mid``/``_pid``/``_seq`` are rejected, not silently clobbered.
     """
     if n <= 0:
         return df.limit(0)
+    clash = {"_mid", "_pid", "_seq"} & set(df.columns)
+    if clash:  # withColumn would silently overwrite, select would drop
+        raise ValueError(f"global_top_n reserves column names {sorted(clash)}")
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranked = (
         df.repartitionByRange(parts, *order)

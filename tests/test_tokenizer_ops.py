@@ -109,6 +109,29 @@ def test_bpe_train_punctuation_symbols(spark):
     assert got == want
 
 
+def test_bpe_replacement_metachar_symbols(spark):
+    """Java replacement-string metacharacters: '$' in a merged symbol
+    is an illegal group reference (crash) and '\\' silently vanishes
+    unless the replacement is quoted — both must train and encode
+    exactly like the reference."""
+    text = "a$ a$ a$ b$ b$ x\\ x\\ x\\"
+    counts = {"a": 3, "$": 5, "b": 2, "x": 3, "\\": 3}
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    got = TK.bpe_train(df, num_merges=6)
+    want = _ref_train(counts, 6)
+    assert got == want
+    assert any("$" in a + b or "\\" in a + b for a, b in got)  # non-trivial
+    toks = df.select(TK.bpe_segment_expr(got).alias("t")).collect()[0]["t"]
+    want_toks: list[str] = []
+    for w in ["a", "$", "a", "$", "a", "$", "b", "$", "b", "$",
+              "x", "\\", "x", "\\", "x", "\\"]:
+        want_toks.extend(_ref_encode(w, got))
+    assert toks == want_toks
+    # the vocab-join path quotes identically
+    via = TK.bpe_segment_via_vocab(df, got).collect()[0]["bpe_tokens"]
+    assert via == want_toks
+
+
 def test_bpe_train_max_words_truncates_by_mass(spark):
     # max_words=2 keeps newest(6) and low(5); merges must come from
     # those two words only

@@ -98,6 +98,14 @@ def test_property_matches_python_sort(spark, rows, n, nparts):
     assert got == want
 
 
+def test_reserved_column_collision_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 2)], ["word", "_seq"])
+    with pytest.raises(ValueError, match="_seq"):
+        global_top_n(df, [F.col("word").asc()], 1)
+
+
 def test_no_take_ordered_in_plan(spark):
     """The point of the operator: the executed selection contains no
     TakeOrderedAndProject (driver merge) and no global single-task

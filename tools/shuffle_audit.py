@@ -123,10 +123,14 @@ def check_budgets(row: dict) -> list[str]:
 
 def main() -> int:
     args = sys.argv[1:]
-    sf_dir = args[0] if args and not args[0].startswith("--") else "/root/testdata/sf0.01"
-    rest = args[1:] if args and not args[0].startswith("--") else args
+    run_all = "--all" in args
+    args = [a for a in args if a != "--all"]  # flag position-independent
+    if args and Path(args[0]).is_dir():
+        sf_dir, rest = args[0], args[1:]
+    else:  # bare query names: keep the default scale
+        sf_dir, rest = "/root/testdata/sf0.01", args
     queries = entrymod.queries()
-    if rest == ["--all"]:
+    if run_all:
         names = list(queries)
     else:
         names = rest or [q for q in HEADLINE if q in queries]
