@@ -595,9 +595,12 @@ def corpus_ngram_topk(
             .groupBy("ngram")
             .agg(F.count(F.lit(1)).alias("n_occurrences"))
         )
-        return grams.orderBy(
-            F.col("n_occurrences").desc(), F.col("ngram")
-        ).limit(k)
+        order = [F.col("n_occurrences").desc(), F.col("ngram").asc()]
+        if k > 100_000:  # vocabulary-building k: avoid the TakeOrdered
+            from rentals_data_pipeline_spark.operators.topn import global_top_n
+
+            return global_top_n(grams, order, k)
+        return grams.orderBy(*order).limit(k)
 
     return _apply
 
