@@ -173,6 +173,26 @@ def test_bpe_token_count(spark):
     assert n == want
 
 
+def test_bpe_merges_golden_sf0001(spark):
+    """Golden pin on the real documents corpus: the catalog query is
+    rows-only (the driver only checks rows>0), so the first merges are
+    pinned here — semantic drift in tokenization, tie-breaking, or the
+    merge regex shows up as a golden diff instead of passing silently."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["text_bpe_merges"](spark, "/root/testdata/sf0.001").collect()
+    got = [(r["pair_a"], r["pair_b"], r["merged"]) for r in rows[:5]]
+    assert got == [
+        ("e", "r", "er"),
+        ("e", "</w>", "e</w>"),
+        ("n", "</w>", "n</w>"),
+        ("o", "r", "or"),
+        ("t", "</w>", "t</w>"),
+    ]
+    assert len(rows) == 30
+    assert [r["rank"] for r in rows] == list(range(1, 31))
+
+
 def test_bpe_train_empty_corpus(spark):
     df = spark.createDataFrame([], "doc_id INT, text STRING")
     assert TK.bpe_train(df, num_merges=3) == []
