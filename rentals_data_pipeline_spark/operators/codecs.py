@@ -316,11 +316,18 @@ def decode_png(raw: bytes) -> Decoded:
     nch = _PNG_CHANNELS[color]
     bpp = nch * (depth // 8)
     stride = w * bpp
+    need = h * (stride + 1)
     try:
-        dec = zlib.decompress(b"".join(idat))
+        # Bounded inflate: decompress AT MOST the bytes the declared
+        # dimensions require. A plain zlib.decompress() would run a
+        # hostile IDAT to completion (~1000:1 ratios — the dimension
+        # cap above bounds the OUTPUT we use, not what an unbounded
+        # inflate ALLOCATES), re-opening the bomb the cap exists for.
+        dobj = zlib.decompressobj()
+        dec = dobj.decompress(b"".join(idat), need)
     except zlib.error as exc:
         raise CodecError(f"png parse error: idat inflate failed ({exc})")
-    if len(dec) < h * (stride + 1):
+    if len(dec) < need:
         raise CodecError("png parse error: truncated scanlines")
     planes = _png_unfilter(dec, h, stride, bpp)
     if depth == 16:
@@ -793,6 +800,12 @@ def decode_jpeg(raw: bytes) -> Decoded:
     if sof is None or scan is None:
         raise CodecError("jpeg parse error: missing SOF/SOS")
     w_px, h_px, comps = sof
+    if len(scan) != len(comps):
+        # spec-legal non-interleaved baseline (one scan per component):
+        # decoding only the first scan would silently return a color
+        # image as 1-channel luma with no error row — refuse instead,
+        # like every other unsupported shape
+        raise CodecError("unsupported jpeg: non-interleaved multi-scan baseline")
     by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)
@@ -809,8 +822,6 @@ def decode_jpeg(raw: bytes) -> Decoded:
         hs, vs, tq = by_id[cid]
         if tq not in qt or dci not in huff_dc or aci not in huff_ac:
             raise CodecError("jpeg parse error: missing table for scan")
-        qnat = np.zeros(64, dtype=np.int32)
-        qnat[_ZZ] = qt[tq]
         order.append((cid, hs, vs, qt[tq], huff_dc[dci], huff_ac[aci]))
 
     segs, _ = _split_entropy(raw, pos)
@@ -1014,13 +1025,16 @@ def decode_flac(raw: bytes) -> Decoded:
         raise CodecError("flac parse error: zero sample rate")
     if total == 0:
         raise CodecError("unsupported flac: unknown total sample count")
-    if total * nch > _MAX_PIXELS * 4:
+    if total * nch > _MAX_PIXELS:
         # a 16-byte constant frame can command 65535 samples, so bound
-        # the DECLARED total: one corrupt row must stay memory-sane
+        # the DECLARED total: one corrupt row must stay memory-sane.
+        # The bound is on what we PREALLOCATE below (8 B/sample flat
+        # arrays — never Python int lists, whose ~30 B/element boxing
+        # would blow the budget 4x even at this cap).
         raise CodecError(f"flac parse error: implausible sample count {total}")
 
     br = _FlacBits(raw[pos:])
-    chans: list[list[int]] = [[] for _ in range(nch)]
+    chans = [np.empty(total, dtype=np.float64) for _ in range(nch)]
     got = 0
     while got < total:
         if br.bits(14) != 0x3FFE:
@@ -1085,9 +1099,9 @@ def decode_flac(raw: bytes) -> Decoded:
         br.bits(16)  # frame CRC-16 (consumed, unverified)
         take = min(bs, total - got)
         for c in range(nch):
-            chans[c].extend(frame[c][:take])
+            chans[c][got : got + take] = frame[c][:take]
         got += take
-    return nch, sr, [np.array(c, dtype=np.float64) for c in chans]
+    return nch, sr, chans
 
 
 # ---------------------------------------------------------------------------

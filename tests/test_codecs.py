@@ -372,6 +372,26 @@ def test_png_errors():
         C.decode_png(_png(px + 5, color=3, plte=bytes([1, 2, 3])))
 
 
+def test_png_bounded_inflate_defuses_decompression_bomb():
+    """A small declared image with a many-MB zlib payload must decode
+    only the declared bytes — the inflate is bounded by the dimension
+    cap, so the hostile tail is never allocated (pre-fix this
+    decompressed ~50 MB for a 64x64 image; a real bomb would be GBs)."""
+    w = h = 64
+    rows = b"".join(b"\x00" + bytes(w) for _ in range(h))  # filter 0 + pixels
+    bomb = zlib.compress(rows + bytes(50_000_000))  # tail past declared size
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", bomb)
+        + _png_chunk(b"IEND", b"")
+    )
+    nch, _, chans = C.decode_png(raw)
+    assert nch == 1 and chans[0].shape == (w * h,)
+    assert not chans[0].any()
+
+
 # ---------------------------------------------------------------------------
 # GIF
 # ---------------------------------------------------------------------------
@@ -878,6 +898,32 @@ def test_jpeg_unsupported_modes_are_rows():
         C.decode_jpeg(prog)
     with pytest.raises(C.CodecError, match="truncated"):
         C.decode_jpeg(good[:20])
+
+
+def test_jpeg_non_interleaved_multiscan_refused():
+    """A 3-component frame whose first SOS covers only 1 component
+    (spec-legal non-interleaved baseline) must be an error row, not a
+    silent 1-channel 'success' that drops the chroma."""
+    px = np.full((8, 8, 3), 90, dtype=np.uint8)
+    raw = _encode_jpeg(px)
+    i = raw.index(b"\xff\xda")
+    ln = int.from_bytes(raw[i + 2 : i + 4], "big")
+    body = raw[i + 4 : i + 2 + ln]
+    one = bytes([1]) + body[1:3] + body[-3:]  # ns=1, first comp, Ss/Se/AhAl
+    hacked = raw[:i] + b"\xff\xda" + struct.pack(">H", 2 + len(one)) + one + raw[i + 2 + ln :]
+    with pytest.raises(C.CodecError, match="non-interleaved"):
+        C.decode_jpeg(hacked)
+
+
+def test_flac_hostile_declared_total_rejected():
+    """A KB-scale blob whose STREAMINFO declares hundreds of millions
+    of samples must be refused BEFORE any per-sample allocation."""
+    raw = bytearray(_encode_flac([[0] * 16]))
+    info = 8  # 4-byte magic + 4-byte block header
+    raw[info + 13] |= 0x0F
+    raw[info + 14 : info + 18] = b"\xff\xff\xff\xff"  # total ~= 2^36
+    with pytest.raises(C.CodecError, match="implausible sample count"):
+        C.decode_flac(bytes(raw))
 
 
 @settings(max_examples=25, deadline=None)
