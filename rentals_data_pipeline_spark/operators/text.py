@@ -301,18 +301,17 @@ def pack_chunks_into_bins(
                 .withColumn(out_col, _ceil_div("_pack_run"))
                 .drop("_pack_run")
             )
+        from rentals_data_pipeline_spark.operators.sampling import hash_bucket
+
         key = shard_key or order_by[0]
-        shard = F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("pack"), F.col(key).cast("string"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(n_shards),
+        # NULL-safe: a NULL key must land in a real shard — an md5 of
+        # NULL is NULL, and the inner offset equi-join below would then
+        # silently DROP those rows (NULL never equi-matches). The
+        # oracle SQL mirrors this COALESCE exactly; the bucket itself
+        # is sampling.hash_bucket, the one md5-bucket definition the
+        # oracles replay.
+        shard = hash_bucket(
+            F.coalesce(F.col(key).cast("string"), F.lit("")), n_shards, seed="pack"
         )
         with_shard = df.withColumn("_pack_shard", shard)
         wl = (

@@ -201,7 +201,7 @@ sp AS (
 ),
 sh AS (
     SELECT *,
-        ('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        ('0x' || substr(md5('pack' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 8))::BIGINT
             % 16 AS shard
     FROM sp
 ),

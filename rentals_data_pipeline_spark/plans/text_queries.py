@@ -260,7 +260,7 @@ s AS (
 ),
 s2 AS (
     SELECT *,
-        ('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        ('0x' || substr(md5('pack' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 8))::BIGINT
             % 16 AS shard
     FROM s
 ),

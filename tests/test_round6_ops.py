@@ -64,6 +64,27 @@ def test_two_level_packing_invariants(spark):
                 )
 
 
+def test_two_level_packing_keeps_null_shard_keys(spark):
+    """A NULL shard key must land in a real shard, not vanish: the
+    shard hash NULL-propagated pre-fix, and the inner offset equi-join
+    silently dropped the NULL-shard rows (n_shards=0 kept them)."""
+    rows = [(None, 0, 60, "train"), (1, 0, 60, "train"), (2, 0, 60, "train")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx long, n_chunk_tokens long, split string"
+    )
+    for n_shards in (0, 4):
+        out = df.transform(
+            pack_chunks_into_bins(
+                bin_tokens=128,
+                order_by=["doc_id", "chunk_idx"],
+                partition_by=["split"],
+                n_shards=n_shards,
+            )
+        ).collect()
+        assert len(out) == 3, f"rows lost at n_shards={n_shards}"
+        assert all(r["bin_id"] >= 1 for r in out)
+
+
 def test_two_level_packing_layout_invariant(spark):
     """Bin assignment is a pure function of the data — identical on
     any physical layout of the input."""
