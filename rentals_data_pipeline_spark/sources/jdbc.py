@@ -26,15 +26,21 @@ tests exercise the embedded Derby engine that ships with Spark.
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import DataFrame, SparkSession
 
 
 def discover_bounds(
     spark: SparkSession, url: str, table: str, partition_column: str,
     properties: dict | None = None,
-) -> tuple[int, int]:
+) -> tuple:
     """One-row MIN/MAX probe for partition bounds — the only
-    non-parallel query in a partitioned JDBC ingest."""
+    non-parallel query in a partitioned JDBC ingest. Numeric columns
+    return ints; temporal columns return the datetime/date objects
+    as-is (Spark's lowerBound/upperBound options parse their str()
+    forms directly — coercing them through int() crashed the
+    advertised timestamp-partitioned ingest)."""
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
@@ -50,9 +56,12 @@ def discover_bounds(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     row = reader.load().collect()[0]
-    if row["lo"] is None:
-        return 0, 0
-    return int(row["lo"]), int(row["hi"])
+    lo, hi = row["lo"], row["hi"]
+    if lo is None:
+        return None, None
+    if isinstance(lo, (int, float, Decimal)):
+        return int(lo), int(hi)
+    return lo, hi
 
 
 def read_jdbc(
@@ -81,10 +90,15 @@ def read_jdbc(
         lo, hi = bounds if bounds is not None else discover_bounds(
             spark, url, table, partition_column, properties
         )
+        if lo is None or lo == hi:
+            # empty table or a single distinct value: nothing to range
+            # over — a plain single-cursor read returns the same rows
+            # (and sidesteps the type-specific +1 bound bump)
+            return reader.load()
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lo))
-            .option("upperBound", str(max(hi, lo + 1)))
+            .option("upperBound", str(hi))
             .option("numPartitions", str(num_partitions))
         )
     return reader.load()

@@ -72,3 +72,36 @@ def test_overwrite_truncate_reload(spark, seeded):
     write_jdbc(df2, URL, "items_reload", mode="overwrite")
     write_jdbc(df2, URL, "items_reload", mode="overwrite", truncate=True)
     assert read_jdbc(spark, URL, "items_reload").count() == 10
+
+
+def test_timestamp_partitioned_read(spark):
+    """Temporal partition columns are advertised — the bounds probe
+    must hand Spark datetime bounds (int() on a datetime crashed it)."""
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60)"
+        ).alias("ts"),
+    )
+    write_jdbc(df, URL, "events_ts", mode="overwrite")
+    lo, hi = discover_bounds(spark, URL, "events_ts", "ts")
+    assert lo.year == 2024 and hi > lo
+    got = read_jdbc(
+        spark, URL, "events_ts", partition_column="ts", num_partitions=4
+    )
+    assert got.rdd.getNumPartitions() == 4
+    assert got.count() == 200
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def test_single_value_partition_column_falls_back(spark):
+    """lo == hi (one distinct value) reads through a single cursor
+    instead of a degenerate range split."""
+    df = spark.range(0, 5).select(
+        F.col("id").alias("k"), F.lit(7).alias("c")
+    )
+    write_jdbc(df, URL, "items_const", mode="overwrite")
+    got = read_jdbc(spark, URL, "items_const", partition_column="c")
+    assert got.count() == 5
