@@ -439,11 +439,21 @@ def media_triage_counts(
     from rentals_data_pipeline_spark.operators.multimodal import probe_media
 
     probed = probe_media(media, passthrough=("ts",))
+    failed = F.col("probe_error").isNotNull()
     shaped = probed.select(
         "ts",
-        F.coalesce("format", F.lit("error")).alias("format"),
-        F.coalesce("codec", F.lit("error")).alias("codec"),
-        F.col("probe_error").isNotNull().cast("int").alias("is_error"),
+        # 'error' marks FAILED probes only; a successful probe with no
+        # recognized codec (Ogg carrying Speex, MP4 without an stsd
+        # fourcc) is 'unknown' — a healthy-but-unrecognized feed must
+        # stay distinguishable from a poisoned one, which is the
+        # separation this job exists to provide
+        F.coalesce("format", F.when(failed, F.lit("error")).otherwise("unknown")).alias(
+            "format"
+        ),
+        F.coalesce("codec", F.when(failed, F.lit("error")).otherwise("unknown")).alias(
+            "codec"
+        ),
+        failed.cast("int").alias("is_error"),
         F.coalesce("duration_s", F.lit(0.0)).alias("duration_s"),
     )
     with_wm = shaped.withWatermark("ts", watermark)

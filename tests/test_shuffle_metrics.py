@@ -102,8 +102,9 @@ def test_budget_gate_fails_on_violations():
     bad = {
         "query": "text_duplicated_ngram_fraction",
         "shuffle_bytes_per_record": 500.0,
-        "shuffle_write_records": 100_000,
-        "input_records": 100,
+        # the gate reads the shuffle_fanout audit_query computed, so
+        # the printed JSON and the gated value can never disagree
+        "shuffle_fanout": 1000.0,
         "disk_spill_bytes": 1,
     }
     failures = shuffle_audit.check_budgets(bad)

@@ -123,9 +123,18 @@ def main() -> int:
                 di = [i for i, c in enumerate(ocols) if c in date_cols]
 
                 def _norm_pd(c, i):
-                    # NaN/NaT are pandas' NULL markers (c != c both)
-                    if c is None or c != c:
+                    if c is None:
                         return None
+                    # NaN/NaT are pandas' NULL markers (c != c both) —
+                    # but guard scalars only: a LIST-typed oracle cell
+                    # is a numpy array here, and elementwise `c != c`
+                    # raises, masking the driver-typing diagnostic
+                    # below as a bogus 'duckdb error'
+                    try:
+                        if c != c:
+                            return None
+                    except ValueError:
+                        pass  # array-like: fall through to the lint
                     if i in di and hasattr(c, "date"):
                         return c.date()
                     return c

@@ -107,8 +107,8 @@ def check_budgets(row: dict) -> list[str]:
         failures.append(
             f"{name}: shuffle {bpr:.0f} B/record exceeds budget {budget['bpr']:.0f}"
         )
-    if "fanout" in budget and row.get("input_records", 0) > 0:
-        fanout = row.get("shuffle_write_records", 0) / row["input_records"]
+    if "fanout" in budget and row.get("shuffle_fanout") is not None:
+        fanout = row["shuffle_fanout"]  # gate the value the JSON prints
         if fanout > budget["fanout"]:
             failures.append(
                 f"{name}: shuffle fanout {fanout:.2f} records/input-record "
