@@ -85,6 +85,61 @@ def test_two_level_packing_keeps_null_shard_keys(spark):
         assert all(r["bin_id"] >= 1 for r in out)
 
 
+def test_two_level_packing_preserves_rows_property(spark):
+    """For ANY chunk relation (including NULL keys and NULL-free),
+    sharded packing keeps exactly the input rows and every (partition,
+    bin) total stays under budget + one chunk — row preservation is
+    the invariant the NULL-shard-key fix restored."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.integers(0, 9)),  # doc_id (nullable)
+                st.integers(0, 4),  # chunk_idx
+                st.integers(1, 80),  # tokens
+                st.sampled_from(["train", "val"]),
+            ),
+            min_size=1,
+            max_size=25,
+            unique_by=lambda r: (r[0], r[1], r[3]),
+        ),
+        n_shards=st.integers(0, 6),
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def prop(rows, n_shards):
+        df = spark.createDataFrame(
+            rows, "doc_id long, chunk_idx long, n_chunk_tokens long, split string"
+        ).repartition(3)
+        out = df.transform(
+            pack_chunks_into_bins(
+                bin_tokens=100,
+                order_by=["doc_id", "chunk_idx"],
+                partition_by=["split"],
+                n_shards=n_shards,
+            )
+        ).collect()
+        assert len(out) == len(rows)
+        nkey = lambda t: (t[0] is None, t[0] or 0, t[1], t[2])  # noqa: E731
+        assert sorted(
+            ((r["doc_id"], r["chunk_idx"], r["split"]) for r in out), key=nkey
+        ) == sorted(((r[0], r[1], r[3]) for r in rows), key=nkey)
+        totals: dict = {}
+        for r in out:
+            totals[(r["split"], r["bin_id"])] = (
+                totals.get((r["split"], r["bin_id"]), 0) + r["n_chunk_tokens"]
+            )
+        for tot in totals.values():
+            assert tot < 100 + 80
+
+    prop()
+
+
 def test_two_level_packing_layout_invariant(spark):
     """Bin assignment is a pure function of the data — identical on
     any physical layout of the input."""
