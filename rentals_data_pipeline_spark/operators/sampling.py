@@ -43,7 +43,14 @@ def hash_bucket(key: Column, n_buckets: int, seed: str = "") -> Column:
     """Deterministic uniform bucket in [0, n_buckets): parse the first
     8 hex digits (32 bits) of md5(seed || key) and take them mod
     ``n_buckets``. Independent of partitioning, task retries, and
-    engine — DuckDB reproduces it as ('0x' || substr(md5(..), 1, 8))::BIGINT."""
+    engine — DuckDB reproduces it as ('0x' || substr(md5(..), 1, 8))::BIGINT.
+
+    A NULL key yields a NULL bucket (md5 NULL-propagates, identically
+    in DuckDB, so oracle parity holds) — callers inherit their own
+    NULL semantics: filter predicates DROP the row, when-chains fall
+    through to the otherwise branch, and inner equi-joins on the
+    bucket lose it (the two-level packing bug class — COALESCE the key
+    first, on both engine and oracle sides, when rows must survive)."""
     h = F.md5(F.concat(F.lit(seed), key.cast("string")))
     return (
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets
