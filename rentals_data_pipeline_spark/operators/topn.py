@@ -45,11 +45,49 @@ scale-path infrastructure for the histogram-bounded operators.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: monotonically_increasing_id packs the partition id above bit 33.
 _SEQ_MASK = (1 << 33) - 1
+
+
+def _range_sorted_with_ids(
+    df: DataFrame, order: list[Column], num_partitions: int | None
+) -> DataFrame:
+    """Shared first stage: range-repartition on ``order``, sort within
+    partitions, stamp (``_pid``, ``_seq``) from
+    ``monotonically_increasing_id``, and materialize ONCE so the
+    per-partition stats job and the consumer job agree on partitioning
+    and ids (range-boundary sampling must not re-run between them)."""
+    clash = {"_mid", "_pid", "_seq"} & set(df.columns)
+    if clash:  # withColumn would silently overwrite, select would drop
+        raise ValueError(f"reserved column names in use: {sorted(clash)}")
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartitionByRange(parts, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        # pid derived from the id itself so both fields can never
+        # disagree about which partition a row sat in
+        .withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
+        .withColumn("_seq", F.col("_mid").bitwiseAND(F.lit(_SEQ_MASK)))
+        .localCheckpoint()  # one materialization shared by both jobs
+    )
+
+
+def _partition_offsets(ranked: DataFrame, aggs: list[Column]) -> list[tuple]:
+    """Per-partition aggregates -> exclusive prefix sums on the driver
+    (numPartitions rows — the bounded-collect contract). Returns
+    [(pid, off_1, ..., off_k)] ordered by pid."""
+    rows = sorted(
+        tuple(r) for r in ranked.groupBy("_pid").agg(*aggs).collect()
+    )
+    offsets, acc = [], [0] * (len(rows[0]) - 1 if rows else 0)
+    for row in rows:
+        offsets.append((row[0], *acc))
+        acc = [a + (v or 0) for a, v in zip(acc, row[1:])]
+    return offsets
 
 
 def global_top_n(
@@ -69,28 +107,8 @@ def global_top_n(
     """
     if n <= 0:
         return df.limit(0)
-    clash = {"_mid", "_pid", "_seq"} & set(df.columns)
-    if clash:  # withColumn would silently overwrite, select would drop
-        raise ValueError(f"global_top_n reserves column names {sorted(clash)}")
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranked = (
-        df.repartitionByRange(parts, *order)
-        .sortWithinPartitions(*order)
-        .withColumn("_mid", F.monotonically_increasing_id())
-        # pid derived from the id itself so both fields can never
-        # disagree about which partition a row sat in
-        .withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
-        .withColumn("_seq", F.col("_mid").bitwiseAND(F.lit(_SEQ_MASK)))
-        .localCheckpoint()  # one materialization shared by both jobs
-    )
-    counts = sorted(
-        (r["_pid"], r["cnt"])
-        for r in ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
-    offsets, acc = [], 0
-    for pid, cnt in counts:
-        offsets.append((pid, acc))
-        acc += cnt
+    ranked = _range_sorted_with_ids(df, order, num_partitions)
+    offsets = _partition_offsets(ranked, [F.count(F.lit(1)).alias("cnt")])
     if not offsets:
         return df.limit(0)
     off = F.broadcast(
@@ -102,3 +120,72 @@ def global_top_n(
         .where(F.col("_off") + F.col("_seq") < F.lit(n))
         .select(*keep)
     )
+
+
+def global_order_stats(
+    df: DataFrame,
+    order: list[Column],
+    sum_col: str | None = None,
+    rank_col: str = "global_rank",
+    cum_col: str = "global_cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based rank under ``order`` — and, with ``sum_col``, the
+    inclusive global running sum — computed WITHOUT a global window.
+
+    ``Window.orderBy`` with no partitioning plans a SINGLE-TASK sort of
+    the whole input (Spark even warns); this keeps both the sort and
+    the scan distributed, the same machinery as ``global_top_n``:
+    range-sort + in-partition sequence ids + a numPartitions-row
+    offset collect. The running sum additionally needs each row's
+    within-partition prefix sum — a ``_pid``-partitioned window over
+    the checkpointed frame (one hash exchange, fanout 1; every
+    partition stays one unit of work, never one task for everything).
+
+    This is the scale form of the distinct-value cumulative walks the
+    quantile/equal-frequency queries run (their value histograms are
+    assumed small; this primitive drops that assumption). Same
+    eager-execution caveat as ``global_top_n``; ``order`` should be a
+    total order for a deterministic rank among ties. ``sum_col`` must
+    be integral (the offset table is LONG — exact at any scale; float
+    prefix sums would be partitioning-dependent anyway).
+    """
+    ranked = _range_sorted_with_ids(df, order, num_partitions)
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).alias("s"))
+    offsets = _partition_offsets(ranked, aggs)
+    spark = df.sparkSession
+    if not offsets:
+        out = df.limit(0).withColumn(rank_col, F.lit(0).cast("long"))
+        return (
+            out.withColumn(cum_col, F.lit(0).cast("long"))
+            if sum_col is not None
+            else out
+        )
+    if sum_col is None:
+        off = F.broadcast(
+            spark.createDataFrame(offsets, "_pid INT, _roff LONG")
+        )
+        out = ranked.join(off, "_pid").withColumn(
+            rank_col, (F.col("_roff") + F.col("_seq") + 1).cast("long")
+        )
+    else:
+        off = F.broadcast(
+            spark.createDataFrame(
+                [(p, r, s) for p, r, s in offsets], "_pid INT, _roff LONG, _soff LONG"
+            )
+        )
+        wp = (
+            Window.partitionBy("_pid")
+            .orderBy("_seq")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = (
+            ranked.join(off, "_pid")
+            .withColumn(
+                rank_col, (F.col("_roff") + F.col("_seq") + 1).cast("long")
+            )
+            .withColumn(cum_col, F.col("_soff") + F.sum(sum_col).over(wp))
+        )
+    return out.drop("_mid", "_pid", "_seq", "_roff", "_soff")

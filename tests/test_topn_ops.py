@@ -11,7 +11,10 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from rentals_data_pipeline_spark.operators.topn import global_top_n
+from rentals_data_pipeline_spark.operators.topn import (
+    global_order_stats,
+    global_top_n,
+)
 
 
 def _corpus(spark, rows: int, parts: int):
@@ -115,3 +118,58 @@ def test_no_take_ordered_in_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" not in plan
     assert "Window" not in plan
+
+
+def test_global_order_stats_matches_reference_window(spark):
+    """Rank and running sum equal the single-task global-window
+    reference for any partitioning, including heavy ties."""
+    rows = [(f"w{i:03d}", (i * 31) % 5, (i * 7) % 11 + 1) for i in range(120)]
+    df = spark.createDataFrame(rows, ["word", "cnt", "val"])
+    want = []
+    run = 0
+    for w, c, v in sorted(rows, key=lambda t: (-t[1], t[0])):
+        run += v
+        want.append((w, c, v, len(want) + 1, run))
+    for parts in (1, 4, 9):
+        out = global_order_stats(
+            df.repartition(parts),
+            [F.col("cnt").desc(), F.col("word").asc()],
+            sum_col="val",
+        )
+        got = sorted(
+            ((r["word"], r["cnt"], r["val"], r["global_rank"], r["global_cumsum"])
+             for r in out.collect()),
+            key=lambda t: t[3],
+        )
+        assert got == want, f"parts={parts}"
+
+
+def test_global_order_stats_rank_only_and_empty(spark):
+    df = spark.createDataFrame([("a", 2), ("b", 1)], ["word", "cnt"])
+    out = global_order_stats(df, [F.col("cnt").desc(), F.col("word").asc()])
+    assert {(r["word"], r["global_rank"]) for r in out.collect()} == {
+        ("a", 1), ("b", 2)
+    }
+    assert "global_cumsum" not in out.columns
+    empty = spark.createDataFrame([], "word string, cnt int")
+    assert global_order_stats(
+        empty, [F.col("cnt").asc()], sum_col="cnt"
+    ).count() == 0
+
+
+def test_global_order_stats_no_global_window(spark):
+    """The executed plan must not contain a partitionless Window sort —
+    the single-task shape this primitive exists to avoid. (A _pid-
+    partitioned window for the running sum is fine and expected.)"""
+    df = spark.createDataFrame(
+        [(f"w{i}", i % 3, 1) for i in range(50)], ["word", "cnt", "val"]
+    ).repartition(5)
+    out = global_order_stats(
+        df, [F.col("cnt").desc(), F.col("word").asc()], sum_col="val"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan
+    # every Window node in the plan is partitioned by _pid
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_pid" in line, line
