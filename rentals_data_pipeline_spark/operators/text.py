@@ -346,12 +346,32 @@ def pack_chunks_into_bins(
             .cast("long")
             .alias("_pack_off"),
         )
+        # NULL-partition contract: a NULL in a ``partition_by`` column is
+        # a real packing partition (window partitionBy groups NULLs
+        # together, exactly like the n_shards=0 path), so the offsets
+        # join back must be NULL-SAFE on the part columns — a plain
+        # equi-join would silently drop every NULL-partition row (the
+        # round-6 advice repro: 3 rows -> 2). eqNullSafe (<=>) keys
+        # still hash-partition and broadcast like ordinary equi-keys.
+        off = offsets.withColumnRenamed("_pack_shard", "_pack_shard_r")
+        for i, p in enumerate(part):
+            off = off.withColumnRenamed(p, f"_pack_p{i}")
+        cond = packed["_pack_shard"] == off["_pack_shard_r"]
+        for i, p in enumerate(part):
+            cond = cond & packed[p].eqNullSafe(off[f"_pack_p{i}"])
         return (
-            packed.join(F.broadcast(offsets), [*part, "_pack_shard"])
+            packed.join(F.broadcast(off), cond)
             .withColumn(
                 out_col, (F.col("_pack_local") + F.col("_pack_off")).cast("long")
             )
-            .drop("_pack_shard", "_pack_run", "_pack_local", "_pack_off")
+            .drop(
+                "_pack_shard",
+                "_pack_shard_r",
+                "_pack_run",
+                "_pack_local",
+                "_pack_off",
+                *[f"_pack_p{i}" for i in range(len(part))],
+            )
         )
 
     return _apply

@@ -228,7 +228,8 @@ SELECT lb.doc_id,
     CAST(lb.local_bin + off.shard_off AS BIGINT) AS bin_id,
     lb.n_chunk_tokens,
     lb.quality
-FROM lb JOIN off ON lb.split = off.split AND lb.shard = off.shard
+FROM lb JOIN off ON lb.split IS NOT DISTINCT FROM off.split
+    AND lb.shard = off.shard
 """
 
 

@@ -286,7 +286,8 @@ SELECT
     CAST(lb.chunk_idx AS BIGINT) AS chunk_idx,
     lb.split,
     CAST(lb.local_bin + off.shard_off AS BIGINT) AS bin_id
-FROM lb JOIN off ON lb.split = off.split AND lb.shard = off.shard
+FROM lb JOIN off ON lb.split IS NOT DISTINCT FROM off.split
+    AND lb.shard = off.shard
 """,
 )
 def text_pack_chunks_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -85,6 +85,38 @@ def test_two_level_packing_keeps_null_shard_keys(spark):
         assert all(r["bin_id"] >= 1 for r in out)
 
 
+def test_two_level_packing_keeps_null_partition_values(spark):
+    """A NULL in a partition_by column is a real packing partition
+    (window partitionBy groups NULLs, same as n_shards=0), so the
+    offsets join back must be NULL-SAFE: pre-fix the plain equi-join
+    silently dropped every NULL-partition row (round-6 advice repro:
+    3 rows -> 2). Both tiers must agree on the NULL group's bins."""
+    rows = [(1, 0, 60, None), (2, 0, 60, "train"), (3, 0, 60, None)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx long, n_chunk_tokens long, split string"
+    )
+    outs = {}
+    for n_shards in (0, 4):
+        out = df.transform(
+            pack_chunks_into_bins(
+                bin_tokens=128,
+                order_by=["doc_id", "chunk_idx"],
+                partition_by=["split"],
+                n_shards=n_shards,
+            )
+        ).collect()
+        assert len(out) == 3, f"NULL-partition rows lost at n_shards={n_shards}"
+        outs[n_shards] = sorted(
+            (r["doc_id"], r["split"], r["bin_id"]) for r in out
+        )
+        # Bins stay contiguous 1..max inside the NULL partition (bin
+        # BOUNDARIES may differ across tiers — sharding splits the
+        # walk — but ids are dense and every NULL row keeps one).
+        null_bins = sorted({b for d, s, b in outs[n_shards] if s is None})
+        assert null_bins == list(range(1, len(null_bins) + 1))
+    assert {d for d, s, b in outs[4] if s is None} == {1, 3}
+
+
 def test_two_level_packing_preserves_rows_property(spark):
     """For ANY chunk relation (including NULL keys and NULL-free),
     sharded packing keeps exactly the input rows and every (partition,
@@ -99,7 +131,7 @@ def test_two_level_packing_preserves_rows_property(spark):
                 st.one_of(st.none(), st.integers(0, 9)),  # doc_id (nullable)
                 st.integers(0, 4),  # chunk_idx
                 st.integers(1, 80),  # tokens
-                st.sampled_from(["train", "val"]),
+                st.sampled_from(["train", "val", None]),  # split (nullable)
             ),
             min_size=1,
             max_size=25,
@@ -125,7 +157,7 @@ def test_two_level_packing_preserves_rows_property(spark):
             )
         ).collect()
         assert len(out) == len(rows)
-        nkey = lambda t: (t[0] is None, t[0] or 0, t[1], t[2])  # noqa: E731
+        nkey = lambda t: (t[0] is None, t[0] or 0, t[1], t[2] or "")  # noqa: E731
         assert sorted(
             ((r["doc_id"], r["chunk_idx"], r["split"]) for r in out), key=nkey
         ) == sorted(((r[0], r[1], r[3]) for r in rows), key=nkey)
