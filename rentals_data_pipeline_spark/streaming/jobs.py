@@ -607,10 +607,19 @@ def consolidate_gate_storage(
       batch, and ``keep_last >= 1`` keeps that batch out of the fold;
     - the probe filter ``batch < batch_id`` still sees the archive
       (``-2`` sorts below every live id);
-    - the fold itself is crash-safe by construction: it writes
-      ``distinct(archive ∪ folded)`` BEFORE deleting, so a crash
-      between write and delete leaves duplicates that the next run's
-      ``distinct`` removes — re-running the fold IS the repair.
+    - the fold itself is crash-atomic: the merged archive is written to
+      an underscore-prefixed STAGING dir (invisible to parquet readers,
+      like ``_temporary``), and only after that write commits
+      (``_SUCCESS``) is the old archive deleted and the staging dir
+      renamed into place — an O(1) metadata swap. Source dirs are
+      deleted LAST. Every crash window is covered by the repair step at
+      entry: a committed staging dir with no archive is renamed into
+      place (crash between delete and rename); any other stray staging
+      dir is dropped (its rows still live in archive + folded dirs);
+      folded dirs that outlived a completed swap re-merge on the next
+      run, where ``distinct`` collapses the duplicates. No window
+      exists in which previously archived rows live only in app-scoped
+      memory.
 
     Uses the Hadoop FileSystem API, so the same code runs on HDFS/S3A
     paths, not just local disk. Returns a report dict; ``folded: []``
@@ -618,6 +627,29 @@ def consolidate_gate_storage(
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    arch_path = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/{key}={archive_value}"
+    )
+    # no "=" in the staging name: partition discovery would parse
+    # it as a conflicting partition column even under the hidden-file
+    # filter — a bare underscore dir is skipped entirely
+    staging = f"{path}/_staging_{key}_{archive_value}"
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    repaired = False
+    if fs.exists(spath):
+        if not fs.exists(arch_path):
+            # crash landed between delete(old archive) and rename: the
+            # staging dir holds the only durable copy — finish the
+            # swap. Even if the staging write itself was interrupted,
+            # promoting it is safe: the folded source dirs are deleted
+            # LAST, so they still exist and the next fold re-merges
+            # them (task-committed part files are individually valid).
+            fs.rename(spath, arch_path)
+            repaired = True
+        else:
+            # the old archive still exists (its rows plus the folded
+            # dirs are intact on disk) — drop the stray staging copy
+            fs.delete(spath, True)
     vals: list[int] = []
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
@@ -630,7 +662,7 @@ def consolidate_gate_storage(
     cutoff = (live[-1] - keep_last + 1) if live else 0
     folded = [v for v in live if v < cutoff]
     if not folded:
-        return {"folded": [], "cutoff": cutoff}
+        return {"folded": [], "cutoff": cutoff, "repaired": repaired}
     read_vals = folded + (
         [archive_value] if archive_value in vals else []
     )
@@ -645,18 +677,22 @@ def consolidate_gate_storage(
         spark.read.parquet(path)
         .where(F.col(key).isin(read_vals))
         .drop(key)
-        .distinct()  # crash-repair: duplicates from an interrupted
-        # previous fold collapse here
+        .distinct()  # crash-repair: duplicates from folded dirs that
+        # outlived a completed swap collapse here
         .repartition(int(n_files))
-        .localCheckpoint(eager=True)  # materialize BEFORE overwriting
-        # a dir that is an input of this very plan
     )
-    merged.write.mode("overwrite").parquet(f"{path}/{key}={archive_value}")
+    # Stage, then swap: the old archive dir stays on disk (not just in
+    # app-scoped checkpoint blocks) until the replacement is durable.
+    merged.write.mode("overwrite").parquet(staging)
+    if archive_value in vals:
+        fs.delete(arch_path, True)
+    fs.rename(spath, arch_path)
     for v in folded:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{key}={v}"), True)
     return {
         "folded": folded,
         "cutoff": cutoff,
+        "repaired": repaired,
         "archive_files": int(n_files),
         "archive_bytes": int(total_bytes),
     }

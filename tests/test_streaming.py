@@ -1085,6 +1085,38 @@ def test_consolidate_gate_storage_bounds_partitions(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(out_dir).collect()
     ) == before
 
+    # crash-atomic swap, window A: crash AFTER the staging write
+    # committed and the old archive was deleted, BEFORE the rename —
+    # the staging dir holds the only durable copy; the next run's
+    # repair step must promote it (pre-fix, mode("overwrite") deleted
+    # the live archive before commit and this window lost every
+    # previously archived row)
+    shutil.move(str(tmp_path / "kept" / "batch=-2"),
+                str(tmp_path / "kept" / "_staging_batch_-2"))
+    rep = SJ.consolidate_gate_storage(spark, out_dir, keep_last=1)
+    assert rep["repaired"] and rep["folded"] == []
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    ) == before
+
+    # crash-atomic swap, window B: a stray (uncommitted) staging dir
+    # while the archive is intact — readers never see the underscore
+    # dir, and the next run drops it without touching the archive
+    shutil.copytree(str(tmp_path / "kept" / "batch=-2"),
+                    str(tmp_path / "kept" / "_staging_batch_-2"))
+    (tmp_path / "kept" / "_staging_batch_-2" / "_SUCCESS").unlink(
+        missing_ok=True
+    )
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    ) == before  # stray staging is invisible to the parquet reader
+    rep = SJ.consolidate_gate_storage(spark, out_dir, keep_last=1)
+    assert not rep["repaired"]
+    assert not (tmp_path / "kept" / "_staging_batch_-2").exists()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    ) == before
+
     # the CONTINUED stream still dedups against archived docs: doc 6
     # near-dups doc 0 (archived), doc 7 is novel
     dup_of_0 = doc(0)[1].replace("d0w5", "swapped")
