@@ -813,6 +813,21 @@ def decode_jpeg(raw: bytes) -> Decoded:
         raise CodecError("jpeg parse error: bad sampling factors")
     mcux = -(-w_px // (8 * hmax))
     mcuy = -(-h_px // (8 * vmax))
+    if len(scan) == 1:
+        # single-component scan (ITU-T T.81 A.2.2): one data unit per
+        # MCU on a ceil(w/8) x ceil(h/8) grid, regardless of the SOF's
+        # declared sampling factors — the hmax/vmax-padded interleaved
+        # geometry would over-read the entropy stream for a grayscale
+        # frame whose SOF declares hs/vs > 1 and surface a spurious
+        # "truncated entropy data" error. Normalizing the factors to
+        # 1x1 here makes the generic MCU walk and plane assembly below
+        # compute exactly that grid (and no upsampling applies: a lone
+        # plane has nothing to be subsampled relative to).
+        by_id = {cid: (1, 1, tq) for cid, (_, _, tq) in by_id.items()}
+        comps = [(cid, 1, 1, tq) for cid, _, _, tq in comps]
+        hmax = vmax = 1
+        mcux = -(-w_px // 8)
+        mcuy = -(-h_px // 8)
 
     # natural-order quant table per scan component, validated up front
     order = []

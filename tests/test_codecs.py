@@ -852,6 +852,27 @@ def test_jpeg_uniform_gray_is_exact():
     assert np.array_equal(chans[0], np.full(16 * 24, 100.0))
 
 
+def test_jpeg_grayscale_declared_sampling_factors():
+    """ITU-T T.81 A.2.2: a single-component scan uses ONE data unit per
+    MCU on a ceil(w/8) x ceil(h/8) grid regardless of the SOF's declared
+    sampling factors. Encode a grayscale image at (1,1) — whose entropy
+    stream IS the spec's block-raster order — then patch the SOF hv byte
+    to 2x2: the file stays spec-valid and must decode identically
+    (pre-fix, the hmax/vmax-padded interleaved geometry over-read the
+    stream and raised a spurious 'truncated entropy data')."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    raw = _encode_jpeg(px)
+    ref_nch, _, ref_chans = C.decode_jpeg(raw)
+    sof_at = raw.index(b"\xff\xc0")
+    hv_at = sof_at + 2 + 2 + 1 + 2 + 2 + 1 + 1  # marker,len,prec,h,w,ncomp,cid
+    assert raw[hv_at] == 0x11
+    patched = raw[:hv_at] + b"\x22" + raw[hv_at + 1 :]
+    nch, sr, chans = C.decode_jpeg(patched)
+    assert (nch, sr) == (ref_nch, None)
+    assert np.array_equal(chans[0], ref_chans[0])
+
+
 def test_jpeg_rgb_444_near_lossless_roundtrip():
     rng = np.random.default_rng(5)
     px = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
