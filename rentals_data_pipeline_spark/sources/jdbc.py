@@ -26,6 +26,7 @@ tests exercise the embedded Derby engine that ships with Spark.
 
 from __future__ import annotations
 
+import math
 from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,7 +41,14 @@ def discover_bounds(
     return ints; temporal columns return the datetime/date objects
     as-is (Spark's lowerBound/upperBound options parse their str()
     forms directly — coercing them through int() crashed the
-    advertised timestamp-partitioned ingest)."""
+    advertised timestamp-partitioned ingest).
+
+    ``table`` is interpolated into the probe's FROM exactly as Spark
+    interpolates the ``dbtable`` option into its generated SQL — i.e.
+    it may be any SQL relation expression the target engine accepts
+    (a bare name, a quoted mixed-case name, schema.table, or a
+    parenthesized subquery with alias). Pass quoted/mixed-case names
+    pre-quoted, the same string you would hand to ``dbtable``."""
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
@@ -60,8 +68,35 @@ def discover_bounds(
     if lo is None:
         return None, None
     if isinstance(lo, (int, float, Decimal)):
-        return int(lo), int(hi)
+        # floor/ceil, not int(): truncating fractional bounds inward
+        # skews the stride (coverage survives either way — Spark's
+        # extreme partitions are open-ended — but strides should span
+        # the true range)
+        return math.floor(lo), math.ceil(hi)
     return lo, hi
+
+
+def hash_mod_predicates(
+    partition_column: str, num_partitions: int
+) -> list[str]:
+    """N disjoint, covering WHERE predicates that bucket rows by
+    ``MOD(ABS(column), N)`` — predicate partitioning for keys range
+    bounds cannot split: constant-bounded columns elsewhere in the
+    ingest, or high-cardinality surrogate keys with pathological
+    ranges. ``partition_column`` may be any numeric SQL expression the
+    target engine accepts (pre-quote identifiers as for ``dbtable``).
+    NULL keys route to bucket 0 so the union stays exactly the table.
+    MOD/ABS are ANSI and evaluate engine-side, so each of the N
+    cursors ships only its bucket."""
+    if num_partitions < 1:
+        raise ValueError("num_partitions must be >= 1")
+    col = f'"{partition_column}"'
+    preds = [
+        f"MOD(ABS({col}), {num_partitions}) = {i}"
+        for i in range(num_partitions)
+    ]
+    preds[0] = f"({preds[0]} OR {col} IS NULL)"
+    return preds
 
 
 def read_jdbc(
@@ -73,18 +108,33 @@ def read_jdbc(
     bounds: tuple[int, int] | None = None,
     fetch_size: int = 10_000,
     properties: dict | None = None,
+    hash_column: str | None = None,
 ) -> DataFrame:
     """Parallel JDBC table scan. Without ``partition_column`` the read
     is a single cursor (fine for dimension tables); with one, the scan
     becomes ``num_partitions`` range queries with bounds auto-probed
-    unless given."""
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("fetchsize", str(fetch_size))
+    unless given. ``hash_column`` names a numeric column (or SQL
+    expression) to bucket by ``MOD(ABS(col), N)`` predicate
+    partitioning instead — for keys range bounds cannot split — and
+    also serves as the fallback when a requested range partitioning
+    degenerates (single distinct value), so parallelism survives
+    degenerate bounds."""
+    props = {"fetchsize": str(fetch_size), **(properties or {})}
+
+    def _predicated(col: str) -> DataFrame:
+        return spark.read.jdbc(
+            url,
+            table,
+            predicates=hash_mod_predicates(col, num_partitions),
+            properties=props,
+        )
+
+    if hash_column is not None and partition_column is None:
+        return _predicated(hash_column)
+    reader = spark.read.format("jdbc").option("url", url).option(
+        "dbtable", table
     )
-    for k, v in (properties or {}).items():
+    for k, v in props.items():
         reader = reader.option(k, v)
     if partition_column is not None:
         lo, hi = bounds if bounds is not None else discover_bounds(
@@ -92,8 +142,12 @@ def read_jdbc(
         )
         if lo is None or lo == hi:
             # empty table or a single distinct value: nothing to range
-            # over — a plain single-cursor read returns the same rows
-            # (and sidesteps the type-specific +1 bound bump)
+            # over — fall back to hash-mod predicates when a hash
+            # column was supplied, else a plain single-cursor read
+            # returns the same rows (and sidesteps the type-specific
+            # +1 bound bump)
+            if hash_column is not None and lo is not None:
+                return _predicated(hash_column)
             return reader.load()
         reader = (
             reader.option("partitionColumn", partition_column)

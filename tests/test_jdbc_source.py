@@ -105,3 +105,38 @@ def test_single_value_partition_column_falls_back(spark):
     write_jdbc(df, URL, "items_const", mode="overwrite")
     got = read_jdbc(spark, URL, "items_const", partition_column="c")
     assert got.count() == 5
+
+
+def test_hash_mod_partitioning(spark, seeded):
+    """MOD(ABS(k), N) predicate partitioning: N parallel cursors that
+    together return exactly the table, each shipping only its bucket
+    (engine-side MOD, verified by per-partition counts)."""
+    got = read_jdbc(spark, URL, "items", num_partitions=4, hash_column="k")
+    assert got.rdd.getNumPartitions() == 4
+    sizes = got.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    assert sorted(sizes) == [250, 250, 250, 250]
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in seeded.collect()
+    )
+
+
+def test_constant_bounds_fall_back_to_hash_partitions(spark):
+    """A constant-valued range column with a hash_column supplied keeps
+    parallelism: the degenerate-bounds branch reroutes to N>1 hash-mod
+    cursors instead of one, and NULL hash keys still arrive (bucket 0)."""
+    df = spark.range(0, 40).select(
+        F.when(F.col("id") < 38, F.col("id")).alias("k"),
+        F.lit(7).alias("c"),
+    )
+    write_jdbc(df, URL, "items_const_hash", mode="overwrite")
+    got = read_jdbc(
+        spark,
+        URL,
+        "items_const_hash",
+        partition_column="c",
+        num_partitions=3,
+        hash_column="k",
+    )
+    assert got.rdd.getNumPartitions() == 3
+    assert got.count() == 40
+    assert got.where(F.col("k").isNull()).count() == 2
