@@ -116,6 +116,89 @@ def _to_symbols(word_col: Column) -> Column:
     return F.concat_ws(" ", F.concat(chars, F.array(F.lit(EOW))))
 
 
+def _merge_word(syms: list[str], a: str, b: str) -> list[str]:
+    """Left-to-right non-overlapping merge of adjacent (a, b) in one
+    word's symbol list — BPE's merge rule ('a a a' + (a,a) -> 'aa a')."""
+    out: list[str] = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _driver_train(
+    rows: list[tuple[str, int]], num_merges: int, min_pair_count: int
+) -> list[tuple[str, str]]:
+    """Pure-Python BPE fold over a collected (symbol-string, count)
+    histogram — the sub-bound tier of ``bpe_train``. Incremental: pair
+    counts live in a dict, the argmax in a lazy-deletion heap keyed
+    (-count, pair) — identical ordering to the distributed
+    ``orderBy(total desc, a asc, b asc)`` (UTF-8 byte order equals
+    code-point order, so Python string comparison agrees with Spark's
+    binary string sort) — and each merge touches only the words that
+    contain its pair (inverted index), not the whole vocabulary. A 32k-
+    merge train is therefore heap-log work per merge, not 32k Spark
+    jobs."""
+    import heapq
+
+    vocab: list[list] = []  # [symbol list, word count]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, cnt) in enumerate(rows):
+        s = syms.split(" ")
+        vocab.append([s, cnt])
+        for p in zip(s, s[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + cnt
+            pair_words.setdefault(p, set()).add(wi)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def _bump(p: tuple[str, str], delta: int) -> None:
+        c = pair_counts.get(p, 0) + delta
+        if c <= 0:
+            pair_counts.pop(p, None)
+        else:
+            pair_counts[p] = c
+            heapq.heappush(heap, (-c, p))
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        best = None
+        while heap:
+            negc, p = heap[0]
+            cur = pair_counts.get(p)
+            if cur is None or cur != -negc:
+                heapq.heappop(heap)  # stale entry (count since changed)
+                continue
+            best, best_cnt = p, cur
+            break
+        if best is None or best_cnt < min_pair_count:
+            break
+        merges.append(best)
+        a, b = best
+        for wi in pair_words.pop(best, set()):
+            s, cnt = vocab[wi]
+            if not any(
+                s[i] == a and s[i + 1] == b for i in range(len(s) - 1)
+            ):
+                continue  # stale index entry — word no longer has the pair
+            new = _merge_word(s, a, b)
+            vocab[wi][0] = new
+            for p in zip(s, s[1:]):
+                _bump(p, -cnt)
+            for p in zip(new, new[1:]):
+                _bump(p, cnt)
+                pair_words.setdefault(p, set()).add(wi)
+        pair_counts.pop(best, None)  # fully merged away
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
@@ -123,6 +206,7 @@ def bpe_train(
     max_words: int = 1_000_000,
     checkpoint_every: int = 10,
     min_pair_count: int = 2,
+    driver_bound: int = 200_000,
 ) -> list[tuple[str, str]]:
     """Learn up to ``num_merges`` BPE merges; returns them in order.
 
@@ -131,7 +215,16 @@ def bpe_train(
     single word). Deterministic for a given corpus: ties in pair
     frequency break by lexicographic pair order, and the ``max_words``
     truncation orders by (cnt DESC, word ASC).
-    """
+
+    Scale-tiered like ``graph.pagerank_auto``: a histogram below
+    ``driver_bound`` rows collects ONCE and folds every merge
+    driver-side in pure Python (incremental pair counts + lazy-deletion
+    heap — a 32k-merge production vocabulary trains in seconds), while
+    an at-or-above-bound histogram takes the distributed loop: one
+    vocab-sized pair-count aggregation + 1-row argmax collect per merge,
+    the bounded-driver contract. Both tiers implement the identical
+    (count DESC, pair ASC) recurrence, so the learned table is
+    bit-identical either way (pinned by test)."""
     spark = docs.sparkSession
     hist = word_histogram(docs, text_col)
     # Enforced histogram bound: keep the highest-mass vocabulary.
@@ -140,11 +233,16 @@ def bpe_train(
     # numPartitions candidate rows is exactly the unbounded-driver
     # shape this engine bans (1M-word cap over a 1000-partition
     # histogram = a billion rows on the driver).
-    hist = (
-        global_top_n(hist, [F.col("cnt").desc(), F.col("word").asc()], max_words)
-        .select(_to_symbols(F.col("word")).alias("syms"), "cnt")
-        .localCheckpoint()
-    )
+    hist = global_top_n(
+        hist, [F.col("cnt").desc(), F.col("word").asc()], max_words
+    ).select(_to_symbols(F.col("word")).alias("syms"), "cnt")
+    bound = min(driver_bound, max_words + 1)
+    probe = hist.limit(bound).collect()
+    if len(probe) < bound:
+        return _driver_train(
+            [(r["syms"], r["cnt"]) for r in probe], num_merges, min_pair_count
+        )
+    hist = hist.localCheckpoint()
 
     merges: list[tuple[str, str]] = []
     for step in range(num_merges):

@@ -198,6 +198,49 @@ def test_bpe_train_empty_corpus(spark):
     assert TK.bpe_train(df, num_merges=3) == []
 
 
+def test_bpe_train_tiers_agree(spark):
+    """The driver fold (sub-bound histogram, incremental heap) and the
+    distributed per-merge loop implement the identical (count DESC,
+    pair ASC) recurrence — same merge table, bit for bit, on the same
+    corpus, including tie-heavy and punctuation-bearing vocabularies.
+    driver_bound=1 forces the distributed tier on any non-empty corpus."""
+    corpora = [
+        _sennrich_docs(spark, 5),
+        spark.createDataFrame(
+            [(0, "a.b a.b a.b c++ c++ c++ aaa aaa bab bab")],
+            ["doc_id", "text"],
+        ),
+    ]
+    for df in corpora:
+        driver_tier = TK.bpe_train(df, num_merges=12)
+        dist_tier = TK.bpe_train(df, num_merges=12, driver_bound=1)
+        assert driver_tier == dist_tier
+        assert driver_tier  # non-trivial table
+
+
+def test_bpe_driver_train_matches_reference_large(spark):
+    """The driver fold's incremental bookkeeping (inverted index, lazy
+    heap, delta counts) equals the naive reference recount on a
+    many-word randomized vocabulary — the structures BPE updates
+    in-place are exactly the ones a stale-entry bug would corrupt."""
+    import random
+
+    rng = random.Random(11)
+    alphabet = "abcdef"
+    counts: dict[str, int] = {}
+    for _ in range(300):
+        w = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(1, 8))
+        )
+        counts[w] = counts.get(w, 0) + rng.randint(1, 9)
+    rows = [
+        (" ".join(list(w) + [TK.EOW]), c) for w, c in counts.items()
+    ]
+    got = TK._driver_train(rows, num_merges=60, min_pair_count=2)
+    want = _ref_train(counts, 60)
+    assert got == want
+
+
 def _vocab_parity_corpus(spark):
     rows = [
         (0, "lowest newest low low"),
