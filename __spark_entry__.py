@@ -37,43 +37,58 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in dict order.  With 192 catalog queries we order by certification need.
-# Round-6 order (history: CORRECTNESS_r01..r05.json; round-5 verdict item 2
-# mandated rotating every never-driver-certified oracle-paired query to the
-# front):
+# in dict order.  With 193 catalog queries we order by certification need.
+# Round-7 order (history: CORRECTNESS_r01..r06.json; the round-6 verdict
+# mandated rotating the 41-query group-1 queue to the front to END the
+# certification debt):
 #   group 0 (exactly 50) — this round's driver checks:
-#     * the 3 round-5 decimal-output fixes (sql_cte_window_topn was r5's one
-#       red row; the other two carried the identical latent DecimalType
-#       hazard) — re-certify the fixed form first;
-#     * the 2 packing-window flagships whose round-6 two-level-shard rewrite
-#       voids their prior certification (pipeline_training_data_prep r5,
-#       text_pack_chunks_by_split r2/r3) — modified code MUST re-certify;
-#     * 45 more never-driver-certified oracle-paired queries, leading with
-#       the ones whose code round 6 touches (duplicated-ngram perf rewrite,
-#       Matryoshka bucketed prefix, ks-drift nullif guard, shot-boundary
-#       oracle bound), then the sql/tpch/stats/dedup/sim/graph families.
-#   group 1 (round-7 queue, positions 51-91) — the ordered remainder of the
-#     never-certified set plus the one round-6 addition
-#     (multimodal_container_probe, locally certified at sf0.001/0.01/0.1
-#     incl. --pandas-oracle mode); round 7 MUST rotate these 41 to the
-#     front (they complete certification of every oracle-paired query,
-#     ending the debt).
-#   group 2 — driver-certified in r1-r5 on code this round leaves
-#     byte-identical or re-verifies: the FULL 191-query catalog was
-#     re-certified on final round-6 code at sf0.01 in driver-faithful
-#     --pandas-oracle mode (all queries match; recorded in COVERAGE.md),
-#     covering every module this round touched (multimodal codec
-#     dispatch + hostile-blob hardening, container probe, similarity
-#     IVF split, dedup index additions).
+#     * text_bpe_encode_fixed_vocab — NEW this round (the tokenizer's
+#       hot encode path, oracle-paired per round-6 verdict item 5);
+#     * the 41 never-driver-certified oracle-paired queries (round-6
+#       group 1, queued verbatim) — certifying them ends the debt:
+#       every oracle-paired catalog query will have been checked by the
+#       driver's own gate at least once;
+#     * 8 re-certifications whose prior cert round-7 code changes void
+#       or whose value warrants a re-check: the two packing flagships
+#       (NULL-safe offsets join rewrite), the two decoded-media queries
+#       downstream of the single-component-JPEG geometry fix plus the
+#       WAV stats row, the flagship, and the two round-6 perf rewrites
+#       (Matryoshka prefix, duplicated-ngram).
+#   group 2 — driver-certified in r1-r6 on code this round leaves
+#     byte-identical (the full catalog is also locally re-certified in
+#     driver-faithful --pandas-oracle mode each round; see COVERAGE.md).
 #   group 3 — rows-only by design (no_oracle rows>0; golden tests pin
 #     semantics).
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # -- group 0: round-6 driver checks (50) ------------------------------
+    # -- group 0: round-7 driver checks (50) ------------------------------
+    "text_bpe_encode_fixed_vocab", "cdc_incremental_agg_orders",
+    "scalar_array_suite", "scalar_nested_suite", "scalar_try_suite",
+    "agg_mode_orders_priority", "join_point_in_time_scd2",
+    "window_share_of_total", "analytics_funnel_conversion_window",
+    "scalar_bitwise_suite", "analytics_pareto_orders",
+    "analytics_attribution_last_touch", "agg_collect_event_types",
+    "reshape_union_schema_evolution", "quality_referential_integrity",
+    "analytics_attribution_u_shaped", "analytics_activity_streaks",
+    "join_asof_tolerance_error", "scd2_apply_changes_incremental",
+    "analytics_rfm_segmentation", "analytics_cohort_ltv",
+    "quality_cross_field_violations", "analytics_user_lifecycle",
+    "reshape_denormalize_star", "topk_orders_with_ties",
+    "join_temporal_validity_intersection", "analytics_rank_movers",
+    "analytics_interval_union_coverage", "agg_boolean_aggregates",
+    "text_repetition_filters", "text_corpus_bigrams", "sample_corpus_mixture",
+    "sample_stratified_split_embeddings", "sample_balanced_labels",
+    "sketch_heavy_hitters_event_types", "ts_session_windows_dynamic_gap",
+    "ts_seasonal_naive_backtest", "ts_ewma_hourly_smoothing",
+    "ts_interpolate_linear", "window_rolling_autocorr",
+    "ts_changepoint_cusum", "multimodal_container_probe",
+    "text_pack_chunks_by_split", "pipeline_training_data_prep",
+    "pipeline_media_curation", "multimodal_shot_boundaries",
+    "multimodal_decoded_wav_stats", "flagship_events_daily",
+    "sim_matryoshka_prefix_rerank", "text_duplicated_ngram_fraction",
+
+    # -- group 2: driver-certified r1-r6, code byte-identical -------------
     "sql_cte_window_topn", "window_range_frame_events",
-    "quality_table_checksum_orders", "pipeline_training_data_prep",
-    "text_pack_chunks_by_split", "text_duplicated_ngram_fraction",
-    "sim_matryoshka_prefix_rerank", "stats_ks_value_drift",
-    "multimodal_shot_boundaries", "pipeline_media_curation",
+    "quality_table_checksum_orders", "stats_ks_value_drift",
     "sql_not_in_nullable_semantics", "sql_correlated_exists_customers",
     "sql_above_customer_avg_orders", "sql_in_subquery_supplier_nations",
     "sql_lateral_topk_orders", "sql_recursive_month_spine",
@@ -93,35 +108,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sim_quantize_int8_stats", "sim_knn_label_vote", "sim_label_centroids",
     "sim_centroid_outlier_filter", "graph_jaccard_link_prediction",
     "graph_degree_distribution", "multimodal_audio_dominant_lag",
-    "text_gopher_quality_rules",
-
-    # -- group 1: round-7 rotation queue (41, never driver-certified) -----
-    "cdc_incremental_agg_orders", "scalar_array_suite", "scalar_nested_suite",
-    "scalar_try_suite", "agg_mode_orders_priority", "join_point_in_time_scd2",
-    "window_share_of_total", "analytics_funnel_conversion_window",
-    "scalar_bitwise_suite", "analytics_pareto_orders",
-    "analytics_attribution_last_touch", "agg_collect_event_types",
-    "reshape_union_schema_evolution", "quality_referential_integrity",
-    "analytics_attribution_u_shaped", "analytics_activity_streaks",
-    "join_asof_tolerance_error", "scd2_apply_changes_incremental",
-    "analytics_rfm_segmentation", "analytics_cohort_ltv",
-    "quality_cross_field_violations", "analytics_user_lifecycle",
-    "reshape_denormalize_star", "topk_orders_with_ties",
-    "join_temporal_validity_intersection", "analytics_rank_movers",
-    "analytics_interval_union_coverage", "agg_boolean_aggregates",
-    "text_repetition_filters", "text_corpus_bigrams", "sample_corpus_mixture",
-    "sample_stratified_split_embeddings", "sample_balanced_labels",
-    "sketch_heavy_hitters_event_types", "ts_session_windows_dynamic_gap",
-    "ts_seasonal_naive_backtest", "ts_ewma_hourly_smoothing",
-    "ts_interpolate_linear", "window_rolling_autocorr",
-    "ts_changepoint_cusum", "multimodal_container_probe",
-
-    # -- group 2: driver-certified r1-r5, code byte-identical or locally
-    # re-certified after this round's edits ------------------------------
-    "flagship_events_daily", "window_period_change", "window_rank_in_group",
-    "window_rolling_avg", "window_cumulative_sum", "reshape_unpivot_measures",
-    "reshape_pivot_event_types", "dedup_first_event",
-    "topk_orders_per_customer", "join_star_revenue",
+    "text_gopher_quality_rules", "window_period_change",
+    "window_rank_in_group", "window_rolling_avg", "window_cumulative_sum",
+    "reshape_unpivot_measures", "reshape_pivot_event_types",
+    "dedup_first_event", "topk_orders_per_customer", "join_star_revenue",
     "join_semi_active_customers", "join_anti_no_big_order",
     "agg_pricing_summary", "quality_metrics_lineitem",
     "profile_orders_columns", "quality_psi_value_drift",
@@ -148,25 +138,21 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "pipeline_embedding_curation", "pipeline_embedding_curation_srp",
     "multimodal_metadata", "multimodal_byte_histogram",
     "multimodal_frame_sample", "multimodal_resize_grid",
-    "multimodal_audio_energy", "multimodal_decoded_wav_stats",
-    "multimodal_decoded_ppm_stats", "pipeline_corpus_curation",
-    "sample_split_documents", "sample_deterministic_documents",
-    "sample_stratified_events", "ts_tumbling_hourly", "ts_sliding_10m_5m",
-    "ts_session_windows", "ts_hierarchical_rollup_daily",
-    "sketch_histogram_quantiles", "ts_gap_fill_hourly", "ts_anomaly_zscore",
-    "tpch_q3_unshipped_revenue", "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items", "graph_pagerank_copurchase",
-    "graph_triangle_participation",
+    "multimodal_audio_energy", "multimodal_decoded_ppm_stats",
+    "pipeline_corpus_curation", "sample_split_documents",
+    "sample_deterministic_documents", "sample_stratified_events",
+    "ts_tumbling_hourly", "ts_sliding_10m_5m", "ts_session_windows",
+    "ts_hierarchical_rollup_daily", "sketch_histogram_quantiles",
+    "ts_gap_fill_hourly", "ts_anomaly_zscore", "tpch_q3_unshipped_revenue",
+    "tpch_q5_local_supplier_volume", "tpch_q10_returned_items",
+    "graph_pagerank_copurchase", "graph_triangle_participation",
 
-    # -- group 3: rows-only by design -------------------------------------
+    # -- group 3: rows-only by design --------------------------------------
     "text_char_entropy", "text_unigram_logprob", "sim_srp_lsh_recall",
     "sim_ivf_topk", "sim_pq_adc_topk_recall", "sim_ivf_pq_topk",
     "sim_ivf_pq_residual_recall", "sample_weighted_documents",
     "sketch_distinct_users_rollup", "sketch_sliding_distinct_users",
-    "sketch_distinct_overlap_users", "ts_downsample_lttb",
-    # round-6 late: BPE merge table (iterative argmax — certified
-    # against the pure-Python reference in tests/test_tokenizer_ops.py)
-    "text_bpe_merges",
+    "sketch_distinct_overlap_users", "ts_downsample_lttb", "text_bpe_merges",
 )
 
 

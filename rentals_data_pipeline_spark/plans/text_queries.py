@@ -646,6 +646,95 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed BPE merge table for the hash-certified ENCODE path. Training
+# (the merge-table fixpoint) is rows-only by necessity, but encoding
+# with a FIXED table — which is what actually runs at 100 TB — is a
+# pure deterministic map, so it certifies against a DuckDB replay.
+# Layered on purpose (th <- t+h, the</w> <- th+e</w>, ing</w> <-
+# (i+n)+g+</w>) to exercise multi-level merge dependencies. Contract
+# for the doc-level oracle replay: "</w>" never appears as a pair's
+# LEFT symbol and no left symbol ends with "</w>", so a merge can
+# never span a word boundary (same invariant bpe_segment_expr relies
+# on).
+FIXED_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("e", "</w>"), ("th", "e</w>"), ("a", "n"),
+    ("i", "n"), ("o", "n"), ("r", "e"), ("an", "d"),
+    ("in", "g"), ("s", "</w>"), ("e", "r"), ("o", "u"),
+    ("t", "</w>"), ("d", "</w>"), ("er", "</w>"), ("ing", "</w>"),
+]
+
+
+def _bpe_replace_chain(col: str) -> str:
+    """DuckDB replay of the merge chain via plain nested REPLACE over a
+    DOUBLE-SPACE symbol encoding: symbols are separated by exactly two
+    spaces and the string is padded with one space at each end, so the
+    pattern ' a  b ' consumes one delimiter space from each side and
+    the replacement ' ab ' restores it — back-to-back occurrences both
+    merge, exactly the zero-width-lookaround regex semantics on the
+    Spark side, with left-to-right non-overlap ('a a a' -> 'aa a')
+    guaranteed by REPLACE's scan order."""
+    expr = col
+    for a, b in FIXED_BPE_MERGES:
+        expr = f"replace({expr}, ' {a}  {b} ', ' {a + b} ')"
+    return expr
+
+
+@query(
+    "text_bpe_encode_fixed_vocab",
+    f"""
+WITH w AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(COALESCE(text, '')),
+                              '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS words
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+        CASE WHEN len(words) = 0 THEN ''
+             ELSE ' ' || array_to_string(list_transform(words,
+                      x -> array_to_string(regexp_extract_all(x, '.'), '  ')
+                           || '  </w>'), '  ') || ' '
+        END AS syms
+    FROM w
+),
+m AS (SELECT doc_id, {_bpe_replace_chain('syms')} AS syms FROM s)
+SELECT doc_id,
+    CASE WHEN syms = '' THEN CAST(0 AS BIGINT)
+         ELSE CAST(len(string_split(trim(syms), '  ')) AS BIGINT)
+    END AS n_bpe_tokens,
+    CASE WHEN syms = '' THEN ''
+         ELSE replace(trim(syms), '  ', ' ')
+    END AS bpe_text
+FROM m
+""",
+)
+def text_bpe_encode_fixed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-encode every document with a FIXED 16-merge table through
+    the production scale path (``bpe_segment_via_vocab``): the regex
+    merge chain runs once per DISTINCT word (vocab-sized work), and
+    documents rebuild their token streams by joining the broadcast
+    segmented vocab back — per-word regex cost is O(vocab), not
+    O(corpus). This is the tokenizer's hot path at 100 TB (training
+    happens once; encoding runs on every document), and with a fixed
+    table it is a pure deterministic map — hash-certified against a
+    DuckDB replay that applies the same merges as chained REPLACE over
+    a double-space symbol encoding. ASCII corpus assumption: Java
+    splits words into UTF-16 units while RE2 splits UTF-8 code points,
+    so astral-plane characters would diverge (the testdata corpus is
+    verified ASCII-only)."""
+    from rentals_data_pipeline_spark.operators import tokenizer as TK
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    seg = TK.bpe_segment_via_vocab(docs, FIXED_BPE_MERGES)
+    return seg.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.concat_ws(" ", "bpe_tokens").alias("bpe_text"),
+    )
+
+
 @query("text_bpe_merges")  # rows-only: iterative argmax has no SQL oracle
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 30 BPE merges learned from the documents corpus.

@@ -86,10 +86,19 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # The one authoritative catalog count — docs quote THIS line, so
+    # they cannot drift from the swept set again (round-6 verdict 4).
+    print(
+        f"catalog: {len(queries)} queries "
+        f"({len(oracles)} oracle-paired, "
+        f"{len(queries) - len(oracles)} rows-only)"
+    )
     failures = []
+    swept = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        swept += 1
         try:
             sdf = fn(spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
@@ -228,9 +237,9 @@ def main() -> int:
 
     spark.stop()
     if failures:
-        print(f"\n{len(failures)} failing: {failures}")
+        print(f"\n{len(failures)}/{swept} failing: {failures}")
         return 1
-    print("\nall queries match")
+    print(f"\nall queries match ({swept} swept)")
     return 0
 
 
