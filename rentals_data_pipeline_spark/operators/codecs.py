@@ -17,10 +17,12 @@ plus numpy. Coverage:
 - BMP — uncompressed BI_RGB 24/32-bit, bottom-up or top-down.
 - PPM — binary P6, maxval <= 255 (moved verbatim from the round-5
   ``decode_media`` body; identical error strings).
-- JPEG — baseline sequential DCT (SOF0/SOF1, 8-bit, Huffman): real
-  entropy decode + dequant + orthonormal IDCT, restart intervals,
-  integer chroma subsampling (4:4:4/4:2:2/4:2:0), JFIF YCbCr->RGB.
-  Progressive/arithmetic/12-bit surface as ``unsupported`` rows.
+- JPEG — baseline sequential DCT (SOF0/SOF1) AND progressive (SOF2,
+  spectral selection + successive approximation, round 7), 8-bit
+  Huffman: real entropy decode + dequant + orthonormal IDCT, restart
+  intervals, integer chroma subsampling (4:4:4/4:2:2/4:2:0), JFIF
+  YCbCr->RGB. Arithmetic coding / 12-bit / hierarchical surface as
+  ``unsupported`` rows.
 - FLAC — native frame decode: constant/verbatim/fixed-predictor/LPC
   subframes, Rice + Rice2 residual partitions with escape codes,
   wasted bits, left-side/right-side/mid-side stereo decorrelation.
@@ -692,15 +694,19 @@ def _split_entropy(raw: bytes, pos: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(raw: bytes) -> Decoded:
-    """Baseline sequential JPEG (SOF0/SOF1, 8-bit, Huffman): DQT/DHT
-    parsing, restart intervals, any 1-4 component layout with integer
-    subsampling ratios (4:4:4 / 4:2:2 / 4:2:0 / grayscale), JFIF
-    YCbCr -> RGB. Huffman decoding walks bits in Python (inside an
-    Arrow batch, a slow blob only slows its own row); dequant, the
-    orthonormal IDCT (one einsum over ALL blocks of a component) and
-    color conversion are whole-plane numpy. Progressive (SOF2),
-    arithmetic coding and 12-bit precision surface as ``unsupported``
-    rows."""
+    """Sequential (SOF0/SOF1) and progressive (SOF2) JPEG, 8-bit,
+    Huffman: DQT/DHT parsing, restart intervals, any 1-4 component
+    layout with integer subsampling ratios (4:4:4 / 4:2:2 / 4:2:0 /
+    grayscale), JFIF YCbCr -> RGB. Progressive scans (spectral
+    selection + successive approximation, ITU-T T.81 G.2) route to
+    ``_decode_jpeg_progressive``, which accumulates per-component
+    zigzag coefficient planes scan by scan and shares this decoder's
+    dequant/IDCT/color tail. Huffman decoding walks bits in Python
+    (inside an Arrow batch, a slow blob only slows its own row);
+    dequant, the orthonormal IDCT (one einsum over ALL blocks of a
+    component) and color conversion are whole-plane numpy. Arithmetic
+    coding, 12-bit precision and hierarchical (SOF3+) frames surface
+    as ``unsupported`` rows."""
     if raw[:2] != b"\xff\xd8":
         raise CodecError("jpeg parse error: bad signature")
     qt: dict[int, np.ndarray] = {}
@@ -778,10 +784,14 @@ def decode_jpeg(raw: bytes) -> Decoded:
             for c in range(ncomp):
                 cid = body[6 + 3 * c]
                 hv = body[7 + 3 * c]
+                if not (1 <= hv >> 4 <= 4 and 1 <= hv & 15 <= 4):
+                    # spec range is 1-4; 0 would divide-by-zero in the
+                    # upsample ratio math
+                    raise CodecError("jpeg parse error: bad sampling factors")
                 comps.append((cid, hv >> 4, hv & 15, body[8 + 3 * c]))
             sof = (w_px, h_px, comps)
         elif m == 0xC2:
-            raise CodecError("unsupported jpeg: progressive")
+            return _decode_jpeg_progressive(raw)
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise CodecError("unsupported jpeg: non-baseline frame type")
         elif m == 0xDD:  # DRI
@@ -859,8 +869,29 @@ def decode_jpeg(raw: bytes) -> Decoded:
                     coef, preds[cid] = _decode_block(br, dct, act, preds[cid])
                     blocks[cid].append((my * vs + by, mx * hs + bx, coef * qzz))
 
+    geometry = [(cid, hs, vs) for cid, hs, vs, _, _, _ in order]
+    return _jpeg_finish(
+        _jpeg_planes(geometry, blocks, mcux, mcuy, hmax, vmax, w_px, h_px)
+    )
+
+
+def _jpeg_planes(
+    geometry: list[tuple[int, int, int]],
+    blocks: dict[int, list],
+    mcux: int,
+    mcuy: int,
+    hmax: int,
+    vmax: int,
+    w_px: int,
+    h_px: int,
+) -> list[np.ndarray]:
+    """Dequantized zigzag blocks -> cropped upsampled spatial planes:
+    dezigzag, one orthonormal-IDCT einsum over ALL blocks of a
+    component, tile, integer-ratio upsample, crop. Shared by the
+    sequential and progressive paths (they differ only in how the
+    coefficient blocks are entropy-decoded)."""
     planes: list[np.ndarray] = []
-    for cid, hs, vs, _, _, _ in order:
+    for cid, hs, vs in geometry:
         bw, bh = mcux * hs, mcuy * vs
         coefs = np.zeros((len(blocks[cid]), 64), dtype=np.float64)
         for i, (_, _, czz) in enumerate(blocks[cid]):
@@ -882,7 +913,10 @@ def decode_jpeg(raw: bytes) -> Decoded:
         if rx > 1:
             plane = np.repeat(plane, rx, axis=1)
         planes.append(plane[:h_px, :w_px])
+    return planes
 
+
+def _jpeg_finish(planes: list[np.ndarray]):
     if len(planes) == 1:
         gray = np.clip(np.round(planes[0]), 0, 255)
         return 1, None, [gray.reshape(-1)]
@@ -895,6 +929,336 @@ def decode_jpeg(raw: bytes) -> Decoded:
             np.clip(np.round(p), 0, 255).reshape(-1) for p in (r, g, b)
         ]
     raise CodecError(f"unsupported jpeg component count: {len(planes)}")
+
+
+def _prog_refine_ac(
+    br: _BitReader,
+    blk: np.ndarray,
+    act: dict,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """AC successive-approximation refinement for ONE block (ITU-T
+    T.81 G.2, the libjpeg decode_mcu_AC_refine recurrence): previously
+    nonzero coefficients each consume a correction bit; newly nonzero
+    ones arrive as (zero-history-run, size-1) codes with a sign bit;
+    EOBn covers whole blocks whose remaining history still consumes
+    correction bits. Returns the updated EOB run."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_symbol(br, act)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break  # fall into the EOB path below, same block
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise CodecError("jpeg parse error: bad refinement size")
+                val = p1 if br.bit() else m1
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if br.bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(blk[k])
+            if c != 0:
+                if br.bit() and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_jpeg_progressive(raw: bytes) -> Decoded:
+    """Progressive JPEG (SOF2, 8-bit, Huffman): spectral selection and
+    successive approximation per ITU-T T.81 G.2. Each SOS updates
+    per-component zigzag coefficient planes — DC first scans
+    (interleaved MCU order when Ns>1), DC refinement bits, AC first
+    scans with EOBn runs, AC refinement — with restart-interval
+    support; the finished planes dequantize and render through the
+    same IDCT/upsample/color tail as the sequential path. Bomb-guarded
+    by the shared ``_MAX_PIXELS`` cap; malformed streams raise
+    ``CodecError`` (an error row downstream, never a task failure)."""
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    sof = None
+    dri = 0
+    pos = 2
+    n = len(raw)
+    coef: dict[int, np.ndarray] = {}  # cid -> (bh, bw, 64) zigzag planes
+    preds: dict[int, int] = {}
+    geom: dict[int, tuple] = {}  # cid -> (hs, vs, tq, bw, bh, nbw, nbh)
+    mcux = mcuy = hmax = vmax = 0
+    w_px = h_px = 0
+    got_scan = False
+    while pos + 2 <= n:
+        if raw[pos] != 0xFF:
+            raise CodecError("jpeg parse error: marker expected")
+        m = raw[pos + 1]
+        if m == 0xD9:  # EOI: all scans consumed
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > n:
+            raise CodecError("jpeg parse error: truncated segment")
+        ln = int.from_bytes(raw[pos + 2 : pos + 4], "big")
+        body = raw[pos + 4 : pos + 2 + ln]
+        if ln < 2 or len(body) < ln - 2:
+            raise CodecError("jpeg parse error: truncated segment")
+        if m == 0xDB:  # DQT — same wire format as sequential
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                width = 64 if pq == 0 else 128
+                if len(body) - i < width:
+                    raise CodecError("jpeg parse error: malformed DQT")
+                if pq == 0:
+                    qt[tq] = np.frombuffer(
+                        body[i : i + 64], np.uint8
+                    ).astype(np.int32)
+                else:
+                    qt[tq] = np.frombuffer(
+                        body[i : i + 128], ">u2"
+                    ).astype(np.int32)
+                i += width
+        elif m == 0xC4:  # DHT — tables may be redefined between scans
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1 : i + 17])
+                i += 17
+                nv = sum(bits)
+                vals = body[i : i + nv]
+                i += nv
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(
+                    bits, vals
+                )
+        elif m == 0xC2:
+            if sof is not None:
+                raise CodecError("jpeg parse error: duplicate frame header")
+            if len(body) < 6:
+                raise CodecError("jpeg parse error: truncated frame header")
+            if body[0] != 8:
+                raise CodecError(
+                    f"unsupported jpeg precision: {body[0]}-bit"
+                )
+            h_px = int.from_bytes(body[1:3], "big")
+            w_px = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            if h_px == 0 or w_px == 0 or not 1 <= ncomp <= 4:
+                raise CodecError("jpeg parse error: bad frame header")
+            if w_px * h_px > _MAX_PIXELS:
+                raise CodecError(
+                    f"jpeg parse error: implausible dimensions {w_px}x{h_px}"
+                )
+            if len(body) < 6 + 3 * ncomp:
+                raise CodecError("jpeg parse error: truncated frame header")
+            comps = []
+            for c in range(ncomp):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                if not (1 <= hv >> 4 <= 4 and 1 <= hv & 15 <= 4):
+                    raise CodecError("jpeg parse error: bad sampling factors")
+                comps.append((cid, hv >> 4, hv & 15, body[8 + 3 * c]))
+            hmax = max(hs for _, hs, _, _ in comps)
+            vmax = max(vs for _, _, vs, _ in comps)
+            if hmax < 1 or vmax < 1:
+                raise CodecError("jpeg parse error: bad sampling factors")
+            mcux = -(-w_px // (8 * hmax))
+            mcuy = -(-h_px // (8 * vmax))
+            sof = comps
+            for cid, hs, vs, tq in comps:
+                bw, bh = mcux * hs, mcuy * vs  # MCU-padded grid
+                # non-interleaved grid (T.81 A.2.2): the component's
+                # own sample dimensions, NOT the MCU-padded ones
+                cw = -(-w_px * hs // hmax)  # ceil(w*hs/hmax)
+                ch = -(-h_px * vs // vmax)
+                nbw = -(-cw // 8)
+                nbh = -(-ch // 8)
+                geom[cid] = (hs, vs, tq, bw, bh, nbw, nbh)
+                coef[cid] = np.zeros((bh, bw, 64), dtype=np.int32)
+        elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise CodecError("jpeg parse error: mixed frame types")
+        elif m == 0xDD:
+            dri = int.from_bytes(body[:2], "big")
+        elif m == 0xDA:
+            if sof is None:
+                raise CodecError("jpeg parse error: scan before frame")
+            if not body or len(body) < 1 + 2 * body[0] + 3:
+                raise CodecError("jpeg parse error: truncated scan header")
+            ns = body[0]
+            scomps = [
+                (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 15)
+                for c in range(ns)
+            ]
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+            for cid, _, _ in scomps:
+                if cid not in geom:
+                    raise CodecError(
+                        "jpeg parse error: scan references unknown component"
+                    )
+            segs, pos = _split_entropy(raw, pos + 2 + ln)
+            _prog_decode_scan(
+                coef, geom, preds, scomps, ss, se, ah, al,
+                segs, dri, mcux, mcuy, huff_dc, huff_ac,
+            )
+            got_scan = True
+            continue
+        pos += 2 + ln
+    if sof is None or not got_scan:
+        raise CodecError("jpeg parse error: missing SOF/SOS")
+    blocks: dict[int, list] = {}
+    for cid, hs, vs, tq in sof:
+        if tq not in qt:
+            raise CodecError("jpeg parse error: missing quant table")
+        _, _, _, bw, bh, _, _ = geom[cid]
+        qzz = qt[tq]
+        blocks[cid] = [
+            (r, c, coef[cid][r, c] * qzz)
+            for r in range(bh)
+            for c in range(bw)
+        ]
+    geometry = [(cid, hs, vs) for cid, hs, vs, _ in sof]
+    return _jpeg_finish(
+        _jpeg_planes(geometry, blocks, mcux, mcuy, hmax, vmax, w_px, h_px)
+    )
+
+
+def _prog_decode_scan(
+    coef: dict[int, np.ndarray],
+    geom: dict[int, tuple],
+    preds: dict[int, int],
+    scomps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    segs: list[bytes],
+    dri: int,
+    mcux: int,
+    mcuy: int,
+    huff_dc: dict[int, dict],
+    huff_ac: dict[int, dict],
+) -> None:
+    """Decode one progressive scan into the coefficient planes."""
+    if ss == 0:
+        if se != 0:
+            raise CodecError("jpeg parse error: bad spectral range")
+        for cid, dci, _ in scomps:
+            if ah == 0 and dci not in huff_dc:
+                raise CodecError("jpeg parse error: missing table for scan")
+    else:
+        if len(scomps) != 1:
+            raise CodecError(
+                "jpeg parse error: multi-component AC scan"
+            )
+        if not ss <= se <= 63:
+            raise CodecError("jpeg parse error: bad spectral range")
+        if scomps[0][2] not in huff_ac:
+            raise CodecError("jpeg parse error: missing table for scan")
+    for cid, *_ in scomps:
+        preds.setdefault(cid, 0)
+    interleaved = ss == 0 and len(scomps) > 1
+    if interleaved:
+        total_units = mcux * mcuy
+    else:
+        cid = scomps[0][0]
+        _, _, _, _, _, nbw, nbh = geom[cid]
+        total_units = nbw * nbh
+    seg_i = 0
+    br = _BitReader(segs[0])
+    eobrun = 0
+    for unit in range(total_units):
+        if dri and unit and unit % dri == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise CodecError("jpeg parse error: missing restart segment")
+            br = _BitReader(segs[seg_i])
+            for cid, *_ in scomps:
+                preds[cid] = 0
+            eobrun = 0
+        if ss == 0:  # DC scan
+            targets = []
+            if interleaved:
+                my, mx = divmod(unit, mcux)
+                for cid, dci, _ in scomps:
+                    hs, vs = geom[cid][0], geom[cid][1]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            targets.append(
+                                (cid, dci, my * vs + by, mx * hs + bx)
+                            )
+            else:
+                cid, dci, _ = scomps[0]
+                nbw = geom[cid][5]
+                targets.append((cid, dci, unit // nbw, unit % nbw))
+            for cid, dci, r, c in targets:
+                blk = coef[cid][r, c]
+                if ah == 0:  # first DC scan: point-transformed diffs
+                    s = _decode_symbol(br, huff_dc[dci])
+                    if s > 11:
+                        raise CodecError("jpeg parse error: bad DC category")
+                    diff = _extend(br.bits(s), s) if s else 0
+                    preds[cid] += diff
+                    blk[0] = preds[cid] << al
+                else:  # refinement: one bit per block
+                    if br.bit():
+                        blk[0] = int(blk[0]) | (1 << al)
+        else:  # AC scan, single component, non-interleaved order
+            cid, _, aci = scomps[0]
+            nbw = geom[cid][5]
+            blk = coef[cid][unit // nbw, unit % nbw]
+            act = huff_ac[aci]
+            if ah == 0:  # first AC scan: EOBn runs + shifted values
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _decode_symbol(br, act)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise CodecError(
+                            "jpeg parse error: coefficient overrun"
+                        )
+                    blk[k] = _extend(br.bits(s), s) << al
+                    k += 1
+            else:
+                eobrun = _prog_refine_ac(br, blk, act, ss, se, al, eobrun)
 
 
 # ---------------------------------------------------------------------------

@@ -842,6 +842,318 @@ def _encode_jpeg(px, sampling=None, qluma=None, qchroma=None, restart=0):
     return bytes(out)
 
 
+def _encode_jpeg_progressive(
+    px,
+    sampling=None,
+    qluma=None,
+    qchroma=None,
+    restart=0,
+    dc_al=1,
+    ac_al=1,
+    ac_bands=((1, 5), (6, 63)),
+):
+    """Progressive JFIF encoder (SOF2): spectral selection +
+    successive approximation per ITU-T T.81 G.2, modeled on libjpeg's
+    encoder — DC first scan (interleaved, point transform dc_al) and
+    bit-per-block DC refinements; per-component AC first scans with
+    EOBn run accumulation for each spectral band at ac_al, then AC
+    refinement scans with buffered correction bits down to Al=0.
+    Independent of the decoder under test; shares only the public
+    zigzag/basis constants."""
+    C_ = C._DCT_C
+    zz = C._ZZ
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    assert nch in (1, 3)
+    if sampling is None:
+        sampling = [(1, 1)] * nch
+    if qluma is None:
+        qluma = np.ones(64, dtype=np.int32)
+    if qchroma is None:
+        qchroma = qluma
+    if nch == 3:
+        r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        planes = [px[:, :, 0].astype(np.float64)]
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    def prep(plane, hs, vs):
+        ry, rx = vmax // vs, hmax // hs
+        if ry > 1 or rx > 1:
+            ph = -(-plane.shape[0] // ry) * ry
+            pw = -(-plane.shape[1] // rx) * rx
+            p = np.pad(
+                plane,
+                ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+                mode="edge",
+            )
+            plane = p.reshape(ph // ry, ry, pw // rx, rx).mean(axis=(1, 3))
+        th, tw = mcuy * vs * 8, mcux * hs * 8
+        return np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+
+    comps = [prep(p, *sampling[i]) for i, p in enumerate(planes)]
+    qnat = []
+    for i in range(nch):
+        qzv = qluma if i == 0 else qchroma
+        qn = np.zeros(64, dtype=np.float64)
+        qn[zz] = qzv
+        qnat.append(qn.reshape(8, 8))
+    # quantized zigzag blocks per comp on the MCU-padded grid
+    qblocks = []
+    for ci in range(nch):
+        hs, vs = sampling[ci]
+        bw, bh = mcux * hs, mcuy * vs
+        grid = []
+        for by in range(bh):
+            row = []
+            for bx in range(bw):
+                blk = comps[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                F_ = C_ @ blk @ C_.T
+                q = np.round(F_ / qnat[ci]).astype(np.int64)
+                row.append(q.reshape(-1)[zz])
+            grid.append(row)
+        qblocks.append(grid)
+    # non-interleaved (AC-scan) grids: component sample dims, not MCU pad
+    nb = []
+    for ci in range(nch):
+        hs, vs = sampling[ci]
+        cw = -(-w * hs // hmax)
+        chh = -(-h * vs // vmax)
+        nb.append((-(-cw // 8), -(-chh // 8)))
+
+    out = bytearray(b"\xff\xd8")
+    dqt = bytes([0]) + bytes(int(x) for x in qluma)
+    if nch == 3:
+        dqt += bytes([1]) + bytes(int(x) for x in qchroma)
+    out += _seg(0xDB, dqt)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nch])
+    for ci in range(nch):
+        hs, vs = sampling[ci]
+        sof += bytes([ci + 1, 16 * hs + vs, 0 if ci == 0 else 1])
+    out += _seg(0xC2, sof)
+    if restart:
+        out += _seg(0xDD, restart.to_bytes(2, "big"))
+
+    def tdc(v, al):
+        return int(v) >> al  # DC point transform: arithmetic shift
+
+    def tac(v, al):
+        a = abs(int(v)) >> al  # AC: magnitude shift (toward zero)
+        return -a if v < 0 else a
+
+    def scan_tokens_dc_first(al):
+        toks = []
+        preds = [0] * nch
+        for mcu in range(mcux * mcuy):
+            if restart and mcu and mcu % restart == 0:
+                toks.append(("rst",))
+                preds = [0] * nch
+            my, mx = divmod(mcu, mcux)
+            for ci in range(nch):
+                hs, vs = sampling[ci]
+                cls = 0 if ci == 0 else 1
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = tdc(qblocks[ci][my * vs + by][mx * hs + bx][0], al)
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s = _cat(diff)
+                        extra = diff if diff >= 0 else diff + (1 << s) - 1
+                        toks.append(("sym", ("dc", cls), s))
+                        if s:
+                            toks.append(("bits", extra, s))
+        return toks
+
+    def scan_tokens_dc_refine(al):
+        toks = []
+        for mcu in range(mcux * mcuy):
+            if restart and mcu and mcu % restart == 0:
+                toks.append(("rst",))
+            my, mx = divmod(mcu, mcux)
+            for ci in range(nch):
+                hs, vs = sampling[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = int(qblocks[ci][my * vs + by][mx * hs + bx][0])
+                        toks.append(("bits", (v >> al) & 1, 1))
+        return toks
+
+    def scan_tokens_ac_first(ci, ss, se, al):
+        toks = []
+        cls = 0 if ci == 0 else 1
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                toks.append(("sym", ("ac", cls), nbits << 4))
+                if nbits:
+                    toks.append(("bits", eobrun - (1 << nbits), nbits))
+                eobrun = 0
+
+        nbw, nbh = nb[ci]
+        for unit in range(nbw * nbh):
+            if restart and unit and unit % restart == 0:
+                flush_eob()
+                toks.append(("rst",))
+            blk = qblocks[ci][unit // nbw][unit % nbw]
+            t = [tac(blk[k], al) for k in range(64)]
+            nz = [k for k in range(ss, se + 1) if t[k] != 0]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for k in range(ss, nz[-1] + 1):
+                if t[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    toks.append(("sym", ("ac", cls), 0xF0))
+                    run -= 16
+                s = _cat(t[k])
+                extra = t[k] if t[k] >= 0 else t[k] + (1 << s) - 1
+                toks.append(("sym", ("ac", cls), (run << 4) | s))
+                toks.append(("bits", extra, s))
+                run = 0
+            if nz[-1] < se:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return toks
+
+    def scan_tokens_ac_refine(ci, ss, se, al):
+        toks = []
+        cls = 0 if ci == 0 else 1
+        eobrun = 0
+        be: list = []  # correction bits pending behind the EOB run
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                toks.append(("sym", ("ac", cls), nbits << 4))
+                if nbits:
+                    toks.append(("bits", eobrun - (1 << nbits), nbits))
+                for bit in be:
+                    toks.append(("bits", bit, 1))
+                be.clear()
+                eobrun = 0
+
+        nbw, nbh = nb[ci]
+        for unit in range(nbw * nbh):
+            if restart and unit and unit % restart == 0:
+                flush_eob()
+                toks.append(("rst",))
+            blk = qblocks[ci][unit // nbw][unit % nbw]
+            absval = [abs(int(blk[k])) >> al for k in range(64)]
+            eob = 0
+            for k in range(ss, se + 1):
+                if absval[k] == 1:
+                    eob = k
+            r = 0
+            br: list = []  # correction bits pending behind the next symbol
+            for k in range(ss, se + 1):
+                temp = absval[k]
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    flush_eob()
+                    toks.append(("sym", ("ac", cls), 0xF0))
+                    r -= 16
+                    for bit in br:
+                        toks.append(("bits", bit, 1))
+                    br.clear()
+                if temp > 1:  # history nonzero: one correction bit
+                    br.append(temp & 1)
+                    continue
+                flush_eob()  # newly nonzero: (run, 1) + sign
+                toks.append(("sym", ("ac", cls), (r << 4) | 1))
+                toks.append(("bits", 1 if blk[k] > 0 else 0, 1))
+                for bit in br:
+                    toks.append(("bits", bit, 1))
+                br.clear()
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return toks
+
+    def emit_scan(scomp_idxs, ss, se, ah, al, toks):
+        # per-scan equal-length canonical tables, redefined via DHT
+        keys = sorted({t[1] for t in toks if t[0] == "sym"})
+        tables = {}
+        dht = b""
+        for kind, cls in keys:
+            tbl = _equal_length_table(
+                {t[2] for t in toks if t[0] == "sym" and t[1] == (kind, cls)}
+            )
+            tables[(kind, cls)] = tbl
+            dht += _dht(0 if kind == "dc" else 1, cls, tbl)
+        if dht:
+            out.extend(_seg(0xC4, dht))
+        sos = bytes([len(scomp_idxs)])
+        for ci in scomp_idxs:
+            cls = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, 16 * cls + cls])
+        sos += bytes([ss, se, 16 * ah + al])
+        out.extend(_seg(0xDA, sos))
+        bw_ = _JpegBits()
+        rst_i = 0
+        for t in toks:
+            if t[0] == "rst":
+                bw_.pad()
+                out.extend(bw_.out)
+                out.extend(bytes([0xFF, 0xD0 + (rst_i % 8)]))
+                rst_i += 1
+                bw_ = _JpegBits()
+            elif t[0] == "sym":
+                code, ln = tables[t[1]][0][t[2]]
+                bw_.put(code, ln)
+            else:
+                bw_.put(t[1], t[2])
+        bw_.pad()
+        out.extend(bw_.out)
+
+    all_comps = list(range(nch))
+    emit_scan(all_comps, 0, 0, 0, dc_al, scan_tokens_dc_first(dc_al))
+    for al in range(dc_al - 1, -1, -1):
+        emit_scan(all_comps, 0, 0, al + 1, al, scan_tokens_dc_refine(al))
+    for ci in all_comps:
+        for ss, se in ac_bands:
+            emit_scan([ci], ss, se, 0, ac_al, scan_tokens_ac_first(ci, ss, se, ac_al))
+    for al in range(ac_al - 1, -1, -1):
+        for ci in all_comps:
+            for ss, se in ac_bands:
+                emit_scan(
+                    [ci], ss, se, al + 1, al,
+                    scan_tokens_ac_refine(ci, ss, se, al),
+                )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def test_jpeg_uniform_gray_is_exact():
     """Analytic anchor: a constant image is DC-only; with unit quant
     tables the DC path is exact end-to-end, so decode == input exactly
@@ -914,11 +1226,71 @@ def test_jpeg_coarse_quant_uniform_blocks():
 def test_jpeg_unsupported_modes_are_rows():
     px = np.full((8, 8), 50, dtype=np.uint8)
     good = _encode_jpeg(px)
+    # SOF0 re-marked as SOF2 routes to the progressive decoder, where a
+    # baseline full-band scan (Ss=0, Se=63) is a spec violation — a
+    # typed error row, not a crash or a silent wrong decode
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(C.CodecError, match="progressive"):
+    with pytest.raises(C.CodecError, match="bad spectral range"):
         C.decode_jpeg(prog)
     with pytest.raises(C.CodecError, match="truncated"):
         C.decode_jpeg(good[:20])
+    arith = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(C.CodecError, match="non-baseline"):
+        C.decode_jpeg(arith)
+
+
+def test_jpeg_progressive_gray_matches_sequential():
+    """Progressive and sequential encodings of the SAME quantized
+    coefficients must decode bit-identically: both decoders
+    reconstruct exact integer coefficients, and dequant/IDCT/crop are
+    shared code. 16x24 exercises partial edge blocks; (dc_al, ac_al)
+    up to 2 exercises multi-pass successive approximation."""
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    _, _, base = C.decode_jpeg(_encode_jpeg(px))
+    for dc_al, ac_al in ((1, 1), (2, 2), (0, 1)):
+        nch, sr, chans = C.decode_jpeg(
+            _encode_jpeg_progressive(px, dc_al=dc_al, ac_al=ac_al)
+        )
+        assert (nch, sr) == (1, None)
+        assert np.array_equal(chans[0], base[0]), (dc_al, ac_al)
+
+
+def test_jpeg_progressive_rgb_420_restart_matches_sequential():
+    """Color progressive with 4:2:0 subsampling, coarse quant tables,
+    restart intervals, and three spectral bands: the DC scan is
+    interleaved over the MCU-padded grid while AC scans walk each
+    component's own non-interleaved grid — the geometry split the
+    sequential decoder never exercises."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    q = np.full(64, 8, dtype=np.int32)
+    q[0] = 4
+    kw = dict(sampling=[(2, 2), (1, 1), (1, 1)], qluma=q, qchroma=q)
+    _, _, base = C.decode_jpeg(_encode_jpeg(px, restart=2, **kw))
+    nch, sr, chans = C.decode_jpeg(
+        _encode_jpeg_progressive(
+            px, restart=2, ac_bands=((1, 2), (3, 20), (21, 63)), **kw
+        )
+    )
+    assert (nch, sr) == (3, None)
+    for got, want in zip(chans, base):
+        assert np.array_equal(got, want)
+
+
+def test_jpeg_progressive_eobrun_sparse():
+    """A nearly-flat image with one busy corner forces long multi-block
+    EOBn runs in both first and refinement AC scans — the run-length
+    machinery a dense image never touches. Verified bit-identical to
+    the sequential decode of the same coefficients."""
+    px = np.full((40, 48), 128, dtype=np.uint8)
+    rng = np.random.default_rng(3)
+    px[:8, :8] = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    px[32:, 40:] = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    _, _, base = C.decode_jpeg(_encode_jpeg(px))
+    raw = _encode_jpeg_progressive(px, ac_al=2)
+    _, _, chans = C.decode_jpeg(raw)
+    assert np.array_equal(chans[0], base[0])
 
 
 def test_jpeg_non_interleaved_multiscan_refused():
@@ -1207,6 +1579,7 @@ def _small_valid_blobs() -> dict[str, bytes]:
         "gif": _gif(idx, pal),
         "bmp": _bmp(px),
         "jpeg": _encode_jpeg(px[:, :, 0]),
+        "jpeg_prog": _encode_jpeg_progressive(px[:, :, 0]),
         "flac": _encode_flac([sig]),
         "ppm": b"P6\n4 4\n255\n" + bytes(48),
     }
