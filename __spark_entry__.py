@@ -51,9 +51,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     * 8 re-certifications whose prior cert round-7 code changes void
 #       or whose value warrants a re-check: the two packing flagships
 #       (NULL-safe offsets join rewrite), the two decoded-media queries
-#       downstream of the single-component-JPEG geometry fix plus the
-#       WAV stats row, the flagship, and the two round-6 perf rewrites
-#       (Matryoshka prefix, duplicated-ngram).
+#       downstream of the JPEG geometry fixes, the NEW Bloom-prefilter
+#       decontamination (round-7 addition, exact-equality contract),
+#       the flagship, and the two round-6 perf rewrites (Matryoshka
+#       prefix, duplicated-ngram).
 #   group 2 — driver-certified in r1-r6 on code this round leaves
 #     byte-identical (the full catalog is also locally re-certified in
 #     driver-faithful --pandas-oracle mode each round; see COVERAGE.md).
@@ -83,7 +84,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "ts_changepoint_cusum", "multimodal_container_probe",
     "text_pack_chunks_by_split", "pipeline_training_data_prep",
     "pipeline_media_curation", "multimodal_shot_boundaries",
-    "multimodal_decoded_wav_stats", "flagship_events_daily",
+    "dedup_decontaminate_bloom", "flagship_events_daily",
     "sim_matryoshka_prefix_rerank", "text_duplicated_ngram_fraction",
 
     # -- group 2: driver-certified r1-r6, code byte-identical -------------
@@ -138,7 +139,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "pipeline_embedding_curation", "pipeline_embedding_curation_srp",
     "multimodal_metadata", "multimodal_byte_histogram",
     "multimodal_frame_sample", "multimodal_resize_grid",
-    "multimodal_audio_energy", "multimodal_decoded_ppm_stats",
+    "multimodal_audio_energy", "multimodal_decoded_wav_stats",
+    "multimodal_decoded_ppm_stats",
     "pipeline_corpus_curation", "sample_split_documents",
     "sample_deterministic_documents", "sample_stratified_events",
     "ts_tumbling_hourly", "ts_sliding_10m_5m", "ts_session_windows",
@@ -152,7 +154,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sim_ivf_topk", "sim_pq_adc_topk_recall", "sim_ivf_pq_topk",
     "sim_ivf_pq_residual_recall", "sample_weighted_documents",
     "sketch_distinct_users_rollup", "sketch_sliding_distinct_users",
-    "sketch_distinct_overlap_users", "ts_downsample_lttb", "text_bpe_merges",
+    "sketch_distinct_overlap_users", "ts_downsample_lttb",
+    "text_compression_ratio_filter", "text_bpe_merges",
 )
 
 

@@ -109,6 +109,11 @@ HEADLINE = [
     # stages + probe, zero exchanges) — the cheap sibling the decode
     # stats queries are routed BY at scale
     "multimodal_container_probe",
+    # round-7 addition: Bloom-prefiltered decontamination — identical
+    # output to the exact operator; the perf story is the broadcast
+    # shrinking 64x+ and the verify join seeing only the bloom-positive
+    # sliver
+    "dedup_decontaminate_bloom",
 ]
 
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -373,6 +375,44 @@ def pack_chunks_into_bins(
                 *[f"_pack_p{i}" for i in range(len(part))],
             )
         )
+
+    return _apply
+
+
+def compression_ratio(
+    text_col: str = "text",
+    out_col: str = "compression_ratio",
+    level: int = 6,
+) -> Op:
+    """zlib compression ratio (compressed bytes / raw utf-8 bytes) —
+    the repetition/entropy quality signal web-scale curation pipelines
+    filter on (CCNet-/Gopher-family practice): boilerplate and
+    template spam compress far below prose (~0.3 ratio vs ~0.6+), and
+    base64/binary junk sits near or above 1.0. NULL or empty text
+    yields NULL.
+
+    Arrow-batched ``pandas_udf`` — zlib has no SQL twin, so this is a
+    deliberate vectorized-Python stage, not a codegen expression; it
+    is a pure per-row map (no shuffle), and with a FIXED level the
+    output is deterministic for a given zlib build, pinned by golden
+    test rather than a cross-engine oracle."""
+
+    @F.pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, level)) / len(b)
+
+        return s.map(one)
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.withColumn(out_col, _ratio(F.col(text_col)))
 
     return _apply
 

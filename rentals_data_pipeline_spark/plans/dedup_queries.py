@@ -372,6 +372,60 @@ def dedup_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_decontaminate_bloom",
+    r"""
+WITH d AS (
+    SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+),
+g AS (
+    SELECT doc_id,
+        CASE WHEN len(w) >= 5
+             THEN list_distinct(list_transform(
+                      generate_series(1, len(w) - 4),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           || ' ' || w[i+3] || ' ' || w[i+4]))
+             ELSE [] END AS s
+    FROM d
+),
+bm AS (
+    SELECT DISTINCT u.gram
+    FROM g, unnest(g.s) AS u(gram)
+    WHERE g.doc_id % 89 = 0
+),
+contaminated AS (
+    SELECT DISTINCT g.doc_id
+    FROM g, unnest(g.s) AS u(gram)
+    JOIN bm ON u.gram = bm.gram
+    WHERE g.doc_id % 89 <> 0
+)
+SELECT d.doc_id
+FROM d
+WHERE d.doc_id % 89 <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+""",
+)
+def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination
+    (operators/dedup.py::decontaminate_bloom): the oracle replays the
+    EXACT shingle-overlap semantics — identical results ARE the
+    operator's contract, because the Bloom relation admits no false
+    negatives and the exact digest semi-join discards its false
+    positives. What changes is the 100 TB shape: only the chunked
+    (word, bits) Bloom relation broadcasts (64x+ smaller than the raw
+    digest set), the train side never shuffles (fused shingling + k
+    broadcast-hash membership probes), and the exact verify join sees
+    only the bloom-positive sliver. Every 89th doc plays the held-out
+    benchmark so this certifies on a different split than the exact
+    operator's query (% 97)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    benchmark = docs.where(F.col("doc_id") % 89 == 0)
+    train = docs.where(F.col("doc_id") % 89 != 0)
+    return DD.decontaminate_bloom(
+        train, benchmark, n=5, m_bits=1 << 18, k_hashes=4
+    ).select("doc_id")
+
+
+@query(
     "dedup_edit_distance_pairs",
     """
 WITH blocked AS (

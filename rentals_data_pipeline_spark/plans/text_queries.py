@@ -735,6 +735,33 @@ def text_bpe_encode_fixed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("text_compression_ratio_filter")  # rows-only: zlib has no SQL twin
+def text_compression_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality gate (operators/text.py::
+    compression_ratio): zlib ratio per document plus the keep decision
+    — drop degenerate repetition (ratio < 0.25: template spam,
+    boilerplate loops) and incompressible junk (ratio > 0.95: base64
+    blobs, minified noise), the CCNet/Gopher-family heuristic. The
+    ratio is a pure Arrow map (zero shuffle); ordering, banding, and
+    the keep rule stay codegen. Rows-only (zlib is not expressible in
+    ANSI SQL); the ratio semantics are pinned by golden tests against
+    hand-built degenerate/prose/noise fixtures, and the row contract
+    (one row per doc, NULL ratio only for NULL/empty text) by the
+    empty/NULL sweeps."""
+    docs = load_table(spark, sf_dir, "documents")
+    rated = docs.select("doc_id", "text").transform(TX.compression_ratio())
+    return rated.select(
+        "doc_id",
+        F.length(F.col("text")).cast("long").alias("n_chars"),
+        RND(F.col("compression_ratio"), 4).alias("compression_ratio"),
+        (
+            F.col("compression_ratio").isNotNull()
+            & (F.col("compression_ratio") >= 0.25)
+            & (F.col("compression_ratio") <= 0.95)
+        ).alias("keep"),
+    )
+
+
 @query("text_bpe_merges")  # rows-only: iterative argmax has no SQL oracle
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 30 BPE merges learned from the documents corpus.

@@ -119,6 +119,68 @@ def test_decontaminate_golden(spark):
     assert kept == [2, 3]
 
 
+def test_decontaminate_bloom_equals_exact(spark):
+    """The Bloom-prefiltered operator's contract is exact-output
+    equality with plain decontaminate: no false negatives by bloom
+    construction, false positives discarded by the digest verify join.
+    Checked across filter sizes down to a saturated 64-bit filter
+    (every probe positive -> degenerates to the exact join, still
+    correct) and on a randomized corpus with planted contamination."""
+    import random
+
+    from rentals_data_pipeline_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 12))))
+        for i in range(60)
+    ]
+    # plant exact 5-gram contamination: doc 50 copies doc 7's text
+    rows[50] = (50, rows[7][1] + " tailword extra pad words here")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    benchmark = docs.where(F.col("doc_id") % 7 == 0)
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    want = sorted(
+        r["doc_id"] for r in decontaminate(train, benchmark, n=5).collect()
+    )
+    assert len(want) < train.count()  # contamination actually drops rows
+    for m_bits, k in ((1 << 14, 4), (1 << 10, 2), (64, 1)):
+        got = sorted(
+            r["doc_id"]
+            for r in decontaminate_bloom(
+                train, benchmark, n=5, m_bits=m_bits, k_hashes=k
+            ).collect()
+        )
+        assert got == want, (m_bits, k)
+
+
+def test_bloom_prefilter_prunes_and_never_false_negatives(spark):
+    """Membership mechanics: every inserted key survives
+    bloom_might_contain (zero false negatives), and at a sane m/n the
+    prefilter actually prunes most non-members — the property the
+    100 TB verify-join cost rides on."""
+    from rentals_data_pipeline_spark.operators.dedup import (
+        bloom_filter_relation,
+        bloom_might_contain,
+    )
+
+    members = spark.range(0, 200).select(
+        F.md5(F.col("id").cast("string")).alias("d")
+    )
+    others = spark.range(10_000, 12_000).select(
+        F.md5(F.col("id").cast("string")).alias("d")
+    )
+    m_bits, k = 1 << 13, 4  # m/n = 41 -> FPR well under 1%
+    bloom = bloom_filter_relation(members, "d", m_bits, k)
+    assert bloom_might_contain(members, "d", bloom, m_bits, k).count() == 200
+    fp = bloom_might_contain(others, "d", bloom, m_bits, k).count()
+    assert fp < 100  # ~2000 * FPR; generous bound against hash luck
+
+
 def test_cc_auto_matches_distributed_on_random_graphs(spark):
     """Tiered CC (driver union-find) must be bit-identical to the
     distributed pointer-jumping loop on arbitrary graphs, including

@@ -204,6 +204,35 @@ def test_redact_pii_golden(spark):
     assert got[3]["redacted"] == "two mails [EMAIL] [EMAIL] and ip [IP]"
 
 
+def test_compression_ratio_golden(spark):
+    """The zlib ratio separates the three regimes the filter exists
+    for, and agrees exactly with a direct zlib call on the same bytes
+    (one deterministic implementation, level fixed); NULL and empty
+    text yield NULL."""
+    import zlib
+
+    from rentals_data_pipeline_spark.operators.text import compression_ratio
+
+    degenerate = "spam " * 400
+    prose = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "geese argue about parquet footers and shuffle partitions in "
+        "a surprisingly eloquent committee meeting about compression"
+    )
+    noise = "Kj8#qZ2!mP9$wX4&vB7*nC1@hT6%rL3^yD5(sF0)gQ"
+    rows = [(0, degenerate), (1, prose), (2, noise), (3, None), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in df.transform(compression_ratio()).collect()
+    }
+    for i, t in [(0, degenerate), (1, prose), (2, noise)]:
+        b = t.encode()
+        assert got[i] == len(zlib.compress(b, 6)) / len(b)
+    assert got[0] < 0.05 < got[1] < 0.95 < got[2]
+    assert got[3] is None and got[4] is None
+
+
 def test_repetition_stats_golden(spark):
     from rentals_data_pipeline_spark.operators import text as TX
 
