@@ -781,6 +781,12 @@ def bloom_might_contain(
     join + bit test: a row survives only if every one of its k bits is
     set. The probe side never shuffles; downstream exact verification
     sees only the surviving sliver."""
+    reserved = {"_pos", "_bw", "_bb"}
+    clash = [
+        c for c in df.columns if any(c.startswith(r) for r in reserved)
+    ]
+    if clash:  # same contract as global_top_n's reserved-name guard
+        raise ValueError(f"input columns collide with bloom internals: {clash}")
     out = df
     for i in range(k_hashes):
         pos = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))

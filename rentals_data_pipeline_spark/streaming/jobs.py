@@ -686,7 +686,11 @@ def consolidate_gate_storage(
     merged.write.mode("overwrite").parquet(staging)
     if archive_value in vals:
         fs.delete(arch_path, True)
-    fs.rename(spath, arch_path)
+    if not fs.rename(spath, arch_path):
+        # Hadoop rename reports failure by return value, not exception;
+        # surfacing it keeps the repair path honest (staging intact,
+        # archive absent -> next run promotes it)
+        raise OSError(f"archive swap rename failed: {staging} -> {arch_path}")
     for v in folded:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{key}={v}"), True)
     return {
