@@ -1341,6 +1341,29 @@ def test_jpeg_roundtrip_property(dims, color, seed):
         assert np.abs(chans[c].reshape(h, w) - want[:, :, c]).max() <= 4.0
 
 
+@settings(max_examples=15, deadline=None)
+@given(
+    dims=st.tuples(st.integers(8, 40), st.integers(8, 40)),
+    color=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_progressive_property_matches_sequential(dims, color, seed):
+    """ANY geometry (partial edge blocks included), gray or RGB:
+    the progressive encoding of the same quantized coefficients
+    decodes bit-identically to the sequential one."""
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    if color:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    else:
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    _, _, base = C.decode_jpeg(_encode_jpeg(px))
+    nch, _, chans = C.decode_jpeg(_encode_jpeg_progressive(px))
+    assert len(chans) == len(base)
+    for got, want in zip(chans, base):
+        assert np.array_equal(got, want)
+
+
 # ---------------------------------------------------------------------------
 # FLAC: independent test-side encoder (lossless -> roundtrips are EXACT)
 # ---------------------------------------------------------------------------
