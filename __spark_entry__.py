@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in dict order.  With 193 catalog queries we order by certification need.
+# in dict order.  With 195 catalog queries we order by certification need.
 # Round-7 order (history: CORRECTNESS_r01..r06.json; the round-6 verdict
 # mandated rotating the 41-query group-1 queue to the front to END the
 # certification debt):
