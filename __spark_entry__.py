@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in dict order.  With 195 catalog queries we order by certification need.
+# in dict order.  With 196 catalog queries we order by certification need.
 # Round-7 order (history: CORRECTNESS_r01..r06.json; the round-6 verdict
 # mandated rotating the 41-query group-1 queue to the front to END the
 # certification debt):
@@ -85,7 +85,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_pack_chunks_by_split", "pipeline_training_data_prep",
     "pipeline_media_curation", "multimodal_shot_boundaries",
     "dedup_decontaminate_bloom", "flagship_events_daily",
-    "sim_matryoshka_prefix_rerank", "text_duplicated_ngram_fraction",
+    "dedup_shared_span_pairs", "text_duplicated_ngram_fraction",
 
     # -- group 2: driver-certified r1-r6, code byte-identical -------------
     "sql_cte_window_topn", "window_range_frame_events",
@@ -134,7 +134,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh_pairs", "dedup_simhash_fingerprints",
     "dedup_simhash_hamming_pairs", "dedup_ngram_jaccard_topk",
     "dedup_exact_documents", "dedup_duplicate_clusters",
-    "dedup_cluster_size_histogram", "sim_cosine_topk",
+    "dedup_cluster_size_histogram", "sim_cosine_topk", "sim_matryoshka_prefix_rerank",
     "sim_embedding_near_dup_pairs", "sim_srp_near_dup_pairs",
     "pipeline_embedding_curation", "pipeline_embedding_curation_srp",
     "multimodal_metadata", "multimodal_byte_histogram",

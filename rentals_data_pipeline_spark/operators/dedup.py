@@ -685,6 +685,107 @@ def shingle_digest_rows(
     return _apply
 
 
+def gram_position_rows(
+    id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> Callable[[DataFrame], DataFrame]:
+    """One (id, pos, d) row per word n-gram — ``shingle_digest_rows``
+    plus the 0-based token position, for span reconstruction. Same
+    in-array indexed-concat build (pure map fused into the scan, no
+    token-level shuffle), same md5 digests, so the oracle replays
+    positions exactly."""
+    tail = " , ' ', ".join(f"_toks[i + {j}]" for j in range(1, n))
+    gram_expr = (
+        f"transform(slice(_toks, 1, greatest(size(_toks) - {n - 1}, 0)), "
+        f"(t, i) -> struct(i AS pos, md5(concat(t, ' ', {tail})) AS d))"
+    )
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_toks")
+            )
+            .select(F.col(id_col), F.explode(F.expr(gram_expr)).alias("_g"))
+            .select(
+                F.col(id_col),
+                F.col("_g.pos").cast("long").alias("pos"),
+                F.col("_g.d").alias("d"),
+            )
+        )
+
+    return _apply
+
+
+def shared_span_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_span_tokens: int = 12,
+    max_doc_freq: int = 64,
+) -> DataFrame:
+    """Cross-document EXACT shared spans — the substring-level dedup
+    modality of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" (public paper; they use suffix arrays),
+    re-expressed relationally for Spark: a shared token span of length
+    L appears as L-n+1 consecutive n-gram digest matches lying on one
+    (id_a, id_b, pos_a - pos_b) DIAGONAL, so spans fall out of the
+    classic gaps-and-islands window over candidate matches:
+
+    1. (id, pos, digest) gram rows — pure map, no token shuffle;
+    2. doc-frequency cap: grams present in more than ``max_doc_freq``
+       docs are dropped BEFORE pairing (a boilerplate 5-gram in f docs
+       would otherwise fan out ~f^2 match rows — the standard hot-
+       shingle guard; the cap is part of the operator's semantics and
+       the oracle replays it);
+    3. digest self-join (id_a < id_b) — the candidate stage; match
+       volume is sum over grams of f_a*f_b, bounded by the cap;
+    4. islands: row_number per (pair, diagonal) ordered by pos_a;
+       pos_a - row_number is constant exactly on consecutive runs;
+    5. one aggregation per island -> span rows
+       (count + n - 1 tokens, start positions), filtered to
+       ``min_span_tokens``.
+
+    Output: one row per maximal shared span (id_a, id_b, span_tokens,
+    a_start, b_start) — a deterministic SET (no tie-breaking), so the
+    whole operator hash-certifies. Window partitions are per
+    (pair, diagonal) — candidate-sized, never corpus-sized."""
+    g = docs.transform(gram_position_rows(id_col, text_col, n))
+    keep = (
+        g.groupBy("d")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .where(F.col("_df") <= max_doc_freq)
+        .select("d")
+    )
+    g = g.join(keep, "d", "left_semi")
+    a = g.select(
+        F.col(id_col).alias("id_a"), F.col("pos").alias("pa"), "d"
+    )
+    b = g.select(
+        F.col(id_col).alias("id_b"), F.col("pos").alias("pb"), "d"
+    )
+    m = a.join(b, "d").where(F.col("id_a") < F.col("id_b"))
+    w = Window.partitionBy(
+        "id_a", "id_b", F.col("pa") - F.col("pb")
+    ).orderBy("pa")
+    isl = m.select(
+        "id_a",
+        "id_b",
+        "pa",
+        "pb",
+        (F.col("pa") - F.row_number().over(w)).alias("_grp"),
+    )
+    return (
+        isl.groupBy("id_a", "id_b", (F.col("pa") - F.col("pb")).alias("_diag"), "_grp")
+        .agg(
+            (F.count(F.lit(1)) + F.lit(n - 1)).cast("long").alias("span_tokens"),
+            F.min("pa").cast("long").alias("a_start"),
+            F.min("pb").cast("long").alias("b_start"),
+        )
+        .where(F.col("span_tokens") >= min_span_tokens)
+        .select("id_a", "id_b", "span_tokens", "a_start", "b_start")
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

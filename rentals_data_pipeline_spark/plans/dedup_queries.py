@@ -426,6 +426,60 @@ def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_shared_span_pairs",
+    r"""
+WITH t AS (
+    SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+),
+g AS (
+    SELECT doc_id, i.i AS pos,
+           md5(w[i.i+1] || ' ' || w[i.i+2] || ' ' || w[i.i+3]
+               || ' ' || w[i.i+4] || ' ' || w[i.i+5]) AS d
+    FROM t, (SELECT unnest(range(0, 100000)) AS i) i
+    WHERE len(w) >= 5 AND i.i <= len(w) - 5
+),
+keep AS (
+    SELECT d FROM g GROUP BY d HAVING COUNT(DISTINCT doc_id) <= 64
+),
+m AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+    FROM g a JOIN g b USING (d) JOIN keep USING (d)
+    WHERE a.doc_id < b.doc_id
+),
+isl AS (
+    SELECT id_a, id_b, pa, pb,
+        pa - ROW_NUMBER() OVER (
+            PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS grp
+    FROM m
+)
+SELECT id_a, id_b,
+    CAST(COUNT(*) + 4 AS BIGINT) AS span_tokens,
+    CAST(MIN(pa) AS BIGINT) AS a_start,
+    CAST(MIN(pb) AS BIGINT) AS b_start
+FROM isl
+GROUP BY id_a, id_b, pa - pb, grp
+HAVING COUNT(*) + 4 >= 12
+""",
+)
+def dedup_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact shared spans
+    (operators/dedup.py::shared_span_pairs) — the substring-level
+    dedup modality (Lee et al. 2022 use suffix arrays; here a shared
+    L-token span is L-4 consecutive 5-gram digest matches on one
+    (pair, pos_a-pos_b) diagonal, extracted with a gaps-and-islands
+    window over candidates only). Emits one row per maximal shared
+    span of >= 12 tokens, with start offsets in both docs — the rows
+    a span-level deduper would cut. Doc-frequency cap 64 drops
+    boilerplate grams before pairing (the hot-shingle guard; the
+    oracle replays the cap). The synthetic corpus's duplicate
+    clusters guarantee real cross-doc spans at every SF."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return DD.shared_span_pairs(
+        docs, n=5, min_span_tokens=12, max_doc_freq=64
+    )
+
+
+@query(
     "dedup_edit_distance_pairs",
     """
 WITH blocked AS (

@@ -181,6 +181,59 @@ def test_bloom_prefilter_prunes_and_never_false_negatives(spark):
     assert fp < 100  # ~2000 * FPR; generous bound against hash luck
 
 
+def test_shared_span_pairs_golden(spark):
+    """Hand-computed spans: docs 1/2 share one 7-token span at known
+    offsets; doc 3 shares only a 5-token span with doc 1 (below the
+    6-token threshold -> excluded); two DISJOINT shared runs on the
+    same diagonal stay two islands, not one merged span."""
+    from rentals_data_pipeline_spark.operators.dedup import shared_span_pairs
+
+    span = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    rows = [
+        (1, "x1 x2 " + span + " y1 y2"),          # span at pos 2..8
+        (2, "z1 " + span + " w1 w2 w3"),          # span at pos 1..7
+        (3, "alpha beta gamma delta epsilon q r s t u"),  # 5-token overlap
+        # doc 4 repeats doc 1's prefix AND suffix with a gap between —
+        # same diagonal, two islands
+        (4, "x1 x2 alpha beta gamma delta epsilon GAP zeta eta y1 y2 k9"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["span_tokens"], r["a_start"], r["b_start"])
+        for r in shared_span_pairs(
+            docs, n=3, min_span_tokens=6, max_doc_freq=64
+        ).collect()
+    }
+    # doc1-doc2: 7-token span, starts (2, 1)
+    assert (1, 2, 7, 2, 1) in got
+    # doc1-doc4: 7-token prefix span only (suffix run "zeta eta y1 y2"
+    # is 4 tokens < 6); same diagonal, islands kept it separate
+    assert (1, 4, 7, 0, 0) in got
+    # doc1-doc3 is below threshold
+    assert not any(a == 1 and b == 3 for a, b, *_ in got)
+    # no span reported twice, nothing with < 6 tokens
+    assert all(s >= 6 for _, _, s, _, _ in got)
+
+
+def test_shared_span_pairs_doc_freq_cap(spark):
+    """A gram present in more than max_doc_freq docs never generates
+    candidates: with the boilerplate line in every doc and cap=2, only
+    the pair sharing a RARE span survives."""
+    from rentals_data_pipeline_spark.operators.dedup import shared_span_pairs
+
+    boiler = "subscribe to our newsletter for updates today"
+    rows = [(i, boiler) for i in range(5)] + [
+        (10, "rare span one two three four five six " + boiler),
+        (11, "pad rare span one two three four five six"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = shared_span_pairs(
+        docs, n=3, min_span_tokens=6, max_doc_freq=2
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert pairs == {(10, 11)}
+
+
 def test_cc_auto_matches_distributed_on_random_graphs(spark):
     """Tiered CC (driver union-find) must be bit-identical to the
     distributed pointer-jumping loop on arbitrary graphs, including
