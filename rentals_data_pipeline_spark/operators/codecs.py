@@ -11,7 +11,8 @@ plus numpy. Coverage:
   PCM only; this parser replaces it byte-compatibly on that subset).
 - PNG — stdlib ``zlib`` inflate; 8- and 16-bit depth; grayscale, RGB,
   palette, gray+alpha and RGBA color types; all five scanline filters;
-  non-interlaced (Adam7 surfaces as an ``unsupported`` row).
+  non-interlaced and Adam7-interlaced (round 7: per-pass unfilter +
+  strided scatter).
 - GIF — 87a/89a first frame: full LZW with dictionary growth and
   deferred clear codes, global or local color table, interlacing.
 - BMP — uncompressed BI_RGB 24/32-bit, bottom-up or top-down.
@@ -271,10 +272,20 @@ def _png_unfilter(dec: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png(raw: bytes) -> Decoded:
     """PNG via stdlib zlib: 8/16-bit depth, color types 0/2/3/4/6,
-    non-interlaced. CRCs are deliberately NOT verified — a flipped CRC
-    byte on an otherwise-intact blob should still decode at scale."""
+    non-interlaced AND Adam7-interlaced (each of the seven passes is a
+    sub-image with its own filtered scanlines; pixels scatter back on
+    the pass grid — a strided numpy assignment per pass). CRCs are
+    deliberately NOT verified — a flipped CRC byte on an
+    otherwise-intact blob should still decode at scale."""
     if raw[:8] != _PNG_SIG:
         raise CodecError("png parse error: bad signature")
     ihdr: bytes | None = None
@@ -301,8 +312,8 @@ def decode_png(raw: bytes) -> Decoded:
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
     if comp != 0 or filt != 0:
         raise CodecError("png parse error: bad compression/filter method")
-    if interlace != 0:
-        raise CodecError("unsupported png interlace: Adam7")
+    if interlace not in (0, 1):
+        raise CodecError(f"png parse error: bad interlace method {interlace}")
     if color not in _PNG_CHANNELS:
         raise CodecError(f"unsupported png color type: {color}")
     if depth not in (8, 16) or (color == 3 and depth != 8):
@@ -318,7 +329,17 @@ def decode_png(raw: bytes) -> Decoded:
     nch = _PNG_CHANNELS[color]
     bpp = nch * (depth // 8)
     stride = w * bpp
-    need = h * (stride + 1)
+    if interlace == 1:
+        passes = []
+        need = 0
+        for x0, y0, dx, dy in _ADAM7:
+            cw = (w - x0 + dx - 1) // dx
+            ch = (h - y0 + dy - 1) // dy
+            passes.append((x0, y0, dx, dy, cw, ch))
+            if cw > 0 and ch > 0:
+                need += ch * (cw * bpp + 1)
+    else:
+        need = h * (stride + 1)
     try:
         # Bounded inflate: decompress AT MOST the bytes the declared
         # dimensions require. A plain zlib.decompress() would run a
@@ -331,7 +352,19 @@ def decode_png(raw: bytes) -> Decoded:
         raise CodecError(f"png parse error: idat inflate failed ({exc})")
     if len(dec) < need:
         raise CodecError("png parse error: truncated scanlines")
-    planes = _png_unfilter(dec, h, stride, bpp)
+    if interlace == 1:
+        planes = np.zeros((h, stride), dtype=np.uint8)
+        view = planes.reshape(h, w, bpp)
+        pos = 0
+        for x0, y0, dx, dy, cw, ch in passes:
+            if cw == 0 or ch == 0:
+                continue  # pass empty for this geometry — zero bytes
+            plen = ch * (cw * bpp + 1)
+            sub = _png_unfilter(dec[pos : pos + plen], ch, cw * bpp, bpp)
+            pos += plen
+            view[y0::dy, x0::dx, :] = sub.reshape(ch, cw, bpp)
+    else:
+        planes = _png_unfilter(dec, h, stride, bpp)
     if depth == 16:
         px = np.frombuffer(planes.tobytes(), dtype=">u2").astype(np.float64)
     else:

@@ -102,14 +102,35 @@ def _png(pixels: np.ndarray, color: int, depth: int = 8,
     bpp = nch * depth // 8
     stride = w * bpp
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
-    filters = filters if filters is not None else [y % 5 for y in range(h)]
-    prev = np.zeros(stride, dtype=np.uint8)
     scan = bytearray()
-    for y in range(h):
-        ft = filters[y]
-        scan.append(ft)
-        scan += _png_filter_row(ft, rows[y], prev, bpp).tobytes()
-        prev = rows[y]
+    if interlace == 1:
+        # true Adam7: each pass is its own filtered sub-image
+        view = rows.reshape(h, w, bpp)
+        fi = 0
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            sub = view[y0::dy, x0::dx, :]
+            ch_, cw_ = sub.shape[0], sub.shape[1]
+            if ch_ == 0 or cw_ == 0:
+                continue
+            srows = np.ascontiguousarray(sub).reshape(ch_, cw_ * bpp)
+            prev = np.zeros(cw_ * bpp, dtype=np.uint8)
+            for y in range(ch_):
+                ft = filters[fi % len(filters)] if filters else fi % 5
+                fi += 1
+                scan.append(ft)
+                scan += _png_filter_row(ft, srows[y], prev, bpp).tobytes()
+                prev = srows[y]
+    else:
+        filters = filters if filters is not None else [y % 5 for y in range(h)]
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            ft = filters[y]
+            scan.append(ft)
+            scan += _png_filter_row(ft, rows[y], prev, bpp).tobytes()
+            prev = rows[y]
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
     out = C._PNG_SIG + _png_chunk(b"IHDR", ihdr)
     if plte is not None:
@@ -359,10 +380,42 @@ def test_png_palette():
     assert chans[2].tolist() == [0.0, 0.0, 255.0, 9.0]
 
 
+def test_png_adam7_interlaced():
+    """Adam7 round-trips bit-exact across color types, depths, odd
+    geometries (passes 1-4 empty for tiny images), and all five
+    filters; a bad interlace method stays a typed error."""
+    rng = np.random.default_rng(9)
+    cases = [
+        (rng.integers(0, 256, size=(13, 21, 1), dtype=np.uint16), 0, 8),
+        (rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint16), 2, 8),
+        (rng.integers(0, 65536, size=(9, 7, 4), dtype=np.uint16), 6, 16),
+        (rng.integers(0, 256, size=(2, 3, 2), dtype=np.uint16), 4, 8),
+        (rng.integers(0, 256, size=(1, 1, 1), dtype=np.uint16), 0, 8),
+    ]
+    for px, color, depth in cases:
+        if depth == 8:
+            px = (px % 256).astype(np.uint16)
+        plain = C.decode_png(_png(px, color=color, depth=depth))
+        inter = C.decode_png(_png(px, color=color, depth=depth, interlace=1))
+        assert inter[0] == plain[0]
+        for a, b in zip(inter[2], plain[2]):
+            assert np.array_equal(a, b), (color, depth, px.shape)
+    # palette + Adam7
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+    idx = rng.integers(0, 4, size=(11, 5, 1), dtype=np.uint16)
+    plain = C.decode_png(_png(idx, color=3, plte=pal))
+    inter = C.decode_png(_png(idx, color=3, plte=pal, interlace=1))
+    for a, b in zip(inter[2], plain[2]):
+        assert np.array_equal(a, b)
+
+
 def test_png_errors():
     px = np.zeros((2, 2, 1), dtype=np.uint8)
+    bad = bytearray(_png(px, color=0))
+    at = bad.index(b"IHDR") + 4 + 12  # interlace byte of IHDR body
+    bad[at] = 2
     with pytest.raises(C.CodecError, match="interlace"):
-        C.decode_png(_png(px, color=0, interlace=1))
+        C.decode_png(bytes(bad))
     good = _png(px, color=0)
     with pytest.raises(C.CodecError, match="truncated"):
         C.decode_png(good[:20])
@@ -1599,6 +1652,7 @@ def _small_valid_blobs() -> dict[str, bytes]:
         "wav": _wav(1, 1, 8000, 16,
                     np.array([0, 1000, -1000], dtype="<i2").tobytes()),
         "png": _png(px, color=2),
+        "png_adam7": _png(px, color=2, interlace=1),
         "gif": _gif(idx, pal),
         "bmp": _bmp(px),
         "jpeg": _encode_jpeg(px[:, :, 0]),
