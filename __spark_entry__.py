@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in dict order.  With 196 catalog queries we order by certification need.
+# in dict order.  With 197 catalog queries we order by certification need.
 # Round-7 order (history: CORRECTNESS_r01..r06.json; the round-6 verdict
 # mandated rotating the 41-query group-1 queue to the front to END the
 # certification debt):
@@ -155,7 +155,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sim_ivf_pq_residual_recall", "sample_weighted_documents",
     "sketch_distinct_users_rollup", "sketch_sliding_distinct_users",
     "sketch_distinct_overlap_users", "ts_downsample_lttb",
-    "text_compression_ratio_filter", "text_bpe_merges",
+    "text_compression_ratio_filter", "multimodal_video_shot_boundaries",
+    "text_bpe_merges",
 )
 
 

@@ -392,7 +392,9 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearr
     one entry per emitted code, width bumps at 2^size up to 12 bits,
     clear resets. Stops at the end code or once ``max_pixels`` indices
     are out (some encoders omit the end code)."""
-    if not 2 <= min_code_size <= 11:
+    # spec range is 2-8 (base alphabet <= 256 palette indices); 9+
+    # would ask for bytes() values past 255 in the base table
+    if not 2 <= min_code_size <= 8:
         raise CodecError(f"gif parse error: bad LZW code size {min_code_size}")
     clear = 1 << min_code_size
     end = clear + 1
@@ -527,6 +529,153 @@ def decode_gif(raw: bytes) -> Decoded:
         rgb = pal[idx.astype(np.int64)]
         return 3, None, [rgb[:, :, c].reshape(-1) for c in range(3)]
     raise CodecError("gif parse error: no image descriptor")
+
+
+def _gif_subblocks(raw: bytes, off: int) -> tuple[bytes, int]:
+    """Concatenate GIF data sub-blocks starting at ``off``; returns
+    (data, offset past the terminator)."""
+    parts: list[bytes] = []
+    while True:
+        if off >= len(raw):
+            raise CodecError("gif parse error: truncated image data")
+        blen = raw[off]
+        off += 1
+        if blen == 0:
+            break
+        part = raw[off : off + blen]
+        if len(part) < blen:
+            raise CodecError("gif parse error: truncated image data")
+        parts.append(part)
+        off += blen
+    return b"".join(parts), off
+
+
+def decode_gif_frames(
+    raw: bytes, max_frames: int = 64
+) -> tuple[list[np.ndarray], list[int]]:
+    """Full GIF87a/89a ANIMATION decode — the one motion format a
+    no-C-extension container can actually play back. Returns
+    ``(frames, delays)``: each frame is the COMPOSITED logical-screen
+    canvas after that image renders, as an (H, W, 3) uint8 array;
+    delays are the GCE delay times in centiseconds (0 when absent).
+
+    Implements the pieces ``decode_gif`` (single frame, own rect)
+    skips: Graphic Control Extensions (disposal method, transparency
+    index, delay), sub-rect placement with clipping to the screen,
+    and the three disposal semantics — leave (0/1), restore-background
+    (2: the frame's rect resets to the background color), and
+    restore-previous (3: the canvas reverts to its pre-frame state).
+    The canvas starts as the background color when a global color
+    table supplies one, else black.
+
+    Bomb guards: the screen obeys the shared ``_MAX_PIXELS`` cap, each
+    frame rect's LZW output is bounded by its declared area, and total
+    CAPTURED pixels across frames are bounded by ``_MAX_PIXELS`` on
+    top of ``max_frames`` — past either budget remaining frames are
+    simply not captured (triage keeps what fits; never an allocation
+    the header size doesn't justify)."""
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise CodecError("gif parse error: unsupported version")
+    if len(raw) < 13:
+        raise CodecError("gif parse error: truncated screen descriptor")
+    sw, sh = struct.unpack_from("<HH", raw, 6)
+    packed = raw[10]
+    bg_idx = raw[11]
+    if sw == 0 or sh == 0:
+        raise CodecError("gif parse error: zero dimensions")
+    if sw * sh > _MAX_PIXELS:
+        raise CodecError(f"gif parse error: implausible dimensions {sw}x{sh}")
+    off = 13
+    gct: bytes | None = None
+    if packed & 0x80:
+        count = 2 << (packed & 0x07)
+        gct = raw[off : off + 3 * count]
+        if len(gct) < 3 * count:
+            raise CodecError("gif parse error: truncated color table")
+        off += 3 * count
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    if gct is not None and bg_idx < len(gct) // 3:
+        canvas[:, :] = np.frombuffer(
+            gct[3 * bg_idx : 3 * bg_idx + 3], dtype=np.uint8
+        )
+    bg_fill = canvas[0, 0].copy()
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    disposal, transparent, delay = 0, None, 0
+    pixel_budget = _MAX_PIXELS
+    while off < len(raw):
+        block = raw[off]
+        if block == 0x3B:
+            break
+        if block == 0x21:  # extension
+            if off + 2 > len(raw):
+                raise CodecError("gif parse error: truncated extension")
+            label = raw[off + 1]
+            data, off = _gif_subblocks(raw, off + 2)
+            if label == 0xF9 and len(data) >= 4:  # Graphic Control
+                gpacked = data[0]
+                disposal = (gpacked >> 2) & 0x07
+                delay = int.from_bytes(data[1:3], "little")
+                transparent = data[3] if gpacked & 0x01 else None
+            continue
+        if block != 0x2C:
+            raise CodecError(f"gif parse error: unexpected block 0x{block:02x}")
+        if off + 10 > len(raw):
+            raise CodecError("gif parse error: truncated image descriptor")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", raw, off + 1)
+        off += 10
+        ct = gct
+        if ipacked & 0x80:
+            count = 2 << (ipacked & 0x07)
+            ct = raw[off : off + 3 * count]
+            if len(ct) < 3 * count:
+                raise CodecError("gif parse error: truncated color table")
+            off += 3 * count
+        if ct is None:
+            raise CodecError("gif parse error: no color table")
+        if w == 0 or h == 0:
+            raise CodecError("gif parse error: zero dimensions")
+        if w * h > _MAX_PIXELS:
+            raise CodecError(f"gif parse error: implausible dimensions {w}x{h}")
+        if off >= len(raw):
+            raise CodecError("gif parse error: truncated image data")
+        min_code_size = raw[off]
+        data, off = _gif_subblocks(raw, off + 1)
+        idx_bytes = _gif_lzw_decode(data, min_code_size, w * h)
+        if len(idx_bytes) < w * h:
+            raise CodecError("gif parse error: short pixel data")
+        idx = np.frombuffer(bytes(idx_bytes[: w * h]), dtype=np.uint8).reshape(
+            h, w
+        )
+        if ipacked & 0x40:
+            idx = _gif_deinterlace(idx)
+        pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise CodecError("gif parse error: palette index out of range")
+        # clip the frame rect to the logical screen (hostile descriptors)
+        h_eff = max(0, min(h, sh - top))
+        w_eff = max(0, min(w, sw - left))
+        prev = canvas.copy() if disposal == 3 else None
+        if h_eff > 0 and w_eff > 0:
+            sub = idx[:h_eff, :w_eff]
+            region = canvas[top : top + h_eff, left : left + w_eff]
+            if transparent is not None:
+                mask = sub != transparent
+                region[mask] = pal[sub.astype(np.int64)][mask]
+            else:
+                region[:, :] = pal[sub.astype(np.int64)]
+        if len(frames) < max_frames and pixel_budget >= sw * sh:
+            frames.append(canvas.copy())
+            delays.append(delay)
+            pixel_budget -= sw * sh
+        if disposal == 2 and h_eff > 0 and w_eff > 0:
+            canvas[top : top + h_eff, left : left + w_eff] = bg_fill
+        elif disposal == 3:
+            canvas = prev
+        disposal, transparent, delay = 0, None, 0
+    if not frames:
+        raise CodecError("gif parse error: no image descriptor")
+    return frames, delays
 
 
 # ---------------------------------------------------------------------------

@@ -187,6 +187,184 @@ def pack_ppm(
     return _apply
 
 
+def pack_gif_anim(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_payload: str = "payload",
+    frame_px: int = 8,
+    max_frames: int = 8,
+) -> Op:
+    """Build REAL animated GIF89a containers from the text — one
+    ``frame_px`` x ``frame_px`` 4-color frame per 64-byte text chunk
+    (up to ``max_frames``), each with a Graphic Control Extension
+    carrying a deterministic delay — so the video path
+    (``decode_video_frames``) exercises genuine multi-frame container
+    parses with pixel values recomputable from the text. The LZW
+    stream uses the spec-legal clear-per-pixel form (CLEAR before
+    every pixel code keeps code width fixed — 2x the bits of real
+    compression, irrelevant at 64 pixels/frame and dead simple to
+    prove correct). NULL text packs to NULL payload."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(out_payload, T.BinaryType()),
+        ]
+    )
+    npx = frame_px * frame_px
+
+    def _pack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct as _struct
+
+        import pandas as pd
+
+        # grayscale 4-color palette: index i -> luma 85*i
+        gct = bytes(v for i in range(4) for v in (85 * i, 85 * i, 85 * i))
+
+        def lzw_clear_per_pixel(indices: bytes) -> bytes:
+            # LSB-first bit packing; mcs=2: CLEAR=4, END=5, width 3
+            out = bytearray()
+            acc = nacc = 0
+
+            def put(code: int) -> None:
+                nonlocal acc, nacc
+                acc |= code << nacc
+                nacc += 3
+                while nacc >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    nacc -= 8
+
+            for px in indices:
+                put(4)  # CLEAR: table resets, width stays 3
+                put(px)
+            put(5)  # END
+            if nacc:
+                out.append(acc & 0xFF)
+            return bytes(out)
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                if text is None:
+                    payloads.append(None)
+                    continue
+                data = text.encode("utf-8")
+                n_frames = max(1, min(max_frames, -(-len(data) // npx)))
+                blob = bytearray(b"GIF89a")
+                blob += _struct.pack(
+                    "<HHBBB", frame_px, frame_px, 0x80 | 1, 0, 0
+                )
+                blob += gct
+                for f in range(n_frames):
+                    chunk = data[f * npx : (f + 1) * npx]
+                    idx = bytes(b & 3 for b in chunk) + b"\x00" * (
+                        npx - len(chunk)
+                    )
+                    blob += b"\x21\xf9\x04\x00" + _struct.pack(
+                        "<H", 10 * (f + 1)
+                    ) + b"\x00\x00"
+                    blob += b"\x2c" + _struct.pack(
+                        "<HHHHB", 0, 0, frame_px, frame_px, 0
+                    )
+                    blob.append(2)  # min LZW code size
+                    lzw = lzw_clear_per_pixel(idx)
+                    for i in range(0, len(lzw), 255):
+                        part = lzw[i : i + 255]
+                        blob.append(len(part))
+                        blob += part
+                    blob.append(0)
+                blob += b"\x3b"
+                payloads.append(bytes(blob))
+            yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.select(id_col, text_col).mapInPandas(_pack, out_schema)
+
+    return _apply
+
+
+def decode_video_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_frames: int = 64,
+) -> DataFrame:
+    """Per-frame decode of animated containers — GIF 87a/89a, the one
+    motion format a no-C-extension environment plays back
+    (codecs.py::decode_gif_frames: GCE disposal/transparency
+    compositing, sub-rect placement, bomb-guarded). One OUTPUT ROW PER
+    FRAME of the composited logical screen: frame index, total frame
+    count, GCE delay (centiseconds), geometry, and exact per-channel
+    means (integer sums / pixel count in float64 — deterministic) —
+    the per-frame statistics motion curation filters (shot-boundary,
+    static-asset, slideshow-vs-video) run on. Corrupt/NULL/non-GIF
+    payloads are error rows, never task failures; still images decode
+    as a 1-frame video (parity with ``decode_media``'s first-frame
+    view, pinned by test)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("delay_cs", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+            T.StructField("decode_error", T.StringType()),
+        ]
+    )
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from rentals_data_pipeline_spark.operators.codecs import (
+            CodecError,
+            decode_gif_frames,
+        )
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    rows.append(
+                        (doc_id, None, None, None, None, None,
+                         None, None, None, "null payload")
+                    )
+                    continue
+                try:
+                    frames, delays = decode_gif_frames(
+                        bytes(payload), max_frames=max_frames
+                    )
+                except CodecError as e:
+                    rows.append(
+                        (doc_id, None, None, None, None, None,
+                         None, None, None, str(e))
+                    )
+                    continue
+                except Exception as e:  # hostile blob != task failure
+                    rows.append(
+                        (doc_id, None, None, None, None, None, None, None,
+                         None,
+                         f"decode failure: {type(e).__name__}: {str(e)[:120]}")
+                    )
+                    continue
+                n = len(frames)
+                for i, (fr, dl) in enumerate(zip(frames, delays)):
+                    h, w = fr.shape[:2]
+                    sums = fr.reshape(-1, 3).astype("int64").sum(axis=0)
+                    cnt = float(h * w)
+                    rows.append(
+                        (doc_id, i, n, dl, w, h,
+                         float(sums[0]) / cnt, float(sums[1]) / cnt,
+                         float(sums[2]) / cnt, None)
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, out_schema)
+
+
 def decode_media(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -605,3 +605,59 @@ def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("duration_us"),
         "probe_error",
     )
+
+
+@query("multimodal_video_shot_boundaries")  # rows-only: GIF LZW + GCE
+# compositing has no ANSI-SQL twin; semantics pinned by pytest goldens
+def multimodal_video_shot_boundaries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shot-boundary detection over REAL multi-frame containers — the
+    motion-curation pass on genuine animated GIF89a blobs, not fake
+    byte streams: pack each document's text into an animated GIF (one
+    4-color frame per 64-byte chunk, GCE delays —
+    operators/multimodal.py::pack_gif_anim), decode every frame of the
+    composited canvas (codecs.py::decode_gif_frames: full LZW,
+    disposal, transparency), then per document: frame count, total
+    declared duration, and cut count = frames whose mean-luma jump
+    from the previous frame exceeds 8/255 — the static-asset /
+    slideshow / real-motion triage signal. Per-frame means are exact
+    integer-sum/count doubles, so output is deterministic; the
+    lag window partitions per doc_id (frame-count-sized, never
+    corpus-sized). Rows-only: LZW entropy decode is not expressible in
+    ANSI SQL; frame-pixel and compositing semantics are golden-tested
+    against hand-built animations (tests/test_codecs.py,
+    tests/test_multimodal_ops.py)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = MM.decode_video_frames(docs.transform(MM.pack_gif_anim()))
+    ok = frames.where(F.col("decode_error").isNull())
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    luma = (
+        F.col("mean_r") * 0.299 + F.col("mean_g") * 0.587
+        + F.col("mean_b") * 0.114
+    )
+    deltas = ok.select(
+        "doc_id",
+        "n_frames",
+        "delay_cs",
+        (F.abs(luma - F.lag(luma).over(w))).alias("luma_jump"),
+    )
+    return (
+        deltas.groupBy("doc_id")
+        .agg(
+            F.first("n_frames").cast("long").alias("n_frames"),
+            F.sum("delay_cs").cast("long").alias("duration_cs"),
+            F.sum(
+                F.when(F.col("luma_jump") > 8.0, 1).otherwise(0)
+            ).cast("long").alias("n_cuts"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            "duration_cs",
+            "n_cuts",
+            (F.col("n_cuts") == 0).alias("is_static"),
+        )
+    )

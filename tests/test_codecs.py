@@ -214,6 +214,47 @@ def _gif(idx: np.ndarray, palette: np.ndarray, interlace: bool = False,
     return bytes(out)
 
 
+def _gif_anim(
+    screen: tuple,
+    palette: np.ndarray,
+    frames: list,
+    bg_idx: int = 0,
+    min_code_size: int = 2,
+) -> bytes:
+    """GIF89a animation writer: each frame is a dict with ``idx``
+    (sub-rect index array), ``left``/``top``, and optional
+    ``disposal``/``transparent``/``delay`` emitted as a Graphic
+    Control Extension."""
+    sw, sh = screen
+    ct_bits = max(1, (len(palette) - 1).bit_length())
+    ct = palette.astype(np.uint8).tobytes()
+    ct += b"\x00" * (3 * (1 << ct_bits) - len(ct))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (ct_bits - 1), bg_idx, 0)
+    out += ct
+    for f in frames:
+        idx = f["idx"]
+        h, w = idx.shape
+        gp = (f.get("disposal", 0) & 7) << 2
+        if f.get("transparent") is not None:
+            gp |= 1
+        out += b"\x21\xf9\x04" + bytes([gp]) + struct.pack(
+            "<H", f.get("delay", 0)
+        ) + bytes([f.get("transparent") or 0, 0])
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", f.get("left", 0), f.get("top", 0), w, h, 0
+        )
+        data = _lzw_encode(idx.astype(np.uint8).tobytes(), min_code_size)
+        out.append(min_code_size)
+        for i in range(0, len(data), 255):
+            part = data[i : i + 255]
+            out.append(len(part))
+            out += part
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def _bmp(pixels: np.ndarray, top_down: bool = False) -> bytes:
     """BI_RGB writer; ``pixels`` is (h, w, 3|4) RGB(A), top-down."""
     h, w, nch = pixels.shape
@@ -465,6 +506,74 @@ def test_gif_lzw_roundtrip_with_width_bumps():
     for c in range(3):
         assert np.array_equal(
             chans[c].reshape(16, 16), _PAL4[idx][:, :, c].astype(float)
+        )
+
+
+def test_gif_animation_compositing():
+    """Multi-frame decode with all three disposal semantics: sub-rect
+    placement composites over the previous canvas, transparency lets
+    the prior frame show through, disposal=2 resets the frame's rect
+    to background, disposal=3 reverts the canvas, and delays surface
+    in centiseconds."""
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    full_red = np.full((4, 4), 1, dtype=np.uint8)
+    patch_green = np.full((2, 2), 2, dtype=np.uint8)
+    # green patch with a transparent hole at (0, 0)
+    holed = patch_green.copy()
+    holed[0, 0] = 3
+    raw = _gif_anim(
+        (4, 4),
+        pal,
+        [
+            {"idx": full_red, "delay": 10},
+            # composites at (1,1); disposal=3 -> canvas reverts after
+            {"idx": holed, "left": 1, "top": 1, "transparent": 3,
+             "disposal": 3, "delay": 20},
+            # after revert, a blue patch with disposal=2 -> rect resets
+            {"idx": np.full((2, 2), 3, dtype=np.uint8), "left": 2,
+             "top": 2, "disposal": 2},
+            # final full-transparent frame: canvas shows disposal-2 hole
+            {"idx": np.full((1, 1), 0, dtype=np.uint8), "transparent": 0},
+        ],
+    )
+    frames, delays = C.decode_gif_frames(raw)
+    assert len(frames) == 4 and delays == [10, 20, 0, 0]
+    red, green, blue, black = (
+        [255, 0, 0], [0, 255, 0], [0, 0, 255], [0, 0, 0],
+    )
+    assert frames[0].tolist() == [[red] * 4] * 4
+    # frame 2: green patch at (1,1)..(2,2) except the transparent hole
+    f1 = frames[1].tolist()
+    assert f1[1][1] == red  # hole -> red shows through
+    assert f1[1][2] == green and f1[2][1] == green and f1[2][2] == green
+    assert f1[0][0] == red
+    # frame 3: canvas reverted (no green), blue patch at (2,2)..(3,3)
+    f2 = frames[2].tolist()
+    assert f2[1][1] == red and f2[1][2] == red
+    assert f2[2][2] == blue and f2[3][3] == blue
+    # frame 4: disposal=2 reset the blue rect to background (black)
+    f3 = frames[3].tolist()
+    assert f3[2][2] == black and f3[3][3] == black
+    assert f3[0][0] == red
+
+
+def test_gif_animation_caps_and_single_frame_parity():
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    idx = (np.arange(16, dtype=np.uint8) % 2).reshape(4, 4)
+    frames, _ = C.decode_gif_frames(
+        _gif_anim((4, 4), pal, [{"idx": idx}] * 10), max_frames=3
+    )
+    assert len(frames) == 3
+    # single-image parity: decode_gif_frames agrees with decode_gif
+    raw1 = _gif(idx, pal)
+    nch, _, chans = C.decode_gif(raw1)
+    f, _ = C.decode_gif_frames(raw1)
+    assert len(f) == 1
+    for c in range(3):
+        assert np.array_equal(
+            f[0][:, :, c].reshape(-1).astype(np.float64), chans[c]
         )
 
 

@@ -286,3 +286,60 @@ def test_shot_boundaries_oracle_handles_long_docs(spark, tmp_path):
         ).fetchall()
     }
     assert got == want
+
+
+def test_pack_gif_anim_decode_video_frames_roundtrip(spark):
+    """Real animated-GIF roundtrip through Spark: each 64-byte text
+    chunk becomes one frame whose pixel lumas are exactly 85*(byte&3);
+    per-frame means are exact integer-sum/count doubles, delays are
+    the deterministic 10*(i+1) GCE values, NULL text is an error row,
+    and a short doc still produces one (padded) frame."""
+    from rentals_data_pipeline_spark.operators import multimodal as MM
+
+    text = "the quick brown fox jumps over the lazy dog " * 4  # 3 frames
+    docs = spark.createDataFrame(
+        [(1, text), (2, "tiny"), (3, None)], "doc_id long, text string"
+    )
+    rows = MM.decode_video_frames(
+        docs.transform(MM.pack_gif_anim())
+    ).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 3 and all(
+        r["n_frames"] == 3 and r["decode_error"] is None for r in by_doc[1]
+    )
+    data = text.encode()
+    for r in sorted(by_doc[1], key=lambda r: r["frame_idx"]):
+        f = r["frame_idx"]
+        chunk = data[f * 64 : (f + 1) * 64]
+        want_mean = sum(85 * (b & 3) for b in chunk) / 64.0
+        assert r["mean_r"] == want_mean == r["mean_g"] == r["mean_b"]
+        assert r["delay_cs"] == 10 * (f + 1)
+        assert (r["width"], r["height"]) == (8, 8)
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_frames"] == 1
+    assert by_doc[3][0]["decode_error"] == "null payload"
+
+
+def test_video_shot_boundaries_query_golden(spark, tmp_path):
+    """The rows-only catalog query: a doc whose chunks alternate
+    luma-heavy and luma-light text shows cuts; a constant doc is
+    static. Durations sum the GCE delays exactly."""
+    import __spark_entry__ as E
+
+    # chunk A: bytes & 3 == 3 (e.g. 'c' = 0x63 -> 3) / chunk B: byte
+    # '`' = 0x60 -> 0: maximal luma jump between 64-byte chunks
+    doc_cuts = "c" * 64 + "`" * 64 + "c" * 64
+    doc_flat = "c" * 192
+    spark.createDataFrame(
+        [(1, doc_cuts), (2, doc_flat)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_frames"], r["duration_cs"], r["n_cuts"],
+                      r["is_static"])
+        for r in E.queries()["multimodal_video_shot_boundaries"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[1] == (3, 60, 2, False)  # 10+20+30 cs, two 255-luma jumps
+    assert got[2] == (3, 60, 0, True)
