@@ -9,7 +9,8 @@ plus numpy. Coverage:
   and A-law, and ``WAVE_FORMAT_EXTENSIBLE`` wrappers of all of those
   (the stdlib ``wave`` module the round-5 decoder used handles plain
   PCM only; this parser replaces it byte-compatibly on that subset).
-- PNG — stdlib ``zlib`` inflate; 8- and 16-bit depth; grayscale, RGB,
+- PNG — stdlib ``zlib`` inflate; 1/2/4-bit (grayscale + palette,
+  MSB-first bit unpacking) and 8/16-bit depth; grayscale, RGB,
   palette, gray+alpha and RGBA color types; all five scanline filters;
   non-interlaced and Adam7-interlaced (round 7: per-pass unfilter +
   strided scatter).
@@ -316,7 +317,10 @@ def decode_png(raw: bytes) -> Decoded:
         raise CodecError(f"png parse error: bad interlace method {interlace}")
     if color not in _PNG_CHANNELS:
         raise CodecError(f"unsupported png color type: {color}")
-    if depth not in (8, 16) or (color == 3 and depth != 8):
+    if depth not in (1, 2, 4, 8, 16) or (
+        depth < 8 and color not in (0, 3)
+    ) or (color == 3 and depth == 16):
+        # sub-byte depths are spec-legal only for grayscale and palette
         raise CodecError(f"unsupported png bit depth: {depth}")
     if w == 0 or h == 0:
         raise CodecError("png parse error: zero dimensions")
@@ -327,8 +331,13 @@ def decode_png(raw: bytes) -> Decoded:
     if not idat:
         raise CodecError("png parse error: missing IDAT")
     nch = _PNG_CHANNELS[color]
-    bpp = nch * (depth // 8)
-    stride = w * bpp
+    # filter unit: one byte for sub-byte depths (spec: bpp rounds up)
+    bpp = max(1, nch * depth // 8)
+
+    def _row_bytes(px_count: int) -> int:
+        return (px_count * nch * depth + 7) // 8
+
+    stride = _row_bytes(w)
     if interlace == 1:
         passes = []
         need = 0
@@ -337,7 +346,7 @@ def decode_png(raw: bytes) -> Decoded:
             ch = (h - y0 + dy - 1) // dy
             passes.append((x0, y0, dx, dy, cw, ch))
             if cw > 0 and ch > 0:
-                need += ch * (cw * bpp + 1)
+                need += ch * (_row_bytes(cw) + 1)
     else:
         need = h * (stride + 1)
     try:
@@ -352,24 +361,45 @@ def decode_png(raw: bytes) -> Decoded:
         raise CodecError(f"png parse error: idat inflate failed ({exc})")
     if len(dec) < need:
         raise CodecError("png parse error: truncated scanlines")
+
+    def _unpack_bits(rows: np.ndarray, px_count: int) -> np.ndarray:
+        # sub-byte samples: MSB-first within each byte, rows padded to
+        # a byte boundary — unpack and regroup ``depth`` bits per pixel
+        bits = np.unpackbits(rows, axis=1)[:, : px_count * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        return bits.reshape(rows.shape[0], px_count, depth) @ weights
+
     if interlace == 1:
-        planes = np.zeros((h, stride), dtype=np.uint8)
-        view = planes.reshape(h, w, bpp)
+        if depth < 8:
+            vals = np.zeros((h, w), dtype=np.int64)
+        else:
+            planes = np.zeros((h, stride), dtype=np.uint8)
+            view = planes.reshape(h, w, bpp)
         pos = 0
         for x0, y0, dx, dy, cw, ch in passes:
             if cw == 0 or ch == 0:
                 continue  # pass empty for this geometry — zero bytes
-            plen = ch * (cw * bpp + 1)
-            sub = _png_unfilter(dec[pos : pos + plen], ch, cw * bpp, bpp)
+            pstride = _row_bytes(cw)
+            plen = ch * (pstride + 1)
+            sub = _png_unfilter(dec[pos : pos + plen], ch, pstride, bpp)
             pos += plen
-            view[y0::dy, x0::dx, :] = sub.reshape(ch, cw, bpp)
+            if depth < 8:
+                vals[y0::dy, x0::dx] = _unpack_bits(sub, cw)
+            else:
+                view[y0::dy, x0::dx, :] = sub.reshape(ch, cw, bpp)
     else:
         planes = _png_unfilter(dec, h, stride, bpp)
-    if depth == 16:
+        if depth < 8:
+            vals = _unpack_bits(planes, w)
+    if depth < 8:
+        px = vals.astype(np.float64).reshape(h, w, 1)
+        if color == 0:  # scale 0..2^d-1 to the 0..255 sample range
+            px = px * (255.0 / ((1 << depth) - 1))
+    elif depth == 16:
         px = np.frombuffer(planes.tobytes(), dtype=">u2").astype(np.float64)
+        px = px.reshape(h, w, nch)
     else:
-        px = planes.reshape(-1).astype(np.float64)
-    px = px.reshape(h, w, nch)
+        px = planes.reshape(-1).astype(np.float64).reshape(h, w, nch)
     if color == 3:  # palette indices -> RGB planes
         if plte is None or len(plte) < 3 or len(plte) % 3:
             raise CodecError("png parse error: missing or malformed PLTE")
