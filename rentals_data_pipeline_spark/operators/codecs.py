@@ -694,10 +694,15 @@ def decode_gif_frames(
                 region[mask] = pal[sub.astype(np.int64)][mask]
             else:
                 region[:, :] = pal[sub.astype(np.int64)]
-        if len(frames) < max_frames and pixel_budget >= sw * sh:
-            frames.append(canvas.copy())
-            delays.append(delay)
-            pixel_budget -= sw * sh
+        frames.append(canvas.copy())
+        delays.append(delay)
+        pixel_budget -= sw * sh
+        if len(frames) >= max_frames or pixel_budget < sw * sh:
+            # capture budget spent: frames past it can never be
+            # observed, so stop PARSING too — a hostile blob declaring
+            # thousands of screen-sized frames must not buy
+            # frames x canvas-area compositing work
+            break
         if disposal == 2 and h_eff > 0 and w_eff > 0:
             canvas[top : top + h_eff, left : left + w_eff] = bg_fill
         elif disposal == 3:
