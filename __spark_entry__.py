@@ -48,13 +48,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #       group 1, queued verbatim) — certifying them ends the debt:
 #       every oracle-paired catalog query will have been checked by the
 #       driver's own gate at least once;
-#     * 8 re-certifications whose prior cert round-7 code changes void
-#       or whose value warrants a re-check: the two packing flagships
-#       (NULL-safe offsets join rewrite), the two decoded-media queries
-#       downstream of the JPEG geometry fixes, the NEW Bloom-prefilter
-#       decontamination (round-7 addition, exact-equality contract),
-#       the flagship, and the two round-6 perf rewrites (Matryoshka
-#       prefix, duplicated-ngram).
+#     * 8 more slots: re-certifications whose prior cert round-7 code
+#       changes void — the two packing flagships (NULL-safe offsets
+#       join rewrite) and the two decoded-media queries downstream of
+#       the JPEG geometry fixes — plus the flagship, the
+#       duplicated-ngram r6 perf rewrite, and the TWO new round-7
+#       oracle-paired queries (Bloom-prefilter decontamination,
+#       cross-doc shared spans), which took the slack re-cert slots
+#       (sim_matryoshka_prefix_rerank and multimodal_decoded_wav_stats
+#       — both r6-certified on code round 7 does not touch — returned
+#       to group 2 to make room).
 #   group 2 — driver-certified in r1-r6 on code this round leaves
 #     byte-identical (the full catalog is also locally re-certified in
 #     driver-faithful --pandas-oracle mode each round; see COVERAGE.md).

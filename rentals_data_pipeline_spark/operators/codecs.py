@@ -533,21 +533,8 @@ def decode_gif(raw: bytes) -> Decoded:
         if off >= len(raw):
             raise CodecError("gif parse error: truncated image data")
         min_code_size = raw[off]
-        off += 1
-        parts: list[bytes] = []
-        while True:
-            if off >= len(raw):
-                raise CodecError("gif parse error: truncated image data")
-            blen = raw[off]
-            off += 1
-            if blen == 0:
-                break
-            part = raw[off : off + blen]
-            if len(part) < blen:
-                raise CodecError("gif parse error: truncated image data")
-            parts.append(part)
-            off += blen
-        idx_bytes = _gif_lzw_decode(b"".join(parts), min_code_size, w * h)
+        data, off = _gif_subblocks(raw, off + 1)
+        idx_bytes = _gif_lzw_decode(data, min_code_size, w * h)
         if len(idx_bytes) < w * h:
             raise CodecError("gif parse error: short pixel data")
         idx = np.frombuffer(bytes(idx_bytes[: w * h]), dtype=np.uint8).reshape(h, w)
@@ -1327,6 +1314,8 @@ def _decode_jpeg_progressive(raw: bytes) -> Decoded:
             if not body or len(body) < 1 + 2 * body[0] + 3:
                 raise CodecError("jpeg parse error: truncated scan header")
             ns = body[0]
+            if ns == 0:
+                raise CodecError("jpeg parse error: empty scan header")
             scomps = [
                 (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 15)
                 for c in range(ns)

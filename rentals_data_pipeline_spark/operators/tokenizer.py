@@ -233,16 +233,23 @@ def bpe_train(
     # numPartitions candidate rows is exactly the unbounded-driver
     # shape this engine bans (1M-word cap over a 1000-partition
     # histogram = a billion rows on the driver).
-    hist = global_top_n(
-        hist, [F.col("cnt").desc(), F.col("word").asc()], max_words
-    ).select(_to_symbols(F.col("word")).alias("syms"), "cnt")
+    # checkpoint BEFORE the tier probe: the probe's limit().collect()
+    # and the distributed loop's first iteration would otherwise each
+    # run the full tokenize + histogram + top-N lineage — twice the
+    # costliest stage on exactly the corpora the distributed tier
+    # exists for. The checkpoint is bounded (<= max_words rows) and
+    # both tiers read from its blocks.
+    hist = (
+        global_top_n(hist, [F.col("cnt").desc(), F.col("word").asc()], max_words)
+        .select(_to_symbols(F.col("word")).alias("syms"), "cnt")
+        .localCheckpoint(eager=True)
+    )
     bound = min(driver_bound, max_words + 1)
     probe = hist.limit(bound).collect()
     if len(probe) < bound:
         return _driver_train(
             [(r["syms"], r["cnt"]) for r in probe], num_merges, min_pair_count
         )
-    hist = hist.localCheckpoint()
 
     merges: list[tuple[str, str]] = []
     for step in range(num_merges):

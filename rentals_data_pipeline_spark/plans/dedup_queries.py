@@ -435,7 +435,8 @@ g AS (
     SELECT doc_id, i.i AS pos,
            md5(w[i.i+1] || ' ' || w[i.i+2] || ' ' || w[i.i+3]
                || ' ' || w[i.i+4] || ' ' || w[i.i+5]) AS d
-    FROM t, (SELECT unnest(range(0, 100000)) AS i) i
+    FROM t, (SELECT unnest(range(0, (SELECT COALESCE(MAX(len(w)), 0)
+                                     FROM t))) AS i) i
     WHERE len(w) >= 5 AND i.i <= len(w) - 5
 ),
 keep AS (

@@ -83,14 +83,16 @@ def hash_mod_predicates(
     ``MOD(ABS(column), N)`` — predicate partitioning for keys range
     bounds cannot split: constant-bounded columns elsewhere in the
     ingest, or high-cardinality surrogate keys with pathological
-    ranges. ``partition_column`` may be any numeric SQL expression the
-    target engine accepts (pre-quote identifiers as for ``dbtable``).
+    ranges. ``partition_column`` is interpolated VERBATIM — it may be
+    any numeric SQL expression the target engine accepts; pre-quote
+    identifiers exactly as you would for ``dbtable`` (quoting here
+    would break both expressions and already-quoted names).
     NULL keys route to bucket 0 so the union stays exactly the table.
     MOD/ABS are ANSI and evaluate engine-side, so each of the N
     cursors ships only its bucket."""
     if num_partitions < 1:
         raise ValueError("num_partitions must be >= 1")
-    col = f'"{partition_column}"'
+    col = f"({partition_column})"
     preds = [
         f"MOD(ABS({col}), {num_partitions}) = {i}"
         for i in range(num_partitions)
@@ -114,7 +116,8 @@ def read_jdbc(
     is a single cursor (fine for dimension tables); with one, the scan
     becomes ``num_partitions`` range queries with bounds auto-probed
     unless given. ``hash_column`` names a numeric column (or SQL
-    expression) to bucket by ``MOD(ABS(col), N)`` predicate
+    expression, interpolated verbatim — pre-quote identifiers as for
+    ``dbtable``) to bucket by ``MOD(ABS(col), N)`` predicate
     partitioning instead — for keys range bounds cannot split — and
     also serves as the fallback when a requested range partitioning
     degenerates (single distinct value), so parallelism survives

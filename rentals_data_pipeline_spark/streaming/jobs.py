@@ -644,7 +644,14 @@ def consolidate_gate_storage(
             # promoting it is safe: the folded source dirs are deleted
             # LAST, so they still exist and the next fold re-merges
             # them (task-committed part files are individually valid).
-            fs.rename(spath, arch_path)
+            # The rename MUST be checked: if it fails (quota, perms,
+            # transient FS error) and we proceed, this run's staging
+            # overwrite at the write step below would destroy the only
+            # copy of previously archived rows.
+            if not fs.rename(spath, arch_path):
+                raise OSError(
+                    f"archive repair rename failed: {staging} -> {arch_path}"
+                )
             repaired = True
         else:
             # the old archive still exists (its rows plus the folded

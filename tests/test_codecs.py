@@ -1522,6 +1522,21 @@ def test_jpeg_progressive_eobrun_sparse():
     assert np.array_equal(chans[0], base[0])
 
 
+def test_jpeg_progressive_empty_scan_header_typed_error():
+    """A progressive SOS with Ns=0 passes the length math but must be
+    a typed CodecError, not an IndexError leaking from the component
+    lookup (review finding)."""
+    px = np.full((8, 8), 50, dtype=np.uint8)
+    raw = bytearray(_encode_jpeg_progressive(px))
+    i = raw.index(b"\xff\xda")
+    # rewrite the first SOS as Ns=0: length 2+4, body [0, Ss, Se, AhAl]
+    patched = bytes(raw[:i]) + b"\xff\xda\x00\x06\x00\x00\x00\x10" + bytes(
+        raw[i + 2 + int.from_bytes(raw[i + 2 : i + 4], "big") :]
+    )
+    with pytest.raises(C.CodecError, match="empty scan header"):
+        C.decode_jpeg(patched)
+
+
 def test_jpeg_non_interleaved_multiscan_refused():
     """A 3-component frame whose first SOS covers only 1 component
     (spec-legal non-interleaved baseline) must be an error row, not a

@@ -111,7 +111,9 @@ def test_hash_mod_partitioning(spark, seeded):
     """MOD(ABS(k), N) predicate partitioning: N parallel cursors that
     together return exactly the table, each shipping only its bucket
     (engine-side MOD, verified by per-partition counts)."""
-    got = read_jdbc(spark, URL, "items", num_partitions=4, hash_column="k")
+    got = read_jdbc(
+        spark, URL, "items", num_partitions=4, hash_column='"k"'
+    )
     assert got.rdd.getNumPartitions() == 4
     sizes = got.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
     assert sorted(sizes) == [250, 250, 250, 250]
@@ -135,7 +137,7 @@ def test_constant_bounds_fall_back_to_hash_partitions(spark):
         "items_const_hash",
         partition_column="c",
         num_partitions=3,
-        hash_column="k",
+        hash_column='"k"',
     )
     assert got.rdd.getNumPartitions() == 3
     assert got.count() == 40
