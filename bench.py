@@ -213,6 +213,27 @@ def main() -> None:
     except Exception:
         calib_scaling = None
 
+    # Spark-job calibration: round-7 measured a session where BOTH
+    # prior probes were flat (scalar 1.01x, fork-pool ~0.9x) while
+    # every query ran a uniform ~1.35x slower — ambient throttling
+    # that only shows up under the JVM's own thread pools. A fixed
+    # shuffle-free Spark aggregation, measured under the frozen
+    # warm-median rules, is the probe that lives in the same regime
+    # as the queries; bench_compare uses it to normalize when both
+    # files carry it.
+    try:
+        spark_calib_passes = []
+        for i in range(runs + 1):
+            t0 = time.perf_counter()
+            spark.range(0, 200_000_000, 1, 32).selectExpr(
+                "sum(id * 2) AS s"
+            ).collect()
+            if i > 0:
+                spark_calib_passes.append(time.perf_counter() - t0)
+        calib_spark = round(statistics.median(spark_calib_passes), 4)
+    except Exception:
+        calib_spark = None
+
     print(
         json.dumps(
             {
@@ -225,6 +246,9 @@ def main() -> None:
                 # ~16 on an unthrottled 32-core host, ~6 when the
                 # sandbox caps aggregate cpu (observed round 6).
                 "calib_parallel_scaling_16w": calib_scaling,
+                # fixed shuffle-free Spark agg (round 7): the probe in
+                # the same JVM-thread regime as the queries themselves
+                "calib_spark_agg_sec": calib_spark,
                 "sf": float(sf),
                 # Measurement rules are FROZEN as of round 5 (the
                 # round-5 verdict flagged three rounds of methodology

@@ -120,6 +120,23 @@ def main() -> int:
             f" total: {t_ratio / par_ratio:.2f}x"
         )
 
+    # Spark-job normalization (round 7+): the scalar and fork-pool
+    # probes both read flat in a session where every query ran a
+    # uniform ~1.35x slower — throttling that only manifests under the
+    # JVM's own thread pools. A fixed shuffle-free Spark aggregation
+    # is the probe in the queries' own regime; when both files carry
+    # it, this is the most faithful engine-delta estimate.
+    # Informational only, like the others.
+    o_sp = old.get("calib_spark_agg_sec")
+    n_sp = new.get("calib_spark_agg_sec")
+    if o_sp and n_sp:
+        sp_ratio = n_sp / o_sp
+        print(
+            f"  spark-agg calib {o_sp:.4f}s -> {n_sp:.4f}s"
+            f" ({sp_ratio:.2f}x host); spark-normalized shared total:"
+            f" {t_ratio / sp_ratio:.2f}x"
+        )
+
     if failures:
         print(f"{len(failures)} regression(s) over {args.threshold}x:")
         for name, ratio in failures:
