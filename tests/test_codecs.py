@@ -1882,6 +1882,45 @@ def test_decoder_mutation_fuzz_codecerror_only():
             except C.CodecError:
                 pass  # the contract: corrupt blob -> typed error
 
+def test_gif_frames_mutation_fuzz_codecerror_only():
+    """decode_gif_frames has its own entry surface (not reached via
+    sniff_and_decode), so it carries its own standing fuzz: mutated
+    animations either decode or raise CodecError — never a leaked
+    IndexError/ValueError/struct.error."""
+    import random
+
+    rng = random.Random(20260815)
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    blob = _gif_anim(
+        (6, 5),
+        pal,
+        [
+            {"idx": np.full((6, 5), 1, dtype=np.uint8), "delay": 5},
+            {"idx": np.full((2, 2), 2, dtype=np.uint8), "left": 1,
+             "top": 2, "transparent": 3, "disposal": 2},
+            {"idx": np.full((3, 3), 3, dtype=np.uint8), "disposal": 3},
+        ],
+    )
+    for _ in range(400):
+        b = bytearray(blob)
+        op = rng.randrange(3)
+        if op == 0:
+            b = b[: rng.randrange(len(b))]
+        elif op == 1:
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        else:
+            b = b[: rng.randrange(len(b))] + bytes(
+                rng.randrange(256) for _ in range(rng.randrange(40))
+            )
+        try:
+            C.decode_gif_frames(bytes(b))
+        except C.CodecError:
+            pass
+
+
 def _bomb_png() -> bytes:
     ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
     return C._PNG_SIG + _png_chunk(b"IHDR", ihdr)
