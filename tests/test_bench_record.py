@@ -1,0 +1,86 @@
+"""Bench output-contract tests (round 8).
+
+BENCH_r07.json recorded ``parsed: null`` because bench.py's single full
+JSON line outgrew the round driver's ~2.2 KB stdout tail buffer. The
+contract is now: full record in BENCH_LOCAL.json, compact final stdout
+line ≤~500 B, and tools/bench_compare.py reconstructs truncated tails
+from older rounds. These tests pin all three pieces without running
+Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO / "tools"))
+
+from bench_compare import reconstruct_tail  # noqa: E402
+
+
+def test_reconstruct_real_r07_tail():
+    d = json.loads((REPO / "BENCH_r07.json").read_text())
+    assert d.get("parsed") is None, "fixture drifted: r07 was unparsed"
+    rec = reconstruct_tail(d["tail"])
+    assert rec["value"] == 53.447
+    assert rec["sf"] == 0.1
+    assert rec["harness"] == "warm-median-of-3_v1"
+    # every query recovered: the per-query medians sum to the headline
+    # total exactly (the strongest completeness check available)
+    assert len(rec["queries"]) == 53
+    assert round(sum(rec["queries"].values()), 3) == rec["value"]
+    assert rec["queries"]["flagship_events_daily"] == 0.857
+    assert rec["queries"]["dedup_decontaminate_bloom"] == 1.44
+    assert rec["calib_pyloop_3m_sec"] == 0.1183
+    assert rec["calib_parallel_scaling_16w"] == 7.28
+    assert rec["calib_spark_agg_sec"] == 0.1528
+
+
+def test_reconstruct_synthetic_truncation():
+    full = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": 12.5,
+            "unit": "sec",
+            "queries": {"q1": 1.25, "q2": 11.25},
+            "calib_pyloop_3m_sec": 0.1,
+            "calib_parallel_scaling_16w": None,
+            "calib_spark_agg_sec": 0.15,
+            "sf": 0.01,
+            "harness": "warm-median-of-3_v1",
+        }
+    )
+    # chop the head like the driver's tail buffer does
+    rec = reconstruct_tail(full[17:])
+    assert rec["queries"] == {"q1": 1.25, "q2": 11.25}
+    assert rec["value"] == 12.5
+    assert "calib_parallel_scaling_16w" not in rec  # null stays absent
+    assert rec["calib_spark_agg_sec"] == 0.15
+
+
+def test_compact_stdout_line_fits_tail_buffer():
+    """The compact record bench.py prints must stay well under the
+    driver's observed ~2.2 KB tail buffer even with worst-case widths."""
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": 99999.999,
+        "unit": "sec",
+        "calib_pyloop_3m_sec": 0.1234,
+        "calib_parallel_scaling_16w": 16.12,
+        "calib_spark_agg_sec": 0.1234,
+        "sf": 0.1,
+        "harness": "warm-median-of-3_v1",
+        "n_queries": 999,
+        "queries_file": "BENCH_LOCAL.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) < 500
+
+    # and bench.py actually emits exactly these keys — parse the source
+    # so the contract can't silently drift
+    src = (REPO / "bench.py").read_text()
+    for key in compact:
+        assert f'"{key}"' in src, f"bench.py no longer emits {key}"
+    assert "BENCH_LOCAL.json" in src

@@ -22,6 +22,42 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 
 
+def reconstruct_tail(tail: str) -> dict:
+    """Best-effort parse of a head-truncated bench JSON line.
+
+    The driver keeps only the LAST ~2.2 KB of stdout, so a too-long
+    single-line record loses its head (observed in BENCH_r07). The
+    queries map and every scalar this tool consumes sit near the end,
+    so regex recovery gets everything the comparison needs.
+    """
+    rec: dict = {}
+    m = re.search(r'"queries":\s*\{(.*?)\}', tail, re.S)
+    if m:
+        rec["queries"] = {
+            k: float(v)
+            for k, v in re.findall(
+                r'"([^"]+)":\s*(-?[0-9][0-9.eE+-]*)', m.group(1)
+            )
+        }
+        rest = tail[: m.start()] + tail[m.end() :]
+    else:
+        rest = tail
+    for key in (
+        "value",
+        "sf",
+        "calib_pyloop_3m_sec",
+        "calib_parallel_scaling_16w",
+        "calib_spark_agg_sec",
+    ):
+        km = re.search(rf'"{key}":\s*(-?[0-9][0-9.eE+-]*|null)', rest)
+        if km and km.group(1) != "null":
+            rec[key] = float(km.group(1))
+    hm = re.search(r'"harness":\s*"([^"]*)"', rest)
+    if hm:
+        rec["harness"] = hm.group(1)
+    return rec
+
+
 def find_rounds() -> list[Path]:
     def round_no(p: Path) -> int:
         m = re.search(r"BENCH_r(\d+)\.json$", p.name)
@@ -49,7 +85,38 @@ def main() -> int:
     def load(p: Path) -> dict:
         d = json.loads(p.read_text())
         # the round driver wraps bench.py's line under "parsed"
-        return d.get("parsed", d) if "queries" not in d else d
+        if "queries" not in d:
+            parsed = d.get("parsed")
+            if parsed is None and "tail" in d:
+                # round-7 regression: the full JSON line outgrew the
+                # driver's tail buffer, so "parsed" is null and "tail"
+                # is a head-truncated fragment — reconstruct from it
+                # instead of crashing.
+                parsed = reconstruct_tail(d["tail"])
+                print(
+                    f"  note: {p.name} has parsed=null; reconstructed"
+                    f" {len(parsed.get('queries', {}))} queries from"
+                    " truncated tail"
+                )
+            d = parsed if parsed is not None else d
+        # round-8 compact records point at the full per-query map via
+        # "queries_file" (bench.py writes BENCH_LOCAL.json). Cross-check
+        # the file's headline total against the compact record so a
+        # stale local file from a different run can't masquerade as
+        # this round's per-query data.
+        if "queries" not in d and d.get("queries_file"):
+            qf = REPO / d["queries_file"]
+            if qf.exists():
+                full = json.loads(qf.read_text())
+                if full.get("value") == d.get("value"):
+                    d = {**full, **{k: v for k, v in d.items() if k not in full}}
+                else:
+                    print(
+                        f"  note: {qf.name} total {full.get('value')} !="
+                        f" record total {d.get('value')} — stale; using"
+                        " totals only"
+                    )
+        return d
 
     old = load(old_p)
     new = load(new_p)
