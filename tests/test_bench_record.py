@@ -32,7 +32,7 @@ def test_reconstruct_real_r07_tail():
     assert len(rec["queries"]) == 53
     assert round(sum(rec["queries"].values()), 3) == rec["value"]
     assert rec["queries"]["flagship_events_daily"] == 0.857
-    assert rec["queries"]["dedup_decontaminate_bloom"] == 1.44
+    assert rec["queries"]["dedup_decontaminate_bloom"] == 1.436
     assert rec["calib_pyloop_3m_sec"] == 0.1183
     assert rec["calib_parallel_scaling_16w"] == 7.28
     assert rec["calib_spark_agg_sec"] == 0.1528
