@@ -677,6 +677,15 @@ def decode_gif_frames(
             sub = idx[:h_eff, :w_eff]
             region = canvas[top : top + h_eff, left : left + w_eff]
             if transparent is not None:
+                if transparent >= len(pal):
+                    # same contract as out-of-range pixel indices: the
+                    # GCE's transparency index must reference the active
+                    # color table; silently disabling transparency would
+                    # render a malformed file differently from every
+                    # conforming decoder
+                    raise CodecError(
+                        "gif parse error: palette index out of range"
+                    )
                 mask = sub != transparent
                 region[mask] = pal[sub.astype(np.int64)][mask]
             else:
@@ -897,6 +906,124 @@ def _split_entropy(raw: bytes, pos: int) -> tuple[list[bytes], int]:
     return segs, pos
 
 
+class _JpegMarkerWalker:
+    """Shared marker walk for the sequential and progressive JPEG
+    decoders (they previously carried duplicate loops — deduplicated in
+    round 8 so a marker-handling fix can never land in one and not the
+    other). ``next()`` returns the next ``(marker, body)`` segment
+    after SOI, or ``None`` at EOI / end of data. Skips 0xFF fill bytes
+    permitted before a marker id (ITU-T T.81 B.1.1.2 — previously a
+    padded but valid file misparsed the fill byte as an unknown segment
+    with a bogus length), TEM (0x01) and stray RST markers. After an
+    SOS segment the caller consumes the entropy-coded stream itself and
+    must set ``self.pos`` past it before the next call."""
+
+    __slots__ = ("raw", "pos")
+
+    def __init__(self, raw: bytes, pos: int = 2) -> None:
+        self.raw = raw
+        self.pos = pos
+
+    def next(self) -> "tuple[int, bytes] | None":
+        raw = self.raw
+        n = len(raw)
+        pos = self.pos
+        while pos + 2 <= n:
+            if raw[pos] != 0xFF:
+                raise CodecError("jpeg parse error: marker expected")
+            # T.81 B.1.1.2: any run of 0xFF fill bytes may precede the
+            # marker id byte
+            while pos + 1 < n and raw[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 2 > n:
+                break
+            m = raw[pos + 1]
+            if m == 0xD9:  # EOI
+                self.pos = pos + 2
+                return None
+            if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / stray RST
+                pos += 2
+                continue
+            if pos + 4 > n:
+                raise CodecError("jpeg parse error: truncated segment")
+            ln = int.from_bytes(raw[pos + 2 : pos + 4], "big")
+            body = raw[pos + 4 : pos + 2 + ln]
+            if ln < 2 or len(body) < ln - 2:
+                raise CodecError("jpeg parse error: truncated segment")
+            self.pos = pos + 2 + ln
+            return m, body
+        self.pos = pos
+        return None
+
+
+def _parse_dqt(body: bytes, qt: dict[int, np.ndarray]) -> None:
+    """DQT segment into ``qt`` (table id -> 64 natural-order int32)."""
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 15
+        i += 1
+        width = 64 if pq == 0 else 128
+        if len(body) - i < width:  # validate BEFORE frombuffer: an
+            # odd-length slice makes >u2 frombuffer raise ValueError,
+            # not CodecError
+            raise CodecError("jpeg parse error: malformed DQT")
+        if pq == 0:
+            qt[tq] = np.frombuffer(body[i : i + 64], np.uint8).astype(
+                np.int32
+            )
+        else:
+            qt[tq] = np.frombuffer(body[i : i + 128], ">u2").astype(
+                np.int32
+            )
+        i += width
+
+
+def _parse_dht(
+    body: bytes, huff_dc: dict[int, dict], huff_ac: dict[int, dict]
+) -> None:
+    """DHT segment into the DC/AC Huffman table maps."""
+    i = 0
+    while i + 17 <= len(body):
+        tc, th = body[i] >> 4, body[i] & 15
+        bits = list(body[i + 1 : i + 17])
+        i += 17
+        nv = sum(bits)
+        vals = body[i : i + nv]
+        i += nv
+        (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(bits, vals)
+
+
+def _parse_sof(body: bytes) -> tuple[int, int, list]:
+    """Frame header (any SOFn body): validated ``(w_px, h_px, comps)``
+    where comps is ``[(cid, hs, vs, tq), ...]``. 8-bit only; dimensions
+    bomb-guarded by ``_MAX_PIXELS``; sampling factors must be in the
+    spec range 1-4 (0 would divide-by-zero in the upsample math)."""
+    if len(body) < 6:
+        raise CodecError("jpeg parse error: truncated frame header")
+    prec = body[0]
+    if prec != 8:
+        raise CodecError(f"unsupported jpeg precision: {prec}-bit")
+    h_px = int.from_bytes(body[1:3], "big")
+    w_px = int.from_bytes(body[3:5], "big")
+    ncomp = body[5]
+    if h_px == 0 or w_px == 0 or not 1 <= ncomp <= 4:
+        raise CodecError("jpeg parse error: bad frame header")
+    if w_px * h_px > _MAX_PIXELS:
+        raise CodecError(
+            f"jpeg parse error: implausible dimensions {w_px}x{h_px}"
+        )
+    if len(body) < 6 + 3 * ncomp:
+        raise CodecError("jpeg parse error: truncated frame header")
+    comps = []
+    for c in range(ncomp):
+        cid = body[6 + 3 * c]
+        hv = body[7 + 3 * c]
+        if not (1 <= hv >> 4 <= 4 and 1 <= hv & 15 <= 4):
+            raise CodecError("jpeg parse error: bad sampling factors")
+        comps.append((cid, hv >> 4, hv & 15, body[8 + 3 * c]))
+    return w_px, h_px, comps
+
+
 def decode_jpeg(raw: bytes) -> Decoded:
     """Sequential (SOF0/SOF1) and progressive (SOF2) JPEG, 8-bit,
     Huffman: DQT/DHT parsing, restart intervals, any 1-4 component
@@ -919,81 +1046,15 @@ def decode_jpeg(raw: bytes) -> Decoded:
     sof = None
     scan = None
     dri = 0
-    pos = 2
-    n = len(raw)
-    while pos + 2 <= n:
-        if raw[pos] != 0xFF:
-            raise CodecError("jpeg parse error: marker expected")
-        m = raw[pos + 1]
-        if m == 0xD9:  # EOI before SOS: no image
-            break
-        if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / stray RST
-            pos += 2
-            continue
-        if pos + 4 > n:
-            raise CodecError("jpeg parse error: truncated segment")
-        ln = int.from_bytes(raw[pos + 2 : pos + 4], "big")
-        body = raw[pos + 4 : pos + 2 + ln]
-        if ln < 2 or len(body) < ln - 2:
-            raise CodecError("jpeg parse error: truncated segment")
+    walker = _JpegMarkerWalker(raw)
+    while (seg := walker.next()) is not None:
+        m, body = seg
         if m == 0xDB:  # DQT
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 15
-                i += 1
-                width = 64 if pq == 0 else 128
-                if len(body) - i < width:  # validate BEFORE frombuffer:
-                    # an odd-length slice makes >u2 frombuffer raise
-                    # ValueError, not CodecError
-                    raise CodecError("jpeg parse error: malformed DQT")
-                if pq == 0:
-                    qt[tq] = np.frombuffer(body[i : i + 64], np.uint8).astype(
-                        np.int32
-                    )
-                else:
-                    qt[tq] = np.frombuffer(body[i : i + 128], ">u2").astype(
-                        np.int32
-                    )
-                i += width
+            _parse_dqt(body, qt)
         elif m == 0xC4:  # DHT
-            i = 0
-            while i + 17 <= len(body):
-                tc, th = body[i] >> 4, body[i] & 15
-                bits = list(body[i + 1 : i + 17])
-                i += 17
-                nv = sum(bits)
-                vals = body[i : i + nv]
-                i += nv
-                (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(
-                    bits, vals
-                )
+            _parse_dht(body, huff_dc, huff_ac)
         elif m in (0xC0, 0xC1):  # baseline / extended sequential
-            if len(body) < 6:
-                raise CodecError("jpeg parse error: truncated frame header")
-            prec = body[0]
-            if prec != 8:
-                raise CodecError(f"unsupported jpeg precision: {prec}-bit")
-            h_px = int.from_bytes(body[1:3], "big")
-            w_px = int.from_bytes(body[3:5], "big")
-            ncomp = body[5]
-            if h_px == 0 or w_px == 0 or not 1 <= ncomp <= 4:
-                raise CodecError("jpeg parse error: bad frame header")
-            if w_px * h_px > _MAX_PIXELS:
-                raise CodecError(
-                    f"jpeg parse error: implausible dimensions {w_px}x{h_px}"
-                )
-            if len(body) < 6 + 3 * ncomp:
-                raise CodecError("jpeg parse error: truncated frame header")
-            comps = []
-            for c in range(ncomp):
-                cid = body[6 + 3 * c]
-                hv = body[7 + 3 * c]
-                if not (1 <= hv >> 4 <= 4 and 1 <= hv & 15 <= 4):
-                    # spec range is 1-4; 0 would divide-by-zero in the
-                    # upsample ratio math
-                    raise CodecError("jpeg parse error: bad sampling factors")
-                comps.append((cid, hv >> 4, hv & 15, body[8 + 3 * c]))
-            sof = (w_px, h_px, comps)
+            sof = _parse_sof(body)
         elif m == 0xC2:
             return _decode_jpeg_progressive(raw)
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -1008,9 +1069,8 @@ def decode_jpeg(raw: bytes) -> Decoded:
                 (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 15)
                 for c in range(ns)
             ]
-            pos = pos + 2 + ln
             break
-        pos += 2 + ln
+    pos = walker.pos  # first entropy-coded byte after the SOS header
     if sof is None or scan is None:
         raise CodecError("jpeg parse error: missing SOF/SOS")
     w_px, h_px, comps = sof
@@ -1207,85 +1267,23 @@ def _decode_jpeg_progressive(raw: bytes) -> Decoded:
     huff_ac: dict[int, dict] = {}
     sof = None
     dri = 0
-    pos = 2
-    n = len(raw)
     coef: dict[int, np.ndarray] = {}  # cid -> (bh, bw, 64) zigzag planes
     preds: dict[int, int] = {}
     geom: dict[int, tuple] = {}  # cid -> (hs, vs, tq, bw, bh, nbw, nbh)
     mcux = mcuy = hmax = vmax = 0
     w_px = h_px = 0
     got_scan = False
-    while pos + 2 <= n:
-        if raw[pos] != 0xFF:
-            raise CodecError("jpeg parse error: marker expected")
-        m = raw[pos + 1]
-        if m == 0xD9:  # EOI: all scans consumed
-            break
-        if m == 0x01 or 0xD0 <= m <= 0xD7:
-            pos += 2
-            continue
-        if pos + 4 > n:
-            raise CodecError("jpeg parse error: truncated segment")
-        ln = int.from_bytes(raw[pos + 2 : pos + 4], "big")
-        body = raw[pos + 4 : pos + 2 + ln]
-        if ln < 2 or len(body) < ln - 2:
-            raise CodecError("jpeg parse error: truncated segment")
+    walker = _JpegMarkerWalker(raw)
+    while (seg := walker.next()) is not None:
+        m, body = seg
         if m == 0xDB:  # DQT — same wire format as sequential
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 15
-                i += 1
-                width = 64 if pq == 0 else 128
-                if len(body) - i < width:
-                    raise CodecError("jpeg parse error: malformed DQT")
-                if pq == 0:
-                    qt[tq] = np.frombuffer(
-                        body[i : i + 64], np.uint8
-                    ).astype(np.int32)
-                else:
-                    qt[tq] = np.frombuffer(
-                        body[i : i + 128], ">u2"
-                    ).astype(np.int32)
-                i += width
+            _parse_dqt(body, qt)
         elif m == 0xC4:  # DHT — tables may be redefined between scans
-            i = 0
-            while i + 17 <= len(body):
-                tc, th = body[i] >> 4, body[i] & 15
-                bits = list(body[i + 1 : i + 17])
-                i += 17
-                nv = sum(bits)
-                vals = body[i : i + nv]
-                i += nv
-                (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(
-                    bits, vals
-                )
+            _parse_dht(body, huff_dc, huff_ac)
         elif m == 0xC2:
             if sof is not None:
                 raise CodecError("jpeg parse error: duplicate frame header")
-            if len(body) < 6:
-                raise CodecError("jpeg parse error: truncated frame header")
-            if body[0] != 8:
-                raise CodecError(
-                    f"unsupported jpeg precision: {body[0]}-bit"
-                )
-            h_px = int.from_bytes(body[1:3], "big")
-            w_px = int.from_bytes(body[3:5], "big")
-            ncomp = body[5]
-            if h_px == 0 or w_px == 0 or not 1 <= ncomp <= 4:
-                raise CodecError("jpeg parse error: bad frame header")
-            if w_px * h_px > _MAX_PIXELS:
-                raise CodecError(
-                    f"jpeg parse error: implausible dimensions {w_px}x{h_px}"
-                )
-            if len(body) < 6 + 3 * ncomp:
-                raise CodecError("jpeg parse error: truncated frame header")
-            comps = []
-            for c in range(ncomp):
-                cid = body[6 + 3 * c]
-                hv = body[7 + 3 * c]
-                if not (1 <= hv >> 4 <= 4 and 1 <= hv & 15 <= 4):
-                    raise CodecError("jpeg parse error: bad sampling factors")
-                comps.append((cid, hv >> 4, hv & 15, body[8 + 3 * c]))
+            w_px, h_px, comps = _parse_sof(body)
             hmax = max(hs for _, hs, _, _ in comps)
             vmax = max(vs for _, _, vs, _ in comps)
             if hmax < 1 or vmax < 1:
@@ -1328,14 +1326,12 @@ def _decode_jpeg_progressive(raw: bytes) -> Decoded:
                     raise CodecError(
                         "jpeg parse error: scan references unknown component"
                     )
-            segs, pos = _split_entropy(raw, pos + 2 + ln)
+            segs, walker.pos = _split_entropy(raw, walker.pos)
             _prog_decode_scan(
                 coef, geom, preds, scomps, ss, se, ah, al,
                 segs, dri, mcux, mcuy, huff_dc, huff_ac,
             )
             got_scan = True
-            continue
-        pos += 2 + ln
     if sof is None or not got_scan:
         raise CodecError("jpeg parse error: missing SOF/SOS")
     blocks: dict[int, list] = {}

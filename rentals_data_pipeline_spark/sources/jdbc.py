@@ -80,21 +80,25 @@ def hash_mod_predicates(
     partition_column: str, num_partitions: int
 ) -> list[str]:
     """N disjoint, covering WHERE predicates that bucket rows by
-    ``MOD(ABS(column), N)`` — predicate partitioning for keys range
-    bounds cannot split: constant-bounded columns elsewhere in the
-    ingest, or high-cardinality surrogate keys with pathological
+    ``MOD(MOD(column, N) + N, N)`` — predicate partitioning for keys
+    range bounds cannot split: constant-bounded columns elsewhere in
+    the ingest, or high-cardinality surrogate keys with pathological
     ranges. ``partition_column`` is interpolated VERBATIM — it may be
     any numeric SQL expression the target engine accepts; pre-quote
     identifiers exactly as you would for ``dbtable`` (quoting here
     would break both expressions and already-quoted names).
     NULL keys route to bucket 0 so the union stays exactly the table.
-    MOD/ABS are ANSI and evaluate engine-side, so each of the N
-    cursors ships only its bucket."""
+    The double-MOD form folds negative keys into [0, N) without ABS:
+    ``ABS(BIGINT MIN)`` overflows and raises in most engines
+    (Derby/Postgres), so one extreme surrogate key would fail that
+    bucket's whole scan at runtime. MOD is ANSI and evaluates
+    engine-side, so each of the N cursors ships only its bucket."""
     if num_partitions < 1:
         raise ValueError("num_partitions must be >= 1")
     col = f"({partition_column})"
     preds = [
-        f"MOD(ABS({col}), {num_partitions}) = {i}"
+        f"MOD(MOD({col}, {num_partitions}) + {num_partitions},"
+        f" {num_partitions}) = {i}"
         for i in range(num_partitions)
     ]
     preds[0] = f"({preds[0]} OR {col} IS NULL)"

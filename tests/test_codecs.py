@@ -1828,6 +1828,55 @@ def test_decode_media_flac_payload(spark):
     assert row["decoded"] == [sig.astype(float).tolist()]
 
 
+def _insert_fill_bytes(raw: bytes) -> bytes:
+    """Pad a JPEG with 0xFF fill bytes before every marker in the
+    header region (T.81 B.1.1.2 allows any run of 0xFF before the
+    marker id). Only pads up to the first SOS so the entropy stream —
+    where 0xFF has byte-stuffing semantics — is untouched."""
+    out = bytearray(raw[:2])
+    pos = 2
+    while pos + 2 <= len(raw):
+        assert raw[pos] == 0xFF
+        out += b"\xff\xff\xff"  # fill run before the marker
+        m = raw[pos + 1]
+        if m == 0xDA:  # SOS: copy the rest verbatim
+            out += raw[pos:]
+            return bytes(out)
+        ln = int.from_bytes(raw[pos + 2 : pos + 4], "big")
+        out += raw[pos : pos + 2 + ln]
+        pos += 2 + ln
+    raise AssertionError("no SOS in test jpeg")
+
+
+def test_jpeg_fill_bytes_before_markers_decode():
+    """0xFF fill bytes before marker ids (T.81 B.1.1.2) must not
+    misparse as a bogus segment — padded and unpadded files decode to
+    identical pixels, on both the sequential and progressive paths
+    (round-8 ADVICE fix, exercised through the shared marker walker)."""
+    px = (np.arange(64, dtype=np.uint8) * 3 % 251).reshape(8, 8)
+    for enc in (_encode_jpeg, _encode_jpeg_progressive):
+        raw = enc(px)
+        padded = _insert_fill_bytes(raw)
+        assert padded != raw
+        base = C.decode_jpeg(raw)
+        got = C.decode_jpeg(padded)
+        assert np.array_equal(base[2], got[2])
+
+
+def test_gif_frames_transparent_index_out_of_range_raises():
+    """A GCE transparency index past the active color table raises the
+    same CodecError as an out-of-range pixel index (round-8 ADVICE fix)
+    instead of silently disabling transparency."""
+    pal = np.array([[0, 0, 0], [255, 0, 0]], dtype=np.uint8)
+    blob = _gif_anim(
+        (4, 4),
+        pal,
+        [{"idx": np.zeros((4, 4), dtype=np.uint8), "transparent": 5}],
+    )
+    with pytest.raises(C.CodecError, match="palette index out of range"):
+        C.decode_gif_frames(blob)
+
+
 # ---------------------------------------------------------------------------
 # hostile-blob hardening: mutation fuzz + decompression-bomb guards
 # ---------------------------------------------------------------------------

@@ -108,9 +108,9 @@ def test_single_value_partition_column_falls_back(spark):
 
 
 def test_hash_mod_partitioning(spark, seeded):
-    """MOD(ABS(k), N) predicate partitioning: N parallel cursors that
-    together return exactly the table, each shipping only its bucket
-    (engine-side MOD, verified by per-partition counts)."""
+    """Sign-safe MOD(MOD(k,N)+N,N) predicate partitioning: N parallel
+    cursors that together return exactly the table, each shipping only
+    its bucket (engine-side MOD, verified by per-partition counts)."""
     got = read_jdbc(
         spark, URL, "items", num_partitions=4, hash_column='"k"'
     )
@@ -119,6 +119,25 @@ def test_hash_mod_partitioning(spark, seeded):
     assert sorted(sizes) == [250, 250, 250, 250]
     assert sorted(tuple(r) for r in got.collect()) == sorted(
         tuple(r) for r in seeded.collect()
+    )
+
+
+def test_hash_mod_survives_bigint_min(spark):
+    """The old MOD(ABS(k),N) form raised in Derby on the minimum BIGINT
+    value (ABS overflows); the sign-safe double-MOD form must scan a
+    table containing it — negatives fold into [0, N) and the union is
+    exactly the table (round-8 ADVICE fix)."""
+    df = spark.createDataFrame(
+        [(-(2**63),), (-5,), (-1,), (0,), (3,), (2**63 - 1,)],
+        "k bigint",
+    )
+    write_jdbc(df, URL, "items_extreme", mode="overwrite")
+    got = read_jdbc(
+        spark, URL, "items_extreme", num_partitions=4, hash_column='"k"'
+    )
+    assert got.rdd.getNumPartitions() == 4
+    assert sorted(r.k for r in got.collect()) == sorted(
+        [-(2**63), -5, -1, 0, 3, 2**63 - 1]
     )
 
 
