@@ -1702,6 +1702,12 @@ def sniff_and_decode(raw: bytes) -> Decoded:
         return decode_gif(raw)
     if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
         return decode_wav(raw)
+    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+        # first-frame view, parity with GIF: stills pipelines see the
+        # opening frame; decode_video_frames is the per-frame surface
+        frames, _ = decode_avi_mjpeg_frames(raw, max_frames=1)
+        return 3, None, [frames[0][:, :, c].reshape(-1).astype(np.float64)
+                         for c in range(3)]
     if raw[:2] == b"BM":
         return decode_bmp(raw)
     if raw[:2] == b"\xff\xd8":
@@ -1836,6 +1842,177 @@ def _probe_jpeg(raw: bytes) -> dict:
     raise CodecError("jpeg parse error: missing SOF/SOS")
 
 
+# ---------------------------------------------------------------------------
+# AVI / MJPEG — the pure-stdlib stepping stone to real video: a RIFF
+# container walk (same hostile-input discipline as _mp4_boxes) whose
+# video payload is per-frame baseline/progressive JPEG, decoded by the
+# existing decoder. Compressed inter-frame codecs (H.264 etc.) stay
+# environment-gated; Motion-JPEG needs no entropy stack beyond T.81.
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunks(raw: bytes, lo: int, hi: int):
+    """Iterate ``(fourcc, body_lo, body_hi)`` over RIFF chunks in
+    ``raw[lo:hi)``. RIFF sizes are little-endian and chunks are
+    word-aligned (odd sizes carry one pad byte). A chunk overrunning
+    its parent raises ``CodecError``; a trailing fragment shorter than
+    a chunk header is tolerated (writers commonly pad)."""
+    pos = lo
+    while pos + 8 <= hi:
+        fcc = raw[pos : pos + 4]
+        size = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+        body_lo = pos + 8
+        body_hi = body_lo + size
+        if body_hi > hi:
+            raise CodecError("avi parse error: chunk overruns parent")
+        yield fcc, body_lo, body_hi
+        pos = body_hi + (size & 1)
+
+
+def _jpeg_frame_dims(jpg: bytes) -> tuple[int, int]:
+    """(width, height) from a JPEG blob's frame header — shared marker
+    walk, stops at SOS. Lets the AVI decoder charge the pixel budget
+    BEFORE paying for a full decode."""
+    if jpg[:2] != b"\xff\xd8":
+        raise CodecError("avi parse error: non-jpeg video frame")
+    walker = _JpegMarkerWalker(jpg)
+    while (seg := walker.next()) is not None:
+        m, body = seg
+        if m in (0xC0, 0xC1, 0xC2):
+            w_px, h_px, _ = _parse_sof(body)
+            return w_px, h_px
+        if m == 0xDA:
+            break
+    raise CodecError("jpeg parse error: missing SOF/SOS")
+
+
+def _avi_headers(raw: bytes, lo: int, hi: int) -> tuple[int, int]:
+    """Parse an ``hdrl`` LIST: returns ``(video_stream, delay_cs)``.
+
+    The video stream is the first ``strl`` whose ``strh.fccType`` is
+    ``vids``; its codec must be Motion-JPEG (``strh.fccHandler`` or
+    ``strf.biCompression`` reading MJPG/dmb1) — anything else is an
+    ``unsupported avi codec`` row, consistent with the MP4/Ogg gate.
+    ``delay_cs`` is the per-frame duration in centiseconds from
+    ``strh`` scale/rate, falling back to ``avih`` usec-per-frame."""
+    usec_pf = 0
+    stream_no = -1
+    video_stream = None
+    delay_cs = None
+    mjpg = {b"MJPG", b"mjpg", b"dmb1", b"DMB1"}
+    for fcc, blo, bhi in _riff_chunks(raw, lo, hi):
+        if fcc == b"avih":
+            if bhi - blo >= 4:
+                usec_pf = int.from_bytes(raw[blo : blo + 4], "little")
+            continue
+        if fcc != b"LIST" or raw[blo : blo + 4] != b"strl":
+            continue
+        stream_no += 1
+        if video_stream is not None:
+            continue
+        handler = comp = b""
+        scale = rate = 0
+        is_video = False
+        for sfcc, slo, shi in _riff_chunks(raw, blo + 4, bhi):
+            if sfcc == b"strh" and shi - slo >= 28:
+                is_video = raw[slo : slo + 4] == b"vids"
+                handler = raw[slo + 4 : slo + 8]
+                scale = int.from_bytes(raw[slo + 20 : slo + 24], "little")
+                rate = int.from_bytes(raw[slo + 24 : slo + 28], "little")
+            elif sfcc == b"strf" and shi - slo >= 20:
+                comp = raw[slo + 16 : slo + 20]
+        if not is_video:
+            continue
+        if handler not in mjpg and comp not in mjpg:
+            name = (handler or comp).decode("latin-1", "replace").strip()
+            raise CodecError(f"unsupported avi codec: {name or 'unknown'}")
+        video_stream = stream_no
+        if rate > 0:
+            delay_cs = round(100 * scale / rate)
+    if video_stream is None:
+        raise CodecError("avi parse error: no video stream")
+    if delay_cs is None:
+        delay_cs = round(usec_pf / 10_000)
+    return video_stream, delay_cs
+
+
+def decode_avi_mjpeg_frames(
+    raw: bytes, max_frames: int = 64
+) -> tuple[list[np.ndarray], list[int]]:
+    """Motion-JPEG-in-AVI decode: RIFF walk to the ``movi`` LIST, one
+    ``decode_jpeg`` per ``##dc``/``##db`` chunk of the video stream
+    (``##`` = the stream number from ``hdrl``), frames returned as
+    composited (H, W, 3) uint8 canvases with per-frame delays in
+    centiseconds — the same shape ``decode_gif_frames`` returns, so
+    the motion-triage operators run unchanged over either container.
+
+    Bomb guards mirror the GIF path: per-frame dims are read from the
+    JPEG frame header (shared marker walk) and charged against
+    ``_MAX_PIXELS`` BEFORE the full decode; past ``max_frames`` or the
+    pixel budget, parsing stops. Zero-size video chunks (dropped
+    frames — standard MJPEG padding) extend the previous frame's
+    delay instead of producing a frame. Audio/index chunks skip;
+    ``rec `` LISTs recurse. Non-MJPEG video streams raise the same
+    ``unsupported`` CodecError the MP4/Ogg gates use."""
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise CodecError("avi parse error: bad signature")
+    hi = min(len(raw), 8 + int.from_bytes(raw[4:8], "little"))
+    video_stream = None
+    delay_cs = 0
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    budget = [_MAX_PIXELS]
+
+    def _video_chunks(lo: int, hi_: int) -> bool:
+        """Decode video chunks in a movi/rec LIST; False = budget hit."""
+        vid = f"{video_stream:02d}".encode("ascii")
+        for fcc, blo, bhi in _riff_chunks(raw, lo, hi_):
+            if fcc == b"LIST" and raw[blo : blo + 4] == b"rec ":
+                if not _video_chunks(blo + 4, bhi):
+                    return False
+                continue
+            if fcc[:2] != vid or fcc[2:4] not in (b"dc", b"db"):
+                continue
+            if blo == bhi:  # dropped frame: previous image persists
+                if delays:
+                    delays[-1] += delay_cs
+                continue
+            w_px, h_px = _jpeg_frame_dims(raw[blo:bhi])
+            if w_px * h_px > budget[0]:
+                return False
+            nch, _, planes = decode_jpeg(raw[blo:bhi])
+            if nch == 1:
+                fr = np.repeat(
+                    planes[0].astype(np.uint8).reshape(h_px, w_px, 1), 3, 2
+                )
+            else:
+                fr = np.stack(
+                    [p.astype(np.uint8).reshape(h_px, w_px) for p in planes],
+                    axis=2,
+                )
+            frames.append(fr)
+            delays.append(delay_cs)
+            budget[0] -= w_px * h_px
+            if len(frames) >= max_frames:
+                return False
+        return True
+
+    for fcc, blo, bhi in _riff_chunks(raw, 12, hi):
+        if fcc != b"LIST":
+            continue
+        kind = raw[blo : blo + 4]
+        if kind == b"hdrl":
+            video_stream, delay_cs = _avi_headers(raw, blo + 4, bhi)
+        elif kind == b"movi":
+            if video_stream is None:
+                raise CodecError("avi parse error: movi before hdrl")
+            if not _video_chunks(blo + 4, bhi):
+                break
+    if not frames:
+        raise CodecError("avi parse error: no video frames")
+    return frames, delays
+
+
 def _probe_flac(raw: bytes) -> dict:
     pos = 4
     info: bytes | None = None
@@ -1861,6 +2038,59 @@ def _probe_flac(raw: bytes) -> dict:
     return _probe("flac", f"flac/{bps}bit", channels=int(nch),
                   sample_rate=int(sr),
                   duration_s=(total / sr) if total else None)
+
+
+def _probe_avi(raw: bytes) -> dict:
+    """Header-only AVI triage: ``avih`` gives dimensions, total frame
+    count and usec-per-frame (duration); tracks counted from ``strl``
+    LISTs; codec from the first video stream's handler fourcc. Unlike
+    the decoder this never gates on MJPEG — a probe REPORTS the codec
+    so the decode router can decide, same contract as MP4/Ogg."""
+    hi = min(len(raw), 8 + int.from_bytes(raw[4:8], "little"))
+
+    def u32(at: int) -> int:
+        return int.from_bytes(raw[at : at + 4], "little")
+
+    for fcc, blo, bhi in _riff_chunks(raw, 12, hi):
+        if fcc != b"LIST" or raw[blo : blo + 4] != b"hdrl":
+            continue
+        usec_pf = total = w = h = 0
+        n_tracks = 0
+        codec = None
+        for sfcc, slo, shi in _riff_chunks(raw, blo + 4, bhi):
+            if sfcc == b"avih" and shi - slo >= 40:
+                usec_pf, total = u32(slo), u32(slo + 16)
+                w, h = u32(slo + 32), u32(slo + 36)
+            elif sfcc == b"LIST" and raw[slo : slo + 4] == b"strl":
+                n_tracks += 1
+                if codec is not None:
+                    continue
+                for tfcc, tlo, thi in _riff_chunks(raw, slo + 4, shi):
+                    if (
+                        tfcc == b"strh"
+                        and thi - tlo >= 8
+                        and raw[tlo : tlo + 4] == b"vids"
+                    ):
+                        name = (
+                            raw[tlo + 4 : tlo + 8]
+                            .decode("latin-1", "replace")
+                            .strip()
+                            .lower()
+                        )
+                        codec = "mjpeg" if name in ("mjpg", "dmb1") else (
+                            name or None
+                        )
+        return _probe(
+            "avi",
+            codec=codec,
+            n_tracks=max(1, n_tracks),
+            width=w or None,
+            height=h or None,
+            duration_s=(total * usec_pf / 1e6)
+            if total and usec_pf
+            else None,
+        )
+    raise CodecError("avi parse error: missing hdrl")
 
 
 def _mp4_boxes(raw: bytes, lo: int, hi: int, tolerate_tail: bool = False):
@@ -2072,6 +2302,8 @@ def probe_container(raw: bytes) -> dict:
         return _probe_gif(raw)
     if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
         return _probe_wav(raw)
+    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+        return _probe_avi(raw)
     if raw[:2] == b"BM":
         return _probe_bmp(raw)
     if raw[:2] == b"\xff\xd8":

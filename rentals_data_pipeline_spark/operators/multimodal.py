@@ -283,16 +283,156 @@ def pack_gif_anim(
     return _apply
 
 
+def pack_avi_mjpeg(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_payload: str = "payload",
+    max_frames: int = 8,
+) -> Op:
+    """Build REAL Motion-JPEG AVI containers from the text — one 16x16
+    grayscale frame per 64-byte chunk (up to ``max_frames``), each
+    frame four 8x8 constant tiles whose luma is ``85 * (byte & 3)`` of
+    the chunk's bytes 0/16/32/48 (the same 4-level quantization
+    ``pack_gif_anim`` uses, so motion semantics are comparable across
+    containers). Frames are DC-only baseline JPEGs: with unit quant
+    tables a constant block quantizes to an exact integer DC
+    (``8 * (v - 128)``), so decode reproduces the tile values EXACTLY
+    and per-frame means are recomputable from the text. The RIFF
+    skeleton is spec-shaped (avih + vids strl with MJPG handler +
+    movi '00dc' chunks) at scale/rate = 1/10 -> 10 cs per frame.
+    NULL text packs to NULL payload."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(out_payload, T.BinaryType()),
+        ]
+    )
+
+    def _pack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct as _struct
+
+        import pandas as pd
+
+        def dc_only_jpeg(tiles: list[int]) -> bytes:
+            # grayscale 16x16, four constant 8x8 blocks in raster order.
+            # Canonical Huffman: 12 DC categories at 4 bits (code for
+            # category s IS s), one 1-bit AC EOB (code 0).
+            out = bytearray(b"\xff\xd8")
+
+            def seg(m: int, body: bytes) -> bytes:
+                return bytes([0xFF, m]) + (len(body) + 2).to_bytes(
+                    2, "big"
+                ) + body
+
+            out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+            out += seg(
+                0xC0,
+                bytes([8]) + (16).to_bytes(2, "big")
+                + (16).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]),
+            )
+            dc_bits = [0] * 16
+            dc_bits[3] = 12
+            ac_bits = [0] * 16
+            ac_bits[0] = 1
+            out += seg(
+                0xC4,
+                bytes([0x00]) + bytes(dc_bits) + bytes(range(12))
+                + bytes([0x10]) + bytes(ac_bits) + bytes([0x00]),
+            )
+            out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            ebytes = bytearray()
+            acc = nacc = 0
+
+            def put(val: int, nbits: int) -> None:
+                nonlocal acc, nacc
+                for i in range(nbits - 1, -1, -1):
+                    acc = (acc << 1) | ((val >> i) & 1)
+                    nacc += 1
+                    if nacc == 8:
+                        ebytes.append(acc)
+                        if acc == 0xFF:  # byte stuffing
+                            ebytes.append(0x00)
+                        acc = nacc = 0
+
+            pred = 0
+            for v in tiles:
+                dc = 8 * (v - 128)
+                diff = dc - pred
+                pred = dc
+                s = abs(diff).bit_length()
+                put(s, 4)
+                if s:
+                    put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                put(0, 1)  # EOB
+            if nacc:
+                put((1 << (8 - nacc)) - 1, 8 - nacc)  # 1-pad to byte
+            out += ebytes
+            out += b"\xff\xd9"
+            return bytes(out)
+
+        def chunk(fcc: bytes, body: bytes) -> bytes:
+            pad = b"\x00" if len(body) & 1 else b""
+            return fcc + len(body).to_bytes(4, "little") + body + pad
+
+        def lst(kind: bytes, body: bytes) -> bytes:
+            return chunk(b"LIST", kind + body)
+
+        strh = (
+            b"vids" + b"MJPG" + bytes(12)
+            + (1).to_bytes(4, "little") + (10).to_bytes(4, "little")
+            + bytes(28)
+        )
+        strf = (
+            (40).to_bytes(4, "little") + (16).to_bytes(4, "little")
+            + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little") + b"MJPG" + bytes(20)
+        )
+        strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                if text is None:
+                    payloads.append(None)
+                    continue
+                data = text.encode("utf-8")
+                n_frames = max(1, min(max_frames, -(-len(data) // 64)))
+                avih = _struct.pack(
+                    "<14I", 100_000, 0, 0, 0, n_frames, 0, 1, 0,
+                    16, 16, 0, 0, 0, 0,
+                )
+                hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+                movi_body = b""
+                for f in range(n_frames):
+                    ch = data[f * 64 : (f + 1) * 64]
+                    tiles = [
+                        85 * ((ch[k] if k < len(ch) else 0) & 3)
+                        for k in (0, 16, 32, 48)
+                    ]
+                    movi_body += chunk(b"00dc", dc_only_jpeg(tiles))
+                payload = b"AVI " + hdrl + lst(b"movi", movi_body)
+                payloads.append(
+                    b"RIFF" + len(payload).to_bytes(4, "little") + payload
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.select(id_col, text_col).mapInPandas(_pack, out_schema)
+
+    return _apply
+
+
 def decode_video_frames(
     df: DataFrame,
     id_col: str = "doc_id",
     payload_col: str = "payload",
     max_frames: int = 64,
 ) -> DataFrame:
-    """Per-frame decode of animated containers — GIF 87a/89a, the one
-    motion format a no-C-extension environment plays back
+    """Per-frame decode of animated containers — GIF 87a/89a
     (codecs.py::decode_gif_frames: GCE disposal/transparency
-    compositing, sub-rect placement, bomb-guarded). One OUTPUT ROW PER
+    compositing, sub-rect placement, bomb-guarded) and Motion-JPEG AVI
+    (codecs.py::decode_avi_mjpeg_frames: RIFF walk + per-chunk JPEG,
+    same budget guards), dispatched on magic bytes. One OUTPUT ROW PER
     FRAME of the composited logical screen: frame index, total frame
     count, GCE delay (centiseconds), geometry, and exact per-channel
     means (integer sums / pixel count in float64 — deterministic) —
@@ -321,6 +461,7 @@ def decode_video_frames(
 
         from rentals_data_pipeline_spark.operators.codecs import (
             CodecError,
+            decode_avi_mjpeg_frames,
             decode_gif_frames,
         )
 
@@ -334,9 +475,15 @@ def decode_video_frames(
                     )
                     continue
                 try:
-                    frames, delays = decode_gif_frames(
-                        bytes(payload), max_frames=max_frames
-                    )
+                    raw = bytes(payload)
+                    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                        frames, delays = decode_avi_mjpeg_frames(
+                            raw, max_frames=max_frames
+                        )
+                    else:  # GIF path also owns the foreign-magic error
+                        frames, delays = decode_gif_frames(
+                            raw, max_frames=max_frames
+                        )
                 except CodecError as e:
                     rows.append(
                         (doc_id, None, None, None, None, None,

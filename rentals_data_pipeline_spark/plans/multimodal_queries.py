@@ -607,45 +607,57 @@ def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_video_shot_boundaries")  # rows-only: GIF LZW + GCE
-# compositing has no ANSI-SQL twin; semantics pinned by pytest goldens
+@query("multimodal_video_shot_boundaries")  # rows-only: GIF LZW + JPEG
+# entropy decode have no ANSI-SQL twin; semantics pinned by pytest goldens
 def multimodal_video_shot_boundaries(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Shot-boundary detection over REAL multi-frame containers — the
-    motion-curation pass on genuine animated GIF89a blobs, not fake
-    byte streams: pack each document's text into an animated GIF (one
-    4-color frame per 64-byte chunk, GCE delays —
-    operators/multimodal.py::pack_gif_anim), decode every frame of the
-    composited canvas (codecs.py::decode_gif_frames: full LZW,
-    disposal, transparency), then per document: frame count, total
-    declared duration, and cut count = frames whose mean-luma jump
-    from the previous frame exceeds 8/255 — the static-asset /
-    slideshow / real-motion triage signal. Per-frame means are exact
-    integer-sum/count doubles, so output is deterministic; the
-    lag window partitions per doc_id (frame-count-sized, never
-    corpus-sized). Rows-only: LZW entropy decode is not expressible in
-    ANSI SQL; frame-pixel and compositing semantics are golden-tested
-    against hand-built animations (tests/test_codecs.py,
+    motion-curation pass on genuine animated GIF89a blobs AND
+    Motion-JPEG AVI files, not fake byte streams: pack each document's
+    text into both containers (one 4-level frame per 64-byte chunk —
+    operators/multimodal.py::pack_gif_anim / pack_avi_mjpeg), decode
+    every frame (codecs.py::decode_gif_frames: full LZW, disposal,
+    transparency; decode_avi_mjpeg_frames: RIFF walk + per-chunk
+    JPEG), then per (container, document): frame count, total declared
+    duration, and cut count = frames whose mean-luma jump from the
+    previous frame exceeds 8/255 — the static-asset / slideshow /
+    real-motion triage signal. Per-frame means are exact
+    integer-sum/count doubles, so output is deterministic; the lag
+    window partitions per (container, doc_id) (frame-count-sized,
+    never corpus-sized). The two decode branches are independent
+    mapInPandas stages over the same scan, unioned AFTER the per-frame
+    stage — at scale each container family decodes in its own tasks.
+    Rows-only: LZW/JPEG entropy decode is not expressible in ANSI SQL;
+    frame-pixel and compositing semantics are golden-tested against
+    hand-built containers (tests/test_codecs.py,
     tests/test_multimodal_ops.py)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    frames = MM.decode_video_frames(docs.transform(MM.pack_gif_anim()))
+    frames = (
+        MM.decode_video_frames(docs.transform(MM.pack_gif_anim()))
+        .withColumn("container", F.lit("gif"))
+        .unionByName(
+            MM.decode_video_frames(docs.transform(MM.pack_avi_mjpeg()))
+            .withColumn("container", F.lit("avi"))
+        )
+    )
     ok = frames.where(F.col("decode_error").isNull())
-    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    w = Window.partitionBy("container", "doc_id").orderBy("frame_idx")
     luma = (
         F.col("mean_r") * 0.299 + F.col("mean_g") * 0.587
         + F.col("mean_b") * 0.114
     )
     deltas = ok.select(
+        "container",
         "doc_id",
         "n_frames",
         "delay_cs",
         (F.abs(luma - F.lag(luma).over(w))).alias("luma_jump"),
     )
     return (
-        deltas.groupBy("doc_id")
+        deltas.groupBy("container", "doc_id")
         .agg(
             F.first("n_frames").cast("long").alias("n_frames"),
             F.sum("delay_cs").cast("long").alias("duration_cs"),
@@ -654,6 +666,7 @@ def multimodal_video_shot_boundaries(
             ).cast("long").alias("n_cuts"),
         )
         .select(
+            "container",
             "doc_id",
             "n_frames",
             "duration_cs",

@@ -1828,6 +1828,206 @@ def test_decode_media_flac_payload(spark):
     assert row["decoded"] == [sig.astype(float).tolist()]
 
 
+# ---------------------------------------------------------------------------
+# AVI / MJPEG: test-side RIFF writer (independent of the decoder; uses
+# the proven _encode_jpeg for frame payloads)
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(fcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return fcc + len(body).to_bytes(4, "little") + body + pad
+
+
+def _riff_list(kind: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + body)
+
+
+def _avi_mjpeg(
+    jpeg_frames,
+    w,
+    h,
+    fps=10,
+    handler=b"MJPG",
+    strf_comp=b"MJPG",
+    audio_first=False,
+    rec_wrap=False,
+    drops=(),
+):
+    """Minimal spec-shaped AVI: RIFF(AVI )/LIST hdrl(avih + strl per
+    stream)/LIST movi. ``audio_first`` prepends an auds stream so the
+    video stream is #1 and its chunks are '01dc' (plus skippable '00wb'
+    audio chunks); ``rec_wrap`` nests the frame chunks in a 'rec '
+    LIST; ``drops`` marks frame indices written as zero-size chunks."""
+    strh_v = (
+        b"vids" + handler + bytes(12)
+        + (1).to_bytes(4, "little") + fps.to_bytes(4, "little") + bytes(28)
+    )
+    strf_v = (
+        (40).to_bytes(4, "little") + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little") + strf_comp + bytes(20)
+    )
+    strl_v = _riff_list(
+        b"strl", _riff_chunk(b"strh", strh_v) + _riff_chunk(b"strf", strf_v)
+    )
+    strls = strl_v
+    n_streams = 1
+    if audio_first:
+        strh_a = (
+            b"auds" + bytes(16)
+            + (1).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+            + bytes(28)
+        )
+        strls = _riff_list(b"strl", _riff_chunk(b"strh", strh_a)) + strl_v
+        n_streams = 2
+    avih = struct.pack(
+        "<14I", 10**6 // fps, 0, 0, 0, len(jpeg_frames), 0, n_streams,
+        0, w, h, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih) + strls)
+    vid = b"01" if audio_first else b"00"
+    movi_body = b""
+    if audio_first:
+        movi_body += _riff_chunk(b"00wb", b"\x80" * 11)  # skipped
+    frames_body = b""
+    for i, jf in enumerate(jpeg_frames):
+        frames_body += _riff_chunk(vid + b"dc", b"" if i in drops else jf)
+    if rec_wrap:
+        movi_body += _riff_list(b"rec ", frames_body)
+    else:
+        movi_body += frames_body
+    movi = _riff_list(b"movi", movi_body)
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + len(payload).to_bytes(4, "little") + payload
+
+
+def _expected_frame(jf: bytes) -> np.ndarray:
+    nch, _, planes = C.decode_jpeg(jf)
+    if nch == 1:
+        side = int(round(len(planes[0]) ** 0.5))
+        return np.repeat(
+            planes[0].astype(np.uint8).reshape(side, -1, 1), 3, 2
+        )
+    n = len(planes[0])
+    side = int(round(n ** 0.5))
+    return np.stack(
+        [p.astype(np.uint8).reshape(side, -1) for p in planes], axis=2
+    )
+
+
+def test_avi_mjpeg_grayscale_roundtrip():
+    """Frames decode bit-exactly to what decode_jpeg yields for each
+    chunk's blob (gray replicated to 3 channels), delays from
+    strh scale/rate in centiseconds."""
+    rng = np.random.default_rng(42)
+    blobs = [
+        _encode_jpeg(rng.integers(0, 256, size=(16, 16), dtype=np.uint8))
+        for _ in range(3)
+    ]
+    frames, delays = C.decode_avi_mjpeg_frames(
+        _avi_mjpeg(blobs, 16, 16, fps=20)
+    )
+    assert len(frames) == 3 and delays == [5, 5, 5]
+    for fr, jf in zip(frames, blobs):
+        assert fr.shape == (16, 16, 3)
+        assert np.array_equal(fr, _expected_frame(jf))
+
+
+def test_avi_mjpeg_color_and_progressive_frames():
+    """Color baseline and progressive JPEG frames both ride the same
+    chunk walk (the decoder dispatches internally on SOF2)."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    blobs = [_encode_jpeg(px), _encode_jpeg_progressive(gray)]
+    frames, delays = C.decode_avi_mjpeg_frames(_avi_mjpeg(blobs, 8, 8))
+    assert len(frames) == 2 and delays == [10, 10]
+    assert np.array_equal(frames[0], _expected_frame(blobs[0]))
+    assert np.array_equal(frames[1], _expected_frame(blobs[1]))
+
+
+def test_avi_mjpeg_audio_stream_and_rec_list():
+    """Video as stream #1 behind an audio stream: '00wb' chunks skip,
+    '01dc' chunks decode, 'rec ' LIST recursion reaches the frames."""
+    px = np.full((8, 8), 77, dtype=np.uint8)
+    blobs = [_encode_jpeg(px)] * 2
+    raw = _avi_mjpeg(blobs, 8, 8, audio_first=True, rec_wrap=True)
+    frames, delays = C.decode_avi_mjpeg_frames(raw)
+    assert len(frames) == 2
+    assert all(np.all(fr == 77) for fr in frames)
+
+
+def test_avi_mjpeg_dropped_frames_extend_delay():
+    """Zero-size video chunks are dropped frames: no new image, the
+    previous frame's delay extends (standard MJPEG padding)."""
+    px0 = np.full((8, 8), 10, dtype=np.uint8)
+    px1 = np.full((8, 8), 200, dtype=np.uint8)
+    blobs = [_encode_jpeg(px0), _encode_jpeg(px0), _encode_jpeg(px1)]
+    raw = _avi_mjpeg(blobs, 8, 8, fps=10, drops=(1,))
+    frames, delays = C.decode_avi_mjpeg_frames(raw)
+    assert len(frames) == 2
+    assert delays == [20, 10]  # frame 0 held through the drop
+    assert np.all(frames[0] == 10) and np.all(frames[1] == 200)
+
+
+def test_avi_mjpeg_max_frames_cap():
+    px = np.full((8, 8), 50, dtype=np.uint8)
+    blobs = [_encode_jpeg(px)] * 5
+    frames, delays = C.decode_avi_mjpeg_frames(
+        _avi_mjpeg(blobs, 8, 8), max_frames=2
+    )
+    assert len(frames) == 2 and len(delays) == 2
+
+
+def test_avi_mjpeg_rejects_non_mjpeg_codec():
+    px = np.full((8, 8), 50, dtype=np.uint8)
+    raw = _avi_mjpeg(
+        [_encode_jpeg(px)], 8, 8, handler=b"H264", strf_comp=b"H264"
+    )
+    with pytest.raises(C.CodecError, match="unsupported avi codec: H264"):
+        C.decode_avi_mjpeg_frames(raw)
+
+
+def test_avi_mjpeg_malformed_raise_codecerror():
+    px = np.full((8, 8), 50, dtype=np.uint8)
+    good = _avi_mjpeg([_encode_jpeg(px)], 8, 8)
+    with pytest.raises(C.CodecError, match="bad signature"):
+        C.decode_avi_mjpeg_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    # a chunk size overrunning its parent
+    bad = bytearray(good)
+    at = bad.index(b"00dc") + 4
+    bad[at : at + 4] = (2**30).to_bytes(4, "little")
+    with pytest.raises(C.CodecError, match="overruns parent"):
+        C.decode_avi_mjpeg_frames(bytes(bad))
+    # movi with no hdrl
+    movi = _riff_list(b"movi", _riff_chunk(b"00dc", _encode_jpeg(px)))
+    payload = b"AVI " + movi
+    naked = b"RIFF" + len(payload).to_bytes(4, "little") + payload
+    with pytest.raises(C.CodecError, match="movi before hdrl"):
+        C.decode_avi_mjpeg_frames(naked)
+
+
+def test_avi_probe_header_only():
+    px = np.full((8, 8), 50, dtype=np.uint8)
+    raw = _avi_mjpeg(
+        [_encode_jpeg(px)] * 4, 8, 8, fps=25, audio_first=True
+    )
+    info = C.probe_container(raw)
+    assert info["format"] == "avi" and info["codec"] == "mjpeg"
+    assert info["n_tracks"] == 2
+    assert (info["width"], info["height"]) == (8, 8)
+    assert info["duration_s"] == pytest.approx(4 / 25)
+
+
+def test_avi_sniff_decodes_first_frame():
+    px = np.full((8, 8), 99, dtype=np.uint8)
+    raw = _avi_mjpeg([_encode_jpeg(px), _encode_jpeg(px // 2)], 8, 8)
+    nch, sr, chans = C.sniff_and_decode(raw)
+    assert (nch, sr) == (3, None)
+    assert all(np.all(c == 99.0) for c in chans)
+
+
 def _insert_fill_bytes(raw: bytes) -> bytes:
     """Pad a JPEG with 0xFF fill bytes before every marker in the
     header region (T.81 B.1.1.2 allows any run of 0xFF before the
@@ -1899,6 +2099,9 @@ def _small_valid_blobs() -> dict[str, bytes]:
         "jpeg_prog": _encode_jpeg_progressive(px[:, :, 0]),
         "flac": _encode_flac([sig]),
         "ppm": b"P6\n4 4\n255\n" + bytes(48),
+        "avi": _avi_mjpeg(
+            [_encode_jpeg(px[:, :, 0]), _encode_jpeg(px[:, :, 1])], 4, 4
+        ),
     }
 
 
@@ -1966,6 +2169,36 @@ def test_gif_frames_mutation_fuzz_codecerror_only():
             )
         try:
             C.decode_gif_frames(bytes(b))
+        except C.CodecError:
+            pass
+
+
+def test_avi_frames_mutation_fuzz_codecerror_only():
+    """decode_avi_mjpeg_frames has its own entry surface (multi-frame,
+    not reached via sniff_and_decode's 1-frame view), so it carries its
+    own standing fuzz, like decode_gif_frames."""
+    import random
+
+    rng = random.Random(20260815)
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = _avi_mjpeg(
+        [_encode_jpeg(px), _encode_jpeg(px[::-1]), _encode_jpeg(px.T)],
+        8, 8, fps=20, audio_first=True, rec_wrap=True, drops=(1,),
+    )
+    for _ in range(400):
+        b = bytearray(blob)
+        op = rng.randrange(3)
+        if op == 0:
+            b = b[: rng.randrange(len(b))]
+        elif op == 1:
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        else:
+            b = b[: rng.randrange(len(b))] + bytes(
+                rng.randrange(256) for _ in range(rng.randrange(40))
+            )
+        try:
+            C.decode_avi_mjpeg_frames(bytes(b))
         except C.CodecError:
             pass
 

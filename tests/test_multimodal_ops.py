@@ -321,10 +321,38 @@ def test_pack_gif_anim_decode_video_frames_roundtrip(spark):
     assert by_doc[3][0]["decode_error"] == "null payload"
 
 
+def test_pack_avi_mjpeg_decodes_to_tile_values(spark):
+    """pack_avi_mjpeg -> decode_video_frames roundtrip: per-frame means
+    recomputed from the text's chunk bytes exactly (DC-only blocks with
+    unit quant tables are lossless), delays 10 cs from strh
+    scale/rate, NULL text -> null-payload error row."""
+    text = "a" * 16 + "b" * 16 + "c" * 16 + "d" * 16 + "`" * 64  # 2 frames
+    docs = spark.createDataFrame(
+        [(1, text), (2, None)], "doc_id long, text string"
+    )
+    rows = MM.decode_video_frames(
+        docs.transform(MM.pack_avi_mjpeg())
+    ).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 2
+    data = text.encode()
+    for r in sorted(by_doc[1], key=lambda r: r["frame_idx"]):
+        ch = data[r["frame_idx"] * 64 : (r["frame_idx"] + 1) * 64]
+        want = sum(85 * (ch[k] & 3) for k in (0, 16, 32, 48)) / 4.0
+        assert r["mean_r"] == want == r["mean_g"] == r["mean_b"]
+        assert r["delay_cs"] == 10
+        assert (r["width"], r["height"]) == (16, 16)
+        assert r["n_frames"] == 2 and r["decode_error"] is None
+    assert by_doc[2][0]["decode_error"] == "null payload"
+
+
 def test_video_shot_boundaries_query_golden(spark, tmp_path):
-    """The rows-only catalog query: a doc whose chunks alternate
-    luma-heavy and luma-light text shows cuts; a constant doc is
-    static. Durations sum the GCE delays exactly."""
+    """The rows-only catalog query, both containers: a doc whose chunks
+    alternate luma-heavy and luma-light text shows cuts; a constant doc
+    is static. GIF durations sum the GCE delays (10(f+1) cs); AVI
+    durations are 10 cs per frame from strh scale/rate."""
     import __spark_entry__ as E
 
     # chunk A: bytes & 3 == 3 (e.g. 'c' = 0x63 -> 3) / chunk B: byte
@@ -335,11 +363,15 @@ def test_video_shot_boundaries_query_golden(spark, tmp_path):
         [(1, doc_cuts), (2, doc_flat)], "doc_id long, text string"
     ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     got = {
-        r["doc_id"]: (r["n_frames"], r["duration_cs"], r["n_cuts"],
-                      r["is_static"])
+        (r["container"], r["doc_id"]): (
+            r["n_frames"], r["duration_cs"], r["n_cuts"], r["is_static"]
+        )
         for r in E.queries()["multimodal_video_shot_boundaries"](
             spark, str(tmp_path)
         ).collect()
     }
-    assert got[1] == (3, 60, 2, False)  # 10+20+30 cs, two 255-luma jumps
-    assert got[2] == (3, 60, 0, True)
+    assert got[("gif", 1)] == (3, 60, 2, False)  # 10+20+30 cs, two jumps
+    assert got[("gif", 2)] == (3, 60, 0, True)
+    assert got[("avi", 1)] == (3, 30, 2, False)  # 3 x 10 cs
+    assert got[("avi", 2)] == (3, 30, 0, True)
+    assert len(got) == 4
