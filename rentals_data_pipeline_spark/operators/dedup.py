@@ -942,24 +942,100 @@ def decontaminate_bloom(
     ~2% FPR at k=4 (FPR only costs verify-join work, never
     correctness). Certified against the same oracle as the exact
     operator: identical output is the contract, pinned by test."""
-    tr_shingles = train.transform(shingle_digest_rows(id_col, text_col, n))
-    bm_digests = (
-        benchmark.transform(shingle_digest_rows(id_col, text_col, n))
-        .select("d")
-        .distinct()
+    bloom, bm_digests = bloom_decon_index(
+        benchmark, id_col, text_col, n, m_bits, k_hashes
     )
     # materialize the tiny bloom relation once: the k membership
     # probes each broadcast it, and the per-probe column aliases would
     # otherwise defeat exchange reuse and recompute the benchmark
     # shingle subtree k times
-    bloom = bloom_filter_relation(bm_digests, "d", m_bits, k_hashes).localCheckpoint(
-        eager=True
+    return decontaminate_with_index(
+        train,
+        bloom.localCheckpoint(eager=True),
+        bm_digests,
+        id_col,
+        text_col,
+        n,
+        m_bits,
+        k_hashes,
     )
+
+
+def bloom_decon_index(
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Persistable decontamination index over a benchmark corpus — the
+    Bloom-prefilter counterpart of :func:`minhash_index`'s (bands,
+    sets): returns ``(bloom, digests)`` where ``bloom`` is the
+    (bloom_word, bloom_bits) relation of :func:`bloom_filter_relation`
+    over the benchmark's distinct ``n``-gram digests and ``digests``
+    is that digest set itself (the exact verifier the probe's
+    bloom-positive sliver re-checks against).
+
+    MERGE-COMPOSABLE: ``bit_or`` is commutative and idempotent, so
+    ``bloom_decon_index(A union B).bloom`` equals
+    ``merge_bloom_relations(bloom(A), bloom(B))`` row-for-row and
+    ``digests`` merge by union+distinct (pinned by property test) —
+    adding a new eval suite to a persisted index is an append + fold,
+    never a rebuild over every benchmark ever ingested. The same
+    (n, m_bits, k_hashes) must be used at build and probe time, like
+    ``minhash_index``'s signature contract."""
+    bm_digests = (
+        benchmark.transform(shingle_digest_rows(id_col, text_col, n))
+        .select("d")
+        .distinct()
+    )
+    return (
+        bloom_filter_relation(bm_digests, "d", m_bits, k_hashes),
+        bm_digests,
+    )
+
+
+def merge_bloom_relations(*blooms: DataFrame) -> DataFrame:
+    """Fold any number of (bloom_word, bloom_bits) relations built with
+    the SAME (m_bits, k_hashes) into the relation of their key union:
+    union + ``groupBy(bloom_word).agg(bit_or)``. The fold is
+    m_bits/64-rows-per-input cheap and combines map-side."""
+    if not blooms:
+        raise ValueError("merge_bloom_relations needs at least one input")
+    merged = blooms[0]
+    for b in blooms[1:]:
+        merged = merged.unionByName(b)
+    return merged.groupBy("bloom_word").agg(
+        F.bit_or("bloom_bits").alias("bloom_bits")
+    )
+
+
+def decontaminate_with_index(
+    train: DataFrame,
+    bloom: DataFrame,
+    digests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Decontaminate ``train`` against a PRE-BUILT index from
+    :func:`bloom_decon_index` (possibly merged across suites): k
+    zero-shuffle broadcast bloom probes route only the bloom-positive
+    shingle sliver into the exact digest semi-join, then the
+    contaminated ids anti-join away — byte-identical output to
+    :func:`decontaminate` on the same benchmark, at the index's
+    probe cost. This is the seam the streaming decontamination gate
+    reuses per micro-batch (the index is storage-resident state, read
+    once per run, never rebuilt per batch)."""
+    tr_shingles = train.transform(shingle_digest_rows(id_col, text_col, n))
     candidates = bloom_might_contain(
         tr_shingles, "d", bloom, m_bits, k_hashes
     )
     contaminated = (
-        candidates.join(bm_digests, "d", "left_semi")
+        candidates.join(digests.select("d"), "d", "left_semi")
         .select(id_col)
         .distinct()
     )

@@ -587,6 +587,116 @@ def streaming_dedup_gate(
     )
 
 
+def add_benchmark_to_decon_index(
+    benchmark: DataFrame,
+    index_dir: str,
+    suite: str,
+    n: int = 5,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> None:
+    """Append one eval suite to a persisted decontamination index —
+    the incremental story :func:`streaming_dedup_gate`'s LSH index
+    already has, for the Bloom path: each suite owns its
+    ``suite=<name>`` partition under ``<index_dir>/bloom`` and
+    ``<index_dir>/digests`` (``operators/dedup.py::bloom_decon_index``
+    builds the rows), so adding a benchmark is a partition write —
+    never a rebuild over every benchmark ever ingested — and re-running
+    the same suite overwrites only its own partition (idempotent).
+    ``load_decon_index`` folds the partitions at read time:
+    ``bit_or`` merge makes index(A union B) == merge(index(A),
+    index(B)) exactly (pinned by property test). All suites must share
+    (n, m_bits, k_hashes); ``suite`` must be a path-safe name."""
+    from rentals_data_pipeline_spark.operators.dedup import bloom_decon_index
+
+    bloom, digests = bloom_decon_index(
+        benchmark, n=n, m_bits=m_bits, k_hashes=k_hashes
+    )
+    bloom.write.mode("overwrite").parquet(
+        f"{index_dir}/bloom/suite={suite}"
+    )
+    digests.write.mode("overwrite").parquet(
+        f"{index_dir}/digests/suite={suite}"
+    )
+
+
+def load_decon_index(
+    spark: SparkSession, index_dir: str
+) -> "tuple[DataFrame, DataFrame]":
+    """(bloom, digests) from a persisted decontamination index: the
+    per-suite bloom partitions fold by ``bit_or`` into one relation
+    (``merge_bloom_relations`` semantics — m_bits/64 rows per suite,
+    map-side combined), digests by union + distinct."""
+    bloom = (
+        spark.read.parquet(f"{index_dir}/bloom")
+        .groupBy("bloom_word")
+        .agg(F.bit_or("bloom_bits").alias("bloom_bits"))
+    )
+    digests = spark.read.parquet(f"{index_dir}/digests").select("d").distinct()
+    return bloom, digests
+
+
+def streaming_decontamination_gate(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    n: int = 5,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    max_files_per_trigger: int = 1,
+):
+    """Arrival-time benchmark decontamination — the streaming face of
+    ``decontaminate_bloom``, parity with ``streaming_dedup_gate``:
+    every arriving micro-batch of documents is probed against the
+    PERSISTED suite-partitioned Bloom index
+    (:func:`add_benchmark_to_decon_index`) and only uncontaminated
+    docs land in ``output_dir``. Output is byte-identical to running
+    the certified batch operator on each batch (the bloom admits no
+    false negatives; the exact digest semi-join re-verifies the
+    bloom-positive sliver).
+
+    The index is STATIC per run (benchmarks change by suite appends,
+    not per batch), so it loads and folds ONCE, eagerly checkpointed —
+    each micro-batch pays k broadcast probes, never an index rebuild
+    or re-read. Replay is idempotent the same way the dedup gate's is:
+    every batch writes its own ``batch=<id>`` partition with
+    overwrite, so a checkpoint replay (or a full fresh-checkpoint
+    rerun) overwrites rather than duplicates; unlike the dedup gate
+    there is no self-match hazard because the gate never writes to the
+    index it probes. (n, m_bits, k_hashes) must match the values the
+    index was built with."""
+    from rentals_data_pipeline_spark.operators.dedup import (
+        decontaminate_with_index,
+    )
+
+    bloom, digests = load_decon_index(spark, index_dir)
+    bloom = bloom.localCheckpoint(eager=True)
+    digests = digests.localCheckpoint(eager=True)
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)  # file-source
+        # lineage is not re-resolvable inside foreachBatch joins
+        clean = decontaminate_with_index(
+            batch_df, bloom, digests,
+            n=n, m_bits=m_bits, k_hashes=k_hashes,
+        )
+        clean.write.mode("overwrite").parquet(
+            f"{output_dir}/batch={batch_id}"
+        )
+
+    return (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def consolidate_gate_storage(
     spark: SparkSession,
     path: str,

@@ -181,6 +181,93 @@ def test_bloom_prefilter_prunes_and_never_false_negatives(spark):
     assert fp < 100  # ~2000 * FPR; generous bound against hash luck
 
 
+def test_bloom_index_is_merge_composable(spark):
+    """index(A union B) == merge(index(A), index(B)) for BOTH halves of
+    bloom_decon_index — the bloom relation folds by bit_or, the digest
+    relation by union+distinct — including with overlapping documents
+    (bit_or and distinct are idempotent). This is what makes a
+    persisted decontamination index an append, never a rebuild."""
+    import random
+
+    from rentals_data_pipeline_spark.operators.dedup import (
+        bloom_decon_index,
+        merge_bloom_relations,
+    )
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(40)]
+
+    def corpus(lo, hi):
+        return spark.createDataFrame(
+            [
+                (i, " ".join(rng.choice(vocab) for _ in range(10)))
+                for i in range(lo, hi)
+            ],
+            "doc_id long, text string",
+        )
+
+    a = corpus(0, 25)
+    b = corpus(20, 45)  # overlapping id range; rng makes texts distinct
+    both = a.unionByName(b)
+    m_bits, k = 1 << 12, 3
+    bloom_u, dig_u = bloom_decon_index(both, m_bits=m_bits, k_hashes=k)
+    bloom_a, dig_a = bloom_decon_index(a, m_bits=m_bits, k_hashes=k)
+    bloom_b, dig_b = bloom_decon_index(b, m_bits=m_bits, k_hashes=k)
+    merged = merge_bloom_relations(bloom_a, bloom_b)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, bloom_u.collect())
+    )
+    assert sorted(r["d"] for r in dig_a.unionByName(dig_b).distinct().collect()) == sorted(
+        r["d"] for r in dig_u.collect()
+    )
+
+
+def test_decontaminate_with_index_equals_exact(spark):
+    """The persisted-index probe (decontaminate_with_index over a
+    merged multi-suite index) returns exactly what plain decontaminate
+    returns against the union of the suites."""
+    import random
+
+    from rentals_data_pipeline_spark.operators.dedup import (
+        bloom_decon_index,
+        decontaminate,
+        decontaminate_with_index,
+        merge_bloom_relations,
+    )
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 12))))
+        for i in range(40)
+    ]
+    rows[30] = (30, rows[2][1] + " tail pad words four five")  # planted
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    suite_a = docs.where(F.col("doc_id") % 10 == 2)
+    suite_b = docs.where(F.col("doc_id") % 10 == 7)
+    train = docs.where(~F.col("doc_id").isin(2, 12, 22, 32, 7, 17, 27, 37))
+    m_bits, k = 1 << 12, 4
+    ba, da = bloom_decon_index(suite_a, m_bits=m_bits, k_hashes=k)
+    bb, db = bloom_decon_index(suite_b, m_bits=m_bits, k_hashes=k)
+    got = sorted(
+        r["doc_id"]
+        for r in decontaminate_with_index(
+            train,
+            merge_bloom_relations(ba, bb).localCheckpoint(eager=True),
+            da.unionByName(db).distinct(),
+            m_bits=m_bits,
+            k_hashes=k,
+        ).collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in decontaminate(
+            train, suite_a.unionByName(suite_b), n=5
+        ).collect()
+    )
+    assert got == want and len(want) < train.count()
+
+
 def test_shared_span_pairs_golden(spark):
     """Hand-computed spans: docs 1/2 share one 7-token span at known
     offsets; doc 3 shares only a 5-token span with doc 1 (below the

@@ -1014,6 +1014,105 @@ def test_streaming_dedup_gate_replay_is_idempotent(spark, tmp_path):
     assert replay == first  # no self-match wipeout, no duplication
 
 
+def _write_arrival_files(spark, tmp_path, batches):
+    """One flat dir of single-file parquet batches with strictly
+    increasing mtimes (the file source orders by modification time)."""
+    import os as _os
+    import shutil
+
+    flat = tmp_path / "arrivals"
+    flat.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / f"src_b{i}"))
+        part = next((tmp_path / f"src_b{i}").glob("part-*.parquet"))
+        dst = flat / f"{i:03d}.parquet"
+        shutil.copy(part, dst)
+        _os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
+    return str(flat)
+
+
+def test_streaming_decontamination_gate_matches_batch(spark, tmp_path):
+    """The arrival-time decontamination gate keeps exactly what the
+    certified batch operator keeps against the union of the persisted
+    suites — contamination from EITHER suite drops, across
+    micro-batches, with suites added incrementally (merge-composable
+    index: suite B appended after suite A, never a rebuild)."""
+    from rentals_data_pipeline_spark.operators.dedup import decontaminate
+
+    bench_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    bench_b = "one two three four five six seven eight nine ten eleven"
+    suite_a = spark.createDataFrame(
+        [(100, bench_a)], "doc_id long, text string"
+    )
+    suite_b = spark.createDataFrame(
+        [(200, bench_b)], "doc_id long, text string"
+    )
+
+    def fresh(k):
+        return " ".join(f"doc{k}w{i}" for i in range(12))
+
+    batches = [
+        [(1, fresh(1)), (2, "prefix " + bench_a + " suffix")],  # 2 hits A
+        [(3, bench_b), (4, fresh(4))],  # 3 hits B
+        [(5, fresh(5))],
+    ]
+    flat = _write_arrival_files(spark, tmp_path, batches)
+    index_dir = str(tmp_path / "decon_index")
+    SJ.add_benchmark_to_decon_index(suite_a, index_dir, "suiteA")
+    SJ.add_benchmark_to_decon_index(suite_b, index_dir, "suiteB")
+
+    out_dir = str(tmp_path / "clean")
+    SJ.streaming_decontamination_gate(
+        spark, flat, index_dir, out_dir, str(tmp_path / "ck")
+    ).awaitTermination()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id long, text string"
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in decontaminate(
+            all_docs, suite_a.unionByName(suite_b), n=5
+        ).collect()
+    )
+    assert got == want == [1, 4, 5]
+
+
+def test_streaming_decontamination_gate_replay_is_idempotent(
+    spark, tmp_path
+):
+    """Fresh-checkpoint rerun over the same arrivals reproduces the
+    identical kept set: every batch overwrites its own batch=<id>
+    partition, and the static index has no self-match hazard."""
+    bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    suite = spark.createDataFrame(
+        [(100, bench)], "doc_id long, text string"
+    )
+    batches = [
+        [(1, " ".join(f"a{i}" for i in range(12))), (2, bench + " pad")],
+        [(3, " ".join(f"b{i}" for i in range(12)))],
+    ]
+    flat = _write_arrival_files(spark, tmp_path, batches)
+    index_dir = str(tmp_path / "decon_index")
+    SJ.add_benchmark_to_decon_index(suite, index_dir, "s")
+    out_dir = str(tmp_path / "clean")
+    SJ.streaming_decontamination_gate(
+        spark, flat, index_dir, out_dir, str(tmp_path / "ck1")
+    ).awaitTermination()
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert first == [1, 3]
+    SJ.streaming_decontamination_gate(
+        spark, flat, index_dir, out_dir, str(tmp_path / "ck2")
+    ).awaitTermination()
+    replay = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    assert replay == first  # no duplication, no loss
+
+
 def test_consolidate_gate_storage_bounds_partitions(spark, tmp_path):
     """Folding old batch partitions into the archive keeps (a) every
     row, (b) the gate's dedup behavior when the SAME checkpointed
