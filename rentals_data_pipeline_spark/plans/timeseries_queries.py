@@ -592,6 +592,56 @@ def sketch_distinct_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame
     return SK.overlap_estimate(per_type, "event_type", "view", "purchase")
 
 
+@query(
+    "sketch_distinct_overlap_users_exact",
+    """
+WITH per_user AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+    GROUP BY user_id
+)
+SELECT CAST(SUM(v) AS BIGINT) AS nd_view,
+       CAST(SUM(p) AS BIGINT) AS nd_purchase,
+       CAST(SUM(v * p) AS BIGINT) AS nd_both
+FROM per_user
+""",
+)
+def sketch_distinct_overlap_users_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT twin of ``sketch_distinct_overlap_users`` (added round 8 —
+    the rows-only HLL variant's most likely graduation candidate per
+    the r7 verdict): distinct viewers, distinct purchasers, and the
+    exact view∩purchase audience. ONE user_id shuffle with map-side
+    combine (per-user boolean flags, then a scalar agg) instead of two
+    COUNT DISTINCT shuffles plus an INTERSECT — the flag-fold shape
+    stays one pass at any scale. The HLL query remains the zero-rescan
+    path over PERSISTED sketches; this is the ground truth it is
+    benchmarked against (tests/test_sketch_ops.py pins the estimate
+    accuracy)."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = (
+        events.where(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("v"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("p"),
+        )
+    )
+    return per_user.agg(
+        F.sum("v").cast("long").alias("nd_view"),
+        F.sum("p").cast("long").alias("nd_purchase"),
+        F.sum(F.col("v") * F.col("p")).cast("long").alias("nd_both"),
+    )
+
+
 @query("ts_downsample_lttb")  # rows-only: bucket-mean triangle areas
 # are float comparisons with no stable ANSI replay; semantics pinned
 # by tests/test_round5c_ops.py (reference implementation equality,
