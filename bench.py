@@ -272,6 +272,12 @@ def main() -> None:
     # per-query map; tools/bench_compare.py resolves "queries_file"
     # (cross-checked against "value") and reconstructs truncated tails.
     full_line = json.dumps(record)
+    # deliberately NOT gitignored: the round driver auto-commits
+    # leftover files, so the BENCH_LOCAL.json written by ITS bench run
+    # lands in the repo alongside BENCH_r{N}.json — bench_compare
+    # cross-checks the "value" field before trusting it, so a stale
+    # copy from some other run can only degrade to totals-only, never
+    # masquerade as the round's per-query data
     (Path(__file__).resolve().parent / "BENCH_LOCAL.json").write_text(
         full_line + "\n"
     )

@@ -669,6 +669,14 @@ def decode_gif_frames(
         pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
         if int(idx.max(initial=0)) >= len(pal):
             raise CodecError("gif parse error: palette index out of range")
+        if transparent is not None and transparent >= len(pal):
+            # same contract as the out-of-range pixel-index check above
+            # (and like it, BEFORE clipping — a fully off-screen rect
+            # must not legitimize a malformed GCE): the transparency
+            # index must reference the active color table; silently
+            # disabling transparency would render a malformed file
+            # differently from every conforming decoder
+            raise CodecError("gif parse error: palette index out of range")
         # clip the frame rect to the logical screen (hostile descriptors)
         h_eff = max(0, min(h, sh - top))
         w_eff = max(0, min(w, sw - left))
@@ -677,15 +685,6 @@ def decode_gif_frames(
             sub = idx[:h_eff, :w_eff]
             region = canvas[top : top + h_eff, left : left + w_eff]
             if transparent is not None:
-                if transparent >= len(pal):
-                    # same contract as out-of-range pixel indices: the
-                    # GCE's transparency index must reference the active
-                    # color table; silently disabling transparency would
-                    # render a malformed file differently from every
-                    # conforming decoder
-                    raise CodecError(
-                        "gif parse error: palette index out of range"
-                    )
                 mask = sub != transparent
                 region[mask] = pal[sub.astype(np.int64)][mask]
             else:
@@ -1814,21 +1813,16 @@ def _probe_ppm(raw: bytes) -> dict:
 
 
 def _probe_jpeg(raw: bytes) -> dict:
-    """Marker walk to the first SOF — entropy data is never touched."""
-    pos, n = 2, len(raw)
-    while pos + 4 <= n:
-        if raw[pos] != 0xFF:
-            raise CodecError("jpeg parse error: marker expected")
-        m = raw[pos + 1]
-        if m == 0x01 or 0xD0 <= m <= 0xD7:
-            pos += 2
-            continue
-        ln = int.from_bytes(raw[pos + 2 : pos + 4], "big")
-        body = raw[pos + 4 : pos + 2 + ln]
-        if ln < 2 or len(body) < ln - 2:
-            raise CodecError("jpeg parse error: truncated segment")
-        if m in (0xC0, 0xC1, 0xC2):  # probe reports progressive too:
-            # triage must SEE what decode would reject
+    """Marker walk to the first SOF — entropy data is never touched.
+    Uses the decoders' shared ``_JpegMarkerWalker`` (fill-byte skip
+    included — a padded file must probe exactly as it decodes) but NOT
+    ``_parse_sof``: a probe deliberately reports dimensions/precision
+    the decoder would reject, because triage must SEE what decode
+    would refuse."""
+    walker = _JpegMarkerWalker(raw)
+    while (seg := walker.next()) is not None:
+        m, body = seg
+        if m in (0xC0, 0xC1, 0xC2):  # probe reports progressive too
             if len(body) < 6:
                 raise CodecError("jpeg parse error: truncated frame header")
             h_px = int.from_bytes(body[1:3], "big")
@@ -1838,7 +1832,6 @@ def _probe_jpeg(raw: bytes) -> dict:
                           channels=int(body[5]))
         if m == 0xDA:
             break
-        pos += 2 + ln
     raise CodecError("jpeg parse error: missing SOF/SOS")
 
 
@@ -1886,6 +1879,13 @@ def _jpeg_frame_dims(jpg: bytes) -> tuple[int, int]:
     raise CodecError("jpeg parse error: missing SOF/SOS")
 
 
+def _fourcc_name(b: bytes) -> str:
+    """Human-readable fourcc: NUL padding and whitespace stripped (a
+    blank or all-NUL handler — common real-world encoder shape — must
+    read as empty, not as four NUL bytes in an error/probe column)."""
+    return b.decode("latin-1", "replace").strip("\x00 \t").strip()
+
+
 def _avi_headers(raw: bytes, lo: int, hi: int) -> tuple[int, int]:
     """Parse an ``hdrl`` LIST: returns ``(video_stream, delay_cs)``.
 
@@ -1924,7 +1924,9 @@ def _avi_headers(raw: bytes, lo: int, hi: int) -> tuple[int, int]:
         if not is_video:
             continue
         if handler not in mjpg and comp not in mjpg:
-            name = (handler or comp).decode("latin-1", "replace").strip()
+            # name whichever field actually carries a codec: an all-NUL
+            # handler is truthy as bytes but empty as a name
+            name = _fourcc_name(handler) or _fourcc_name(comp)
             raise CodecError(f"unsupported avi codec: {name or 'unknown'}")
         video_stream = stream_no
         if rate > 0:
@@ -1951,9 +1953,12 @@ def decode_avi_mjpeg_frames(
     ``_MAX_PIXELS`` BEFORE the full decode; past ``max_frames`` or the
     pixel budget, parsing stops. Zero-size video chunks (dropped
     frames — standard MJPEG padding) extend the previous frame's
-    delay instead of producing a frame. Audio/index chunks skip;
-    ``rec `` LISTs recurse. Non-MJPEG video streams raise the same
-    ``unsupported`` CodecError the MP4/Ogg gates use."""
+    delay instead of producing a frame (leading drops carry forward to
+    the first decoded frame, so declared duration is preserved).
+    Audio/index chunks skip; ``rec `` LISTs recurse, depth-capped so a
+    hostile nesting bomb raises CodecError instead of RecursionError.
+    Non-MJPEG video streams raise the same ``unsupported`` CodecError
+    the MP4/Ogg gates use."""
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
         raise CodecError("avi parse error: bad signature")
     hi = min(len(raw), 8 + int.from_bytes(raw[4:8], "little"))
@@ -1962,13 +1967,16 @@ def decode_avi_mjpeg_frames(
     frames: list[np.ndarray] = []
     delays: list[int] = []
     budget = [_MAX_PIXELS]
+    pending = [0]  # delay of dropped frames before the first real one
 
-    def _video_chunks(lo: int, hi_: int) -> bool:
+    def _video_chunks(lo: int, hi_: int, depth: int = 0) -> bool:
         """Decode video chunks in a movi/rec LIST; False = budget hit."""
+        if depth > 8:  # the spec nests 'rec ' one level; 8 is generous
+            raise CodecError("avi parse error: rec LIST nesting too deep")
         vid = f"{video_stream:02d}".encode("ascii")
         for fcc, blo, bhi in _riff_chunks(raw, lo, hi_):
             if fcc == b"LIST" and raw[blo : blo + 4] == b"rec ":
-                if not _video_chunks(blo + 4, bhi):
+                if not _video_chunks(blo + 4, bhi, depth + 1):
                     return False
                 continue
             if fcc[:2] != vid or fcc[2:4] not in (b"dc", b"db"):
@@ -1976,6 +1984,8 @@ def decode_avi_mjpeg_frames(
             if blo == bhi:  # dropped frame: previous image persists
                 if delays:
                     delays[-1] += delay_cs
+                else:
+                    pending[0] += delay_cs
                 continue
             w_px, h_px = _jpeg_frame_dims(raw[blo:bhi])
             if w_px * h_px > budget[0]:
@@ -1991,7 +2001,8 @@ def decode_avi_mjpeg_frames(
                     axis=2,
                 )
             frames.append(fr)
-            delays.append(delay_cs)
+            delays.append(delay_cs + pending[0])
+            pending[0] = 0
             budget[0] -= w_px * h_px
             if len(frames) >= max_frames:
                 return False
@@ -2065,21 +2076,24 @@ def _probe_avi(raw: bytes) -> dict:
                 n_tracks += 1
                 if codec is not None:
                     continue
+                handler = comp = b""
+                is_video = False
                 for tfcc, tlo, thi in _riff_chunks(raw, slo + 4, shi):
-                    if (
-                        tfcc == b"strh"
-                        and thi - tlo >= 8
-                        and raw[tlo : tlo + 4] == b"vids"
-                    ):
-                        name = (
-                            raw[tlo + 4 : tlo + 8]
-                            .decode("latin-1", "replace")
-                            .strip()
-                            .lower()
-                        )
-                        codec = "mjpeg" if name in ("mjpg", "dmb1") else (
-                            name or None
-                        )
+                    if tfcc == b"strh" and thi - tlo >= 8:
+                        is_video = raw[tlo : tlo + 4] == b"vids"
+                        handler = raw[tlo + 4 : tlo + 8]
+                    elif tfcc == b"strf" and thi - tlo >= 20:
+                        comp = raw[tlo + 16 : tlo + 20]
+                if is_video:
+                    # same either-field codec resolution as the decoder
+                    # gate (_avi_headers): a blank/NUL handler falls
+                    # back to strf biCompression, never NULs in output
+                    name = (
+                        _fourcc_name(handler) or _fourcc_name(comp)
+                    ).lower()
+                    codec = "mjpeg" if name in ("mjpg", "dmb1") else (
+                        name or None
+                    )
         return _probe(
             "avi",
             codec=codec,

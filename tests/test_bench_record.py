@@ -60,6 +60,62 @@ def test_reconstruct_synthetic_truncation():
     assert rec["calib_spark_agg_sec"] == 0.15
 
 
+def test_reconstruct_rebuilds_lost_value_from_query_sum():
+    """'value' sits BEFORE the queries map in the JSON line, so deeper
+    truncation loses it — reconstruction rebuilds it from the medians'
+    sum (the headline total IS that sum)."""
+    full = json.dumps(
+        {
+            "metric": "m",
+            "value": 3.75,
+            "unit": "sec",
+            "queries": {"q1": 1.5, "q2": 2.25},
+            "sf": 0.1,
+            "harness": "h",
+        }
+    )
+    cut = full.index('"queries"')  # head truncated past "value"
+    rec = reconstruct_tail(full[cut - 1 :])
+    assert rec["value"] == 3.75
+
+
+def test_compare_compact_vs_compact_without_local_file(tmp_path):
+    """Two compact-format rounds whose BENCH_LOCAL.json is absent (or
+    stale) must compare totals informationally and exit 0 — never a
+    spurious 'TOTAL(shared)' failure on an empty shared set."""
+    import subprocess
+
+    for i, total in ((8, 10.0), (9, 11.0)):
+        (tmp_path / f"BENCH_r0{i}.json").write_text(
+            json.dumps(
+                {
+                    "parsed": {
+                        "metric": "headline_queries_total_sec",
+                        "value": total,
+                        "unit": "sec",
+                        "n_queries": 5,
+                        "queries_file": "nonexistent_local.json",
+                        "sf": 0.1,
+                        "harness": "warm-median-of-3_v1",
+                    }
+                }
+            )
+        )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "tools" / "bench_compare.py"),
+            str(tmp_path / "BENCH_r08.json"),
+            str(tmp_path / "BENCH_r09.json"),
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "no shared per-query data" in proc.stdout
+    assert "1.10x" in proc.stdout
+
+
 def test_compact_stdout_line_fits_tail_buffer():
     """The compact record bench.py prints must stay well under the
     driver's observed ~2.2 KB tail buffer even with worst-case widths."""

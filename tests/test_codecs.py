@@ -2008,6 +2008,91 @@ def test_avi_mjpeg_malformed_raise_codecerror():
         C.decode_avi_mjpeg_frames(naked)
 
 
+def test_avi_rec_nesting_bomb_raises_codecerror():
+    """Hostile nesting: thousands of nested 'rec ' LISTs must raise
+    CodecError (depth cap), never RecursionError — the contract every
+    caller of the corrupt-blob-is-a-row pipeline relies on."""
+    inner = _riff_chunk(b"00dc", b"")
+    for _ in range(3000):
+        inner = _riff_list(b"rec ", inner)
+    px = np.full((8, 8), 9, dtype=np.uint8)
+    good = _avi_mjpeg([_encode_jpeg(px)], 8, 8)
+    movi_list_at = good.index(b"movi") - 8  # back over LIST hdr + size
+    # splice the bomb in place of the original movi LIST
+    payload = good[8:movi_list_at]
+    body = b"movi" + inner
+    bomb = payload + b"LIST" + len(body).to_bytes(4, "little") + body
+    raw = b"RIFF" + len(bomb).to_bytes(4, "little") + bomb
+    with pytest.raises(C.CodecError, match="nesting too deep"):
+        C.decode_avi_mjpeg_frames(raw)
+
+
+def test_avi_leading_dropped_frame_preserves_duration():
+    """A zero-size chunk BEFORE the first decoded frame charges its
+    delay to that first frame (declared duration survives), mirroring
+    how mid-stream drops extend the previous frame."""
+    px0 = np.full((8, 8), 10, dtype=np.uint8)
+    px1 = np.full((8, 8), 200, dtype=np.uint8)
+    blobs = [_encode_jpeg(px0), _encode_jpeg(px0), _encode_jpeg(px1)]
+    raw = _avi_mjpeg(blobs, 8, 8, fps=10, drops=(0,))
+    frames, delays = C.decode_avi_mjpeg_frames(raw)
+    assert len(frames) == 2
+    assert delays == [20, 10] and sum(delays) == 30
+    assert np.all(frames[0] == 10) and np.all(frames[1] == 200)
+
+
+def test_avi_nul_handler_falls_back_to_strf_compression():
+    """Real-world encoder shape: blank/NUL strh handler with MJPG in
+    strf biCompression — the decoder accepts it, and the probe must
+    report 'mjpeg' (never NUL bytes in the codec column)."""
+    px = np.full((8, 8), 33, dtype=np.uint8)
+    raw = _avi_mjpeg(
+        [_encode_jpeg(px)], 8, 8, handler=b"\x00\x00\x00\x00",
+        strf_comp=b"MJPG",
+    )
+    frames, _ = C.decode_avi_mjpeg_frames(raw)
+    assert len(frames) == 1 and np.all(frames[0] == 33)
+    assert C.probe_container(raw)["codec"] == "mjpeg"
+    # and the unsupported-codec error names the field that carries a
+    # codec, not four NUL bytes
+    bad = _avi_mjpeg(
+        [_encode_jpeg(px)], 8, 8, handler=b"\x00\x00\x00\x00",
+        strf_comp=b"H264",
+    )
+    with pytest.raises(C.CodecError, match="unsupported avi codec: H264"):
+        C.decode_avi_mjpeg_frames(bad)
+
+
+def test_jpeg_fill_bytes_probe_matches_decode():
+    """probe_container and decode_jpeg must agree on fill-byte-padded
+    files: a file the decoder accepts must not be rejected by the
+    triage pass that routes it (they share _JpegMarkerWalker)."""
+    px = np.full((8, 8), 120, dtype=np.uint8)
+    for enc in (_encode_jpeg, _encode_jpeg_progressive):
+        padded = _insert_fill_bytes(enc(px))
+        info = C.probe_container(padded)
+        assert info["format"] == "jpeg"
+        assert (info["width"], info["height"]) == (8, 8)
+
+
+def test_gif_offscreen_rect_still_validates_transparent_index():
+    """A frame rect placed entirely off the logical screen must not
+    legitimize an out-of-range GCE transparency index — the check runs
+    before clipping, like the pixel-index check."""
+    pal = np.array([[0, 0, 0], [255, 0, 0]], dtype=np.uint8)
+    blob = _gif_anim(
+        (4, 4),
+        pal,
+        [
+            {"idx": np.zeros((4, 4), dtype=np.uint8)},
+            {"idx": np.zeros((2, 2), dtype=np.uint8), "left": 100,
+             "top": 100, "transparent": 5},
+        ],
+    )
+    with pytest.raises(C.CodecError, match="palette index out of range"):
+        C.decode_gif_frames(blob)
+
+
 def test_avi_probe_header_only():
     px = np.full((8, 8), 50, dtype=np.uint8)
     raw = _avi_mjpeg(

@@ -55,6 +55,12 @@ def reconstruct_tail(tail: str) -> dict:
     hm = re.search(r'"harness":\s*"([^"]*)"', rest)
     if hm:
         rec["harness"] = hm.group(1)
+    # "value" sits BEFORE the queries map in the JSON line, so a
+    # truncation a little deeper than r07's loses it — rebuild it from
+    # the per-query medians (the headline total IS their sum)
+    if "value" not in rec and rec.get("queries"):
+        rec["value"] = round(sum(rec["queries"].values()), 3)
+        print("  note: truncated tail lost 'value'; rebuilt from query sum")
     return rec
 
 
@@ -140,16 +146,30 @@ def main() -> int:
     # gate the total over SHARED queries only — adding headline queries
     # must not read as a regression; full totals print informationally
     shared = set(oq) & set(nq)
-    o_tot = sum(oq[n] for n in shared)
-    n_tot = sum(nq[n] for n in shared)
-    t_ratio = n_tot / o_tot if o_tot > 0 else float("inf")
-    print(
-        f"  shared total ({len(shared)} queries): {o_tot:.3f}s -> {n_tot:.3f}s"
-        f" ({t_ratio:.2f}x); full totals {old.get('value', 0):.3f}s ->"
-        f" {new.get('value', 0):.3f}s"
-    )
-    if t_ratio > args.threshold:
-        failures.append(("TOTAL(shared)", t_ratio))
+    if shared:
+        o_tot = sum(oq[n] for n in shared)
+        n_tot = sum(nq[n] for n in shared)
+        t_ratio = n_tot / o_tot if o_tot > 0 else float("inf")
+        print(
+            f"  shared total ({len(shared)} queries): {o_tot:.3f}s ->"
+            f" {n_tot:.3f}s ({t_ratio:.2f}x); full totals"
+            f" {old.get('value', 0):.3f}s -> {new.get('value', 0):.3f}s"
+        )
+        if t_ratio > args.threshold:
+            failures.append(("TOTAL(shared)", t_ratio))
+    else:
+        # one side has no per-query map (e.g. an old compact record
+        # whose BENCH_LOCAL.json was overwritten by a newer run): the
+        # shared-query gate cannot run — compare headline totals
+        # informationally instead of failing on an empty set
+        o_v, n_v = old.get("value"), new.get("value")
+        t_ratio = (n_v / o_v) if o_v and n_v else None
+        print(
+            "  no shared per-query data — totals only:"
+            f" {o_v if o_v is not None else '?'}s ->"
+            f" {n_v if n_v is not None else '?'}s"
+            + (f" ({t_ratio:.2f}x, informational)" if t_ratio else "")
+        )
 
     # Host-speed normalization: when both files carry the calibration
     # probe (round 6+), divide the shared-total ratio by the calib
@@ -163,7 +183,7 @@ def main() -> int:
 
     o_cal = calib_of(old)
     n_cal = calib_of(new)
-    if o_cal and n_cal:
+    if o_cal and n_cal and t_ratio is not None:
         cal_ratio = n_cal / o_cal
         print(
             f"  calib {o_cal:.4f}s -> {n_cal:.4f}s ({cal_ratio:.2f}x host);"
@@ -179,7 +199,7 @@ def main() -> int:
     # scalar normalization above.
     o_par = old.get("calib_parallel_scaling_16w")
     n_par = new.get("calib_parallel_scaling_16w")
-    if o_par and n_par:
+    if o_par and n_par and t_ratio is not None:
         par_ratio = o_par / n_par  # fewer effective cores -> slower wall
         print(
             f"  parallel scaling {o_par:.2f} -> {n_par:.2f} effective"
@@ -196,7 +216,7 @@ def main() -> int:
     # Informational only, like the others.
     o_sp = old.get("calib_spark_agg_sec")
     n_sp = new.get("calib_spark_agg_sec")
-    if o_sp and n_sp:
+    if o_sp and n_sp and t_ratio is not None:
         sp_ratio = n_sp / o_sp
         print(
             f"  spark-agg calib {o_sp:.4f}s -> {n_sp:.4f}s"
