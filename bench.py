@@ -118,6 +118,11 @@ HEADLINE = [
     # shrinking 64x+ and the verify join seeing only the bloom-positive
     # sliver
     "dedup_decontaminate_bloom",
+    # round-8 addition: the motion-triage query now decodes TWO real
+    # containers per doc (animated GIF + Motion-JPEG AVI) in
+    # independent Arrow stages — the per-frame decode throughput the
+    # video-curation path rides on
+    "multimodal_video_shot_boundaries",
 ]
 
 

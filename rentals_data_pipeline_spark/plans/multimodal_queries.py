@@ -548,43 +548,54 @@ def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT doc_id,
     CASE WHEN text IS NULL THEN 'error'
-         WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'ppm' END AS format,
+         WHEN doc_id % 3 = 0 THEN 'wav'
+         WHEN doc_id % 3 = 1 THEN 'ppm' ELSE 'avi' END AS format,
     CASE WHEN text IS NULL THEN 'error'
-         WHEN doc_id % 2 = 0 THEN 'pcm_u8' ELSE 'ppm/p6' END AS codec,
+         WHEN doc_id % 3 = 0 THEN 'pcm_u8'
+         WHEN doc_id % 3 = 1 THEN 'ppm/p6' ELSE 'mjpeg' END AS codec,
     CAST(CASE WHEN text IS NULL THEN -1 ELSE 1 END AS BIGINT) AS n_tracks,
-    CAST(CASE WHEN text IS NOT NULL AND doc_id % 2 = 1 THEN 16
+    CAST(CASE WHEN text IS NOT NULL AND doc_id % 3 IN (1, 2) THEN 16
               ELSE -1 END AS BIGINT) AS width,
-    CAST(CASE WHEN text IS NOT NULL AND doc_id % 2 = 1 THEN 16
+    CAST(CASE WHEN text IS NOT NULL AND doc_id % 3 IN (1, 2) THEN 16
               ELSE -1 END AS BIGINT) AS height,
     CAST(CASE WHEN text IS NULL THEN -1
-              WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels,
-    CAST(CASE WHEN text IS NOT NULL AND doc_id % 2 = 0 THEN 8000
+              WHEN doc_id % 3 = 0 THEN 1
+              WHEN doc_id % 3 = 1 THEN 3 ELSE -1 END AS BIGINT) AS channels,
+    CAST(CASE WHEN text IS NOT NULL AND doc_id % 3 = 0 THEN 8000
               ELSE -1 END AS BIGINT) AS sample_rate,
-    CAST(CASE WHEN text IS NOT NULL AND doc_id % 2 = 0
-              THEN octet_length(encode(text)) * 125
+    CAST(CASE WHEN text IS NULL THEN -1
+              WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) * 125
+              WHEN doc_id % 3 = 2 THEN GREATEST(1, LEAST(8,
+                  CAST(CEIL(octet_length(encode(text)) / 64.0) AS BIGINT)
+              )) * 100000
               ELSE -1 END AS BIGINT) AS duration_us,
     CASE WHEN text IS NULL THEN 'null payload' END AS probe_error
 FROM documents
 """,
 )
 def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Header-only triage over REAL containers: even doc_ids pack into
-    RIFF/WAVE (8-bit mono PCM at 8 kHz whose data chunk is the utf-8
-    text), odd into binary PPM (16x16 RGB), then
+    """Header-only triage over REAL containers: doc_id % 3 routes each
+    document into RIFF/WAVE (8-bit mono PCM at 8 kHz whose data chunk
+    is the utf-8 text), binary PPM (16x16 RGB), or Motion-JPEG AVI
+    (16x16, one frame per 64-byte chunk at 10 fps — round 8), then
     ``operators/multimodal.py::probe_media`` reads ONLY the headers —
     format, codec, geometry, channels, rate, duration — never payload
-    bytes. The oracle replays every field from doc_id parity and the
+    bytes. The oracle replays every field from doc_id residue and the
     text's byte length (WAV duration = n_bytes samples at 8 kHz =
-    n_bytes * 125 us, an exact integer — no float hash risk). This is
-    the triage pass that at 100 TB runs on EVERY blob (cost
+    n_bytes * 125 us; AVI duration = clamp(ceil(n_bytes/64), 1, 8)
+    frames x 100 ms — both exact integers, no float hash risk). This
+    is the triage pass that at 100 TB runs on EVERY blob (cost
     independent of media size) to decide what ``decode_media``
     touches; the same prober walks MP4 boxes and Ogg pages for the AV
     containers this environment cannot decode (unit-tested with
     hand-built encoders in tests/test_codecs.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    wav = docs.filter(F.col("doc_id") % 2 == 0).transform(MM.pack_wav())
-    ppm = docs.filter(F.col("doc_id") % 2 == 1).transform(MM.pack_ppm())
-    probed = MM.probe_media(wav.unionByName(ppm))
+    wav = docs.filter(F.col("doc_id") % 3 == 0).transform(MM.pack_wav())
+    ppm = docs.filter(F.col("doc_id") % 3 == 1).transform(MM.pack_ppm())
+    avi = docs.filter(F.col("doc_id") % 3 == 2).transform(
+        MM.pack_avi_mjpeg()
+    )
+    probed = MM.probe_media(wav.unionByName(ppm).unionByName(avi))
     # certification projection: not-applicable fields flatten to -1 /
     # 'error' sentinels (nullable ints reach the driver's pandas oracle
     # fetch as float64 — the NULL-int hash trap the repo lint bans);
