@@ -2258,6 +2258,49 @@ def test_gif_frames_mutation_fuzz_codecerror_only():
             pass
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    n_frames=st.integers(1, 6),
+    h_tiles=st.integers(1, 3),
+    w_tiles=st.integers(1, 3),
+    fps=st.sampled_from([5, 10, 25, 100]),
+    audio_first=st.booleans(),
+    rec_wrap=st.booleans(),
+    drop_first=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_avi_mjpeg_roundtrip_property(
+    n_frames, h_tiles, w_tiles, fps, audio_first, rec_wrap, drop_first, seed
+):
+    """Property sweep over container geometry and framing: any frame
+    count, frame size, fps, stream layout, rec-wrapping and a leading
+    drop — every decoded frame matches decode_jpeg of its chunk blob
+    and the delay total equals (declared frames) x (frame period)."""
+    rng = np.random.default_rng(seed)
+    h, w = 8 * h_tiles, 8 * w_tiles
+    blobs = [
+        _encode_jpeg(rng.integers(0, 256, size=(h, w), dtype=np.uint8))
+        for _ in range(n_frames)
+    ]
+    drops = (0,) if drop_first and n_frames > 1 else ()
+    raw = _avi_mjpeg(
+        blobs, w, h, fps=fps, audio_first=audio_first,
+        rec_wrap=rec_wrap, drops=drops,
+    )
+    frames, delays = C.decode_avi_mjpeg_frames(raw)
+    kept = [b for i, b in enumerate(blobs) if i not in drops]
+    assert len(frames) == len(kept)
+    per = round(100 / fps)
+    assert sum(delays) == n_frames * per  # dropped delay folds forward
+    for fr, jf in zip(frames, kept):
+        assert fr.shape == (h, w, 3)
+        nch, _, planes = C.decode_jpeg(jf)
+        want = np.repeat(
+            planes[0].astype(np.uint8).reshape(h, w, 1), 3, 2
+        )
+        assert np.array_equal(fr, want)
+
+
 def test_avi_frames_mutation_fuzz_codecerror_only():
     """decode_avi_mjpeg_frames has its own entry surface (multi-frame,
     not reached via sniff_and_decode's 1-frame view), so it carries its

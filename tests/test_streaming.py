@@ -835,16 +835,28 @@ def test_media_triage_stream_matches_batch(spark, tmp_path):
             w.writeframes(text)
         return buf.getvalue()
 
+    from rentals_data_pipeline_spark.operators.multimodal import (
+        pack_avi_mjpeg,
+    )
+
+    avi_payload = (
+        spark.createDataFrame([(0, "x" * 100)], "doc_id long, text string")
+        .transform(pack_avi_mjpeg())
+        .collect()[0]["payload"]
+    )
+
     base = dt.datetime(2024, 1, 1)
     rows = []
     for i in range(60):
         ts = base + dt.timedelta(minutes=7 * i)
-        if i % 3 == 0:
+        if i % 4 == 0:
             payload = bytearray(_wav_payload(bytes(40 + i)))
-        elif i % 3 == 1:
+        elif i % 4 == 1:
             payload = bytearray(
                 b"P6\n4 4\n255\n" + bytes(48)
             )
+        elif i % 4 == 2:  # round 8: Motion-JPEG AVI probes header-only
+            payload = bytearray(avi_payload)
         else:  # corrupt: valid magic, truncated body
             payload = bytearray(b"\x89PNG\r\n\x1a\n" + _struct.pack(">I", 13))
         rows.append((i, ts, payload))
@@ -862,6 +874,10 @@ def test_media_triage_stream_matches_batch(spark, tmp_path):
     assert len(expected) > 0
     assert any(f == "error" and e == n for _, f, _, n, e, _ in expected)
     assert any(f == "wav" and e == 0 for _, f, _, n, e, _ in expected)
+    assert any(
+        f == "avi" and c == "mjpeg" and e == 0 and s > 0
+        for _, f, c, n, e, s in expected
+    )
 
     stream = SJ.read_media_stream(spark, src)
     SJ.run_available_now(
