@@ -618,6 +618,90 @@ def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("pipeline_video_curation")  # rows-only: GIF LZW + JPEG entropy
+# decode have no ANSI-SQL twin; semantics pinned by pytest goldens
+def pipeline_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VIDEO curation flagship — the fourth modality's end-to-end
+    plan next to pipeline_corpus_curation (text),
+    pipeline_embedding_curation (vectors) and pipeline_media_curation
+    (generic media), and the one query that composes the 100 TB
+    routing pattern the probe exists for: (1) pack a mixed video feed
+    (even doc_ids → Motion-JPEG AVI, odd → animated GIF89a; one
+    4-level frame per 64-byte chunk in both), (2) PROBE every blob
+    header-only (``probe_media`` — cost independent of payload size),
+    (3) route ONLY rows that probed clean as a known video container
+    into the expensive per-frame decode (``decode_video_frames``),
+    (4) per-document motion features — frame count, declared duration,
+    cut count (mean-luma jumps > 8/255) — and the keep rule (≥2
+    frames AND ≥1 cut = real motion; stills and static loops drop).
+
+    Plan shape: the packed relation is materialized ONCE
+    (localCheckpoint — standing in for the stored blob table a real
+    lake reads) and feeds both the probe stage and the decode stage;
+    the decode sees only the probe-clean sliver via an equi-join on
+    doc_id (AQE-broadcast at test scale, co-partitioned at 100 TB).
+    Every feature is exact integer arithmetic over per-frame integer
+    pixel sums, so goldens are deterministic. Rows-only: LZW/JPEG
+    entropy decode is not expressible in ANSI SQL."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    avi = docs.where(F.col("doc_id") % 2 == 0).transform(
+        MM.pack_avi_mjpeg()
+    )
+    gif = docs.where(F.col("doc_id") % 2 == 1).transform(
+        MM.pack_gif_anim()
+    )
+    packed = avi.unionByName(gif).localCheckpoint(eager=True)
+    triaged = (
+        MM.probe_media(packed)
+        .where(
+            F.col("probe_error").isNull()
+            & F.col("format").isin("avi", "gif")
+        )
+        .select("doc_id", F.col("format").alias("container"))
+    )
+    routed = packed.join(triaged, "doc_id")
+    frames = MM.decode_video_frames(routed).where(
+        F.col("decode_error").isNull()
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    luma = (
+        F.col("mean_r") * 0.299 + F.col("mean_g") * 0.587
+        + F.col("mean_b") * 0.114
+    )
+    feats = (
+        frames.select(
+            "doc_id",
+            "n_frames",
+            "delay_cs",
+            (F.abs(luma - F.lag(luma).over(w))).alias("luma_jump"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_frames").cast("long").alias("n_frames"),
+            F.sum("delay_cs").cast("long").alias("duration_cs"),
+            F.sum(
+                F.when(F.col("luma_jump") > 8.0, 1).otherwise(0)
+            ).cast("long").alias("n_cuts"),
+        )
+    )
+    return feats.join(triaged, "doc_id").select(
+        "doc_id",
+        "container",
+        "n_frames",
+        "duration_cs",
+        "n_cuts",
+        F.when(F.col("n_frames") == 1, "still")
+        .when(F.col("n_cuts") >= 1, "motion")
+        .otherwise("static_loop")
+        .alias("label"),
+        (
+            (F.col("n_frames") >= 2) & (F.col("n_cuts") >= 1)
+        ).alias("keep"),
+    )
+
+
 @query("multimodal_video_shot_boundaries")  # rows-only: GIF LZW + JPEG
 # entropy decode have no ANSI-SQL twin; semantics pinned by pytest goldens
 def multimodal_video_shot_boundaries(

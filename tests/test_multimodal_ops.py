@@ -348,6 +348,36 @@ def test_pack_avi_mjpeg_decodes_to_tile_values(spark):
     assert by_doc[2][0]["decode_error"] == "null payload"
 
 
+def test_pipeline_video_curation_golden(spark, tmp_path):
+    """The video-curation flagship: even ids route through AVI, odd
+    through GIF; motion docs keep, static loops and one-frame stills
+    drop; durations are container-faithful (AVI 10 cs/frame, GIF
+    10(f+1) cs)."""
+    import __spark_entry__ as E
+
+    doc_cuts = "c" * 64 + "`" * 64 + "c" * 64  # 3 frames, 2 max-jumps
+    doc_flat = "c" * 192  # 3 identical frames
+    doc_tiny = "hi"  # 1 frame -> still
+    spark.createDataFrame(
+        [(0, doc_cuts), (1, doc_cuts), (2, doc_flat), (3, doc_tiny)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (
+            r["container"], r["n_frames"], r["duration_cs"],
+            r["n_cuts"], r["label"], r["keep"],
+        )
+        for r in E.queries()["pipeline_video_curation"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[0] == ("avi", 3, 30, 2, "motion", True)
+    assert got[1] == ("gif", 3, 60, 2, "motion", True)
+    assert got[2] == ("avi", 3, 30, 0, "static_loop", False)
+    assert got[3] == ("gif", 1, 10, 0, "still", False)
+    assert len(got) == 4
+
+
 def test_video_shot_boundaries_query_golden(spark, tmp_path):
     """The rows-only catalog query, both containers: a doc whose chunks
     alternate luma-heavy and luma-light text shows cuts; a constant doc
