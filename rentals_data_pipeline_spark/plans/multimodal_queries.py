@@ -618,6 +618,76 @@ def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_decoded_avi_stats",
+    """
+WITH d AS (
+    SELECT doc_id, hex(encode(text)) AS hb,
+           octet_length(encode(text)) AS nb,
+           GREATEST(1, LEAST(8, CAST(CEIL(octet_length(encode(text)) / 64.0)
+                                     AS BIGINT))) AS nf
+    FROM documents
+    WHERE text IS NOT NULL
+),
+frames AS (
+    SELECT d.doc_id, d.hb, d.nb, d.nf, f.f AS frame_idx
+    FROM d, (SELECT unnest(range(0, 8)) AS f) f
+    WHERE f.f < d.nf
+),
+tiles AS (
+    -- byte p (1-based) of the utf-8 payload is hex chars 2p-1..2p
+    SELECT doc_id, nf, frame_idx,
+        CASE WHEN frame_idx * 64 + k.k + 1 <= nb
+             THEN (strpos('0123456789ABCDEF',
+                     substr(hb, 2 * (frame_idx * 64 + k.k + 1) - 1, 1))
+                   - 1) * 16
+                + (strpos('0123456789ABCDEF',
+                     substr(hb, 2 * (frame_idx * 64 + k.k + 1), 1))
+                   - 1)
+             ELSE 0 END AS byte_v
+    FROM frames, (SELECT unnest([0, 16, 32, 48]) AS k) k
+)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(10 AS BIGINT) AS delay_cs,
+       SUM(85 * (byte_v % 4)) / 4.0 AS mean_luma
+FROM tiles
+GROUP BY doc_id, frame_idx, nf
+""",
+)
+def multimodal_decoded_avi_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decoded VIDEO statistics, oracle-paired (round 8) — the first
+    hash-certified path through the FULL JPEG entropy stack: pack each
+    document into a real Motion-JPEG AVI (``pack_avi_mjpeg`` — DC-only
+    baseline frames whose constant 8x8 tiles decode EXACTLY), decode
+    every frame through the RIFF walk + Huffman + dequant + IDCT
+    pipeline (``decode_avi_mjpeg_frames``), and emit per-frame exact
+    means. The DuckDB oracle replays each mean from the text's BYTES
+    alone — tile luma is 85 * (byte & 3), frame mean is the 4-tile
+    average, and both sides are exact dyadic rationals (sums of
+    85/4-multiples), so the value hash certifies the decoder's pixel
+    output, not just its row counts. decoded-wav/ppm stats cover the
+    container-parse paths; this one covers entropy decode."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    frames = MM.decode_video_frames(
+        docs.transform(MM.pack_avi_mjpeg())
+    ).where(F.col("decode_error").isNull())
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("delay_cs").cast("long").alias("delay_cs"),
+        # mean_r == mean_g == mean_b for grayscale frames; exact
+        # integer-sum / 256.0 (a power of two), so no float-hash risk
+        F.col("mean_r").alias("mean_luma"),
+    )
+
+
 @query("pipeline_video_curation")  # rows-only: GIF LZW + JPEG entropy
 # decode have no ANSI-SQL twin; semantics pinned by pytest goldens
 def pipeline_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
