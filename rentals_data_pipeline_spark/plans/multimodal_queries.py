@@ -688,6 +688,76 @@ def multimodal_decoded_avi_stats(
     )
 
 
+@query(
+    "multimodal_decoded_gif_stats",
+    """
+WITH d AS (
+    SELECT doc_id, hex(encode(text)) AS hb,
+           octet_length(encode(text)) AS nb,
+           GREATEST(1, LEAST(8, CAST(CEIL(octet_length(encode(text)) / 64.0)
+                                     AS BIGINT))) AS nf
+    FROM documents
+    WHERE text IS NOT NULL
+),
+frames AS (
+    SELECT d.doc_id, d.hb, d.nb, d.nf, f.f AS frame_idx
+    FROM d, (SELECT unnest(range(0, 8)) AS f) f
+    WHERE f.f < d.nf
+),
+px AS (
+    -- pixel k of frame f is payload byte f*64+k (1-based in the hex
+    -- string at 2p-1..2p); past-the-end pads to palette index 0
+    SELECT doc_id, nf, frame_idx,
+        CASE WHEN frame_idx * 64 + k.k + 1 <= nb
+             THEN (strpos('0123456789ABCDEF',
+                     substr(hb, 2 * (frame_idx * 64 + k.k + 1) - 1, 1))
+                   - 1) * 16
+                + (strpos('0123456789ABCDEF',
+                     substr(hb, 2 * (frame_idx * 64 + k.k + 1), 1))
+                   - 1)
+             ELSE 0 END AS byte_v
+    FROM frames, (SELECT unnest(range(0, 64)) AS k) k
+)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(10 * (frame_idx + 1) AS BIGINT) AS delay_cs,
+       SUM(85 * (byte_v % 4)) / 64.0 AS mean_luma
+FROM px
+GROUP BY doc_id, frame_idx, nf
+""",
+)
+def multimodal_decoded_gif_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decoded ANIMATION statistics, oracle-paired (round 8) — the
+    LZW-path sibling of ``multimodal_decoded_avi_stats``: pack each
+    document into a real animated GIF89a (``pack_gif_anim`` — one
+    8x8 4-level frame per 64-byte chunk, GCE delays 10(f+1) cs),
+    decode every frame through the full LZW + compositing pipeline
+    (``decode_gif_frames``), and emit exact per-frame means. The
+    oracle replays each mean from the text's bytes (pixel luma is
+    85 * (byte & 3); frame mean = 64-pixel sum / 64 — dyadic, exact),
+    so the driver's value hash certifies the LZW decompressor's pixel
+    output. Together the two decoded-video queries hash-certify both
+    entropy stacks this engine plays back."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    frames = MM.decode_video_frames(
+        docs.transform(MM.pack_gif_anim())
+    ).where(F.col("decode_error").isNull())
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("delay_cs").cast("long").alias("delay_cs"),
+        # grayscale palette: mean_r == mean_g == mean_b; exact
+        # integer-sum / 64.0 (a power of two)
+        F.col("mean_r").alias("mean_luma"),
+    )
+
+
 @query("pipeline_video_curation")  # rows-only: GIF LZW + JPEG entropy
 # decode have no ANSI-SQL twin; semantics pinned by pytest goldens
 def pipeline_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
