@@ -2085,15 +2085,21 @@ def _probe_avi(raw: bytes) -> dict:
                     elif tfcc == b"strf" and thi - tlo >= 20:
                         comp = raw[tlo + 16 : tlo + 20]
                 if is_video:
-                    # same either-field codec resolution as the decoder
-                    # gate (_avi_headers): a blank/NUL handler falls
-                    # back to strf biCompression, never NULs in output
-                    name = (
-                        _fourcc_name(handler) or _fourcc_name(comp)
-                    ).lower()
-                    codec = "mjpeg" if name in ("mjpg", "dmb1") else (
-                        name or None
-                    )
+                    # EXACT parity with the decoder gate (_avi_headers):
+                    # the stream is MJPEG iff EITHER field is in the
+                    # same case-sensitive fourcc set the decoder
+                    # accepts — a handler like XVID over an MJPG strf
+                    # must still probe as mjpeg (the decoder decodes
+                    # it), and 'Mjpg' must NOT (the decoder rejects
+                    # it). Otherwise name the first non-blank fourcc.
+                    mjpg = {b"MJPG", b"mjpg", b"dmb1", b"DMB1"}
+                    if handler in mjpg or comp in mjpg:
+                        codec = "mjpeg"
+                    else:
+                        name = (
+                            _fourcc_name(handler) or _fourcc_name(comp)
+                        ).lower()
+                        codec = name or None
         return _probe(
             "avi",
             codec=codec,

@@ -114,6 +114,24 @@ def test_compare_compact_vs_compact_without_local_file(tmp_path):
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "no shared per-query data" in proc.stdout
     assert "1.10x" in proc.stdout
+    # the mislabeling guard: full-total ratios must never print under
+    # a "shared total" normalization label in this branch
+    assert "normalized shared total" not in proc.stdout
+
+
+def test_git_history_recovers_overwritten_local_record():
+    """From round 9 on, each round's bench overwrites BENCH_LOCAL.json;
+    the committed copy whose 'value' matches an old compact record must
+    be recoverable from git history so the per-query gate survives
+    compact-vs-compact comparisons."""
+    from bench_compare import _git_history_match
+
+    committed = json.loads((REPO / "BENCH_LOCAL.json").read_text())
+    rec = _git_history_match("BENCH_LOCAL.json", committed["value"])
+    assert rec is not None
+    assert rec["queries"] == committed["queries"]
+    # and a value no run ever produced finds nothing
+    assert _git_history_match("BENCH_LOCAL.json", 0.000123) is None
 
 
 def test_compact_stdout_line_fits_tail_buffer():

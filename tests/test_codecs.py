@@ -2063,6 +2063,27 @@ def test_avi_nul_handler_falls_back_to_strf_compression():
         C.decode_avi_mjpeg_frames(bad)
 
 
+def test_avi_codec_probe_decoder_parity():
+    """probe_container's codec field must agree with the decoder gate
+    on the SAME either-field membership: an XVID handler over an MJPG
+    strf decodes, so it probes 'mjpeg'; a case-mismatched 'Mjpg'
+    handler is rejected by the decoder, so it must NOT probe 'mjpeg'."""
+    px = np.full((8, 8), 60, dtype=np.uint8)
+    xvid_mjpg = _avi_mjpeg(
+        [_encode_jpeg(px)], 8, 8, handler=b"XVID", strf_comp=b"MJPG"
+    )
+    frames, _ = C.decode_avi_mjpeg_frames(xvid_mjpg)  # decoder accepts
+    assert len(frames) == 1
+    assert C.probe_container(xvid_mjpg)["codec"] == "mjpeg"
+
+    mixed_case = _avi_mjpeg(
+        [_encode_jpeg(px)], 8, 8, handler=b"Mjpg", strf_comp=b"Mjpg"
+    )
+    with pytest.raises(C.CodecError, match="unsupported avi codec"):
+        C.decode_avi_mjpeg_frames(mixed_case)
+    assert C.probe_container(mixed_case)["codec"] == "mjpg"  # not mjpeg
+
+
 def test_jpeg_fill_bytes_probe_matches_decode():
     """probe_container and decode_jpeg must agree on fill-byte-padded
     files: a file the decoder accepts must not be rejected by the

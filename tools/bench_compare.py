@@ -64,6 +64,40 @@ def reconstruct_tail(tail: str) -> dict:
     return rec
 
 
+def _git_history_match(rel_path: str, value) -> "dict | None":
+    """Search git history (newest first, bounded) for a committed
+    version of ``rel_path`` whose headline total equals ``value``."""
+    import subprocess
+
+    if value is None:
+        return None
+    try:
+        shas = subprocess.run(
+            ["git", "rev-list", "--max-count=60", "HEAD", "--", rel_path],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout.split()
+        for sha in shas:
+            show = subprocess.run(
+                ["git", "show", f"{sha}:{rel_path}"],
+                cwd=REPO, capture_output=True, text=True,
+            )
+            if show.returncode != 0:
+                continue
+            try:
+                cand = json.loads(show.stdout)
+            except json.JSONDecodeError:
+                continue
+            if cand.get("value") == value:
+                print(
+                    f"  note: recovered {rel_path} for total {value}"
+                    f" from git {sha[:10]}"
+                )
+                return cand
+    except (subprocess.CalledProcessError, OSError):
+        return None
+    return None
+
+
 def find_rounds() -> list[Path]:
     def round_no(p: Path) -> int:
         m = re.search(r"BENCH_r(\d+)\.json$", p.name)
@@ -109,19 +143,30 @@ def main() -> int:
         # "queries_file" (bench.py writes BENCH_LOCAL.json). Cross-check
         # the file's headline total against the compact record so a
         # stale local file from a different run can't masquerade as
-        # this round's per-query data.
+        # this round's per-query data; when the working-tree copy is a
+        # NEWER round's (every round overwrites it), recover the
+        # matching historical copy from git — the driver's end-of-round
+        # commit preserves each round's version, so the per-query gate
+        # survives compact-vs-compact comparisons in later rounds.
         if "queries" not in d and d.get("queries_file"):
             qf = REPO / d["queries_file"]
+            full = None
             if qf.exists():
-                full = json.loads(qf.read_text())
-                if full.get("value") == d.get("value"):
-                    d = {**full, **{k: v for k, v in d.items() if k not in full}}
-                else:
-                    print(
-                        f"  note: {qf.name} total {full.get('value')} !="
-                        f" record total {d.get('value')} — stale; using"
-                        " totals only"
-                    )
+                cand = json.loads(qf.read_text())
+                if cand.get("value") == d.get("value"):
+                    full = cand
+            if full is None:
+                full = _git_history_match(
+                    d["queries_file"], d.get("value")
+                )
+            if full is not None:
+                d = {**full, **{k: v for k, v in d.items() if k not in full}}
+            else:
+                print(
+                    f"  note: no {d['queries_file']} (tree or git"
+                    f" history) matches record total {d.get('value')}"
+                    " — using totals only"
+                )
         return d
 
     old = load(old_p)
@@ -159,16 +204,21 @@ def main() -> int:
             failures.append(("TOTAL(shared)", t_ratio))
     else:
         # one side has no per-query map (e.g. an old compact record
-        # whose BENCH_LOCAL.json was overwritten by a newer run): the
-        # shared-query gate cannot run — compare headline totals
-        # informationally instead of failing on an empty set
+        # whose BENCH_LOCAL.json was overwritten by a newer run AND is
+        # unrecoverable from git): the shared-query gate cannot run —
+        # compare headline totals informationally instead of failing on
+        # an empty set. t_ratio stays None: the FULL totals cover
+        # different query sets, so the "shared total" normalization
+        # prints below must not relabel this ratio as shared.
         o_v, n_v = old.get("value"), new.get("value")
-        t_ratio = (n_v / o_v) if o_v and n_v else None
+        tot_ratio = (n_v / o_v) if o_v and n_v else None
+        t_ratio = None
         print(
-            "  no shared per-query data — totals only:"
+            "  no shared per-query data — full totals only"
+            " (different query sets):"
             f" {o_v if o_v is not None else '?'}s ->"
             f" {n_v if n_v is not None else '?'}s"
-            + (f" ({t_ratio:.2f}x, informational)" if t_ratio else "")
+            + (f" ({tot_ratio:.2f}x, informational)" if tot_ratio else "")
         )
 
     # Host-speed normalization: when both files carry the calibration

@@ -29,6 +29,11 @@ def main() -> int:
     args = sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     only = set(args[1:])
+    unknown = only - set(catalog.QUERIES)
+    if unknown:
+        # a typo must never produce a green "0/0 OK" gate record
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
     spark = create_spark_session(
         "rows-execute-sweep",
         shuffle_partitions=32,
