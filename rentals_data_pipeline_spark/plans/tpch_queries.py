@@ -1,11 +1,15 @@
-"""Canonical TPC-H query adaptations (Q3-Q10 even where adapted, Q13/
-Q14/Q15/Q17/Q18/Q19/Q21/Q22) over the star
-schema — the industry-standard multi-join analytics shapes, expressed
-in the DataFrame API and certified against the classic SQL text on
-DuckDB. (Q1 already lives in the catalog as ``agg_pricing_summary``;
-Q2/Q11/Q16/Q20 need the ``partsupp`` table and Q12 the ``l_shipmode``
-column, which this corpus does not ship, and have no faithful
-adaptation — 16 of 22 covered.)
+"""Canonical TPC-H query adaptations (Q2-Q22 where adaptable) over the
+star schema — the industry-standard multi-join analytics shapes,
+expressed in the DataFrame API and certified against the classic SQL
+text on DuckDB. Q1 already lives in the catalog as
+``agg_pricing_summary``. As of round 8, Q2/Q11/Q16/Q20 run over a
+DETERMINISTICALLY DERIVED partsupp relation (dbgen-style 4 suppliers
+per part; costs as exact integer cents — see ``_partsupp`` below) and
+Q12 over derived shipmode/commit/receipt columns, all built from the
+same closed-form expressions in both engines so the oracle certifies
+the derivation too — 21 of 22 covered (Q12's original date columns and
+the partsupp table remain absent from the corpus; the derivations are
+documented adaptations, not dbgen replicas).
 
 Adaptations to this corpus's schema: no ``o_shippriority`` /
 ``c_address`` / ``c_phone`` / ``c_comment`` columns exist, so those
@@ -884,4 +888,402 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("o_year"),
         )
         .agg(RND(F.sum(amount).cast("double"), 2).alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp (round 8): the corpus ships no partsupp table, so the
+# remaining five queries derive one DETERMINISTICALLY from the tables it
+# does ship — the same dbgen idea (each part supplied by 4 suppliers at
+# a computed key stride) with supply cost/stock as pure integer
+# functions of (partkey, k). Both engines build the relation from the
+# same closed-form expressions, so the DuckDB oracle certifies the
+# whole derivation; costs stay in integer CENTS end-to-end (exact
+# sums, no float drift) and divide to a double only on output.
+# The stride 1 + S div 4 keeps the 4 supplier keys per part distinct
+# for every S >= 4 in the test corpus (3 * stride < S except at S < 12).
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+scnt AS (SELECT COUNT(*) AS s_cnt FROM supplier),
+partsupp AS (
+    SELECT p_partkey AS ps_partkey,
+           ((p_partkey + k.k * (1 + s_cnt // 4)) % s_cnt) + 1 AS ps_suppkey,
+           (p_partkey * 11 + k.k * 17) % 9999 + 1 AS ps_availqty,
+           (p_partkey * 7 + k.k * 13) % 99900 + 100 AS ps_cost_cents
+    FROM part, scnt, (SELECT unnest([0, 1, 2, 3]) AS k) k
+)
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived partsupp relation (see module comment). Shape at
+    scale: 4 rows per part from a pure map over the part scan; the
+    1-row supplier count broadcasts (the BNLJ carrier the plan audit
+    whitelists)."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = load_table(spark, sf_dir, "supplier").agg(
+        F.count(F.lit(1)).alias("s_cnt")
+    )
+    return (
+        part.crossJoin(F.broadcast(s_cnt))
+        .select(
+            "p_partkey",
+            "s_cnt",
+            F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("k"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            (
+                F.expr("(p_partkey + k * (1 + s_cnt div 4)) % s_cnt") + 1
+            ).alias("ps_suppkey"),
+            (((F.col("p_partkey") * 11 + F.col("k") * 17) % 9999) + 1)
+            .cast("long")
+            .alias("ps_availqty"),
+            (((F.col("p_partkey") * 7 + F.col("k") * 13) % 99900) + 100)
+            .cast("long")
+            .alias("ps_cost_cents"),
+        )
+    )
+
+
+_Q2_SQL = f"""
+WITH {_PARTSUPP_SQL.strip().rstrip()},
+eu AS (
+    SELECT ps_partkey, ps_suppkey, ps_cost_cents, s_name, s_acctbal, n_name
+    FROM partsupp
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+),
+best AS (
+    SELECT ps_partkey, MIN(ps_cost_cents) AS min_cents FROM eu GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, p_type,
+       CAST(eu.ps_cost_cents AS DOUBLE) / 100.0 AS supplycost
+FROM eu
+JOIN best ON best.ps_partkey = eu.ps_partkey
+         AND eu.ps_cost_cents = best.min_cents
+JOIN part ON p_partkey = eu.ps_partkey
+WHERE p_size IN (3, 15, 23, 36, 45) AND p_type LIKE '%ARD'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@query("tpch_q2_min_cost_supplier", _Q2_SQL)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier) over the derived partsupp:
+    for '%ARD'-type parts in five sizes, the EUROPE supplier(s) offering the
+    region's minimum supply cost, ordered by account balance. The
+    correlated MIN subquery becomes a grouped-min self-join (the
+    standard decorrelation); supplier/nation/region broadcast, and the
+    min-cost join keys on (partkey, exact integer cents) so the
+    frontier can never flip on float drift. Cost leaves as cents/100
+    only in the projection."""
+    ps = _partsupp(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        ps.join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("ps_partkey", "ps_suppkey", "ps_cost_cents", "s_name",
+                "s_acctbal", "n_name")
+    )
+    best = eu.groupBy(F.col("ps_partkey").alias("b_partkey")).agg(
+        F.min("ps_cost_cents").alias("min_cents")
+    )
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_size").isin(3, 15, 23, 36, 45)
+        & F.col("p_type").like("%ARD")
+    )
+    return (
+        eu.join(
+            best,
+            (eu.ps_partkey == best.b_partkey)
+            & (eu.ps_cost_cents == best.min_cents),
+        )
+        .join(F.broadcast(part), eu.ps_partkey == part.p_partkey)
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            "p_type",
+            (F.col("ps_cost_cents").cast("double") / 100.0).alias(
+                "supplycost"
+            ),
+        )
+    )
+
+
+_Q11_SQL = f"""
+WITH {_PARTSUPP_SQL.strip().rstrip()},
+nat AS (
+    SELECT ps_partkey, ps_cost_cents * ps_availqty AS v_cents
+    FROM partsupp
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_7'
+),
+grouped AS (
+    SELECT ps_partkey, SUM(v_cents) AS value_cents FROM nat GROUP BY 1
+),
+total AS (SELECT SUM(v_cents) AS total_cents FROM nat)
+SELECT ps_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS value
+FROM grouped, total
+WHERE value_cents * 1000 > total_cents
+ORDER BY value_cents DESC, ps_partkey
+"""
+
+
+@query("tpch_q11_important_stock", _Q11_SQL)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification) over the derived
+    partsupp: parts whose NATION_7 stock value exceeds 0.1% of the
+    nation's total. The HAVING-against-scalar-subquery becomes an
+    integer comparison ``value_cents * 1000 > total_cents`` — both
+    sides exact cents, so the threshold can never flip on rounding —
+    against a broadcast 1-row total. One shuffle (partkey agg); the
+    total reuses the same pre-aggregated relation."""
+    ps = _partsupp(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier")
+    nat7 = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_7"
+    )
+    v = (
+        ps.join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat7), sup.s_nationkey == nat7.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("v_cents"),
+        )
+    )
+    grouped = v.groupBy("ps_partkey").agg(F.sum("v_cents").alias("value_cents"))
+    total = v.agg(F.sum("v_cents").alias("total_cents"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .where(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .orderBy(F.col("value_cents").desc(), "ps_partkey")
+        .select(
+            "ps_partkey",
+            (F.col("value_cents").cast("double") / 100.0).alias("value"),
+        )
+    )
+
+
+_Q16_SQL = f"""
+WITH {_PARTSUPP_SQL.strip().rstrip()}
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND ps_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@query("tpch_q16_supplier_part_counts", _Q16_SQL)
+def tpch_q16_supplier_part_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) over the derived
+    partsupp: distinct supplier counts by (brand, type, size) for
+    selected sizes, excluding one brand, a type prefix, and flagged
+    suppliers. The absent s_comment '%Complaints%' exclusion is
+    adapted to negative account balance — same NOT-IN-subquery shape,
+    executed as a broadcast anti-join (keys are non-null, so NOT IN
+    and anti-join agree). Part broadcasts into the 4-rows-per-part
+    derived relation; one shuffle for the distinct-count."""
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    flagged = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(
+            F.broadcast(flagged),
+            ps.ps_suppkey == flagged.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+_Q20_SQL = f"""
+WITH {_PARTSUPP_SQL.strip().rstrip()},
+red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+shipped AS (
+    SELECT l_partkey, l_suppkey,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT ps_suppkey
+    FROM partsupp
+    JOIN red ON red.p_partkey = ps_partkey
+    JOIN shipped ON shipped.l_partkey = ps_partkey
+               AND shipped.l_suppkey = ps_suppkey
+    WHERE CAST(ps_availqty * 2 AS DECIMAL(14,2)) > qty
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN cand ON s_suppkey = ps_suppkey
+ORDER BY s_name, s_suppkey
+"""
+
+
+@query("tpch_q20_potential_promotion", _Q20_SQL)
+def tpch_q20_potential_promotion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) over the derived partsupp:
+    suppliers holding more than half a year's shipped quantity of any
+    'red%' part they supply. The nested IN subqueries become joins:
+    the 1996 per-(part, supplier) shipped quantity aggregates once
+    (exact decimal), the half-stock comparison runs as
+    ``availqty * 2 > qty`` in decimals (no 0.5 float), and the
+    distinct candidate suppliers semi-join back to supplier. The
+    original correlates against lineitem absence as false — the inner
+    join reproduces that (no shipped rows, no candidate row)."""
+    ps = _partsupp(spark, sf_dir)
+    red = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty")
+    )
+    cand = (
+        ps.join(F.broadcast(red), ps.ps_partkey == red.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .where(
+            (F.col("ps_availqty") * 2).cast("decimal(14,2)") > F.col("qty")
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        sup.join(cand, sup.s_suppkey == cand.ps_suppkey)
+        .orderBy("s_name", "s_suppkey")
+        .select("s_suppkey", "s_name")
+    )
+
+
+_Q12_SQL = """
+WITH li AS (
+    SELECT l_orderkey,
+           list_extract(
+               ['MAIL', 'SHIP', 'AIR', 'RAIL', 'TRUCK', 'FOB', 'REG AIR'],
+               CAST((l_orderkey + l_linenumber) % 7 AS INT) + 1
+           ) AS l_shipmode,
+           CAST(l_shipdate AS DATE)
+               + CAST((l_partkey % 61) - 30 AS INT) AS l_commitdate,
+           CAST(l_shipdate AS DATE)
+               + CAST((l_suppkey % 30) + 1 AS INT) AS l_receiptdate,
+           CAST(l_shipdate AS DATE) AS sd
+    FROM lineitem
+)
+SELECT l_shipmode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM li
+JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipmode IN ('MAIL', 'SHIP')
+  AND l_commitdate < l_receiptdate
+  AND sd < l_commitdate
+  AND l_receiptdate >= DATE '1996-01-01'
+  AND l_receiptdate <  DATE '1997-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("tpch_q12_shipmode_priority", _Q12_SQL)
+def tpch_q12_shipmode_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority) over DERIVED
+    shipping columns: the corpus ships no l_shipmode / l_commitdate /
+    l_receiptdate, so all three derive deterministically from the keys
+    (mode = 7-way key residue into the classic mode list; commit and
+    receipt dates are bounded day offsets from the ship date) —
+    identical closed forms in both engines, so the oracle certifies
+    the derivation too. Semantics preserved: late-receipt lines
+    (commit < receipt, shipped before commit) received in 1996, split
+    by high/low order priority per mode. One fact shuffle on the order
+    key; every derived filter is a codegen map over the scan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "element_at(array('MAIL','SHIP','AIR','RAIL','TRUCK','FOB',"
+            "'REG AIR'), CAST((l_orderkey + l_linenumber) % 7 AS INT) + 1)"
+        ).alias("l_shipmode"),
+        F.expr(
+            "date_add(CAST(l_shipdate AS DATE),"
+            " CAST((l_partkey % 61) - 30 AS INT))"
+        ).alias("l_commitdate"),
+        F.expr(
+            "date_add(CAST(l_shipdate AS DATE),"
+            " CAST((l_suppkey % 30) + 1 AS INT))"
+        ).alias("l_receiptdate"),
+        F.col("l_shipdate").cast("date").alias("sd"),
+    )
+    filtered = li.where(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("sd") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_receiptdate") < F.lit("1997-01-01").cast("date"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        filtered.join(orders, filtered.l_orderkey == orders.o_orderkey)
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_shipmode")
     )

@@ -57,6 +57,16 @@ BNLJ_WHITELIST = {
     "sim_srp_lsh_recall": 2,  # recall harness: exact-baseline 1-row totals
     "sim_pq_adc_topk_recall": 2,  # same harness shape
     "sim_ivf_pq_residual_recall": 3,  # A/B harness: three 1-row totals
+    # round 8 — the derived partsupp relation crossJoins the 1-row
+    # supplier COUNT (stride/modulus input). The pre-execution plan
+    # re-prints that carrier once per CONSUMER of the shared subtree
+    # (Q2's eu feeds the grouped-min and the output join; Q11's value
+    # relation feeds the group-by and the 1-row total, which is itself
+    # a third carrier) — at runtime AQE's ReusedExchange dedups them.
+    "tpch_q2_min_cost_supplier": 2,
+    "tpch_q11_important_stock": 3,
+    "tpch_q16_supplier_part_counts": 1,
+    "tpch_q20_potential_promotion": 1,
 }
 
 MARKERS = {
