@@ -187,6 +187,161 @@ def pack_ppm(
     return _apply
 
 
+def pack_png(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_payload: str = "payload",
+    side: int = 16,
+) -> Op:
+    """Build REAL PNG containers (round 8): 8-bit grayscale
+    ``side`` x ``side``, filter-0 scanlines, one zlib IDAT — pixel
+    bytes ARE the text's utf-8 bytes (zero-padded/truncated to
+    ``side**2``), so ``decode_media``'s PNG branch exercises a genuine
+    signature + chunk-CRC + INFLATE + unfilter pass with pixel values
+    an oracle recomputes from the text. The compression level is
+    irrelevant to the decoded output (only the decode side is
+    certified). NULL text packs to NULL payload."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(out_payload, T.BinaryType()),
+        ]
+    )
+    n_px = side * side
+
+    def _pack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct as _struct
+        import zlib as _zlib
+
+        import pandas as pd
+
+        def chunk(typ: bytes, body: bytes) -> bytes:
+            c = typ + body
+            return (
+                _struct.pack(">I", len(body))
+                + c
+                + _struct.pack(">I", _zlib.crc32(c) & 0xFFFFFFFF)
+            )
+
+        ihdr = chunk(
+            b"IHDR", _struct.pack(">IIBBBBB", side, side, 8, 0, 0, 0, 0)
+        )
+        iend = chunk(b"IEND", b"")
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                if text is None:
+                    payloads.append(None)
+                    continue
+                data = text.encode("utf-8")[:n_px]
+                data += b"\x00" * (n_px - len(data))
+                raw = b"".join(
+                    b"\x00" + data[r * side : (r + 1) * side]
+                    for r in range(side)
+                )
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + ihdr
+                    + chunk(b"IDAT", _zlib.compress(raw, 6))
+                    + iend
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.select(id_col, text_col).mapInPandas(_pack, out_schema)
+
+    return _apply
+
+
+def pack_flac(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_payload: str = "payload",
+    n_samples: int = 256,
+) -> Op:
+    """Build REAL FLAC containers (round 8): fLaC magic + STREAMINFO +
+    ONE fixed-blocking frame holding a VERBATIM subframe of
+    ``n_samples`` 16-bit mono samples at 8 kHz — sample k IS the
+    text's byte k (zero-padded/truncated), so ``decode_media``'s FLAC
+    branch exercises a genuine metadata-block walk + frame-header
+    parse (blocksize/rate/channel/bps codes, UTF-8 frame number,
+    CRC-8/CRC-16, both computed for real even though the decoder
+    consumes them unverified) with sample values an oracle recomputes
+    from the text. NULL text packs to NULL payload."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(out_payload, T.BinaryType()),
+        ]
+    )
+
+    def _pack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct as _struct
+
+        import pandas as pd
+
+        def crc8(data: bytes) -> int:  # poly 0x07, init 0
+            c = 0
+            for b in data:
+                c ^= b
+                for _ in range(8):
+                    c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+            return c
+
+        def crc16(data: bytes) -> int:  # poly 0x8005, init 0
+            c = 0
+            for b in data:
+                c ^= b << 8
+                for _ in range(8):
+                    c = (
+                        ((c << 1) ^ 0x8005) & 0xFFFF
+                        if c & 0x8000
+                        else (c << 1) & 0xFFFF
+                    )
+            return c
+
+        # STREAMINFO (34 bytes): min/max blocksize, min/max framesize 0,
+        # 20-bit rate 8000 | 3-bit channels-1 = 0 | 5-bit bps-1 = 15 |
+        # 36-bit total samples, MD5 zeros (optional per spec)
+        si = _struct.pack(">HH", n_samples, n_samples) + b"\x00" * 6
+        si += bytes(
+            [
+                (8000 >> 12) & 0xFF,
+                (8000 >> 4) & 0xFF,
+                ((8000 & 0xF) << 4) | (0 << 1) | (15 >> 4),
+                ((15 & 0xF) << 4) | 0,
+            ]
+        ) + n_samples.to_bytes(4, "big") + b"\x00" * 16
+        header = b"fLaC" + bytes([0x80, 0, 0, 34]) + si
+        # frame header: sync+fixed, blocksize code 0b0111 (16-bit-1 at
+        # end), rate code 0b0100 (8 kHz), mono, 16 bps, frame #0
+        fh = bytes([0xFF, 0xF8, 0x74, 0x08, 0x00])
+        fh += _struct.pack(">H", n_samples - 1)
+        fh += bytes([crc8(fh)])
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                if text is None:
+                    payloads.append(None)
+                    continue
+                data = text.encode("utf-8")[:n_samples]
+                data += b"\x00" * (n_samples - len(data))
+                sub = b"\x02" + b"".join(
+                    _struct.pack(">h", b) for b in data
+                )  # verbatim subframe, 16-bit signed samples
+                frame = fh + sub
+                frame += _struct.pack(">H", crc16(frame))
+                payloads.append(header + frame)
+            yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.select(id_col, text_col).mapInPandas(_pack, out_schema)
+
+    return _apply
+
+
 def pack_gif_anim(
     id_col: str = "doc_id",
     text_col: str = "text",

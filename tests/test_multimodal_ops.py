@@ -321,6 +321,28 @@ def test_pack_gif_anim_decode_video_frames_roundtrip(spark):
     assert by_doc[3][0]["decode_error"] == "null payload"
 
 
+def test_pack_png_and_flac_roundtrip_exact(spark):
+    """pack_png / pack_flac -> decode_media: the decoded pixels/samples
+    ARE the text's bytes (zero-padded to 256) — signature+CRC+inflate
+    +unfilter for PNG, metadata walk + frame codes + verbatim subframe
+    for FLAC."""
+    text = "".join(chr(32 + (i * 7) % 90) for i in range(100))
+    want = [float(b) for b in text.encode()] + [0.0] * 156
+    docs = spark.createDataFrame(
+        [(1, text), (2, None)], "doc_id long, text string"
+    )
+    png = {r["doc_id"]: r for r in MM.decode_media(
+        docs.transform(MM.pack_png())).collect()}
+    assert png[1]["decode_error"] is None
+    assert png[1]["decoded"] == [want]
+    assert png[2]["decode_error"] == "null payload"
+    flac = {r["doc_id"]: r for r in MM.decode_media(
+        docs.transform(MM.pack_flac())).collect()}
+    assert flac[1]["decode_error"] is None
+    assert flac[1]["sample_rate"] == 8000 and flac[1]["n_channels"] == 1
+    assert flac[1]["decoded"] == [want]
+
+
 def test_pack_avi_mjpeg_decodes_to_tile_values(spark):
     """pack_avi_mjpeg -> decode_video_frames roundtrip: per-frame means
     recomputed from the text's chunk bytes exactly (DC-only blocks with
