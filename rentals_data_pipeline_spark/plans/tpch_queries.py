@@ -895,7 +895,8 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Derived partsupp (round 8): the corpus ships no partsupp table, so the
 # remaining five queries derive one DETERMINISTICALLY from the tables it
 # does ship — the same dbgen idea (each part supplied by 4 suppliers at
-# a computed key stride) with supply cost/stock as pure integer
+# a computed key stride; NO dbgen-style +1 — this corpus's supplier
+# keys are 0-based) with supply cost/stock as pure integer
 # functions of (partkey, k). Both engines build the relation from the
 # same closed-form expressions, so the DuckDB oracle certifies the
 # whole derivation; costs stay in integer CENTS end-to-end (exact
@@ -908,7 +909,7 @@ _PARTSUPP_SQL = """
 scnt AS (SELECT COUNT(*) AS s_cnt FROM supplier),
 partsupp AS (
     SELECT p_partkey AS ps_partkey,
-           ((p_partkey + k.k * (1 + s_cnt // 4)) % s_cnt) + 1 AS ps_suppkey,
+           (p_partkey + k.k * (1 + s_cnt // 4)) % s_cnt AS ps_suppkey,
            (p_partkey * 11 + k.k * 17) % 9999 + 1 AS ps_availqty,
            (p_partkey * 7 + k.k * 13) % 99900 + 100 AS ps_cost_cents
     FROM part, scnt, (SELECT unnest([0, 1, 2, 3]) AS k) k
@@ -934,9 +935,9 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("p_partkey").alias("ps_partkey"),
-            (
-                F.expr("(p_partkey + k * (1 + s_cnt div 4)) % s_cnt") + 1
-            ).alias("ps_suppkey"),
+            F.expr("(p_partkey + k * (1 + s_cnt div 4)) % s_cnt").alias(
+                "ps_suppkey"
+            ),
             (((F.col("p_partkey") * 11 + F.col("k") * 17) % 9999) + 1)
             .cast("long")
             .alias("ps_availqty"),
@@ -948,7 +949,7 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q2_SQL = f"""
-WITH {_PARTSUPP_SQL.strip().rstrip()},
+WITH {_PARTSUPP_SQL.strip()},
 eu AS (
     SELECT ps_partkey, ps_suppkey, ps_cost_cents, s_name, s_acctbal, n_name
     FROM partsupp
@@ -1024,7 +1025,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q11_SQL = f"""
-WITH {_PARTSUPP_SQL.strip().rstrip()},
+WITH {_PARTSUPP_SQL.strip()},
 nat AS (
     SELECT ps_partkey, ps_cost_cents * ps_availqty AS v_cents
     FROM partsupp
@@ -1035,7 +1036,7 @@ nat AS (
 grouped AS (
     SELECT ps_partkey, SUM(v_cents) AS value_cents FROM nat GROUP BY 1
 ),
-total AS (SELECT SUM(v_cents) AS total_cents FROM nat)
+total AS (SELECT SUM(value_cents) AS total_cents FROM grouped)
 SELECT ps_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS value
 FROM grouped, total
 WHERE value_cents * 1000 > total_cents
@@ -1050,8 +1051,9 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation's total. The HAVING-against-scalar-subquery becomes an
     integer comparison ``value_cents * 1000 > total_cents`` — both
     sides exact cents, so the threshold can never flip on rounding —
-    against a broadcast 1-row total. One shuffle (partkey agg); the
-    total reuses the same pre-aggregated relation."""
+    against a broadcast 1-row total folded FROM the per-part aggregate
+    (sum of per-key sums == grand sum), so the partsupp build is not
+    re-evaluated for the threshold. One shuffle (partkey agg)."""
     ps = _partsupp(spark, sf_dir)
     sup = load_table(spark, sf_dir, "supplier")
     nat7 = load_table(spark, sf_dir, "nation").where(
@@ -1066,7 +1068,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     grouped = v.groupBy("ps_partkey").agg(F.sum("v_cents").alias("value_cents"))
-    total = v.agg(F.sum("v_cents").alias("total_cents"))
+    total = grouped.agg(F.sum("value_cents").alias("total_cents"))
     return (
         grouped.crossJoin(F.broadcast(total))
         .where(F.col("value_cents") * 1000 > F.col("total_cents"))
@@ -1079,7 +1081,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q16_SQL = f"""
-WITH {_PARTSUPP_SQL.strip().rstrip()}
+WITH {_PARTSUPP_SQL.strip()}
 SELECT p_brand, p_type, p_size,
        CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
 FROM partsupp
@@ -1132,7 +1134,7 @@ def tpch_q16_supplier_part_counts(
 
 
 _Q20_SQL = f"""
-WITH {_PARTSUPP_SQL.strip().rstrip()},
+WITH {_PARTSUPP_SQL.strip()},
 red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
 shipped AS (
     SELECT l_partkey, l_suppkey,

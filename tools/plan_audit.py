@@ -60,9 +60,10 @@ BNLJ_WHITELIST = {
     # round 8 — the derived partsupp relation crossJoins the 1-row
     # supplier COUNT (stride/modulus input). The pre-execution plan
     # re-prints that carrier once per CONSUMER of the shared subtree
-    # (Q2's eu feeds the grouped-min and the output join; Q11's value
-    # relation feeds the group-by and the 1-row total, which is itself
-    # a third carrier) — at runtime AQE's ReusedExchange dedups them.
+    # (Q2's eu feeds the grouped-min and the output join; Q11's
+    # per-part aggregate feeds both the output filter and the 1-row
+    # total fold, which is itself a third carrier) — at runtime AQE's
+    # ReusedExchange dedups the duplicated groupBy exchange.
     "tpch_q2_min_cost_supplier": 2,
     "tpch_q11_important_stock": 3,
     "tpch_q16_supplier_part_counts": 1,
