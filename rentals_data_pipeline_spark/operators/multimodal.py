@@ -254,6 +254,73 @@ def pack_png(
     return _apply
 
 
+def pack_bmp(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_payload: str = "payload",
+    side: int = 16,
+) -> Op:
+    """Build REAL BMP containers (round 8): 24-bit BI_RGB
+    ``side`` x ``side``, bottom-up rows (the common layout) — written
+    so that the DECODED top-down R,G,B interleave is exactly the
+    text's utf-8 bytes (zero-padded/truncated to ``side**2 * 3``),
+    i.e. the writer performs the row flip and BGR swap the decoder
+    undoes. This makes the oracle identical in shape to the PPM one
+    while certifying the bottom-up + BGR path specifically. NULL text
+    packs to NULL payload."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(out_payload, T.BinaryType()),
+        ]
+    )
+    n_bytes = side * side * 3
+
+    def _pack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct as _struct
+
+        import numpy as np
+        import pandas as pd
+
+        # side*3 stride: for side=16 it is 48, already 4-byte aligned
+        stride = (side * 3 + 3) & ~3
+        pad = stride - side * 3
+        data_off = 14 + 40
+        fsize = data_off + stride * side
+        header = (
+            b"BM"
+            + _struct.pack("<IHHI", fsize, 0, 0, data_off)
+            + _struct.pack(
+                "<IiiHHIIiiII",
+                40, side, side, 1, 24, 0, stride * side, 0, 0, 0, 0,
+            )
+        )
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                if text is None:
+                    payloads.append(None)
+                    continue
+                data = text.encode("utf-8")[:n_bytes]
+                data += b"\x00" * (n_bytes - len(data))
+                rgb = np.frombuffer(data, dtype=np.uint8).reshape(
+                    side, side, 3
+                )
+                bgr_bottom_up = rgb[::-1, :, ::-1]  # row flip + BGR
+                rows = b"".join(
+                    bgr_bottom_up[r].tobytes() + b"\x00" * pad
+                    for r in range(side)
+                )
+                payloads.append(header + rows)
+            yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.select(id_col, text_col).mapInPandas(_pack, out_schema)
+
+    return _apply
+
+
 def pack_flac(
     id_col: str = "doc_id",
     text_col: str = "text",

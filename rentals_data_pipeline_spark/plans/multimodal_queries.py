@@ -305,6 +305,56 @@ def multimodal_decoded_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decoded_bmp_stats",
+    """
+WITH d AS (
+    SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+),
+px AS (
+    SELECT d.doc_id, i.i % 3 AS channel,
+        CASE WHEN i.i < length(d.text)
+             THEN ord(substr(d.text, i.i + 1, 1)) ELSE 0 END AS v
+    FROM d, (SELECT unnest(range(0, 768)) AS i) i
+)
+SELECT doc_id, CAST(channel AS INT) AS channel,
+    CAST(COUNT(*) AS BIGINT) AS n_px,
+    CAST(SUM(v) AS BIGINT) AS sum_px,
+    CAST(MIN(v) AS INT) AS min_px,
+    CAST(MAX(v) AS INT) AS max_px
+FROM px GROUP BY 1, 2
+""",
+)
+def multimodal_decoded_bmp_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decoded-BMP statistics, oracle-paired (round 8): pack each
+    document into a real bottom-up 24-bit BI_RGB BMP
+    (operators/multimodal.py::pack_bmp — the writer performs the row
+    flip and BGR swap the decoder undoes, so the decoded top-down RGB
+    interleave IS the text's bytes), decode through ``decode_media``'s
+    BMP branch, and report exact per-channel statistics with the same
+    ord()-arithmetic oracle as the PPM twin. Closes the decoded-stats
+    family: every container decoder the engine ships (WAV, PPM, BMP,
+    PNG, GIF, JPEG-in-AVI, FLAC) is value-hash-certified."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = MM.decode_media(docs.transform(MM.pack_bmp()))
+    return (
+        dec.where(F.col("decode_error").isNull())
+        .select("doc_id", F.posexplode("decoded").alias("channel", "ch"))
+        .select(
+            "doc_id",
+            "channel",
+            F.size("ch").cast("long").alias("n_px"),
+            F.aggregate(
+                "ch", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+            ).alias("sum_px"),
+            F.array_min("ch").cast("int").alias("min_px"),
+            F.array_max("ch").cast("int").alias("max_px"),
+        )
+    )
+
+
+@query(
     "multimodal_decoded_png_stats",
     """
 WITH d AS (

@@ -341,6 +341,16 @@ def test_pack_png_and_flac_roundtrip_exact(spark):
     assert flac[1]["decode_error"] is None
     assert flac[1]["sample_rate"] == 8000 and flac[1]["n_channels"] == 1
     assert flac[1]["decoded"] == [want]
+    # BMP: decoded top-down RGB interleave == text bytes (the writer's
+    # row flip + BGR swap cancels the decoder's)
+    want_rgb = [float(b) for b in text.encode()] + [0.0] * (768 - 100)
+    bmp = {r["doc_id"]: r for r in MM.decode_media(
+        docs.transform(MM.pack_bmp())).collect()}
+    assert bmp[1]["decode_error"] is None
+    got = bmp[1]["decoded"]  # [R, G, B] planes, top-down row-major
+    inter = [v for px in zip(*got) for v in px]
+    assert inter == want_rgb
+    assert bmp[2]["decode_error"] == "null payload"
 
 
 def test_pack_avi_mjpeg_decodes_to_tile_values(spark):
