@@ -901,15 +901,18 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same closed-form expressions, so the DuckDB oracle certifies the
 # whole derivation; costs stay in integer CENTS end-to-end (exact
 # sums, no float drift) and divide to a double only on output.
-# The stride 1 + S div 4 keeps the 4 supplier keys per part distinct
-# for every S >= 4 in the test corpus (3 * stride < S except at S < 12).
+# ps_suppkey = (p*4 + k) % S gives each part 4 CONSECUTIVE supplier
+# keys from a per-part offset: provably distinct for every S >= 4 and
+# jointly covering every supplier (each residue r is 4q + rem with
+# rem in 0..3) — pinned by tests/test_tpch_partsupp.py across S
+# regimes, including the S=4 case that broke a stride-based formula.
 # ---------------------------------------------------------------------------
 
 _PARTSUPP_SQL = """
 scnt AS (SELECT COUNT(*) AS s_cnt FROM supplier),
 partsupp AS (
     SELECT p_partkey AS ps_partkey,
-           (p_partkey + k.k * (1 + s_cnt // 4)) % s_cnt AS ps_suppkey,
+           (p_partkey * 4 + k.k) % s_cnt AS ps_suppkey,
            (p_partkey * 11 + k.k * 17) % 9999 + 1 AS ps_availqty,
            (p_partkey * 7 + k.k * 13) % 99900 + 100 AS ps_cost_cents
     FROM part, scnt, (SELECT unnest([0, 1, 2, 3]) AS k) k
@@ -935,7 +938,7 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("p_partkey").alias("ps_partkey"),
-            F.expr("(p_partkey + k * (1 + s_cnt div 4)) % s_cnt").alias(
+            F.expr("(p_partkey * 4 + k) % s_cnt").alias(
                 "ps_suppkey"
             ),
             (((F.col("p_partkey") * 11 + F.col("k") * 17) % 9999) + 1)
