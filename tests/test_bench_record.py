@@ -120,18 +120,69 @@ def test_compare_compact_vs_compact_without_local_file(tmp_path):
 
 
 def test_git_history_recovers_overwritten_local_record():
-    """From round 9 on, each round's bench overwrites BENCH_LOCAL.json;
-    the committed copy whose 'value' matches an old compact record must
-    be recoverable from git history so the per-query gate survives
-    compact-vs-compact comparisons."""
+    """Each round's bench (builder's AND the driver's post-commit run)
+    overwrites BENCH_LOCAL.json; any COMMITTED copy must be recoverable
+    from git history by its headline value so the per-query gate
+    survives compact-vs-compact comparisons. Round 8 lesson: never
+    assume the worktree copy is committed — read the target value OUT
+    of git history first, so this holds even while the worktree holds
+    an uncommitted fresh run."""
+    import subprocess
+
     from bench_compare import _git_history_match
 
-    committed = json.loads((REPO / "BENCH_LOCAL.json").read_text())
+    committed = json.loads(
+        subprocess.run(
+            ["git", "show", "HEAD:BENCH_LOCAL.json"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+    )
     rec = _git_history_match("BENCH_LOCAL.json", committed["value"])
     assert rec is not None
     assert rec["queries"] == committed["queries"]
     # and a value no run ever produced finds nothing
     assert _git_history_match("BENCH_LOCAL.json", 0.000123) is None
+
+
+def test_simulated_driver_overwrite_still_recovers_committed(tmp_path):
+    """Round-8 failure mode, simulated end-to-end in a scratch git
+    repo: commit a bench record, then overwrite the worktree copy with
+    an uncommitted post-commit driver run. The committed record must
+    still be recoverable by its value; the uncommitted one must not."""
+    import subprocess
+
+    import bench_compare
+
+    def git(*argv):
+        subprocess.run(
+            ["git", *argv], cwd=tmp_path, check=True, capture_output=True
+        )
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    committed = {"value": 56.713, "queries": {"q1": 56.713}}
+    (tmp_path / "BENCH_LOCAL.json").write_text(json.dumps(committed))
+    git("add", "BENCH_LOCAL.json")
+    git("commit", "-qm", "bench record")
+    # the driver's post-commit overwrite (never committed)
+    (tmp_path / "BENCH_LOCAL.json").write_text(
+        json.dumps({"value": 78.058, "queries": {"q1": 78.058}})
+    )
+    orig = bench_compare.REPO
+    bench_compare.REPO = tmp_path
+    try:
+        rec = bench_compare._git_history_match("BENCH_LOCAL.json", 56.713)
+        assert rec == committed
+        assert (
+            bench_compare._git_history_match("BENCH_LOCAL.json", 78.058)
+            is None
+        )
+    finally:
+        bench_compare.REPO = orig
 
 
 def test_compact_stdout_line_fits_tail_buffer():
