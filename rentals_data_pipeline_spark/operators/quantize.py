@@ -328,6 +328,7 @@ def pq_adc_topk(
     probe_vec: str = "probe_vec",
     id_col: str = "vec_id",
     code_col: str = "pq_code",
+    probe_block_size: int = 8192,
 ) -> DataFrame:
     """Approximate top-k by inner product over PQ codes (ADC).
 
@@ -336,67 +337,98 @@ def pq_adc_topk(
     is quantized); each corpus Arrow batch is scored by m table
     lookups + a sum — the corpus scan touches codes only, never raw
     vectors. Per-batch top-k survivors feed a final per-probe window
-    (the `_topk_gemm` shape, `operators/similarity.py`). Probe matrix
-    is a bounded collect (probe contract). Ranking: raw float64 ADC
-    score desc, match-id tiebreak — bit-deterministic given the
-    deterministic codes.
+    (the `_topk_gemm` shape, `operators/similarity.py`).
+
+    The probe side is streamed off ``toLocalIterator`` into blocks of
+    ≤``probe_block_size`` vectors (the `_topk_gemm` probe contract,
+    `operators/similarity.py:209`): driver residency and the per-task
+    LUT closure (block x m x n_centroids doubles) stay bounded per
+    block no matter how large the probe set grows — the round-8 audit
+    flagged the previous unbounded ``collect()`` as a driver OOM at
+    100 TB probe scale. Blocks partition the probe ids and scoring is
+    per-probe independent, so unioning per-block survivors before the
+    final window is exactly equivalent to one unblocked pass (pinned by
+    tests/test_quantize_ops.py::test_pq_adc_probe_blocking). Each block
+    re-scans the codes relation; with many blocks cache it — codes are
+    m bytes/vector, ~64x smaller than the raw corpus. Ranking: raw
+    float64 ADC score desc, match-id tiebreak — bit-deterministic
+    given the deterministic codes.
     """
     from pyspark.sql import Window
 
-    prows = (
-        probes.where(F.col(probe_vec).isNotNull())
-        .select(
-            F.col(probe_id).cast("long").alias("i"),
-            F.col(probe_vec).cast("array<double>").alias("v"),
-        )
-        .orderBy("i")
-        .collect()
-    )
-    if not prows:
-        return codes.sparkSession.createDataFrame(
-            [], f"{probe_id} bigint, match_id bigint, adc_score double"
-        )
-    pids = np.asarray([r["i"] for r in prows], dtype=np.int64)
-    P = _as_unit_rows(np.asarray([r["v"] for r in prows], dtype=np.float64))
+    out_schema = f"{probe_id} bigint, match_id bigint, adc_score double"
     m = len(books)
     sub = books[0].shape[1]
     nc = books[0].shape[0]
-    # lut[p, s, j] = <probe_p restricted to subspace s, centroid j>
-    lut = np.empty((len(P), m, nc), dtype=np.float64)
-    for s in range(m):
-        lut[:, s, :] = P[:, s * sub : (s + 1) * sub] @ books[s].T
-
-    out_schema = f"{probe_id} bigint, match_id bigint, adc_score double"
-
-    def _score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = pdf["i"].to_numpy()
-            C = np.asarray(list(pdf["c"]), dtype=np.int64)  # n x m
-            # scores: probes x n via LUT gathers
-            scores = np.zeros((len(P), len(ids)), dtype=np.float64)
-            for s in range(m):
-                scores += lut[:, s, C[:, s]]
-            kk = min(k + 1, len(ids))  # +1 headroom for self-match
-            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
-            rows = []
-            for p in range(len(P)):
-                for j in top[p]:
-                    rows.append((int(pids[p]), int(ids[j]), float(scores[p, j])))
-            yield pd.DataFrame(
-                rows, columns=[probe_id, "match_id", "adc_score"]
-            )
-
     src = codes.select(
         F.col(id_col).cast("long").alias("i"), F.col(code_col).alias("c")
     )
-    scored = src.mapInPandas(_score, schema=out_schema)
+
+    def _block_scorer(pids: np.ndarray, lut: np.ndarray):
+        def _score(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf["i"].to_numpy()
+                C = np.asarray(list(pdf["c"]), dtype=np.int64)  # n x m
+                # scores: block-probes x n via LUT gathers
+                scores = np.zeros((len(pids), len(ids)), dtype=np.float64)
+                for s in range(m):
+                    scores += lut[:, s, C[:, s]]
+                kk = min(k + 1, len(ids))  # +1 headroom for self-match
+                top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+                rows = []
+                for p in range(len(pids)):
+                    for j in top[p]:
+                        rows.append(
+                            (int(pids[p]), int(ids[j]), float(scores[p, j]))
+                        )
+                yield pd.DataFrame(
+                    rows, columns=[probe_id, "match_id", "adc_score"]
+                )
+
+        return _score
+
+    def _block_lut(ids_buf: list, mat_buf: list) -> tuple:
+        pids = np.array(ids_buf, dtype=np.int64)
+        P = _as_unit_rows(np.stack(mat_buf))
+        # lut[p, s, j] = <probe_p restricted to subspace s, centroid j>
+        lut = np.empty((len(P), m, nc), dtype=np.float64)
+        for s in range(m):
+            lut[:, s, :] = P[:, s * sub : (s + 1) * sub] @ books[s].T
+        return pids, lut
+
+    probe_src = probes.where(F.col(probe_vec).isNotNull()).select(
+        F.col(probe_id).cast("long").alias("i"),
+        F.col(probe_vec).cast("array<double>").alias("v"),
+    )
+    survivors = None
+    ids_buf: list = []
+    mat_buf: list = []
+    for r in probe_src.toLocalIterator():
+        ids_buf.append(r[0])
+        mat_buf.append(np.asarray(r[1], dtype=np.float64))
+        if len(ids_buf) >= probe_block_size:
+            part = src.mapInPandas(
+                _block_scorer(*_block_lut(ids_buf, mat_buf)), out_schema
+            )
+            survivors = (
+                part if survivors is None else survivors.unionByName(part)
+            )
+            ids_buf, mat_buf = [], []
+    if ids_buf:
+        part = src.mapInPandas(
+            _block_scorer(*_block_lut(ids_buf, mat_buf)), out_schema
+        )
+        survivors = part if survivors is None else survivors.unionByName(part)
+    if survivors is None:
+        return codes.sparkSession.createDataFrame([], out_schema)
+
     w = Window.partitionBy(probe_id).orderBy(
         F.col("adc_score").desc(), F.col("match_id")
     )
     return (
-        scored.where(F.col(probe_id) != F.col("match_id"))
+        survivors.where(F.col(probe_id) != F.col("match_id"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .drop("rn")

@@ -187,6 +187,34 @@ def test_pq_adc_retrieval_stays_in_cluster(spark):
     assert ap == ap2
 
 
+def test_pq_adc_probe_blocking(spark):
+    """A probe set larger than probe_block_size must stream in blocks
+    and return EXACTLY the unblocked result (scores included) — the
+    bounded-probe contract the round-8 audit demanded. Also pins that
+    empty probes return an empty frame without touching the codes."""
+    df = _clustered_corpus(spark)
+    books = QZ.train_pq_codebooks(df, m=4, k=8, iters=10)
+    codes = QZ.pq_encode(df, books)
+    probes = df.where(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )  # 20 probes
+    one_pass = {
+        (r["probe_id"], r["match_id"], r["adc_score"])
+        for r in QZ.pq_adc_topk(probes, codes, books, k=3).collect()
+    }
+    blocked = {
+        (r["probe_id"], r["match_id"], r["adc_score"])
+        for r in QZ.pq_adc_topk(
+            probes, codes, books, k=3, probe_block_size=6
+        ).collect()
+    }
+    assert one_pass == blocked
+    assert len({p for p, _, _ in one_pass}) == 20
+    empty = QZ.pq_adc_topk(probes.where(F.lit(False)), codes, books, k=3)
+    assert empty.count() == 0
+    assert empty.columns == ["probe_id", "match_id", "adc_score"]
+
+
 def test_pq_catalog_recall_row(spark):
     from rentals_data_pipeline_spark.plans import similarity_queries  # noqa: F401
     from rentals_data_pipeline_spark.plans.catalog import QUERIES
