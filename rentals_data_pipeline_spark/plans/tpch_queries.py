@@ -7,9 +7,10 @@ DETERMINISTICALLY DERIVED partsupp relation (dbgen-style 4 suppliers
 per part; costs as exact integer cents — see ``_partsupp`` below) and
 Q12 over derived shipmode/commit/receipt columns, all built from the
 same closed-form expressions in both engines so the oracle certifies
-the derivation too — 21 of 22 covered (Q12's original date columns and
-the partsupp table remain absent from the corpus; the derivations are
-documented adaptations, not dbgen replicas).
+the derivation too — the sweep is complete: all 22 queries run (Q1 as
+``agg_pricing_summary``, Q2-Q22 here; Q12's original date columns and
+the partsupp table remain absent from the corpus, so those five are
+documented derivation-backed adaptations, not dbgen replicas).
 
 Adaptations to this corpus's schema: no ``o_shippriority`` /
 ``c_address`` / ``c_phone`` / ``c_comment`` columns exist, so those
