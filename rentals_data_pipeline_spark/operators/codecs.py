@@ -569,12 +569,24 @@ def _gif_subblocks(raw: bytes, off: int) -> tuple[bytes, int]:
 
 def decode_gif_frames(
     raw: bytes, max_frames: int = 64
-) -> tuple[list[np.ndarray], list[int]]:
+) -> tuple[list[np.ndarray], list[int], bool]:
     """Full GIF87a/89a ANIMATION decode — the one motion format a
     no-C-extension container can actually play back. Returns
-    ``(frames, delays)``: each frame is the COMPOSITED logical-screen
-    canvas after that image renders, as an (H, W, 3) uint8 array;
-    delays are the GCE delay times in centiseconds (0 when absent).
+    ``(frames, delays, truncated)``: each frame is the COMPOSITED
+    logical-screen canvas after that image renders, as an (H, W, 3)
+    uint8 array; delays are the GCE delay times in centiseconds (0
+    when absent); ``truncated`` is True iff the shared pixel budget
+    stopped capture while MORE image data remained — so callers can
+    distinguish a fully decoded clip from a budget-capped one instead
+    of silently computing motion features over a partial video
+    (``max_frames`` is the caller's own cap and does not set it).
+
+    Malformed-GCE policy (intentional divergence from lenient
+    decoders): a transparency index >= the active palette size raises
+    CodecError, the same contract as an out-of-range pixel index —
+    Pillow/browsers instead disable transparency for such files, so
+    blobs they render become error rows here; strict-reject keeps one
+    deterministic answer instead of guessing the writer's intent.
 
     Implements the pieces ``decode_gif`` (single frame, own rect)
     skips: Graphic Control Extensions (disposal method, transparency
@@ -697,7 +709,9 @@ def decode_gif_frames(
             # observed, so stop PARSING too — a hostile blob declaring
             # thousands of screen-sized frames must not buy
             # frames x canvas-area compositing work
-            break
+            return frames, delays, (
+                pixel_budget < sw * sh and _gif_more_frames(raw, off)
+            )
         if disposal == 2 and h_eff > 0 and w_eff > 0:
             canvas[top : top + h_eff, left : left + w_eff] = bg_fill
         elif disposal == 3:
@@ -705,7 +719,26 @@ def decode_gif_frames(
         disposal, transparent, delay = 0, None, 0
     if not frames:
         raise CodecError("gif parse error: no image descriptor")
-    return frames, delays
+    return frames, delays, False
+
+
+def _gif_more_frames(raw: bytes, off: int) -> bool:
+    """True iff another image descriptor follows ``off`` — a header
+    walk (extension sub-blocks skipped by length) so the truncation
+    flag is exact, at header-only cost."""
+    while off < len(raw):
+        block = raw[off]
+        if block == 0x2C:
+            return True
+        if block == 0x3B:
+            return False
+        if block != 0x21 or off + 2 > len(raw):
+            return False
+        try:
+            _, off = _gif_subblocks(raw, off + 2)
+        except CodecError:
+            return False
+    return False
 
 
 # ---------------------------------------------------------------------------
@@ -1704,7 +1737,7 @@ def sniff_and_decode(raw: bytes) -> Decoded:
     if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
         # first-frame view, parity with GIF: stills pipelines see the
         # opening frame; decode_video_frames is the per-frame surface
-        frames, _ = decode_avi_mjpeg_frames(raw, max_frames=1)
+        frames, _, _ = decode_avi_mjpeg_frames(raw, max_frames=1)
         return 3, None, [frames[0][:, :, c].reshape(-1).astype(np.float64)
                          for c in range(3)]
     if raw[:2] == b"BM":
@@ -1713,6 +1746,12 @@ def sniff_and_decode(raw: bytes) -> Decoded:
         return decode_jpeg(raw)
     if raw[:4] == b"fLaC":
         return decode_flac(raw)
+    if len(raw) >= 12 and raw[4:8] in _MP4_MAGIC:
+        # MJPEG-in-MP4 first-frame view, parity with the AVI path;
+        # non-JPEG MP4 codecs raise 'unsupported mp4 codec' for triage
+        frames, _, _ = decode_mp4_mjpeg_frames(raw, max_frames=1)
+        return 3, None, [frames[0][:, :, c].reshape(-1).astype(np.float64)
+                         for c in range(3)]
     raise CodecError(f"unsupported codec: magic={raw[:4].hex()}")
 
 
@@ -1730,11 +1769,19 @@ _WAV_CODEC_NAMES = {
 def _probe(fmt: str, codec: "str | None" = None, n_tracks: int = 1,
            width: "int | None" = None, height: "int | None" = None,
            channels: "int | None" = None, sample_rate: "int | None" = None,
-           duration_s: "float | None" = None) -> dict:
+           duration_s: "float | None" = None,
+           n_frames: "int | None" = None) -> dict:
+    """``n_frames`` is the container's own frame/sample-unit count when
+    the header declares one — AVI ``avih.dwTotalFrames``, MP4 ``stsz``
+    sample count of the lead video track, Ogg completed-packet count of
+    the lead stream. NULL where the header carries no such count (still
+    images, WAV/FLAC, GIF — counting GIF frames needs a full block
+    walk, which a header-only probe must not pay for)."""
     return {
         "format": fmt, "codec": codec, "n_tracks": n_tracks,
         "width": width, "height": height, "channels": channels,
         "sample_rate": sample_rate, "duration_s": duration_s,
+        "n_frames": n_frames,
     }
 
 
@@ -1864,10 +1911,10 @@ def _riff_chunks(raw: bytes, lo: int, hi: int):
 
 def _jpeg_frame_dims(jpg: bytes) -> tuple[int, int]:
     """(width, height) from a JPEG blob's frame header — shared marker
-    walk, stops at SOS. Lets the AVI decoder charge the pixel budget
-    BEFORE paying for a full decode."""
+    walk, stops at SOS. Lets the AVI/MP4 decoders charge the pixel
+    budget BEFORE paying for a full decode."""
     if jpg[:2] != b"\xff\xd8":
-        raise CodecError("avi parse error: non-jpeg video frame")
+        raise CodecError("video parse error: non-jpeg frame")
     walker = _JpegMarkerWalker(jpg)
     while (seg := walker.next()) is not None:
         m, body = seg
@@ -1894,7 +1941,11 @@ def _avi_headers(raw: bytes, lo: int, hi: int) -> tuple[int, int]:
     ``strf.biCompression`` reading MJPG/dmb1) — anything else is an
     ``unsupported avi codec`` row, consistent with the MP4/Ogg gate.
     ``delay_cs`` is the per-frame duration in centiseconds from
-    ``strh`` scale/rate, falling back to ``avih`` usec-per-frame."""
+    ``strh`` scale/rate, falling back to ``avih`` usec-per-frame, and
+    CLAMPED to >= 1 cs: a frame period under 5 ms (or a zeroed avih —
+    common in the wild) would otherwise round to 0 and collapse
+    downstream durations, the same convention lenient players apply
+    to GIF zero-delay frames."""
     usec_pf = 0
     stream_no = -1
     video_stream = None
@@ -1930,35 +1981,40 @@ def _avi_headers(raw: bytes, lo: int, hi: int) -> tuple[int, int]:
             raise CodecError(f"unsupported avi codec: {name or 'unknown'}")
         video_stream = stream_no
         if rate > 0:
-            delay_cs = round(100 * scale / rate)
+            delay_cs = max(1, round(100 * scale / rate))
     if video_stream is None:
         raise CodecError("avi parse error: no video stream")
     if delay_cs is None:
-        delay_cs = round(usec_pf / 10_000)
+        delay_cs = max(1, round(usec_pf / 10_000))
     return video_stream, delay_cs
 
 
 def decode_avi_mjpeg_frames(
     raw: bytes, max_frames: int = 64
-) -> tuple[list[np.ndarray], list[int]]:
+) -> tuple[list[np.ndarray], list[int], bool]:
     """Motion-JPEG-in-AVI decode: RIFF walk to the ``movi`` LIST, one
     ``decode_jpeg`` per ``##dc``/``##db`` chunk of the video stream
-    (``##`` = the stream number from ``hdrl``), frames returned as
-    composited (H, W, 3) uint8 canvases with per-frame delays in
-    centiseconds — the same shape ``decode_gif_frames`` returns, so
-    the motion-triage operators run unchanged over either container.
+    (``##`` = the stream number from ``hdrl``), returning ``(frames,
+    delays, truncated)`` — composited (H, W, 3) uint8 canvases,
+    per-frame delays in centiseconds, and a truncation flag — the
+    same shape ``decode_gif_frames`` returns, so the motion-triage
+    operators run unchanged over either container.
 
     Bomb guards mirror the GIF path: per-frame dims are read from the
     JPEG frame header (shared marker walk) and charged against
     ``_MAX_PIXELS`` BEFORE the full decode; past ``max_frames`` or the
-    pixel budget, parsing stops. Zero-size video chunks (dropped
-    frames — standard MJPEG padding) extend the previous frame's
-    delay instead of producing a frame (leading drops carry forward to
-    the first decoded frame, so declared duration is preserved).
-    Audio/index chunks skip; ``rec `` LISTs recurse, depth-capped so a
-    hostile nesting bomb raises CodecError instead of RecursionError.
-    Non-MJPEG video streams raise the same ``unsupported`` CodecError
-    the MP4/Ogg gates use."""
+    pixel budget, parsing stops. ``truncated`` is True iff the PIXEL
+    BUDGET stopped decoding with a video chunk still pending — so
+    motion features (n_cuts, duration) computed downstream can tell a
+    fully decoded clip from a budget-capped one; ``max_frames`` is the
+    caller's own cap and does not set it. Zero-size video chunks
+    (dropped frames — standard MJPEG padding) extend the previous
+    frame's delay instead of producing a frame (leading drops carry
+    forward to the first decoded frame, so declared duration is
+    preserved). Audio/index chunks skip; ``rec `` LISTs recurse,
+    depth-capped so a hostile nesting bomb raises CodecError instead
+    of RecursionError. Non-MJPEG video streams raise the same
+    ``unsupported`` CodecError the MP4/Ogg gates use."""
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
         raise CodecError("avi parse error: bad signature")
     hi = min(len(raw), 8 + int.from_bytes(raw[4:8], "little"))
@@ -1968,9 +2024,10 @@ def decode_avi_mjpeg_frames(
     delays: list[int] = []
     budget = [_MAX_PIXELS]
     pending = [0]  # delay of dropped frames before the first real one
+    truncated = [False]
 
     def _video_chunks(lo: int, hi_: int, depth: int = 0) -> bool:
-        """Decode video chunks in a movi/rec LIST; False = budget hit."""
+        """Decode video chunks in a movi/rec LIST; False = stop."""
         if depth > 8:  # the spec nests 'rec ' one level; 8 is generous
             raise CodecError("avi parse error: rec LIST nesting too deep")
         vid = f"{video_stream:02d}".encode("ascii")
@@ -1989,6 +2046,7 @@ def decode_avi_mjpeg_frames(
                 continue
             w_px, h_px = _jpeg_frame_dims(raw[blo:bhi])
             if w_px * h_px > budget[0]:
+                truncated[0] = True  # a real chunk was left undecoded
                 return False
             nch, _, planes = decode_jpeg(raw[blo:bhi])
             if nch == 1:
@@ -2021,7 +2079,248 @@ def decode_avi_mjpeg_frames(
                 break
     if not frames:
         raise CodecError("avi parse error: no video frames")
-    return frames, delays
+    return frames, delays, truncated[0]
+
+
+# ---------------------------------------------------------------------------
+# MP4 / MJPEG — the ISO-BMFF sibling of the AVI path (round 9): a box
+# walk to the first video trak's sample table (stsd/stts/stsc/stsz/
+# stco), then the SAME per-frame JPEG decode. Inter-frame codecs
+# (H.264 etc.) stay environment-gated; photo-JPEG ('jpeg'/'mjpa')
+# samples need nothing beyond the existing T.81 stack.
+# ---------------------------------------------------------------------------
+
+_MP4_JPEG_FOURCC = {b"jpeg", b"mjpa", b"mjpb", b"mjpg"}
+_MP4_MAGIC = (b"ftyp", b"moov", b"mdat", b"free", b"wide", b"styp")
+_MP4_MAX_SAMPLES = 4_000_000  # bomb guard: a header-declared count this
+# large in a decodable blob is hostile, not a real MJPEG clip
+
+
+def _mp4_table_u32s(body: bytes, off: int, n: int, what: str) -> list[int]:
+    """n big-endian u32s at ``off``, bounds-checked against the box."""
+    if n < 0 or off + 4 * n > len(body):
+        raise CodecError(f"mp4 parse error: truncated {what} table")
+    return [
+        int.from_bytes(body[p : p + 4], "big")
+        for p in range(off, off + 4 * n, 4)
+    ]
+
+
+def _mp4_video_sample_table(raw: bytes) -> dict:
+    """moov walk → the first ``vide`` trak's flattened sample table:
+    ``{"codec": fourcc, "timescale": int, "samples": [(offset, size,
+    delta), ...]}`` with every sample range validated against the
+    buffer. Spec: ISO/IEC 14496-12 §8.5-8.7 (stsd sample description,
+    stts decoding deltas, stsc sample-to-chunk runs, stsz sizes,
+    stco/co64 absolute chunk offsets)."""
+    moov = None
+    for typ, lo, hi in _mp4_boxes(raw, 0, len(raw)):
+        if typ == b"moov":
+            moov = (lo, hi)
+            break
+    if moov is None:
+        raise CodecError("mp4 parse error: no moov box")
+    for typ, lo, hi in _mp4_boxes(raw, *moov):
+        if typ != b"trak":
+            continue
+        tbl = _mp4_trak_samples(raw, lo, hi)
+        if tbl is not None:
+            return tbl
+    raise CodecError("mp4 parse error: no video track")
+
+
+def _mp4_trak_samples(raw: bytes, lo: int, hi: int) -> "dict | None":
+    handler = codec = None
+    timescale = 0
+    boxes: dict[bytes, bytes] = {}
+    for t2, lo2, hi2 in _mp4_boxes(raw, lo, hi):
+        if t2 != b"mdia":
+            continue
+        for t3, lo3, hi3 in _mp4_boxes(raw, lo2, hi2):
+            if t3 == b"mdhd":
+                timescale, _ = _mp4_fullbox_u32_u64(raw[lo3:hi3], 12)
+            elif t3 == b"hdlr":
+                body = raw[lo3:hi3]
+                if len(body) >= 12:
+                    handler = body[8:12]
+            elif t3 == b"minf":
+                for t4, lo4, hi4 in _mp4_boxes(raw, lo3, hi3):
+                    if t4 != b"stbl":
+                        continue
+                    for t5, lo5, hi5 in _mp4_boxes(raw, lo4, hi4):
+                        if t5 == b"stsd":
+                            entry = lo5 + 8
+                            if hi5 - entry >= 8:
+                                codec = raw[entry + 4 : entry + 8]
+                        elif t5 in (b"stts", b"stsc", b"stsz",
+                                    b"stco", b"co64"):
+                            boxes[t5] = raw[lo5:hi5]
+    if handler != b"vide":
+        return None
+    for need in (b"stts", b"stsc", b"stsz"):
+        if need not in boxes:
+            raise CodecError(
+                f"mp4 parse error: missing {need.decode('ascii')} box"
+            )
+    if b"stco" not in boxes and b"co64" not in boxes:
+        raise CodecError("mp4 parse error: missing chunk offset box")
+
+    # stsz: constant sample_size @4 or per-sample table after count @8
+    stsz = boxes[b"stsz"]
+    if len(stsz) < 12:
+        raise CodecError("mp4 parse error: truncated stsz box")
+    const_size = int.from_bytes(stsz[4:8], "big")
+    n_samples = int.from_bytes(stsz[8:12], "big")
+    if n_samples > _MP4_MAX_SAMPLES:
+        raise CodecError("mp4 parse error: implausible sample count")
+    if const_size:
+        sizes = [const_size] * n_samples
+    else:
+        sizes = _mp4_table_u32s(stsz, 12, n_samples, "stsz")
+
+    # stts: run-length (count, delta) pairs; totals must match stsz
+    stts = boxes[b"stts"]
+    if len(stts) < 8:
+        raise CodecError("mp4 parse error: truncated stts box")
+    n_tt = int.from_bytes(stts[4:8], "big")
+    tt = _mp4_table_u32s(stts, 8, 2 * n_tt, "stts")
+    deltas: list[int] = []
+    for i in range(n_tt):
+        cnt, delta = tt[2 * i], tt[2 * i + 1]
+        if len(deltas) + cnt > n_samples:
+            raise CodecError("mp4 parse error: stts exceeds sample count")
+        deltas.extend([delta] * cnt)
+    if len(deltas) != n_samples:
+        raise CodecError("mp4 parse error: stts/stsz sample count mismatch")
+
+    # chunk offsets (stco u32 / co64 u64)
+    if b"stco" in boxes:
+        stco = boxes[b"stco"]
+        if len(stco) < 8:
+            raise CodecError("mp4 parse error: truncated stco box")
+        n_ch = int.from_bytes(stco[4:8], "big")
+        offsets = _mp4_table_u32s(stco, 8, n_ch, "stco")
+    else:
+        co64 = boxes[b"co64"]
+        if len(co64) < 8:
+            raise CodecError("mp4 parse error: truncated co64 box")
+        n_ch = int.from_bytes(co64[4:8], "big")
+        if 8 + 8 * n_ch > len(co64):
+            raise CodecError("mp4 parse error: truncated co64 table")
+        offsets = [
+            int.from_bytes(co64[p : p + 8], "big")
+            for p in range(8, 8 + 8 * n_ch, 8)
+        ]
+
+    # stsc: (first_chunk, samples_per_chunk, sdi) runs — flatten to a
+    # per-chunk samples_per_chunk, then lay samples consecutively
+    stsc = boxes[b"stsc"]
+    if len(stsc) < 8:
+        raise CodecError("mp4 parse error: truncated stsc box")
+    n_sc = int.from_bytes(stsc[4:8], "big")
+    sc = _mp4_table_u32s(stsc, 8, 3 * n_sc, "stsc")
+    runs = [(sc[3 * i], sc[3 * i + 1]) for i in range(n_sc)]
+    if runs and (runs[0][0] != 1 or any(
+        runs[i][0] >= runs[i + 1][0] for i in range(len(runs) - 1)
+    )):
+        raise CodecError("mp4 parse error: non-ascending stsc runs")
+
+    samples: list[tuple[int, int, int]] = []
+    si = 0
+    ri = 0
+    for ci in range(len(offsets)):
+        while ri + 1 < len(runs) and runs[ri + 1][0] <= ci + 1:
+            ri += 1
+        spc = runs[ri][1] if runs else 0
+        off = offsets[ci]
+        for _ in range(spc):
+            if si >= n_samples:
+                break
+            size = sizes[si]
+            if off < 0 or off + size > len(raw):
+                raise CodecError("mp4 parse error: sample out of range")
+            samples.append((off, size, deltas[si]))
+            off += size
+            si += 1
+    if si != n_samples:
+        raise CodecError("mp4 parse error: chunk map covers too few samples")
+    return {"codec": codec, "timescale": timescale, "samples": samples}
+
+
+def decode_mp4_mjpeg_frames(
+    raw: bytes, max_frames: int = 64
+) -> tuple[list[np.ndarray], list[int], bool]:
+    """Motion-JPEG-in-MP4 decode: ISO-BMFF box walk to the first
+    ``vide`` trak, sample table flattened to absolute (offset, size,
+    delta) triples (``_mp4_video_sample_table``), one ``decode_jpeg``
+    per sample located inside ``mdat`` — returning ``(frames, delays,
+    truncated)``: composited (H, W, 3) uint8 canvases, per-frame
+    delays in centiseconds, and the budget-truncation flag — the same
+    shape ``decode_avi_mjpeg_frames`` / ``decode_gif_frames`` return,
+    so every motion-triage operator runs unchanged over a third
+    container.
+
+    Bomb guards mirror the AVI path: per-sample dims are read from the
+    JPEG frame header and charged against ``_MAX_PIXELS`` BEFORE the
+    full decode; past ``max_frames`` or the pixel budget, decoding
+    stops, and ``truncated`` is True iff the pixel budget left a
+    sample undecoded. Zero-size samples (edit-list padding) extend the previous
+    frame's delay (leading ones carry forward), preserving declared
+    duration. Sample-entry fourccs outside the photo/Motion-JPEG set
+    raise the same ``unsupported`` CodecError the AVI gate uses —
+    H.264/HEVC stay environment-gated. Delays: ``delta / mdhd
+    timescale`` rounded to centiseconds, clamped to >= 1 cs for
+    nonzero deltas (the sub-centisecond-period convention shared with
+    the AVI path)."""
+    if len(raw) < 12 or raw[4:8] not in _MP4_MAGIC:
+        raise CodecError("mp4 parse error: bad signature")
+    tbl = _mp4_video_sample_table(raw)
+    codec = tbl["codec"] or b""
+    if codec.lower() not in _MP4_JPEG_FOURCC:
+        raise CodecError(
+            f"unsupported mp4 codec: {_fourcc_name(codec) or 'unknown'}"
+        )
+    ts = tbl["timescale"]
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    budget = _MAX_PIXELS
+    pending = 0
+    truncated = False
+    for off, size, delta in tbl["samples"]:
+        if ts and delta:
+            delay_cs = max(1, round(100 * delta / ts))
+        else:
+            delay_cs = 0
+        if size == 0:  # padding sample: previous image persists
+            if delays:
+                delays[-1] += delay_cs
+            else:
+                pending += delay_cs
+            continue
+        blob = raw[off : off + size]
+        w_px, h_px = _jpeg_frame_dims(blob)
+        if w_px * h_px > budget:
+            truncated = True
+            break
+        nch, _, planes = decode_jpeg(blob)
+        if nch == 1:
+            fr = np.repeat(
+                planes[0].astype(np.uint8).reshape(h_px, w_px, 1), 3, 2
+            )
+        else:
+            fr = np.stack(
+                [p.astype(np.uint8).reshape(h_px, w_px) for p in planes],
+                axis=2,
+            )
+        frames.append(fr)
+        delays.append(delay_cs + pending)
+        pending = 0
+        budget -= w_px * h_px
+        if len(frames) >= max_frames:
+            break
+    if not frames:
+        raise CodecError("mp4 parse error: no video frames")
+    return frames, delays, truncated
 
 
 def _probe_flac(raw: bytes) -> dict:
@@ -2109,6 +2408,7 @@ def _probe_avi(raw: bytes) -> dict:
             duration_s=(total * usec_pf / 1e6)
             if total and usec_pf
             else None,
+            n_frames=total or None,
         )
     raise CodecError("avi parse error: missing hdrl")
 
@@ -2193,6 +2493,7 @@ def _probe_mp4(raw: bytes) -> dict:
         channels=aud.get("channels") if aud else None,
         sample_rate=aud.get("sample_rate") if aud else None,
         duration_s=dur,
+        n_frames=vid.get("n_samples") if vid else None,
     )
 
 
@@ -2217,6 +2518,12 @@ def _mp4_trak(raw: bytes, lo: int, hi: int) -> dict:
                     for t5, lo5, hi5 in _mp4_boxes(raw, lo4, hi4):
                         if t5 == b"stsd":
                             _mp4_stsd(raw, lo5, hi5, out)
+                        elif t5 == b"stsz" and hi5 - lo5 >= 12:
+                            # sample_count @8 — the header-declared
+                            # frame/sample count, no table read needed
+                            out["n_samples"] = int.from_bytes(
+                                raw[lo5 + 8 : lo5 + 12], "big"
+                            )
     return out
 
 
@@ -2245,8 +2552,14 @@ def _probe_ogg(raw: bytes) -> dict:
     identify the codec (Vorbis / Opus / Theora ident headers), the
     final granule position gives audio duration (Vorbis granules are
     PCM samples at the stream rate; Opus granules run at a fixed
-    48 kHz per RFC 7845). Payload bytes beyond the ident headers are
-    skipped, never parsed."""
+    48 kHz per RFC 7845), and the segment lacing tables give the EXACT
+    completed-packet count per stream (a packet terminates on a lacing
+    value < 255, including across page-continuation boundaries) —
+    duration and packet counts without touching a payload byte.
+    Payload bytes beyond the ident headers are skipped, never parsed.
+    Page CRCs are deliberately NOT verified: checksumming reads every
+    payload byte, breaking the header-only cost contract; structural
+    damage (lost sync, truncated pages) still raises CodecError."""
     pos, n = 0, len(raw)
     streams: dict[int, dict] = {}
     while pos + 27 <= n:
@@ -2259,10 +2572,14 @@ def _probe_ogg(raw: bytes) -> dict:
         seg_end = pos + 27 + nsegs
         if seg_end > n:
             raise CodecError("ogg parse error: truncated page header")
-        paylen = sum(raw[pos + 27 : seg_end])
+        lacing = raw[pos + 27 : seg_end]
+        paylen = sum(lacing)
         if seg_end + paylen > n:
             raise CodecError("ogg parse error: truncated page body")
         st = streams.setdefault(serial, {})
+        st["n_packets"] = st.get("n_packets", 0) + sum(
+            1 for v in lacing if v < 255
+        )
         if htype & 0x02:  # BOS: codec ident header
             pay = raw[seg_end : seg_end + paylen]
             if pay[:7] == b"\x01vorbis" and len(pay) >= 16:
@@ -2301,6 +2618,7 @@ def _probe_ogg(raw: bytes) -> dict:
         channels=aud.get("channels") if aud else None,
         sample_rate=aud.get("sample_rate") if aud else None,
         duration_s=dur,
+        n_frames=lead.get("n_packets") or None,
     )
 
 

@@ -10,8 +10,10 @@ inflate, all five scanline filters, 8/16-bit, gray/RGB/palette/alpha),
 GIF (full LZW, interlace), BMP (BI_RGB 24/32), baseline JPEG (Huffman
 entropy decode + IDCT, subsampling, restart markers), FLAC (Rice/LPC
 frame decode, stereo decorrelation) and binary PPM P6
-(``pack_wav``/``pack_ppm`` build genuine containers to feed it);
-remaining AV containers (MP4/Ogg) stay environment-gated — no
+(``pack_wav``/``pack_ppm`` build genuine containers to feed it), plus
+Motion-JPEG video in BOTH mainstream containers — AVI (RIFF walk) and
+MP4 (ISO-BMFF box walk + stbl sample table, round 9). Compressed
+inter-frame AV codecs (H.264, Vorbis) stay environment-gated — no
 PIL/ffmpeg in this container — and surface as ``unsupported codec``
 error ROWS, never task failures. Everything Spark-side is real and
 tested:
@@ -505,6 +507,84 @@ def pack_gif_anim(
     return _apply
 
 
+def _dc_only_jpeg(tiles: list[int]) -> bytes:
+    """Grayscale 16x16 baseline JPEG of four constant 8x8 blocks in
+    raster order — DC-only entropy data with unit quant tables, so a
+    constant block quantizes to an exact integer DC (``8 * (v-128)``)
+    and decode reproduces the tile values EXACTLY. Canonical Huffman:
+    12 DC categories at 4 bits (code for category s IS s), one 1-bit
+    AC EOB (code 0). Shared by ``pack_avi_mjpeg`` / ``pack_mp4_mjpeg``
+    so both containers carry bit-identical frame payloads."""
+    out = bytearray(b"\xff\xd8")
+
+    def seg(m: int, body: bytes) -> bytes:
+        return bytes([0xFF, m]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+    out += seg(
+        0xC0,
+        bytes([8]) + (16).to_bytes(2, "big")
+        + (16).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]),
+    )
+    dc_bits = [0] * 16
+    dc_bits[3] = 12
+    ac_bits = [0] * 16
+    ac_bits[0] = 1
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(dc_bits) + bytes(range(12))
+        + bytes([0x10]) + bytes(ac_bits) + bytes([0x00]),
+    )
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    ebytes = bytearray()
+    acc = nacc = 0
+
+    def put(val: int, nbits: int) -> None:
+        nonlocal acc, nacc
+        for i in range(nbits - 1, -1, -1):
+            acc = (acc << 1) | ((val >> i) & 1)
+            nacc += 1
+            if nacc == 8:
+                ebytes.append(acc)
+                if acc == 0xFF:  # byte stuffing
+                    ebytes.append(0x00)
+                acc = nacc = 0
+
+    pred = 0
+    for v in tiles:
+        dc = 8 * (v - 128)
+        diff = dc - pred
+        pred = dc
+        s = abs(diff).bit_length()
+        put(s, 4)
+        if s:
+            put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        put(0, 1)  # EOB
+    if nacc:
+        put((1 << (8 - nacc)) - 1, 8 - nacc)  # 1-pad to byte
+    out += ebytes
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _mjpeg_text_frames(data: bytes, max_frames: int) -> list[bytes]:
+    """The shared text→frames derivation: one 16x16 DC-only JPEG per
+    64-byte chunk (at least 1, at most ``max_frames``), tile luma
+    ``85 * (byte & 3)`` of the chunk's bytes 0/16/32/48 — the same
+    4-level quantization ``pack_gif_anim`` uses, so motion semantics
+    are comparable across GIF/AVI/MP4 and every oracle replays frame
+    means from the text's bytes alone."""
+    n_frames = max(1, min(max_frames, -(-len(data) // 64)))
+    frames = []
+    for f in range(n_frames):
+        ch = data[f * 64 : (f + 1) * 64]
+        frames.append(_dc_only_jpeg([
+            85 * ((ch[k] if k < len(ch) else 0) & 3)
+            for k in (0, 16, 32, 48)
+        ]))
+    return frames
+
+
 def pack_avi_mjpeg(
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -535,63 +615,6 @@ def pack_avi_mjpeg(
 
         import pandas as pd
 
-        def dc_only_jpeg(tiles: list[int]) -> bytes:
-            # grayscale 16x16, four constant 8x8 blocks in raster order.
-            # Canonical Huffman: 12 DC categories at 4 bits (code for
-            # category s IS s), one 1-bit AC EOB (code 0).
-            out = bytearray(b"\xff\xd8")
-
-            def seg(m: int, body: bytes) -> bytes:
-                return bytes([0xFF, m]) + (len(body) + 2).to_bytes(
-                    2, "big"
-                ) + body
-
-            out += seg(0xDB, bytes([0]) + bytes([1] * 64))
-            out += seg(
-                0xC0,
-                bytes([8]) + (16).to_bytes(2, "big")
-                + (16).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]),
-            )
-            dc_bits = [0] * 16
-            dc_bits[3] = 12
-            ac_bits = [0] * 16
-            ac_bits[0] = 1
-            out += seg(
-                0xC4,
-                bytes([0x00]) + bytes(dc_bits) + bytes(range(12))
-                + bytes([0x10]) + bytes(ac_bits) + bytes([0x00]),
-            )
-            out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-            ebytes = bytearray()
-            acc = nacc = 0
-
-            def put(val: int, nbits: int) -> None:
-                nonlocal acc, nacc
-                for i in range(nbits - 1, -1, -1):
-                    acc = (acc << 1) | ((val >> i) & 1)
-                    nacc += 1
-                    if nacc == 8:
-                        ebytes.append(acc)
-                        if acc == 0xFF:  # byte stuffing
-                            ebytes.append(0x00)
-                        acc = nacc = 0
-
-            pred = 0
-            for v in tiles:
-                dc = 8 * (v - 128)
-                diff = dc - pred
-                pred = dc
-                s = abs(diff).bit_length()
-                put(s, 4)
-                if s:
-                    put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-                put(0, 1)  # EOB
-            if nacc:
-                put((1 << (8 - nacc)) - 1, 8 - nacc)  # 1-pad to byte
-            out += ebytes
-            out += b"\xff\xd9"
-            return bytes(out)
-
         def chunk(fcc: bytes, body: bytes) -> bytes:
             pad = b"\x00" if len(body) & 1 else b""
             return fcc + len(body).to_bytes(4, "little") + body + pad
@@ -617,25 +640,206 @@ def pack_avi_mjpeg(
                 if text is None:
                     payloads.append(None)
                     continue
-                data = text.encode("utf-8")
-                n_frames = max(1, min(max_frames, -(-len(data) // 64)))
+                jpegs = _mjpeg_text_frames(text.encode("utf-8"), max_frames)
                 avih = _struct.pack(
-                    "<14I", 100_000, 0, 0, 0, n_frames, 0, 1, 0,
+                    "<14I", 100_000, 0, 0, 0, len(jpegs), 0, 1, 0,
                     16, 16, 0, 0, 0, 0,
                 )
                 hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
-                movi_body = b""
-                for f in range(n_frames):
-                    ch = data[f * 64 : (f + 1) * 64]
-                    tiles = [
-                        85 * ((ch[k] if k < len(ch) else 0) & 3)
-                        for k in (0, 16, 32, 48)
-                    ]
-                    movi_body += chunk(b"00dc", dc_only_jpeg(tiles))
+                movi_body = b"".join(chunk(b"00dc", j) for j in jpegs)
                 payload = b"AVI " + hdrl + lst(b"movi", movi_body)
                 payloads.append(
                     b"RIFF" + len(payload).to_bytes(4, "little") + payload
                 )
+            yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.select(id_col, text_col).mapInPandas(_pack, out_schema)
+
+    return _apply
+
+
+def pack_mp4_mjpeg(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_payload: str = "payload",
+    max_frames: int = 8,
+) -> Op:
+    """Build REAL Motion-JPEG MP4 (ISO-BMFF) containers from the text —
+    the SAME frame derivation as ``pack_avi_mjpeg`` (16x16 DC-only
+    JPEG per 64-byte chunk, exact-decoding constant tiles), carried in
+    a spec-shaped ISO/IEC 14496-12 skeleton: ``ftyp`` + ``mdat``
+    (concatenated frame JPEGs) + ``moov`` with mvhd, trak/tkhd, and a
+    full sample table — 'jpeg' visual sample entry, stts (one run of
+    10-tick deltas at timescale 100 → 10 cs/frame), one-chunk stsc,
+    per-sample stsz, stco pointing into mdat. Decode through
+    ``codecs.py::decode_mp4_mjpeg_frames`` reproduces the tile values
+    EXACTLY, so per-frame means replay from the text's bytes in the
+    oracle. NULL text packs to NULL payload."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(out_payload, T.BinaryType()),
+        ]
+    )
+
+    def _pack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct as _struct
+
+        import pandas as pd
+
+        def box(typ: bytes, body: bytes) -> bytes:
+            return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+        def full(typ: bytes, body: bytes, flags: int = 0) -> bytes:
+            return box(typ, bytes([0]) + flags.to_bytes(3, "big") + body)
+
+        unity = _struct.pack(
+            ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+        )
+        ftyp = box(b"ftyp", b"isom" + (512).to_bytes(4, "big")
+                   + b"isomiso2mp41")
+        jpeg_entry_tail = (
+            bytes(6) + (1).to_bytes(2, "big")          # data_ref_index
+            + bytes(16)                                # pre_defined/reserved
+            + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")  # w x h
+            + (0x00480000).to_bytes(4, "big") * 2      # 72 dpi
+            + bytes(4) + (1).to_bytes(2, "big")        # frame_count
+            + bytes(32)                                # compressorname
+            + (24).to_bytes(2, "big") + (0xFFFF).to_bytes(2, "big")
+        )
+        dref = full(b"dref", (1).to_bytes(4, "big")
+                    + full(b"url ", b"", flags=1))
+        hdlr = full(b"hdlr", bytes(4) + b"vide" + bytes(12) + b"\x00")
+        vmhd = full(b"vmhd", bytes(8), flags=1)
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                if text is None:
+                    payloads.append(None)
+                    continue
+                jpegs = _mjpeg_text_frames(text.encode("utf-8"), max_frames)
+                n = len(jpegs)
+                dur = 10 * n  # timescale 100, 10 ticks per frame
+                mdat = box(b"mdat", b"".join(jpegs))
+                first_off = len(ftyp) + 8  # mdat body start in the file
+                mvhd = full(b"mvhd", _struct.pack(">IIII", 0, 0, 100, dur)
+                            + (0x00010000).to_bytes(4, "big")
+                            + (0x0100).to_bytes(2, "big") + bytes(10)
+                            + unity + bytes(24) + (2).to_bytes(4, "big"))
+                tkhd = full(b"tkhd", _struct.pack(">IIII", 0, 0, 1, 0)
+                            + dur.to_bytes(4, "big") + bytes(16)
+                            + unity + (16 << 16).to_bytes(4, "big")
+                            + (16 << 16).to_bytes(4, "big"), flags=3)
+                mdhd = full(b"mdhd", _struct.pack(">IIII", 0, 0, 100, dur)
+                            + _struct.pack(">HH", 0x55C4, 0))
+                stsd = full(b"stsd", (1).to_bytes(4, "big")
+                            + box(b"jpeg", jpeg_entry_tail))
+                stts = full(b"stts", (1).to_bytes(4, "big")
+                            + _struct.pack(">II", n, 10))
+                stsc = full(b"stsc", (1).to_bytes(4, "big")
+                            + _struct.pack(">III", 1, n, 1))
+                stsz = full(b"stsz", (0).to_bytes(4, "big")
+                            + n.to_bytes(4, "big")
+                            + b"".join(len(j).to_bytes(4, "big")
+                                       for j in jpegs))
+                stco = full(b"stco", (1).to_bytes(4, "big")
+                            + first_off.to_bytes(4, "big"))
+                stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+                minf = box(b"minf", vmhd + dref + stbl)
+                mdia = box(b"mdia", mdhd + hdlr + minf)
+                moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+                payloads.append(ftyp + mdat + moov)
+            yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.select(id_col, text_col).mapInPandas(_pack, out_schema)
+
+    return _apply
+
+
+def _ogg_crc(page: bytes) -> int:
+    """Ogg page CRC32: polynomial 0x04c11db7, no bit reflection, zero
+    init/xorout (RFC 3533 §6) — NOT zlib's reflected CRC, so computed
+    directly; pages are small and this runs only in the packer."""
+    crc = 0
+    for b in page:
+        crc ^= b << 24
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x04C11DB7 if crc & 0x80000000
+                   else crc << 1) & 0xFFFFFFFF
+    return crc
+
+
+def pack_ogg_opus(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_payload: str = "payload",
+    max_pages: int = 8,
+) -> Op:
+    """Build REAL Ogg Opus streams from the text — RFC 3533 pages with
+    GENUINE CRCs: a BOS page carrying an RFC 7845 OpusHead (mono,
+    48 kHz input rate, zero pre-skip), an OpusTags comment page, then
+    one audio page per 64-byte text chunk (at least 1, at most
+    ``max_pages``; the chunk bytes ARE the packet payload — the probe
+    never parses them) whose granule positions advance 480 samples
+    (10 ms at the fixed 48 kHz Opus granule rate) per page; the last
+    page carries EOS. So ``probe_container`` reports duration =
+    n_chunks * 10 ms and n_frames (completed packets) = n_chunks + 2
+    exactly — both replayable from the text's byte length in the
+    oracle. Entropy decode of Opus itself stays environment-gated; the
+    CONTAINER is fully real. NULL text packs to NULL payload."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(out_payload, T.BinaryType()),
+        ]
+    )
+
+    def _pack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct as _struct
+
+        import pandas as pd
+
+        def page(serial: int, seq: int, granule: int, payload: bytes,
+                 htype: int = 0) -> bytes:
+            segs = []
+            rest = len(payload)
+            while True:
+                segs.append(min(rest, 255))
+                if rest < 255:
+                    break
+                rest -= 255
+            hdr = (b"OggS" + bytes([0, htype])
+                   + granule.to_bytes(8, "little", signed=True)
+                   + _struct.pack("<IIi", serial, seq, 0)
+                   + bytes([len(segs)]) + bytes(segs))
+            full_page = hdr + payload
+            crc = _ogg_crc(full_page)
+            return (full_page[:22] + crc.to_bytes(4, "little")
+                    + full_page[26:])
+
+        head = (b"OpusHead" + bytes([1, 1]) + _struct.pack("<H", 0)
+                + _struct.pack("<I", 48000) + _struct.pack("<h", 0)
+                + b"\x00")
+        tags = (b"OpusTags" + _struct.pack("<I", 4) + b"pack"
+                + _struct.pack("<I", 0))
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                if text is None:
+                    payloads.append(None)
+                    continue
+                data = text.encode("utf-8")
+                n = max(1, min(max_pages, -(-len(data) // 64)))
+                out = page(7, 0, 0, head, htype=2) + page(7, 1, 0, tags)
+                for i in range(n):
+                    chunk = data[i * 64 : (i + 1) * 64] or b"\x00"
+                    out += page(7, 2 + i, 480 * (i + 1), chunk,
+                                htype=4 if i == n - 1 else 0)
+                payloads.append(out)
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
@@ -652,17 +856,21 @@ def decode_video_frames(
 ) -> DataFrame:
     """Per-frame decode of animated containers — GIF 87a/89a
     (codecs.py::decode_gif_frames: GCE disposal/transparency
-    compositing, sub-rect placement, bomb-guarded) and Motion-JPEG AVI
+    compositing, sub-rect placement, bomb-guarded), Motion-JPEG AVI
     (codecs.py::decode_avi_mjpeg_frames: RIFF walk + per-chunk JPEG,
-    same budget guards), dispatched on magic bytes. One OUTPUT ROW PER
-    FRAME of the composited logical screen: frame index, total frame
-    count, GCE delay (centiseconds), geometry, and exact per-channel
-    means (integer sums / pixel count in float64 — deterministic) —
-    the per-frame statistics motion curation filters (shot-boundary,
-    static-asset, slideshow-vs-video) run on. Corrupt/NULL/non-GIF
-    payloads are error rows, never task failures; still images decode
-    as a 1-frame video (parity with ``decode_media``'s first-frame
-    view, pinned by test)."""
+    same budget guards) and Motion-JPEG MP4
+    (codecs.py::decode_mp4_mjpeg_frames: ISO-BMFF box walk + stbl
+    sample table, round 9), dispatched on magic bytes. One OUTPUT ROW
+    PER FRAME of the composited logical screen: frame index, total
+    frame count, GCE delay (centiseconds), geometry, exact
+    per-channel means (integer sums / pixel count in float64 —
+    deterministic), and ``truncated`` — True on every frame row of a
+    clip whose decode the shared pixel budget stopped early, so
+    motion features downstream can tell a complete clip from a
+    budget-capped one instead of silently reading partial video.
+    Corrupt/NULL/foreign payloads are error rows, never task
+    failures; still images decode as a 1-frame video (parity with
+    ``decode_media``'s first-frame view, pinned by test)."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -674,6 +882,7 @@ def decode_video_frames(
             T.StructField("mean_r", T.DoubleType()),
             T.StructField("mean_g", T.DoubleType()),
             T.StructField("mean_b", T.DoubleType()),
+            T.StructField("truncated", T.BooleanType()),
             T.StructField("decode_error", T.StringType()),
         ]
     )
@@ -682,9 +891,11 @@ def decode_video_frames(
         import pandas as pd
 
         from rentals_data_pipeline_spark.operators.codecs import (
+            _MP4_MAGIC,
             CodecError,
             decode_avi_mjpeg_frames,
             decode_gif_frames,
+            decode_mp4_mjpeg_frames,
         )
 
         for pdf in batches:
@@ -693,29 +904,33 @@ def decode_video_frames(
                 if payload is None:
                     rows.append(
                         (doc_id, None, None, None, None, None,
-                         None, None, None, "null payload")
+                         None, None, None, None, "null payload")
                     )
                     continue
                 try:
                     raw = bytes(payload)
                     if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
-                        frames, delays = decode_avi_mjpeg_frames(
+                        frames, delays, trunc = decode_avi_mjpeg_frames(
+                            raw, max_frames=max_frames
+                        )
+                    elif len(raw) >= 12 and raw[4:8] in _MP4_MAGIC:
+                        frames, delays, trunc = decode_mp4_mjpeg_frames(
                             raw, max_frames=max_frames
                         )
                     else:  # GIF path also owns the foreign-magic error
-                        frames, delays = decode_gif_frames(
+                        frames, delays, trunc = decode_gif_frames(
                             raw, max_frames=max_frames
                         )
                 except CodecError as e:
                     rows.append(
                         (doc_id, None, None, None, None, None,
-                         None, None, None, str(e))
+                         None, None, None, None, str(e))
                     )
                     continue
                 except Exception as e:  # hostile blob != task failure
                     rows.append(
                         (doc_id, None, None, None, None, None, None, None,
-                         None,
+                         None, None,
                          f"decode failure: {type(e).__name__}: {str(e)[:120]}")
                     )
                     continue
@@ -727,7 +942,7 @@ def decode_video_frames(
                     rows.append(
                         (doc_id, i, n, dl, w, h,
                          float(sums[0]) / cnt, float(sums[1]) / cnt,
-                         float(sums[2]) / cnt, None)
+                         float(sums[2]) / cnt, trunc, None)
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
@@ -846,11 +1061,12 @@ def probe_media(
             T.StructField("channels", T.IntegerType()),
             T.StructField("sample_rate", T.IntegerType()),
             T.StructField("duration_s", T.DoubleType()),
+            T.StructField("n_frames", T.IntegerType()),
             T.StructField("probe_error", T.StringType()),
         ]
     )
     fields = ("format", "codec", "n_tracks", "width", "height",
-              "channels", "sample_rate", "duration_s")
+              "channels", "sample_rate", "duration_s", "n_frames")
 
     def _probe(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd

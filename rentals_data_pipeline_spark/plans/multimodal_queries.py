@@ -702,56 +702,79 @@ def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_container_probe",
     """
+WITH d AS (
+    SELECT doc_id, text, octet_length(encode(text)) AS nb,
+           GREATEST(1, LEAST(8, CAST(CEIL(octet_length(encode(text)) / 64.0)
+                                     AS BIGINT))) AS nf
+    FROM documents
+)
 SELECT doc_id,
     CASE WHEN text IS NULL THEN 'error'
-         WHEN doc_id % 3 = 0 THEN 'wav'
-         WHEN doc_id % 3 = 1 THEN 'ppm' ELSE 'avi' END AS format,
+         WHEN doc_id % 5 = 0 THEN 'wav'
+         WHEN doc_id % 5 = 1 THEN 'ppm'
+         WHEN doc_id % 5 = 2 THEN 'avi'
+         WHEN doc_id % 5 = 3 THEN 'mp4' ELSE 'ogg' END AS format,
     CASE WHEN text IS NULL THEN 'error'
-         WHEN doc_id % 3 = 0 THEN 'pcm_u8'
-         WHEN doc_id % 3 = 1 THEN 'ppm/p6' ELSE 'mjpeg' END AS codec,
+         WHEN doc_id % 5 = 0 THEN 'pcm_u8'
+         WHEN doc_id % 5 = 1 THEN 'ppm/p6'
+         WHEN doc_id % 5 = 2 THEN 'mjpeg'
+         WHEN doc_id % 5 = 3 THEN 'jpeg' ELSE 'opus' END AS codec,
     CAST(CASE WHEN text IS NULL THEN -1 ELSE 1 END AS BIGINT) AS n_tracks,
-    CAST(CASE WHEN text IS NOT NULL AND doc_id % 3 IN (1, 2) THEN 16
+    CAST(CASE WHEN text IS NOT NULL AND doc_id % 5 IN (1, 2, 3) THEN 16
               ELSE -1 END AS BIGINT) AS width,
-    CAST(CASE WHEN text IS NOT NULL AND doc_id % 3 IN (1, 2) THEN 16
+    CAST(CASE WHEN text IS NOT NULL AND doc_id % 5 IN (1, 2, 3) THEN 16
               ELSE -1 END AS BIGINT) AS height,
     CAST(CASE WHEN text IS NULL THEN -1
-              WHEN doc_id % 3 = 0 THEN 1
-              WHEN doc_id % 3 = 1 THEN 3 ELSE -1 END AS BIGINT) AS channels,
-    CAST(CASE WHEN text IS NOT NULL AND doc_id % 3 = 0 THEN 8000
+              WHEN doc_id % 5 = 0 THEN 1
+              WHEN doc_id % 5 = 1 THEN 3
+              WHEN doc_id % 5 = 4 THEN 1 ELSE -1 END AS BIGINT) AS channels,
+    CAST(CASE WHEN text IS NULL THEN -1
+              WHEN doc_id % 5 = 0 THEN 8000
+              WHEN doc_id % 5 = 4 THEN 48000
               ELSE -1 END AS BIGINT) AS sample_rate,
     CAST(CASE WHEN text IS NULL THEN -1
-              WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) * 125
-              WHEN doc_id % 3 = 2 THEN GREATEST(1, LEAST(8,
-                  CAST(CEIL(octet_length(encode(text)) / 64.0) AS BIGINT)
-              )) * 100000
+              WHEN doc_id % 5 = 0 THEN nb * 125
+              WHEN doc_id % 5 IN (2, 3) THEN nf * 100000
+              WHEN doc_id % 5 = 4 THEN nf * 10000
               ELSE -1 END AS BIGINT) AS duration_us,
+    CAST(CASE WHEN text IS NULL THEN -1
+              WHEN doc_id % 5 IN (2, 3) THEN nf
+              WHEN doc_id % 5 = 4 THEN nf + 2
+              ELSE -1 END AS BIGINT) AS n_frames,
     CASE WHEN text IS NULL THEN 'null payload' END AS probe_error
-FROM documents
+FROM d
 """,
 )
 def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Header-only triage over REAL containers: doc_id % 3 routes each
+    """Header-only triage over REAL containers: doc_id % 5 routes each
     document into RIFF/WAVE (8-bit mono PCM at 8 kHz whose data chunk
-    is the utf-8 text), binary PPM (16x16 RGB), or Motion-JPEG AVI
-    (16x16, one frame per 64-byte chunk at 10 fps — round 8), then
+    is the utf-8 text), binary PPM (16x16 RGB), Motion-JPEG AVI
+    (16x16, one frame per 64-byte chunk at 10 fps), Motion-JPEG MP4
+    (same frames in an ISO-BMFF moov/stbl skeleton — round 9) or Ogg
+    Opus (RFC 3533 pages with genuine CRCs, one 10 ms packet per
+    64-byte chunk — round 9), then
     ``operators/multimodal.py::probe_media`` reads ONLY the headers —
-    format, codec, geometry, channels, rate, duration — never payload
-    bytes. The oracle replays every field from doc_id residue and the
-    text's byte length (WAV duration = n_bytes samples at 8 kHz =
-    n_bytes * 125 us; AVI duration = clamp(ceil(n_bytes/64), 1, 8)
-    frames x 100 ms — both exact integers, no float hash risk). This
-    is the triage pass that at 100 TB runs on EVERY blob (cost
-    independent of media size) to decide what ``decode_media``
-    touches; the same prober walks MP4 boxes and Ogg pages for the AV
-    containers this environment cannot decode (unit-tested with
-    hand-built encoders in tests/test_codecs.py)."""
+    format, codec, geometry, channels, rate, duration, and the
+    header-declared frame/sample-unit count ``n_frames`` (AVI
+    dwTotalFrames, MP4 stsz sample count, Ogg completed-packet count).
+    The oracle replays every field from doc_id residue and the text's
+    byte length (WAV duration = n_bytes x 125 us; AVI/MP4 = nf x
+    100 ms; Ogg = nf x 10 ms; Ogg packets = nf + 2 headers — all
+    exact integers, no float hash risk). This is the triage pass that
+    at 100 TB runs on EVERY blob (cost independent of media size) to
+    decide what ``decode_media``/``decode_video_frames`` touch: the
+    MP4 route now feeds a REAL decode (``decode_mp4_mjpeg_frames``);
+    Ogg stays probe-only (Opus entropy decode is environment-gated)."""
     docs = load_table(spark, sf_dir, "documents")
-    wav = docs.filter(F.col("doc_id") % 3 == 0).transform(MM.pack_wav())
-    ppm = docs.filter(F.col("doc_id") % 3 == 1).transform(MM.pack_ppm())
-    avi = docs.filter(F.col("doc_id") % 3 == 2).transform(
-        MM.pack_avi_mjpeg()
+    rid = F.col("doc_id") % 5
+    packed = (
+        docs.filter(rid == 0).transform(MM.pack_wav())
+        .unionByName(docs.filter(rid == 1).transform(MM.pack_ppm()))
+        .unionByName(docs.filter(rid == 2).transform(MM.pack_avi_mjpeg()))
+        .unionByName(docs.filter(rid == 3).transform(MM.pack_mp4_mjpeg()))
+        .unionByName(docs.filter(rid == 4).transform(MM.pack_ogg_opus()))
     )
-    probed = MM.probe_media(wav.unionByName(ppm).unionByName(avi))
+    probed = MM.probe_media(packed)
     # certification projection: not-applicable fields flatten to -1 /
     # 'error' sentinels (nullable ints reach the driver's pandas oracle
     # fetch as float64 — the NULL-int hash trap the repo lint bans);
@@ -770,6 +793,7 @@ def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.round(F.col("duration_s") * 1e6).cast("bigint"), neg
         ).alias("duration_us"),
+        F.coalesce(F.col("n_frames").cast("bigint"), neg).alias("n_frames"),
         "probe_error",
     )
 
@@ -910,6 +934,79 @@ def multimodal_decoded_gif_stats(
         F.col("delay_cs").cast("long").alias("delay_cs"),
         # grayscale palette: mean_r == mean_g == mean_b; exact
         # integer-sum / 64.0 (a power of two)
+        F.col("mean_r").alias("mean_luma"),
+    )
+
+
+@query(
+    "multimodal_decoded_mp4_stats",
+    """
+WITH d AS (
+    SELECT doc_id, hex(encode(text)) AS hb,
+           octet_length(encode(text)) AS nb,
+           GREATEST(1, LEAST(8, CAST(CEIL(octet_length(encode(text)) / 64.0)
+                                     AS BIGINT))) AS nf
+    FROM documents
+    WHERE text IS NOT NULL
+),
+frames AS (
+    SELECT d.doc_id, d.hb, d.nb, d.nf, f.f AS frame_idx
+    FROM d, (SELECT unnest(range(0, 8)) AS f) f
+    WHERE f.f < d.nf
+),
+tiles AS (
+    -- byte p (1-based) of the utf-8 payload is hex chars 2p-1..2p
+    SELECT doc_id, nf, frame_idx,
+        CASE WHEN frame_idx * 64 + k.k + 1 <= nb
+             THEN (strpos('0123456789ABCDEF',
+                     substr(hb, 2 * (frame_idx * 64 + k.k + 1) - 1, 1))
+                   - 1) * 16
+                + (strpos('0123456789ABCDEF',
+                     substr(hb, 2 * (frame_idx * 64 + k.k + 1), 1))
+                   - 1)
+             ELSE 0 END AS byte_v
+    FROM frames, (SELECT unnest([0, 16, 32, 48]) AS k) k
+)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(10 AS BIGINT) AS delay_cs,
+       SUM(85 * (byte_v % 4)) / 4.0 AS mean_luma
+FROM tiles
+GROUP BY doc_id, frame_idx, nf
+""",
+)
+def multimodal_decoded_mp4_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decoded MP4 VIDEO statistics, oracle-paired (round 9) — the
+    ISO-BMFF sibling of ``multimodal_decoded_avi_stats``: pack each
+    document into a real Motion-JPEG MP4 (``pack_mp4_mjpeg`` — ftyp +
+    mdat + a full moov/stbl sample table, frames the SAME DC-only
+    baseline JPEGs the AVI pack writes), decode every frame through
+    the box walk + sample-table flattening + JPEG entropy pipeline
+    (``decode_mp4_mjpeg_frames``: stsd codec gate, stts timing,
+    stsc/stco/stsz sample location inside mdat), and emit per-frame
+    exact means. The DuckDB oracle replays each mean from the text's
+    BYTES alone — tile luma is 85 * (byte & 3), frame mean the 4-tile
+    average, both exact dyadic rationals — so the value hash certifies
+    the ENTIRE MP4 sample-table walk end-to-end: a mislocated sample,
+    a misread stsz entry or a broken stsc run would shift bytes and
+    change the hash. Identical oracle text to the AVI twin by
+    construction (both containers carry bit-identical frame JPEGs)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    frames = MM.decode_video_frames(
+        docs.transform(MM.pack_mp4_mjpeg())
+    ).where(F.col("decode_error").isNull())
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("delay_cs").cast("long").alias("delay_cs"),
+        # mean_r == mean_g == mean_b for grayscale frames; exact
+        # integer-sum / 256.0 (a power of two), so no float-hash risk
         F.col("mean_r").alias("mean_luma"),
     )
 

@@ -605,7 +605,7 @@ def test_gif_animation_compositing():
             {"idx": np.full((1, 1), 0, dtype=np.uint8), "transparent": 0},
         ],
     )
-    frames, delays = C.decode_gif_frames(raw)
+    frames, delays, _ = C.decode_gif_frames(raw)
     assert len(frames) == 4 and delays == [10, 20, 0, 0]
     red, green, blue, black = (
         [255, 0, 0], [0, 255, 0], [0, 0, 255], [0, 0, 0],
@@ -629,14 +629,14 @@ def test_gif_animation_compositing():
 def test_gif_animation_caps_and_single_frame_parity():
     pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
     idx = (np.arange(16, dtype=np.uint8) % 2).reshape(4, 4)
-    frames, _ = C.decode_gif_frames(
+    frames, _, _ = C.decode_gif_frames(
         _gif_anim((4, 4), pal, [{"idx": idx}] * 10), max_frames=3
     )
     assert len(frames) == 3
     # single-image parity: decode_gif_frames agrees with decode_gif
     raw1 = _gif(idx, pal)
     nch, _, chans = C.decode_gif(raw1)
-    f, _ = C.decode_gif_frames(raw1)
+    f, _, _ = C.decode_gif_frames(raw1)
     assert len(f) == 1
     for c in range(3):
         assert np.array_equal(
@@ -1925,7 +1925,7 @@ def test_avi_mjpeg_grayscale_roundtrip():
         _encode_jpeg(rng.integers(0, 256, size=(16, 16), dtype=np.uint8))
         for _ in range(3)
     ]
-    frames, delays = C.decode_avi_mjpeg_frames(
+    frames, delays, _ = C.decode_avi_mjpeg_frames(
         _avi_mjpeg(blobs, 16, 16, fps=20)
     )
     assert len(frames) == 3 and delays == [5, 5, 5]
@@ -1941,7 +1941,7 @@ def test_avi_mjpeg_color_and_progressive_frames():
     px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
     gray = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
     blobs = [_encode_jpeg(px), _encode_jpeg_progressive(gray)]
-    frames, delays = C.decode_avi_mjpeg_frames(_avi_mjpeg(blobs, 8, 8))
+    frames, delays, _ = C.decode_avi_mjpeg_frames(_avi_mjpeg(blobs, 8, 8))
     assert len(frames) == 2 and delays == [10, 10]
     assert np.array_equal(frames[0], _expected_frame(blobs[0]))
     assert np.array_equal(frames[1], _expected_frame(blobs[1]))
@@ -1953,7 +1953,7 @@ def test_avi_mjpeg_audio_stream_and_rec_list():
     px = np.full((8, 8), 77, dtype=np.uint8)
     blobs = [_encode_jpeg(px)] * 2
     raw = _avi_mjpeg(blobs, 8, 8, audio_first=True, rec_wrap=True)
-    frames, delays = C.decode_avi_mjpeg_frames(raw)
+    frames, delays, _ = C.decode_avi_mjpeg_frames(raw)
     assert len(frames) == 2
     assert all(np.all(fr == 77) for fr in frames)
 
@@ -1965,7 +1965,7 @@ def test_avi_mjpeg_dropped_frames_extend_delay():
     px1 = np.full((8, 8), 200, dtype=np.uint8)
     blobs = [_encode_jpeg(px0), _encode_jpeg(px0), _encode_jpeg(px1)]
     raw = _avi_mjpeg(blobs, 8, 8, fps=10, drops=(1,))
-    frames, delays = C.decode_avi_mjpeg_frames(raw)
+    frames, delays, _ = C.decode_avi_mjpeg_frames(raw)
     assert len(frames) == 2
     assert delays == [20, 10]  # frame 0 held through the drop
     assert np.all(frames[0] == 10) and np.all(frames[1] == 200)
@@ -1974,7 +1974,7 @@ def test_avi_mjpeg_dropped_frames_extend_delay():
 def test_avi_mjpeg_max_frames_cap():
     px = np.full((8, 8), 50, dtype=np.uint8)
     blobs = [_encode_jpeg(px)] * 5
-    frames, delays = C.decode_avi_mjpeg_frames(
+    frames, delays, _ = C.decode_avi_mjpeg_frames(
         _avi_mjpeg(blobs, 8, 8), max_frames=2
     )
     assert len(frames) == 2 and len(delays) == 2
@@ -2035,7 +2035,7 @@ def test_avi_leading_dropped_frame_preserves_duration():
     px1 = np.full((8, 8), 200, dtype=np.uint8)
     blobs = [_encode_jpeg(px0), _encode_jpeg(px0), _encode_jpeg(px1)]
     raw = _avi_mjpeg(blobs, 8, 8, fps=10, drops=(0,))
-    frames, delays = C.decode_avi_mjpeg_frames(raw)
+    frames, delays, _ = C.decode_avi_mjpeg_frames(raw)
     assert len(frames) == 2
     assert delays == [20, 10] and sum(delays) == 30
     assert np.all(frames[0] == 10) and np.all(frames[1] == 200)
@@ -2050,7 +2050,7 @@ def test_avi_nul_handler_falls_back_to_strf_compression():
         [_encode_jpeg(px)], 8, 8, handler=b"\x00\x00\x00\x00",
         strf_comp=b"MJPG",
     )
-    frames, _ = C.decode_avi_mjpeg_frames(raw)
+    frames, _, _ = C.decode_avi_mjpeg_frames(raw)
     assert len(frames) == 1 and np.all(frames[0] == 33)
     assert C.probe_container(raw)["codec"] == "mjpeg"
     # and the unsupported-codec error names the field that carries a
@@ -2072,7 +2072,7 @@ def test_avi_codec_probe_decoder_parity():
     xvid_mjpg = _avi_mjpeg(
         [_encode_jpeg(px)], 8, 8, handler=b"XVID", strf_comp=b"MJPG"
     )
-    frames, _ = C.decode_avi_mjpeg_frames(xvid_mjpg)  # decoder accepts
+    frames, _, _ = C.decode_avi_mjpeg_frames(xvid_mjpg)  # decoder accepts
     assert len(frames) == 1
     assert C.probe_container(xvid_mjpg)["codec"] == "mjpeg"
 
@@ -2308,7 +2308,7 @@ def test_avi_mjpeg_roundtrip_property(
         blobs, w, h, fps=fps, audio_first=audio_first,
         rec_wrap=rec_wrap, drops=drops,
     )
-    frames, delays = C.decode_avi_mjpeg_frames(raw)
+    frames, delays, _ = C.decode_avi_mjpeg_frames(raw)
     kept = [b for i, b in enumerate(blobs) if i not in drops]
     assert len(frames) == len(kept)
     per = round(100 / fps)
