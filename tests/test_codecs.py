@@ -2664,3 +2664,411 @@ def test_probe_agrees_with_decode_property(kind, seed):
         assert p["width"] * p["height"] == len(chans[0])
     if p["duration_s"] is not None and sr:
         assert p["duration_s"] == pytest.approx(len(chans[0]) / sr)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / Motion-JPEG (round 9): independent ISO-BMFF writer + sample-table
+# decode, truncation flags, and the standing 10k+ box-parser fuzz
+# ---------------------------------------------------------------------------
+
+
+def _mp4_box(typ: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+
+def _mp4_full(typ: bytes, body: bytes, flags: int = 0) -> bytes:
+    return _mp4_box(typ, bytes([0]) + flags.to_bytes(3, "big") + body)
+
+
+def _mp4_mjpeg(
+    jpeg_frames,
+    *,
+    timescale=100,
+    delta=10,
+    fourcc=b"jpeg",
+    chunks=None,
+    co64=False,
+    const_size=False,
+    drops=(),
+    audio_first=False,
+    faststart=False,
+):
+    """Independent spec-shaped MJPEG-in-MP4 writer: ftyp + mdat + moov
+    (or moov-first when ``faststart``), arbitrary chunking via
+    ``chunks`` (samples per chunk), 64-bit offsets via ``co64``,
+    constant-size stsz via ``const_size`` (requires equal frames),
+    zero-size padding samples via ``drops``, and an audio trak FIRST
+    via ``audio_first`` (the decoder must skip to the vide trak)."""
+    sizes = [0 if i in drops else len(j) for i, j in enumerate(jpeg_frames)]
+    bodies = [b"" if i in drops else j for i, j in enumerate(jpeg_frames)]
+    n = len(jpeg_frames)
+    if chunks is None:
+        chunks = [n]
+    assert sum(chunks) == n
+
+    def moov_bytes(chunk_offsets):
+        stsd = _mp4_full(
+            b"stsd",
+            (1).to_bytes(4, "big")
+            + _mp4_box(
+                fourcc,
+                bytes(6) + (1).to_bytes(2, "big") + bytes(16)
+                + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+                + bytes(46),
+            ),
+        )
+        stts = _mp4_full(
+            b"stts", (1).to_bytes(4, "big") + struct.pack(">II", n, delta)
+        )
+        runs = []
+        for ci, spc in enumerate(chunks):
+            if not runs or runs[-1][1] != spc:
+                runs.append((ci + 1, spc))
+        stsc = _mp4_full(
+            b"stsc",
+            len(runs).to_bytes(4, "big")
+            + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in runs),
+        )
+        if const_size:
+            assert len(set(sizes)) == 1
+            stsz = _mp4_full(
+                b"stsz", sizes[0].to_bytes(4, "big") + n.to_bytes(4, "big")
+            )
+        else:
+            stsz = _mp4_full(
+                b"stsz",
+                (0).to_bytes(4, "big") + n.to_bytes(4, "big")
+                + b"".join(s.to_bytes(4, "big") for s in sizes),
+            )
+        if co64:
+            stco = _mp4_full(
+                b"co64",
+                len(chunk_offsets).to_bytes(4, "big")
+                + b"".join(o.to_bytes(8, "big") for o in chunk_offsets),
+            )
+        else:
+            stco = _mp4_full(
+                b"stco",
+                len(chunk_offsets).to_bytes(4, "big")
+                + b"".join(o.to_bytes(4, "big") for o in chunk_offsets),
+            )
+        stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+        mdhd = _mp4_full(
+            b"mdhd",
+            struct.pack(">IIII", 0, 0, timescale, delta * n)
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        hdlr = _mp4_full(b"hdlr", bytes(4) + b"vide" + bytes(12) + b"\x00")
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + _mp4_box(b"minf", stbl))
+        trak = _mp4_box(b"trak", mdia)
+        traks = trak
+        if audio_first:
+            a_mdhd = _mp4_full(
+                b"mdhd",
+                struct.pack(">IIII", 0, 0, 8000, 8000)
+                + struct.pack(">HH", 0x55C4, 0),
+            )
+            a_hdlr = _mp4_full(
+                b"hdlr", bytes(4) + b"soun" + bytes(12) + b"\x00"
+            )
+            traks = _mp4_box(b"trak", _mp4_box(b"mdia", a_mdhd + a_hdlr)) \
+                + trak
+        mvhd = _mp4_full(
+            b"mvhd",
+            struct.pack(">IIII", 0, 0, timescale, delta * n)
+            + (0x00010000).to_bytes(4, "big") + (0x0100).to_bytes(2, "big")
+            + bytes(10) + bytes(36) + bytes(24) + (2).to_bytes(4, "big"),
+        )
+        return _mp4_box(b"moov", mvhd + traks)
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + (512).to_bytes(4, "big") + b"mp41")
+    mdat = _mp4_box(b"mdat", b"".join(bodies))
+
+    def offsets(mdat_body_at):
+        outs, pos, si = [], mdat_body_at, 0
+        for spc in chunks:
+            outs.append(pos)
+            for _ in range(spc):
+                pos += sizes[si]
+                si += 1
+        return outs
+
+    if faststart:
+        # moov size is offset-value-independent (fixed-width fields):
+        # build once with placeholders, then with real offsets
+        probe_moov = moov_bytes(offsets(0))
+        at = len(ftyp) + len(probe_moov) + 8
+        moov = moov_bytes(offsets(at))
+        assert len(moov) == len(probe_moov)
+        return ftyp + moov + mdat
+    moov = moov_bytes(offsets(len(ftyp) + 8))
+    return ftyp + mdat + moov
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n_frames=st.integers(1, 6),
+    h_tiles=st.integers(1, 3),
+    w_tiles=st.integers(1, 3),
+    delta=st.sampled_from([1, 4, 10, 100]),
+    layout=st.sampled_from(["one", "per_frame", "split"]),
+    co64=st.booleans(),
+    faststart=st.booleans(),
+    audio_first=st.booleans(),
+    drop_first=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_mp4_mjpeg_roundtrip_property(
+    n_frames, h_tiles, w_tiles, delta, layout, co64, faststart,
+    audio_first, drop_first, seed,
+):
+    """Property sweep over sample-table geometry: any frame count and
+    size, any chunking (one chunk / chunk-per-sample / uneven split),
+    32- or 64-bit offsets, moov-before- or after-mdat, a leading audio
+    trak and a leading zero-size padding sample — every decoded frame
+    must equal decode_jpeg of its sample bytes and the delay total
+    must equal n_frames x the stts period (clamped to >= 1 cs)."""
+    rng = np.random.default_rng(seed)
+    h, w = 8 * h_tiles, 8 * w_tiles
+    blobs = [
+        _encode_jpeg(rng.integers(0, 256, size=(h, w), dtype=np.uint8))
+        for _ in range(n_frames)
+    ]
+    if layout == "one":
+        chunks = [n_frames]
+    elif layout == "per_frame":
+        chunks = [1] * n_frames
+    else:
+        cut = max(1, n_frames // 2)
+        chunks = [cut, n_frames - cut] if n_frames > 1 else [1]
+    drops = (0,) if drop_first and n_frames > 1 else ()
+    raw = _mp4_mjpeg(
+        blobs, delta=delta, chunks=chunks, co64=co64,
+        faststart=faststart, audio_first=audio_first, drops=drops,
+    )
+    frames, delays, truncated = C.decode_mp4_mjpeg_frames(raw)
+    kept = [b for i, b in enumerate(blobs) if i not in drops]
+    assert not truncated
+    assert len(frames) == len(kept)
+    per = max(1, round(100 * delta / 100))
+    assert sum(delays) == n_frames * per  # dropped delay folds forward
+    for fr, jf in zip(frames, kept):
+        assert fr.shape == (h, w, 3)
+        nch, _, planes = C.decode_jpeg(jf)
+        want = np.repeat(
+            planes[0].astype(np.uint8).reshape(h, w, 1), 3, 2
+        )
+        assert np.array_equal(fr, want)
+
+
+def test_mp4_const_size_stsz_and_delay_clamp():
+    """Constant-size stsz path + sub-centisecond stts period: four
+    identical frames at delta=1/timescale=1000 (1 ms) must decode with
+    the 1 cs delay floor."""
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    jf = _encode_jpeg(px)
+    raw = _mp4_mjpeg([jf] * 4, timescale=1000, delta=1, const_size=True)
+    frames, delays, truncated = C.decode_mp4_mjpeg_frames(raw)
+    assert len(frames) == 4 and not truncated
+    assert delays == [1, 1, 1, 1]
+
+
+def test_mp4_unsupported_codec_and_missing_boxes():
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    jf = _encode_jpeg(px)
+    with pytest.raises(C.CodecError, match="unsupported mp4 codec: avc1"):
+        C.decode_mp4_mjpeg_frames(_mp4_mjpeg([jf], fourcc=b"avc1"))
+    # no moov at all
+    naked = _mp4_box(b"ftyp", b"isom" + bytes(8)) + _mp4_box(b"mdat", jf)
+    with pytest.raises(C.CodecError, match="no moov box"):
+        C.decode_mp4_mjpeg_frames(naked)
+    # drop the stsz box: the strict missing-table gate
+    raw = _mp4_mjpeg([jf])
+    at = raw.index(b"stsz") - 4
+    ln = int.from_bytes(raw[at : at + 4], "big")
+    gutted = raw[:at] + raw[at + ln :]
+    # parent box sizes now lie; either complaint is a CodecError
+    with pytest.raises(C.CodecError):
+        C.decode_mp4_mjpeg_frames(gutted)
+    # sample offset beyond the buffer
+    raw2 = bytearray(_mp4_mjpeg([jf]))
+    at = bytes(raw2).index(b"stco") + 4 + 4 + 4  # box hdr + fullbox + count
+    raw2[at : at + 4] = (len(raw2) + 1000).to_bytes(4, "big")
+    with pytest.raises(C.CodecError, match="sample out of range"):
+        C.decode_mp4_mjpeg_frames(bytes(raw2))
+
+
+def test_mp4_audio_only_has_no_video_track():
+    raw = _mp4([_mp4_trak(b"soun", b"mp4a", timescale=8000, duration=8000,
+                          channels=1, rate=8000)])
+    with pytest.raises(C.CodecError, match="no video track"):
+        C.decode_mp4_mjpeg_frames(raw)
+
+
+def test_mp4_sniff_first_frame_parity():
+    """sniff_and_decode must expose the MP4 opening frame exactly as
+    decode_mp4_mjpeg_frames does (the AVI/GIF stills contract)."""
+    rng = np.random.default_rng(7)
+    blobs = [
+        _encode_jpeg(rng.integers(0, 256, size=(8, 8), dtype=np.uint8))
+        for _ in range(3)
+    ]
+    raw = _mp4_mjpeg(blobs)
+    nch, sr, chans = C.sniff_and_decode(raw)
+    assert (nch, sr) == (3, None)
+    first, _, _ = C.decode_mp4_mjpeg_frames(raw, max_frames=1)
+    for c in range(3):
+        assert np.array_equal(
+            chans[c].astype(np.uint8), first[0][:, :, c].reshape(-1)
+        )
+
+
+def test_mp4_frames_mutation_fuzz_codecerror_only():
+    """The round-9 box-parser fuzz gate: 10k+ mutations (truncation,
+    byte flips, tail grafts) over three container shapes — every
+    failure must be CodecError, never IndexError/OverflowError/
+    MemoryError/hang (the sample-table walk touches offsets, sizes
+    and run-lengths, all attacker-controlled)."""
+    import random
+
+    rng = random.Random(20260815)
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    shapes = [
+        _mp4_mjpeg([_encode_jpeg(px), _encode_jpeg(px[::-1])]),
+        _mp4_mjpeg([_encode_jpeg(px)] * 3, chunks=[1, 1, 1], co64=True,
+                   faststart=True),
+        _mp4_mjpeg([_encode_jpeg(px.T)], audio_first=True),
+    ]
+    for blob in shapes:
+        for _ in range(3500):
+            b = bytearray(blob)
+            op = rng.randrange(3)
+            if op == 0:
+                b = b[: rng.randrange(len(b))]
+            elif op == 1:
+                for _ in range(rng.randrange(1, 6)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            else:
+                b = b[: rng.randrange(len(b))] + bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(40))
+                )
+            try:
+                C.decode_mp4_mjpeg_frames(bytes(b))
+            except C.CodecError:
+                pass
+
+
+def test_probe_n_frames_declared_counts():
+    """The probe's n_frames field: AVI dwTotalFrames, MP4 stsz sample
+    count, Ogg completed packets (lacing < 255, continuations merged);
+    NULL for containers without a declared count."""
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    jf = _encode_jpeg(px)
+    assert C.probe_container(_avi_mjpeg([jf] * 3, 8, 8))["n_frames"] == 3
+    assert C.probe_container(_mp4_mjpeg([jf] * 5))["n_frames"] == 5
+    # opus: BOS + tags + one 300-byte audio packet spanning a lacing
+    # continuation (255 + 45) => 3 packets, not 4
+    head = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+            + struct.pack("<I", 24000) + struct.pack("<h", 0) + b"\x00")
+    tags = b"OpusTags" + struct.pack("<I", 4) + b"test" + struct.pack("<I", 0)
+    raw = (_ogg_page(7, 0, 0, head, htype=2)
+           + _ogg_page(7, 1, -1, tags)
+           + _ogg_page(7, 2, 96000, bytes(300), htype=4))
+    p = C.probe_container(raw)
+    assert p["n_frames"] == 3
+    assert C.probe_container(_small_valid_blobs()["wav"])["n_frames"] is None
+    assert C.probe_container(_small_valid_blobs()["png"])["n_frames"] is None
+
+
+def test_video_budget_truncation_flag(monkeypatch):
+    """The round-9 truncation contract across all three video paths: a
+    pixel budget that stops decode mid-stream sets truncated=True; a
+    budget that exactly covers the clip (or a plain max_frames cap)
+    does not."""
+    rng = np.random.default_rng(3)
+    blobs = [
+        _encode_jpeg(rng.integers(0, 256, size=(8, 8), dtype=np.uint8))
+        for _ in range(4)
+    ]
+    avi = _avi_mjpeg(blobs, 8, 8)
+    mp4 = _mp4_mjpeg(blobs)
+    pal = np.array([[0, 0, 0], [85, 85, 85], [170, 170, 170],
+                    [255, 255, 255]], dtype=np.uint8)
+    gif = _gif_anim(
+        (8, 8),
+        pal,
+        [
+            {"idx": rng.integers(0, 4, size=(8, 8)).astype(np.uint8),
+             "left": 0, "top": 0}
+            for _ in range(4)
+        ],
+    )
+    # budget for exactly two 8x8 frames
+    monkeypatch.setattr(C, "_MAX_PIXELS", 2 * 64)
+    for raw, dec in ((avi, C.decode_avi_mjpeg_frames),
+                     (mp4, C.decode_mp4_mjpeg_frames),
+                     (gif, C.decode_gif_frames)):
+        frames, _, truncated = dec(raw)
+        assert len(frames) == 2
+        assert truncated, dec.__name__
+    # full budget: complete decode, flag clear
+    monkeypatch.setattr(C, "_MAX_PIXELS", 1 << 26)
+    for raw, dec in ((avi, C.decode_avi_mjpeg_frames),
+                     (mp4, C.decode_mp4_mjpeg_frames),
+                     (gif, C.decode_gif_frames)):
+        frames, _, truncated = dec(raw)
+        assert len(frames) == 4
+        assert not truncated, dec.__name__
+    # max_frames is the caller's cap, not truncation
+    for raw, dec in ((avi, C.decode_avi_mjpeg_frames),
+                     (mp4, C.decode_mp4_mjpeg_frames),
+                     (gif, C.decode_gif_frames)):
+        frames, _, truncated = dec(raw, max_frames=2)
+        assert len(frames) == 2
+        assert not truncated, dec.__name__
+    # budget that runs out exactly at the last GIF frame: no more
+    # image data follows, so the precise flag stays False
+    monkeypatch.setattr(C, "_MAX_PIXELS", 4 * 64)
+    frames, _, truncated = C.decode_gif_frames(gif)
+    assert len(frames) == 4 and not truncated
+
+
+def test_avi_delay_clamp_sub_centisecond():
+    """strh scale/rate describing a 1 ms frame period must clamp the
+    per-frame delay to 1 cs instead of rounding to 0 and collapsing
+    downstream durations."""
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    raw = _avi_mjpeg([_encode_jpeg(px)] * 3, 8, 8, fps=1000)
+    frames, delays, _ = C.decode_avi_mjpeg_frames(raw)
+    assert len(frames) == 3
+    assert delays == [1, 1, 1]
+
+
+def test_ogg_crc_helper_is_genuine():
+    """pack_ogg_opus writes real RFC 3533 CRCs: pin the bitwise helper
+    against an independent table-driven implementation and the known
+    poly-0x04C11DB7/init-0/no-reflect check value for '123456789'
+    (the CRC-32/POSIX check 0x765E7680 before its final xorout)."""
+    from rentals_data_pipeline_spark.operators.multimodal import _ogg_crc
+
+    poly = 0x04C11DB7
+    tbl = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ poly if r & 0x80000000 else (r << 1)) \
+                & 0xFFFFFFFF
+        tbl.append(r)
+
+    def table_crc(data: bytes) -> int:
+        crc = 0
+        for byte in data:
+            crc = ((crc << 8) ^ tbl[((crc >> 24) ^ byte) & 0xFF]) \
+                & 0xFFFFFFFF
+        return crc
+
+    assert _ogg_crc(b"123456789") == 0x89A1897F
+    rng = np.random.default_rng(11)
+    for n in (0, 1, 27, 255, 300):
+        v = bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+        assert _ogg_crc(v) == table_crc(v)

@@ -437,3 +437,72 @@ def test_video_shot_boundaries_query_golden(spark, tmp_path):
     assert got[("avi", 1)] == (3, 30, 2, False)  # 3 x 10 cs
     assert got[("avi", 2)] == (3, 30, 0, True)
     assert len(got) == 4
+
+
+def test_pack_mp4_mjpeg_parity_with_avi(spark):
+    """MP4 and AVI packs carry bit-identical frame JPEGs, so
+    decode_video_frames must produce IDENTICAL per-frame rows (means,
+    delays, counts, geometry) for the same text through either
+    container; NULL text -> null-payload error row in both."""
+    text = "a" * 16 + "b" * 16 + "c" * 16 + "d" * 16 + "`" * 64
+    docs = spark.createDataFrame(
+        [(1, text), (2, None)], "doc_id long, text string"
+    )
+    keys = ("doc_id", "frame_idx", "n_frames", "delay_cs", "width",
+            "height", "mean_r", "mean_g", "mean_b", "truncated",
+            "decode_error")
+
+    def rows(op):
+        return sorted(
+            tuple(r[k] for k in keys)
+            for r in MM.decode_video_frames(docs.transform(op)).collect()
+        )
+
+    avi = rows(MM.pack_avi_mjpeg())
+    mp4 = rows(MM.pack_mp4_mjpeg())
+    assert avi == mp4
+    good = [r for r in mp4 if r[-1] is None]
+    assert len(good) == 2
+    assert all(r[9] is False for r in good)  # truncated column present+False
+
+
+def test_pack_ogg_opus_probe_row(spark):
+    """pack_ogg_opus -> probe_media: real pages, real CRCs, and the
+    packet count / duration the oracle replays from byte length."""
+    text = "x" * 130  # 3 chunks -> 3 audio pages
+    docs = spark.createDataFrame(
+        [(1, text), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r
+           for r in MM.probe_media(docs.transform(MM.pack_ogg_opus()))
+           .collect()}
+    r = out[1]
+    assert (r["format"], r["codec"]) == ("ogg", "opus")
+    assert (r["channels"], r["sample_rate"]) == (1, 48000)
+    assert r["n_frames"] == 3 + 2  # 3 audio packets + OpusHead + OpusTags
+    assert r["duration_s"] == pytest.approx(0.03)
+    assert r["probe_error"] is None
+    assert out[2]["probe_error"] == "null payload"
+
+
+def test_decoded_mp4_stats_query_golden(spark, tmp_path):
+    """The oracle-paired round-9 query end-to-end on a local corpus:
+    per-frame means replay from the text bytes, the same golden the
+    AVI twin pins (both containers carry the same frames)."""
+    import __spark_entry__ as E
+
+    text = "c" * 64 + "`" * 64
+    spark.createDataFrame(
+        [(1, text), (2, None)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(
+        (r["doc_id"], r["frame_idx"], r["n_frames"], r["delay_cs"],
+         r["mean_luma"])
+        for r in E.queries()["multimodal_decoded_mp4_stats"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    want_f0 = 85 * (ord("c") & 3)  # all four tiles = byte 'c'
+    want_f1 = 85 * (ord("`") & 3)
+    assert got == [(1, 0, 2, 10, float(want_f0)),
+                   (1, 1, 2, 10, float(want_f1))]
