@@ -209,6 +209,111 @@ def sketch_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sketch_distinct_users_rollup_exact",
+    """
+WITH pairs AS (
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+    FROM events
+)
+SELECT CAST(day AS VARCHAR) AS day_key,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct
+FROM pairs GROUP BY day
+UNION ALL
+SELECT 'total' AS day_key,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM pairs
+""",
+)
+def sketch_distinct_users_rollup_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT twin of ``sketch_distinct_users_rollup`` (round 9 — the
+    r8 graduation pattern applied to the next rows-only candidate):
+    exact distinct users per day plus the exact whole-corpus rollup
+    ('total' row). One (day, user) dedup shuffle feeds BOTH grains —
+    per-day counts are a map-side-combinable count over the deduped
+    pairs, and the global distinct dedups user_id over the already
+    per-day-deduped pairs (|pairs| << |events| at 100 TB), never
+    re-scanning the fact table twice. The day key is emitted as a
+    string so the total row carries 'total' instead of a NULL date
+    (the NULL-sentinel hash trap). The HLL query remains the
+    zero-rescan path over PERSISTED sketches; this is the ground
+    truth it approximates (accuracy pinned in
+    tests/test_sketch_ops.py)."""
+    events = load_table(spark, sf_dir, "events")
+    pairs = events.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    per_day = pairs.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    ).select(F.col("day").cast("string").alias("day_key"), "n_distinct")
+    total = (
+        pairs.select("user_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+        .select(F.lit("total").alias("day_key"), "n_distinct")
+    )
+    return per_day.unionByName(total)
+
+
+@query(
+    "sketch_sliding_distinct_users_exact",
+    """
+WITH pairs AS (
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+    FROM events
+),
+days AS (SELECT DISTINCT day FROM pairs),
+fan AS (
+    SELECT CAST(unnest(generate_series(
+               day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS day,
+           user_id
+    FROM pairs
+),
+win AS (
+    SELECT DISTINCT f.day, f.user_id
+    FROM fan f JOIN days d ON f.day = d.day
+)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n_distinct_7d
+FROM win GROUP BY day
+""",
+)
+def sketch_sliding_distinct_users_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT twin of ``sketch_sliding_distinct_users``: trailing-7-day
+    distinct users per active day, exact. The naive form (one fact
+    scan per window position, or a non-equi range join that plans as
+    a nested loop) is replaced by the contribution-fanout shape: dedup
+    (day, user) once, EXPLODE each pair to the <= 7 window-end days it
+    contributes to (an equi-joinable column — no BNLJ), semi-join to
+    the observed days (tiny, broadcast), dedup (window_day, user),
+    count. Shuffle volume is bounded by 7 x |pairs|, independent of
+    fact-row count beyond the first dedup — the 100 TB shape for
+    exact rolling COUNT(DISTINCT). The HLL sliding query stays the
+    zero-rescan dashboard path; this certifies what it estimates."""
+    events = load_table(spark, sf_dir, "events")
+    pairs = events.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = pairs.select("day").distinct()
+    fan = pairs.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    win = (
+        fan.join(F.broadcast(days), "day", "left_semi")
+        .select("day", "user_id")
+        .distinct()
+    )
+    return win.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_7d")
+    )
+
+
+@query(
     "sketch_histogram_quantiles",
     """
 WITH b AS (

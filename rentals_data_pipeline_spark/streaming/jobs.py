@@ -666,7 +666,19 @@ def streaming_decontamination_gate(
     rerun) overwrites rather than duplicates; unlike the dedup gate
     there is no self-match hazard because the gate never writes to the
     index it probes. (n, m_bits, k_hashes) must match the values the
-    index was built with."""
+    index was built with.
+
+    REPLAY CONTRACT (the limit of per-batch overwrite idempotency):
+    overwrite targets only the CURRENT run's ``batch=<id>`` dirs, so a
+    fresh-checkpoint rerun over the same ``output_dir`` is clean only
+    when the file-to-batch assignment is identical — same
+    ``max_files_per_trigger``, same input file set. Changing the
+    trigger size (or rerunning after new files shifted batch
+    boundaries) can leave STALE ``batch=<id>`` partitions from the
+    previous assignment sitting next to the new ones. For a
+    different-assignment rerun, clear ``output_dir`` first (or write
+    to a fresh dir); a checkpointed restart never hits this because
+    the checkpoint pins the assignment."""
     from rentals_data_pipeline_spark.operators.dedup import (
         decontaminate_with_index,
     )

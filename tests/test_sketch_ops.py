@@ -191,3 +191,62 @@ def test_overlap_estimate_accuracy(spark):
         row,
         exact,
     )
+
+
+def test_exact_twins_agree_with_direct_computation(spark):
+    """Round-9 graduation queries: the exact rollup/sliding twins must
+    equal a direct (unoptimized) computation on a small corpus, the
+    'total' row must count the union of all days, and the sliding
+    plan must contain NO nested-loop join (the fanout shape exists
+    precisely to avoid the non-equi BNLJ)."""
+    import datetime as dt
+
+    import __spark_entry__ as E
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    # users 0..9 on day d iff (u + d) % 3 == 0, 10 days
+    for d in range(10):
+        for u in range(10):
+            if (u + d) % 3 == 0:
+                rows.append((d * 100 + u, u, "view", 1.0,
+                             base + dt.timedelta(days=d, hours=u)))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "value double, ts timestamp"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        got_roll = {
+            r["day_key"]: r["n_distinct"]
+            for r in E.queries()["sketch_distinct_users_rollup_exact"](
+                spark, tmp
+            ).collect()
+        }
+        sliding_df = E.queries()["sketch_sliding_distinct_users_exact"](
+            spark, tmp
+        )
+        assert "BroadcastNestedLoopJoin" not in sliding_df._jdf \
+            .queryExecution().executedPlan().toString()
+        got_slide = {
+            r["day"].isoformat(): r["n_distinct_7d"]
+            for r in sliding_df.collect()
+        }
+    by_day: dict = {}
+    for d in range(10):
+        day = (base + dt.timedelta(days=d)).date()
+        by_day[day] = {u for u in range(10) if (u + d) % 3 == 0}
+    for day, users in by_day.items():
+        assert got_roll[day.isoformat()] == len(users)
+    assert got_roll["total"] == len(set().union(*by_day.values()))
+    assert len(got_roll) == 11
+    for d in range(10):
+        day = (base + dt.timedelta(days=d)).date()
+        want = set()
+        for back in range(7):
+            prev = day - dt.timedelta(days=back)
+            want |= by_day.get(prev, set())
+        assert got_slide[day.isoformat()] == len(want), (day, want)
+    assert len(got_slide) == 10
