@@ -128,6 +128,12 @@ HEADLINE = [
     # Q11's aggregate-vs-broadcast-total threshold
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",
+    # round-9 additions: the MP4 sample-table decode path (box walk +
+    # stsc/stco/stsz flattening + per-sample JPEG — the third real
+    # video container), and the exact sliding COUNT(DISTINCT) via the
+    # contribution-fanout shape (7x pair fanout, no range BNLJ)
+    "multimodal_decoded_mp4_stats",
+    "sketch_sliding_distinct_users_exact",
 ]
 
 
