@@ -972,9 +972,13 @@ def decode_media(
     failures — NULL payloads, foreign magic bytes, truncated
     containers, unsupported sample widths / maxvals — are ROWS, not
     task failures: at 100 TB a corrupt blob must never kill a stage.
-    Remaining AV containers (MP4/Ogg) stay environment-gated: no av
-    libs in this container, so they surface as ``unsupported codec``
-    error rows with the magic recorded for triage.
+    Motion-JPEG video decodes in BOTH mainstream containers — AVI
+    (RIFF walk) and, since round 9, MP4 (ISO-BMFF sample-table walk) —
+    as a first-frame view here (``decode_video_frames`` is the
+    per-frame surface). Compressed AV codecs (H.264-in-MP4,
+    Opus/Vorbis-in-Ogg) stay environment-gated: no av libs in this
+    container, so they surface as ``unsupported`` error rows with the
+    codec/magic recorded for triage.
     """
     out_schema = T.StructType(
         [
@@ -1037,14 +1041,17 @@ def probe_media(
     passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Header-only media triage over a binary column: format, codec,
-    track count, dimensions, channels, sample rate and duration per
+    track count, dimensions, channels, sample rate, duration and the
+    header-declared frame/packet count (``n_frames`` — AVI
+    dwTotalFrames, MP4 stsz sample count, Ogg completed packets) per
     blob — WITHOUT decoding payload bytes (codecs.py::probe_container).
-    Covers the seven decodable containers plus MP4 (ISO-BMFF box walk)
-    and Ogg (page walk), which this environment cannot decode — so a
-    curation pipeline can still filter/route/report on AV blobs it
-    will never decode here. At 100 TB this is the pass that runs on
-    EVERYTHING (cost independent of blob size for framed containers)
-    and decides what the expensive ``decode_media`` pass touches.
+    Covers every decodable container (incl. MJPEG-in-MP4, decodable
+    since round 9) plus the compressed-codec MP4/Ogg blobs this
+    environment cannot decode — so a curation pipeline can still
+    filter/route/report on AV blobs it will never decode here. At
+    100 TB this is the pass that runs on EVERYTHING (cost independent
+    of blob size for framed containers) and decides what the
+    expensive ``decode_media`` pass touches.
     Corrupt/foreign/NULL blobs are rows carrying ``probe_error``,
     never task failures — same contract as ``decode_media``.
     ``passthrough`` columns ride along untouched (e.g. an event-time

@@ -1019,14 +1019,15 @@ def pipeline_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline_embedding_curation (vectors) and pipeline_media_curation
     (generic media), and the one query that composes the 100 TB
     routing pattern the probe exists for: (1) pack a mixed video feed
-    (even doc_ids → Motion-JPEG AVI, odd → animated GIF89a; one
-    4-level frame per 64-byte chunk in both), (2) PROBE every blob
-    header-only (``probe_media`` — cost independent of payload size),
-    (3) route ONLY rows that probed clean as a known video container
-    into the expensive per-frame decode (``decode_video_frames``),
-    (4) per-document motion features — frame count, declared duration,
-    cut count (mean-luma jumps > 8/255) — and the keep rule (≥2
-    frames AND ≥1 cut = real motion; stills and static loops drop).
+    (doc_id % 3 → Motion-JPEG AVI / animated GIF89a / Motion-JPEG MP4
+    since round 9 — one 4-level frame per 64-byte chunk in all
+    three), (2) PROBE every blob header-only (``probe_media`` — cost
+    independent of payload size), (3) route ONLY rows that probed
+    clean as a known video container into the expensive per-frame
+    decode (``decode_video_frames``), (4) per-document motion
+    features — frame count, declared duration, cut count (mean-luma
+    jumps > 8/255) — and the keep rule (≥2 frames AND ≥1 cut = real
+    motion; stills and static loops drop).
 
     Plan shape: the packed relation is materialized ONCE
     (localCheckpoint — standing in for the stored blob table a real
@@ -1039,18 +1040,18 @@ def pipeline_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    avi = docs.where(F.col("doc_id") % 2 == 0).transform(
-        MM.pack_avi_mjpeg()
+    rid = F.col("doc_id") % 3
+    avi = docs.where(rid == 0).transform(MM.pack_avi_mjpeg())
+    gif = docs.where(rid == 1).transform(MM.pack_gif_anim())
+    mp4 = docs.where(rid == 2).transform(MM.pack_mp4_mjpeg())
+    packed = (
+        avi.unionByName(gif).unionByName(mp4).localCheckpoint(eager=True)
     )
-    gif = docs.where(F.col("doc_id") % 2 == 1).transform(
-        MM.pack_gif_anim()
-    )
-    packed = avi.unionByName(gif).localCheckpoint(eager=True)
     triaged = (
         MM.probe_media(packed)
         .where(
             F.col("probe_error").isNull()
-            & F.col("format").isin("avi", "gif")
+            & F.col("format").isin("avi", "gif", "mp4")
         )
         .select("doc_id", F.col("format").alias("container"))
     )

@@ -381,9 +381,9 @@ def test_pack_avi_mjpeg_decodes_to_tile_values(spark):
 
 
 def test_pipeline_video_curation_golden(spark, tmp_path):
-    """The video-curation flagship: even ids route through AVI, odd
-    through GIF; motion docs keep, static loops and one-frame stills
-    drop; durations are container-faithful (AVI 10 cs/frame, GIF
+    """The video-curation flagship: doc_id % 3 routes AVI / GIF / MP4
+    (round 9); motion docs keep, static loops and one-frame stills
+    drop; durations are container-faithful (AVI/MP4 10 cs/frame, GIF
     10(f+1) cs)."""
     import __spark_entry__ as E
 
@@ -391,7 +391,8 @@ def test_pipeline_video_curation_golden(spark, tmp_path):
     doc_flat = "c" * 192  # 3 identical frames
     doc_tiny = "hi"  # 1 frame -> still
     spark.createDataFrame(
-        [(0, doc_cuts), (1, doc_cuts), (2, doc_flat), (3, doc_tiny)],
+        [(0, doc_cuts), (1, doc_cuts), (2, doc_cuts), (3, doc_flat),
+         (4, doc_tiny), (5, doc_tiny)],
         "doc_id long, text string",
     ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     got = {
@@ -405,9 +406,11 @@ def test_pipeline_video_curation_golden(spark, tmp_path):
     }
     assert got[0] == ("avi", 3, 30, 2, "motion", True)
     assert got[1] == ("gif", 3, 60, 2, "motion", True)
-    assert got[2] == ("avi", 3, 30, 0, "static_loop", False)
-    assert got[3] == ("gif", 1, 10, 0, "still", False)
-    assert len(got) == 4
+    assert got[2] == ("mp4", 3, 30, 2, "motion", True)
+    assert got[3] == ("avi", 3, 30, 0, "static_loop", False)
+    assert got[4] == ("gif", 1, 10, 0, "still", False)
+    assert got[5] == ("mp4", 1, 10, 0, "still", False)
+    assert len(got) == 6
 
 
 def test_video_shot_boundaries_query_golden(spark, tmp_path):
@@ -506,3 +509,19 @@ def test_decoded_mp4_stats_query_golden(spark, tmp_path):
     want_f1 = 85 * (ord("`") & 3)
     assert got == [(1, 0, 2, 10, float(want_f0)),
                    (1, 1, 2, 10, float(want_f1))]
+
+
+def test_decode_media_mp4_first_frame(spark):
+    """decode_media's stills view now covers MJPEG-in-MP4: the first
+    frame decodes as a 3-channel image; an MP4 carrying a compressed
+    codec stays an 'unsupported mp4 codec' error ROW."""
+    text = "c" * 64 + "`" * 64
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    packed = docs.transform(MM.pack_mp4_mjpeg())
+    row = MM.decode_media(packed).collect()[0]
+    assert row["decode_error"] is None
+    assert row["n_channels"] == 3 and row["sample_rate"] is None
+    # 16x16 constant-tile first frame: every channel value is 85*('c'&3)
+    want = float(85 * (ord("c") & 3))
+    assert all(v == want for v in row["decoded"][0])
+    assert len(row["decoded"][0]) == 256
