@@ -1776,12 +1776,24 @@ def _probe(fmt: str, codec: "str | None" = None, n_tracks: int = 1,
     sample count of the lead video track, Ogg completed-packet count of
     the lead stream. NULL where the header carries no such count (still
     images, WAV/FLAC, GIF — counting GIF frames needs a full block
-    walk, which a header-only probe must not pay for)."""
+    walk, which a header-only probe must not pay for).
+
+    Every integer field is sanitized into int32 range: headers carry
+    u32 (or wider) fields, and ``probe_media``'s Arrow schema is
+    IntegerType — an unclamped hostile 0xFFFFFFFF would raise
+    ArrowInvalid during BATCH serialization, outside the per-row
+    try/except, killing well-formed rows alongside the corrupt one.
+    Out-of-range values report as NULL (unknown), keeping the
+    'corrupt blob is a row, never a task failure' contract."""
+
+    def i32(v: "int | None") -> "int | None":
+        return v if v is not None and 0 <= v <= 0x7FFFFFFF else None
+
     return {
-        "format": fmt, "codec": codec, "n_tracks": n_tracks,
-        "width": width, "height": height, "channels": channels,
-        "sample_rate": sample_rate, "duration_s": duration_s,
-        "n_frames": n_frames,
+        "format": fmt, "codec": codec, "n_tracks": i32(n_tracks),
+        "width": i32(width), "height": i32(height),
+        "channels": i32(channels), "sample_rate": i32(sample_rate),
+        "duration_s": duration_s, "n_frames": i32(n_frames),
     }
 
 
@@ -1907,6 +1919,23 @@ def _riff_chunks(raw: bytes, lo: int, hi: int):
             raise CodecError("avi parse error: chunk overruns parent")
         yield fcc, body_lo, body_hi
         pos = body_hi + (size & 1)
+
+
+def _jpeg_planes_to_frame(
+    nch: int, planes: list, w_px: int, h_px: int
+) -> np.ndarray:
+    """Decoded JPEG planes → one composited (H, W, 3) uint8 canvas —
+    the single frame-assembly used by the AVI and MP4 video decoders
+    and their sniff first-frame views, so the three video paths stay
+    bit-identical by construction (grayscale replicates across
+    channels, exactly like ``decode_gif_frames`` canvases)."""
+    if nch == 1:
+        return np.repeat(
+            planes[0].astype(np.uint8).reshape(h_px, w_px, 1), 3, 2
+        )
+    return np.stack(
+        [p.astype(np.uint8).reshape(h_px, w_px) for p in planes], axis=2
+    )
 
 
 def _jpeg_frame_dims(jpg: bytes) -> tuple[int, int]:
@@ -2049,16 +2078,7 @@ def decode_avi_mjpeg_frames(
                 truncated[0] = True  # a real chunk was left undecoded
                 return False
             nch, _, planes = decode_jpeg(raw[blo:bhi])
-            if nch == 1:
-                fr = np.repeat(
-                    planes[0].astype(np.uint8).reshape(h_px, w_px, 1), 3, 2
-                )
-            else:
-                fr = np.stack(
-                    [p.astype(np.uint8).reshape(h_px, w_px) for p in planes],
-                    axis=2,
-                )
-            frames.append(fr)
+            frames.append(_jpeg_planes_to_frame(nch, planes, w_px, h_px))
             delays.append(delay_cs + pending[0])
             pending[0] = 0
             budget[0] -= w_px * h_px
@@ -2149,8 +2169,16 @@ def _mp4_trak_samples(raw: bytes, lo: int, hi: int) -> "dict | None":
                         continue
                     for t5, lo5, hi5 in _mp4_boxes(raw, lo4, hi4):
                         if t5 == b"stsd":
+                            # same 16-byte sample-entry minimum the
+                            # probe enforces (_mp4_stsd) — probe and
+                            # decode must agree on what carries a codec
                             entry = lo5 + 8
-                            if hi5 - entry >= 8:
+                            if (
+                                hi5 - entry >= 8
+                                and int.from_bytes(
+                                    raw[entry : entry + 4], "big"
+                                ) >= 16
+                            ):
                                 codec = raw[entry + 4 : entry + 8]
                         elif t5 in (b"stts", b"stsc", b"stsz",
                                     b"stco", b"co64"):
@@ -2165,15 +2193,23 @@ def _mp4_trak_samples(raw: bytes, lo: int, hi: int) -> "dict | None":
     if b"stco" not in boxes and b"co64" not in boxes:
         raise CodecError("mp4 parse error: missing chunk offset box")
 
-    # stsz: constant sample_size @4 or per-sample table after count @8
+    # stsz: constant sample_size @4 or per-sample table after count @8.
+    # Bound the count BEFORE any count-sized allocation: a per-sample
+    # table is already header-proportional (4 bytes/entry enforced by
+    # the bounds check), but a constant-size stsz declares any count in
+    # 8 bytes — cap it by the buffer length (every sample must live
+    # inside the file) so a sub-KB hostile blob cannot force
+    # multi-MB list materialization (round-9 review finding).
     stsz = boxes[b"stsz"]
     if len(stsz) < 12:
         raise CodecError("mp4 parse error: truncated stsz box")
     const_size = int.from_bytes(stsz[4:8], "big")
     n_samples = int.from_bytes(stsz[8:12], "big")
-    if n_samples > _MP4_MAX_SAMPLES:
+    if n_samples > _MP4_MAX_SAMPLES or n_samples > len(raw):
         raise CodecError("mp4 parse error: implausible sample count")
     if const_size:
+        if const_size * n_samples > len(raw):
+            raise CodecError("mp4 parse error: sample out of range")
         sizes = [const_size] * n_samples
     else:
         sizes = _mp4_table_u32s(stsz, 12, n_samples, "stsz")
@@ -2303,16 +2339,7 @@ def decode_mp4_mjpeg_frames(
             truncated = True
             break
         nch, _, planes = decode_jpeg(blob)
-        if nch == 1:
-            fr = np.repeat(
-                planes[0].astype(np.uint8).reshape(h_px, w_px, 1), 3, 2
-            )
-        else:
-            fr = np.stack(
-                [p.astype(np.uint8).reshape(h_px, w_px) for p in planes],
-                axis=2,
-            )
-        frames.append(fr)
+        frames.append(_jpeg_planes_to_frame(nch, planes, w_px, h_px))
         delays.append(delay_cs + pending)
         pending = 0
         budget -= w_px * h_px

@@ -341,18 +341,25 @@ def pq_adc_topk(
 
     The probe side is streamed off ``toLocalIterator`` into blocks of
     ≤``probe_block_size`` vectors (the `_topk_gemm` probe contract,
-    `operators/similarity.py:209`): driver residency and the per-task
-    LUT closure (block x m x n_centroids doubles) stay bounded per
-    block no matter how large the probe set grows — the round-8 audit
-    flagged the previous unbounded ``collect()`` as a driver OOM at
-    100 TB probe scale. Blocks partition the probe ids and scoring is
-    per-probe independent, so unioning per-block survivors before the
-    final window is exactly equivalent to one unblocked pass (pinned by
-    tests/test_quantize_ops.py::test_pq_adc_probe_blocking). Each block
-    re-scans the codes relation; with many blocks cache it — codes are
-    m bytes/vector, ~64x smaller than the raw corpus. Ranking: raw
-    float64 ADC score desc, match-id tiebreak — bit-deterministic
-    given the deterministic codes.
+    `operators/similarity.py:209`) — the round-8 audit flagged the
+    previous unbounded ``collect()`` as a driver OOM at 100 TB probe
+    scale. Each block's task closure carries only the RAW unit-
+    normalized probe matrix (8·d bytes/probe); the per-probe LUT
+    (m x n_centroids doubles — ~64x larger than a 64-dim probe at
+    m=16, k=256) is built EXECUTOR-side, once per task, from that
+    matrix and the codebook constant. This matters because the
+    per-block ``mapInPandas`` plans all stay referenced by the union
+    until execution: cumulative driver footprint is the probe matrix
+    itself (the same floor `_topk_gemm` pays — any broadcast approach
+    ships the probes), never the 64x-larger LUTs (round-9 review
+    finding). Blocks partition the probe ids and scoring is per-probe
+    independent, so unioning per-block survivors before the final
+    window is exactly equivalent to one unblocked pass (pinned by
+    tests/test_quantize_ops.py::test_pq_adc_probe_blocking). Each
+    block re-scans the codes relation; with many blocks cache it —
+    codes are m bytes/vector, ~64x smaller than the raw corpus.
+    Ranking: raw float64 ADC score desc, match-id tiebreak —
+    bit-deterministic given the deterministic codes.
     """
     from pyspark.sql import Window
 
@@ -364,8 +371,15 @@ def pq_adc_topk(
         F.col(id_col).cast("long").alias("i"), F.col(code_col).alias("c")
     )
 
-    def _block_scorer(pids: np.ndarray, lut: np.ndarray):
+    def _block_scorer(pids: np.ndarray, P: np.ndarray):
         def _score(batches):
+            # lut[p, s, j] = <probe_p restricted to subspace s,
+            # centroid j> — built HERE, executor-side, once per task:
+            # the closure ships only the raw probe block + the
+            # codebook constant, never the ~64x-larger LUT
+            lut = np.empty((len(P), m, nc), dtype=np.float64)
+            for s in range(m):
+                lut[:, s, :] = P[:, s * sub : (s + 1) * sub] @ books[s].T
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -389,14 +403,11 @@ def pq_adc_topk(
 
         return _score
 
-    def _block_lut(ids_buf: list, mat_buf: list) -> tuple:
-        pids = np.array(ids_buf, dtype=np.int64)
-        P = _as_unit_rows(np.stack(mat_buf))
-        # lut[p, s, j] = <probe_p restricted to subspace s, centroid j>
-        lut = np.empty((len(P), m, nc), dtype=np.float64)
-        for s in range(m):
-            lut[:, s, :] = P[:, s * sub : (s + 1) * sub] @ books[s].T
-        return pids, lut
+    def _block(ids_buf: list, mat_buf: list) -> tuple:
+        return (
+            np.array(ids_buf, dtype=np.int64),
+            _as_unit_rows(np.stack(mat_buf)),
+        )
 
     probe_src = probes.where(F.col(probe_vec).isNotNull()).select(
         F.col(probe_id).cast("long").alias("i"),
@@ -410,7 +421,7 @@ def pq_adc_topk(
         mat_buf.append(np.asarray(r[1], dtype=np.float64))
         if len(ids_buf) >= probe_block_size:
             part = src.mapInPandas(
-                _block_scorer(*_block_lut(ids_buf, mat_buf)), out_schema
+                _block_scorer(*_block(ids_buf, mat_buf)), out_schema
             )
             survivors = (
                 part if survivors is None else survivors.unionByName(part)
@@ -418,7 +429,7 @@ def pq_adc_topk(
             ids_buf, mat_buf = [], []
     if ids_buf:
         part = src.mapInPandas(
-            _block_scorer(*_block_lut(ids_buf, mat_buf)), out_schema
+            _block_scorer(*_block(ids_buf, mat_buf)), out_schema
         )
         survivors = part if survivors is None else survivors.unionByName(part)
     if survivors is None:
