@@ -729,7 +729,10 @@ def _gif_more_frames(raw: bytes, off: int) -> bool:
     while off < len(raw):
         block = raw[off]
         if block == 0x2C:
-            return True
+            # a bare trailing 0x2C is truncation, not a frame: require
+            # the full 10-byte image descriptor the decoder itself
+            # demands before counting it as a real remaining frame
+            return off + 10 <= len(raw)
         if block == 0x3B:
             return False
         if block != 0x21 or off + 2 > len(raw):
@@ -2110,7 +2113,10 @@ def decode_avi_mjpeg_frames(
 # samples need nothing beyond the existing T.81 stack.
 # ---------------------------------------------------------------------------
 
-_MP4_JPEG_FOURCC = {b"jpeg", b"mjpa", b"mjpb", b"mjpg"}
+# interchange-format JPEG fourccs only: MJPEG-B ('mjpb') samples carry
+# no SOI/SOF markers, so admitting them would misreport a codec gap as
+# a parse error — it belongs with H.264 in the unsupported-codec gate
+_MP4_JPEG_FOURCC = {b"jpeg", b"mjpa", b"mjpg"}
 _MP4_MAGIC = (b"ftyp", b"moov", b"mdat", b"free", b"wide", b"styp")
 _MP4_MAX_SAMPLES = 4_000_000  # bomb guard: a header-declared count this
 # large in a decodable blob is hostile, not a real MJPEG clip
@@ -2255,6 +2261,13 @@ def _mp4_trak_samples(raw: bytes, lo: int, hi: int) -> "dict | None":
         raise CodecError("mp4 parse error: truncated stsc box")
     n_sc = int.from_bytes(stsc[4:8], "big")
     sc = _mp4_table_u32s(stsc, 8, 3 * n_sc, "stsc")
+    if any(sc[3 * i + 2] != 1 for i in range(n_sc)):
+        # samples mapped to a later stsd entry would decode under the
+        # first entry's codec assumption — gate them as unsupported
+        # rather than misreport the mismatch as a frame parse error
+        raise CodecError(
+            "unsupported mp4 codec: stsc references a non-first stsd entry"
+        )
     runs = [(sc[3 * i], sc[3 * i + 1]) for i in range(n_sc)]
     if runs and (runs[0][0] != 1 or any(
         runs[i][0] >= runs[i + 1][0] for i in range(len(runs) - 1)

@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 CODE_MAX = 255  # uint8 code range [0, 255]
 
@@ -356,8 +357,17 @@ def pq_adc_topk(
     independent, so unioning per-block survivors before the final
     window is exactly equivalent to one unblocked pass (pinned by
     tests/test_quantize_ops.py::test_pq_adc_probe_blocking). Each
-    block re-scans the codes relation; with many blocks cache it —
-    codes are m bytes/vector, ~64x smaller than the raw corpus.
+    block re-scans the codes relation, so when more than one block is
+    emitted the codes source is persisted (MEMORY_AND_DISK — codes are
+    m bytes/vector, ~64x smaller than the raw corpus) and the
+    per-block survivors are combined with a BALANCED union tree, not a
+    left-deep chain: at 10M probes / 1200 blocks the plan stays
+    ~log2(1200) ≈ 11 deep instead of 1200. The persist is registered
+    before any block executes (Spark's CacheManager substitutes cached
+    plans at execution time, so the already-built block plans hit the
+    cache too); it stays pinned for the lifetime of the returned
+    DataFrame — callers done with the result can release it via
+    ``spark.catalog.clearCache()`` or by unpersisting ``codes``.
     Ranking: raw float64 ADC score desc, match-id tiebreak —
     bit-deterministic given the deterministic codes.
     """
@@ -413,27 +423,41 @@ def pq_adc_topk(
         F.col(probe_id).cast("long").alias("i"),
         F.col(probe_vec).cast("array<double>").alias("v"),
     )
-    survivors = None
+    parts: list = []
     ids_buf: list = []
     mat_buf: list = []
     for r in probe_src.toLocalIterator():
         ids_buf.append(r[0])
         mat_buf.append(np.asarray(r[1], dtype=np.float64))
         if len(ids_buf) >= probe_block_size:
-            part = src.mapInPandas(
-                _block_scorer(*_block(ids_buf, mat_buf)), out_schema
-            )
-            survivors = (
-                part if survivors is None else survivors.unionByName(part)
+            parts.append(
+                src.mapInPandas(
+                    _block_scorer(*_block(ids_buf, mat_buf)), out_schema
+                )
             )
             ids_buf, mat_buf = [], []
     if ids_buf:
-        part = src.mapInPandas(
-            _block_scorer(*_block(ids_buf, mat_buf)), out_schema
+        parts.append(
+            src.mapInPandas(
+                _block_scorer(*_block(ids_buf, mat_buf)), out_schema
+            )
         )
-        survivors = part if survivors is None else survivors.unionByName(part)
-    if survivors is None:
+    if not parts:
         return codes.sparkSession.createDataFrame([], out_schema)
+    if len(parts) > 1:
+        # multi-block: every block re-scans codes — persist once (the
+        # CacheManager substitutes at execution, so the block plans
+        # built above hit the cache too), and fold the survivors with
+        # a balanced union tree to keep the plan log-depth
+        src.persist(StorageLevel.MEMORY_AND_DISK)
+    while len(parts) > 1:
+        parts = [
+            parts[i].unionByName(parts[i + 1])
+            if i + 1 < len(parts)
+            else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    survivors = parts[0]
 
     w = Window.partitionBy(probe_id).orderBy(
         F.col("adc_score").desc(), F.col("match_id")

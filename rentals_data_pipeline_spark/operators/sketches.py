@@ -216,29 +216,54 @@ def heavy_hitters(
 def sliding_estimates(
     sketches: DataFrame,
     order_key: str,
-    frame_rows: int,
+    frame_days: int,
     part_keys: list[str] | None = None,
     out_col: str = "n_distinct_est",
 ) -> DataFrame:
-    """Trailing-window distinct estimates from stored sketches: union
-    the last ``frame_rows`` fine-grain sketches per row with ONE window
-    pass (``hll_union_agg`` as a window aggregate) — the rolling
-    COUNT(DISTINCT) that exact counting cannot express without
-    re-scanning the fact once PER WINDOW POSITION (a trailing-7-day
-    exact distinct over 365 days is 365 fact scans; this is one scan
-    at sketch-build time plus a window over |days| sketch rows).
+    """Trailing-``frame_days``-CALENDAR-day distinct estimates from
+    stored per-day sketches — the rolling COUNT(DISTINCT) that exact
+    counting cannot express without re-scanning the fact once PER
+    WINDOW POSITION (a trailing-7-day exact distinct over 365 days is
+    365 fact scans; this is one scan at sketch-build time plus a pass
+    over |days| sketch rows).
+
+    Shape (round 10): contribution fanout, not a window — each day's
+    sketch is EXPLODED to the <= ``frame_days`` window-end days it
+    contributes to, semi-joined to the observed days (tiny,
+    broadcast), then ``hll_union_agg`` per window day. That is an
+    equi-shuffle on (part_keys, day), fully parallel — the previous
+    ``Window.orderBy`` with no partition moved every sketch row to ONE
+    task (Spark's WindowExec single-partition warning), and its
+    rows-based frame covered the ``frame_days`` most recent PRESENT
+    days, diverging from the calendar-window exact twin on gap days.
+    This form matches ``sketch_sliding_distinct_users_exact``'s window
+    definition exactly. ``order_key`` must be a day grain (DATE, or a
+    ``date_trunc``'d midnight TIMESTAMP — the internal date roundtrip
+    is lossless and the output keeps the input type).
     Register-max union == sketch of the union exactly, so the sliding
     estimate equals a direct sketch of each window's raw data."""
-    w = Window.orderBy(order_key)
-    if part_keys:
-        w = Window.partitionBy(*part_keys).orderBy(order_key)
-    w = w.rowsBetween(-(frame_rows - 1), Window.currentRow)
-    cols = [*(part_keys or []), order_key]
-    return sketches.select(
-        *cols,
-        F.hll_sketch_estimate(F.hll_union_agg("sketch").over(w)).alias(
-            out_col
-        ),
+    parts = list(part_keys or [])
+    key_type = dict(sketches.dtypes)[order_key]
+    day = F.col(order_key).cast("date")
+    fan = sketches.select(
+        *parts,
+        F.explode(
+            F.sequence(day, F.date_add(day, frame_days - 1))
+        ).alias("_win_day"),
+        "sketch",
+    )
+    days = sketches.select(*parts, day.alias("_win_day")).distinct()
+    return (
+        fan.join(F.broadcast(days), [*parts, "_win_day"], "left_semi")
+        .groupBy(*parts, "_win_day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(out_col)
+        )
+        .select(
+            *parts,
+            F.col("_win_day").cast(key_type).alias(order_key),
+            out_col,
+        )
     )
 
 

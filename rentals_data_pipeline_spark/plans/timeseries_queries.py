@@ -291,7 +291,10 @@ def sketch_sliding_distinct_users_exact(
     count. Shuffle volume is bounded by 7 x |pairs|, independent of
     fact-row count beyond the first dedup — the 100 TB shape for
     exact rolling COUNT(DISTINCT). The HLL sliding query stays the
-    zero-rescan dashboard path; this certifies what it estimates."""
+    zero-rescan dashboard path; since round 10 it uses this SAME
+    trailing-7-calendar-day window definition (the old rows-based
+    frame covered the 7 most recent PRESENT days, diverging on gap
+    days), so this twin certifies exactly what it estimates."""
     events = load_table(spark, sf_dir, "events")
     pairs = events.select(
         F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
@@ -618,20 +621,23 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against exact per-window distincts is pinned by
 # tests/test_sketch_ops.py::test_sliding_estimates_accuracy
 def sketch_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-7-day distinct users per day from the SAME persistable
-    per-day HLL sketches the rollup query stores — the rolling
-    COUNT(DISTINCT) dashboards want, answered without any fact
-    re-scan (operators/sketches.py::sliding_estimates): one window
-    pass unions 7 register arrays per day. Exact rolling distincts
-    would need a fact scan per window position; sketches make the
-    window cost O(|days| x 2^lgk) bytes."""
+    """Trailing-7-CALENDAR-day distinct users per active day from the
+    SAME persistable per-day HLL sketches the rollup query stores —
+    the rolling COUNT(DISTINCT) dashboards want, answered without any
+    fact re-scan (operators/sketches.py::sliding_estimates): each
+    day's sketch fans out to the <= 7 window-end days it contributes
+    to and registers union per window day — an equi-shuffle, never a
+    single-partition global window. Exact rolling distincts would
+    need a fact scan per window position; sketches make the window
+    cost O(|days| x 2^lgk) bytes. Same calendar-window definition as
+    ``sketch_sliding_distinct_users_exact``, which certifies it."""
     from rentals_data_pipeline_spark.operators import sketches as SK
 
     events = load_table(spark, sf_dir, "events")
     daily = SK.distinct_sketches(
         events.withColumn("day", F.date_trunc("day", "ts")), ["day"], "user_id"
     )
-    return SK.sliding_estimates(daily, "day", frame_rows=7)
+    return SK.sliding_estimates(daily, "day", frame_days=7)
 
 
 @query(

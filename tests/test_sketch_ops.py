@@ -153,15 +153,18 @@ def test_sliding_estimates_accuracy(spark):
     daily = SK.distinct_sketches(events, ["day"], "user_id")
     est = {
         r["day"]: r["n_distinct_est"]
-        for r in SK.sliding_estimates(daily, "day", frame_rows=7).collect()
+        for r in SK.sliding_estimates(daily, "day", frame_days=7).collect()
     }
     days = sorted(est)
     rows = events.select("day", "user_id").distinct().collect()
     by_day: dict = {}
     for r in rows:
         by_day.setdefault(r["day"], set()).add(r["user_id"])
-    for i, d in enumerate(days):
-        exact = len(set().union(*(by_day[x] for x in days[max(0, i - 6): i + 1])))
+    for d in days:
+        # trailing 7 CALENDAR days (the round-10 window definition,
+        # matching the exact oracle twin), not 7 most recent rows
+        window = [x for x in days if 0 <= (d - x).days <= 6]
+        exact = len(set().union(*(by_day[x] for x in window)))
         assert abs(est[d] - exact) <= max(3, 0.05 * exact), (d, est[d], exact)
 
 
