@@ -134,6 +134,10 @@ HEADLINE = [
     # contribution-fanout shape (7x pair fanout, no range BNLJ)
     "multimodal_decoded_mp4_stats",
     "sketch_sliding_distinct_users_exact",
+    # round-10 addition: the Ogg reassembly decode path (page walk +
+    # lacing-table packet reassembly + the native FLAC frame decoder)
+    # — the last container goes from probe-only to value-certified
+    "multimodal_decoded_ogg_stats",
 ]
 
 

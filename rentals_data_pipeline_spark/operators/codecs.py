@@ -1725,6 +1725,90 @@ def decode_flac(raw: bytes) -> Decoded:
 # ---------------------------------------------------------------------------
 
 
+def _ogg_bos_codec(pay: bytes) -> str:
+    """Codec name from a BOS packet's ident-header magic (the same
+    signatures ``_probe_ogg`` keys on, plus the xiph Ogg FLAC
+    mapping's 0x7F'FLAC' first packet)."""
+    if pay[:5] == b"\x7fFLAC":
+        return "flac"
+    if pay[:7] == b"\x01vorbis":
+        return "vorbis"
+    if pay[:8] == b"OpusHead":
+        return "opus"
+    if pay[:7] == b"\x80theora":
+        return "theora"
+    return "unknown"
+
+
+def decode_ogg_flac(raw: bytes) -> Decoded:
+    """FLAC-in-Ogg decode (round 10): one page walk reassembles the
+    packets of the first FLAC-mapped logical stream (RFC 3533 lacing —
+    a packet terminates on a lacing value < 255, continuation pages
+    carry flag 0x01), strips the 9-byte Ogg FLAC mapping prefix
+    (0x7F 'FLAC' major minor header-count) from the BOS packet, and
+    concatenates the remaining packet bytes back into the NATIVE FLAC
+    stream (fLaC + metadata blocks + frames — the mapping is a pure
+    re-framing), which feeds the existing certified frame decoder
+    ``decode_flac``. Non-FLAC Ogg streams (Vorbis/Opus/Theora entropy
+    codecs stay environment-gated) raise ``unsupported ogg codec: X``
+    — the same triage-row gate the MP4/AVI paths use. Page CRCs are
+    consumed, not verified (the decode reads every payload byte
+    anyway, but the PNG/FLAC stance applies: a bad checksum on
+    otherwise-parseable data should still decode at scale). Memory is
+    bounded by len(raw): reassembly only ever copies payload bytes."""
+    pos, n = 0, len(raw)
+    n_pages = 0
+    bos_codecs: list[str] = []
+    flac_serial: "int | None" = None
+    packets: list[bytes] = []
+    cur = bytearray()
+    while pos + 27 <= n:
+        if raw[pos : pos + 4] != b"OggS":
+            raise CodecError("ogg parse error: lost page sync")
+        htype = raw[pos + 5]
+        serial = int.from_bytes(raw[pos + 14 : pos + 18], "little")
+        nsegs = raw[pos + 26]
+        seg_end = pos + 27 + nsegs
+        if seg_end > n:
+            raise CodecError("ogg parse error: truncated page header")
+        lacing = raw[pos + 27 : seg_end]
+        paylen = sum(lacing)
+        if seg_end + paylen > n:
+            raise CodecError("ogg parse error: truncated page body")
+        n_pages += 1
+        if htype & 0x02:  # BOS: identify the stream's codec
+            codec = _ogg_bos_codec(raw[seg_end : seg_end + 8])
+            bos_codecs.append(codec)
+            if codec == "flac" and flac_serial is None:
+                flac_serial = serial
+        if serial == flac_serial:
+            if cur and not (htype & 0x01):
+                raise CodecError("ogg parse error: lost packet continuation")
+            if not cur and (htype & 0x01):
+                raise CodecError("ogg parse error: orphan continuation page")
+            off = seg_end
+            for v in lacing:
+                cur += raw[off : off + v]
+                off += v
+                if v < 255:
+                    packets.append(bytes(cur))
+                    cur = bytearray()
+        pos = seg_end + paylen
+    if n_pages == 0:
+        raise CodecError("ogg parse error: no pages")
+    if flac_serial is None:
+        lead = bos_codecs[0] if bos_codecs else None
+        if lead is None:
+            raise CodecError("ogg parse error: no BOS page")
+        raise CodecError(f"unsupported ogg codec: {lead}")
+    if cur:
+        raise CodecError("ogg parse error: truncated final packet")
+    first = packets[0]
+    if len(first) < 13 or first[9:13] != b"fLaC":
+        raise CodecError("ogg parse error: bad flac mapping header")
+    return decode_flac(first[9:] + b"".join(packets[1:]))
+
+
 def sniff_and_decode(raw: bytes) -> Decoded:
     """Magic-byte dispatch to the container decoders above. Unknown
     magic raises the same ``unsupported codec: magic=...`` string the
@@ -1755,6 +1839,10 @@ def sniff_and_decode(raw: bytes) -> Decoded:
         frames, _, _ = decode_mp4_mjpeg_frames(raw, max_frames=1)
         return 3, None, [frames[0][:, :, c].reshape(-1).astype(np.float64)
                          for c in range(3)]
+    if raw[:4] == b"OggS":
+        # FLAC-in-Ogg reassembles to the native decoder; Vorbis/Opus/
+        # Theora raise 'unsupported ogg codec' for triage (round 10)
+        return decode_ogg_flac(raw)
     raise CodecError(f"unsupported codec: magic={raw[:4].hex()}")
 
 
@@ -2635,13 +2723,28 @@ def _probe_ogg(raw: bytes) -> dict:
                 st["codec"] = "theora"
                 st["width"] = int.from_bytes(pay[14:17], "big")
                 st["height"] = int.from_bytes(pay[17:20], "big")
+            elif pay[:5] == b"\x7fFLAC" and len(pay) >= 51:
+                # xiph Ogg FLAC mapping: 9-byte prefix, then the native
+                # fLaC signature + STREAMINFO (block header + 34 bytes)
+                st["codec"] = "flac"
+                si = pay[17:51]
+                st["sample_rate"] = (
+                    (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+                )
+                st["channels"] = ((si[12] >> 1) & 0x7) + 1
+                # Ogg FLAC granules are interchannel sample numbers
+                st["granule_rate"] = st["sample_rate"]
         if granule >= 0:
             st["last_granule"] = max(st.get("last_granule", 0), granule)
         pos = seg_end + paylen
     if not streams:
         raise CodecError("ogg parse error: no pages")
     aud = next(
-        (s for s in streams.values() if s.get("codec") in ("vorbis", "opus")),
+        (
+            s
+            for s in streams.values()
+            if s.get("codec") in ("vorbis", "opus", "flac")
+        ),
         None,
     )
     vid = next((s for s in streams.values() if s.get("codec") == "theora"), None)

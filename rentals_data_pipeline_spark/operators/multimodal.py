@@ -56,6 +56,25 @@ MEDIA_TYPES = ("image", "audio", "video")
 N_HISTOGRAM_BINS = 16
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Ensure a CPU-bound Arrow stage gets at least core-count
+    parallelism. The pack/decode pipelines are pure-Python per-blob
+    work: their wall-clock is partitions-bounded, and a small corpus
+    read from one parquet file arrives as ONE partition — 31 of 32
+    cores idle through the whole decode (measured 16.3s -> 0.8s at
+    sf0.1 for the Ogg FLAC stats query). Widening is CONDITIONAL: at
+    real scale the scan already supplies >= defaultParallelism
+    partitions and this is a no-op, so the shuffle (tiny doc_id+text
+    rows — applied at the PACK stage, upstream of blob construction,
+    never on packed payloads) only happens where it pays."""
+    if df.isStreaming:  # no .rdd on streams; micro-batches are sized
+        return df       # by the source, not by file layout
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def pack_media(
     id_col: str = "doc_id", text_col: str = "text", out_payload: str = "payload"
 ) -> Op:
@@ -141,7 +160,7 @@ def pack_wav(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        return df.select(id_col, text_col).mapInPandas(_pack, out_schema)
+        return _widen(df.select(id_col, text_col)).mapInPandas(_pack, out_schema)
 
     return _apply
 
@@ -184,7 +203,7 @@ def pack_ppm(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        return df.select(id_col, text_col).mapInPandas(_pack, out_schema)
+        return _widen(df.select(id_col, text_col)).mapInPandas(_pack, out_schema)
 
     return _apply
 
@@ -251,7 +270,7 @@ def pack_png(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        return df.select(id_col, text_col).mapInPandas(_pack, out_schema)
+        return _widen(df.select(id_col, text_col)).mapInPandas(_pack, out_schema)
 
     return _apply
 
@@ -318,9 +337,67 @@ def pack_bmp(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        return df.select(id_col, text_col).mapInPandas(_pack, out_schema)
+        return _widen(df.select(id_col, text_col)).mapInPandas(_pack, out_schema)
 
     return _apply
+
+
+def _flac_crc8(data: bytes) -> int:  # poly 0x07, init 0
+    c = 0
+    for b in data:
+        c ^= b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def _flac_crc16(data: bytes) -> int:  # poly 0x8005, init 0
+    c = 0
+    for b in data:
+        c ^= b << 8
+        for _ in range(8):
+            c = (
+                ((c << 1) ^ 0x8005) & 0xFFFF
+                if c & 0x8000
+                else (c << 1) & 0xFFFF
+            )
+    return c
+
+
+def _flac_text_stream(data: bytes, n_samples: int) -> bytes:
+    """NATIVE FLAC bytes for ``data``: fLaC magic + STREAMINFO + ONE
+    fixed-blocking frame holding a VERBATIM subframe of ``n_samples``
+    16-bit mono samples at 8 kHz — sample k IS byte k of ``data``
+    (zero-padded/truncated), CRC-8/16 computed for real. Shared by
+    ``pack_flac`` (bare container) and ``pack_ogg_flac`` (the same
+    stream re-framed into Ogg pages) so both decode paths certify
+    identical, oracle-replayable sample arithmetic."""
+    data = data[:n_samples] + b"\x00" * max(0, n_samples - len(data))
+    # STREAMINFO (34 bytes): min/max blocksize, min/max framesize 0,
+    # 20-bit rate 8000 | 3-bit channels-1 = 0 | 5-bit bps-1 = 15 |
+    # 36-bit total samples, MD5 zeros (optional per spec)
+    nb = n_samples.to_bytes(2, "big")
+    si = nb + nb + b"\x00" * 6
+    si += bytes(
+        [
+            (8000 >> 12) & 0xFF,
+            (8000 >> 4) & 0xFF,
+            ((8000 & 0xF) << 4) | (0 << 1) | (15 >> 4),
+            ((15 & 0xF) << 4) | 0,
+        ]
+    ) + n_samples.to_bytes(4, "big") + b"\x00" * 16
+    header = b"fLaC" + bytes([0x80, 0, 0, 34]) + si
+    # frame header: sync+fixed, blocksize code 0b0111 (16-bit-1 at
+    # end), rate code 0b0100 (8 kHz), mono, 16 bps, frame #0
+    fh = bytes([0xFF, 0xF8, 0x74, 0x08, 0x00])
+    fh += (n_samples - 1).to_bytes(2, "big")
+    fh += bytes([_flac_crc8(fh)])
+    sub = b"\x02" + b"".join(
+        b.to_bytes(2, "big") for b in data
+    )  # verbatim subframe, 16-bit signed samples (bytes are 0..255)
+    frame = fh + sub
+    frame += _flac_crc16(frame).to_bytes(2, "big")
+    return header + frame
 
 
 def pack_flac(
@@ -346,67 +423,19 @@ def pack_flac(
     )
 
     def _pack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import struct as _struct
-
         import pandas as pd
 
-        def crc8(data: bytes) -> int:  # poly 0x07, init 0
-            c = 0
-            for b in data:
-                c ^= b
-                for _ in range(8):
-                    c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
-            return c
-
-        def crc16(data: bytes) -> int:  # poly 0x8005, init 0
-            c = 0
-            for b in data:
-                c ^= b << 8
-                for _ in range(8):
-                    c = (
-                        ((c << 1) ^ 0x8005) & 0xFFFF
-                        if c & 0x8000
-                        else (c << 1) & 0xFFFF
-                    )
-            return c
-
-        # STREAMINFO (34 bytes): min/max blocksize, min/max framesize 0,
-        # 20-bit rate 8000 | 3-bit channels-1 = 0 | 5-bit bps-1 = 15 |
-        # 36-bit total samples, MD5 zeros (optional per spec)
-        si = _struct.pack(">HH", n_samples, n_samples) + b"\x00" * 6
-        si += bytes(
-            [
-                (8000 >> 12) & 0xFF,
-                (8000 >> 4) & 0xFF,
-                ((8000 & 0xF) << 4) | (0 << 1) | (15 >> 4),
-                ((15 & 0xF) << 4) | 0,
-            ]
-        ) + n_samples.to_bytes(4, "big") + b"\x00" * 16
-        header = b"fLaC" + bytes([0x80, 0, 0, 34]) + si
-        # frame header: sync+fixed, blocksize code 0b0111 (16-bit-1 at
-        # end), rate code 0b0100 (8 kHz), mono, 16 bps, frame #0
-        fh = bytes([0xFF, 0xF8, 0x74, 0x08, 0x00])
-        fh += _struct.pack(">H", n_samples - 1)
-        fh += bytes([crc8(fh)])
-
         for pdf in batches:
-            payloads = []
-            for text in pdf[text_col]:
-                if text is None:
-                    payloads.append(None)
-                    continue
-                data = text.encode("utf-8")[:n_samples]
-                data += b"\x00" * (n_samples - len(data))
-                sub = b"\x02" + b"".join(
-                    _struct.pack(">h", b) for b in data
-                )  # verbatim subframe, 16-bit signed samples
-                frame = fh + sub
-                frame += _struct.pack(">H", crc16(frame))
-                payloads.append(header + frame)
+            payloads = [
+                None
+                if text is None
+                else _flac_text_stream(text.encode("utf-8"), n_samples)
+                for text in pdf[text_col]
+            ]
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        return df.select(id_col, text_col).mapInPandas(_pack, out_schema)
+        return _widen(df.select(id_col, text_col)).mapInPandas(_pack, out_schema)
 
     return _apply
 
@@ -502,7 +531,7 @@ def pack_gif_anim(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        return df.select(id_col, text_col).mapInPandas(_pack, out_schema)
+        return _widen(df.select(id_col, text_col)).mapInPandas(_pack, out_schema)
 
     return _apply
 
@@ -654,7 +683,7 @@ def pack_avi_mjpeg(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        return df.select(id_col, text_col).mapInPandas(_pack, out_schema)
+        return _widen(df.select(id_col, text_col)).mapInPandas(_pack, out_schema)
 
     return _apply
 
@@ -754,7 +783,7 @@ def pack_mp4_mjpeg(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        return df.select(id_col, text_col).mapInPandas(_pack, out_schema)
+        return _widen(df.select(id_col, text_col)).mapInPandas(_pack, out_schema)
 
     return _apply
 
@@ -770,6 +799,80 @@ def _ogg_crc(page: bytes) -> int:
             crc = ((crc << 1) ^ 0x04C11DB7 if crc & 0x80000000
                    else crc << 1) & 0xFFFFFFFF
     return crc
+
+
+def _ogg_page(serial: int, seq: int, granule: int, payload: bytes,
+              htype: int = 0) -> bytes:
+    """One RFC 3533 Ogg page with a GENUINE CRC: 255-wise lacing of
+    ``payload`` (a terminating lacing value < 255 is always emitted,
+    so the payload is one completed packet). Shared by the Opus and
+    FLAC packers."""
+    segs = []
+    rest = len(payload)
+    while True:
+        segs.append(min(rest, 255))
+        if rest < 255:
+            break
+        rest -= 255
+    hdr = (b"OggS" + bytes([0, htype])
+           + granule.to_bytes(8, "little", signed=True)
+           + serial.to_bytes(4, "little")
+           + seq.to_bytes(4, "little")
+           + b"\x00\x00\x00\x00"
+           + bytes([len(segs)]) + bytes(segs))
+    full_page = hdr + payload
+    crc = _ogg_crc(full_page)
+    return full_page[:22] + crc.to_bytes(4, "little") + full_page[26:]
+
+
+def pack_ogg_flac(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_payload: str = "payload",
+    n_samples: int = 256,
+) -> Op:
+    """Build REAL Ogg FLAC streams (round 10) per the xiph Ogg FLAC
+    mapping: a BOS page whose single packet is the 9-byte mapping
+    header (0x7F 'FLAC', version 1.0, header-packet count 0) + the
+    native fLaC signature + STREAMINFO, then ONE audio page (EOS)
+    whose packet is the SAME verbatim 16-bit frame ``pack_flac``
+    emits — sample k IS the text's byte k — with genuine RFC 3533
+    page CRCs and granule position = ``n_samples`` (Ogg FLAC granules
+    are sample numbers). ``decode_media``'s Ogg branch
+    (operators/codecs.py::decode_ogg_flac) reassembles the packets
+    and feeds the certified native FLAC frame decoder, so the oracle
+    replays the decoded sample stats from text bytes exactly as for
+    the bare container. NULL text packs to NULL payload."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(out_payload, T.BinaryType()),
+        ]
+    )
+
+    def _pack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                if text is None:
+                    payloads.append(None)
+                    continue
+                native = _flac_text_stream(text.encode("utf-8"), n_samples)
+                # native[:42] = fLaC + STREAMINFO block (4 + 4 + 34)
+                bos = (b"\x7fFLAC" + bytes([1, 0])
+                       + (0).to_bytes(2, "big") + native[:42])
+                payloads.append(
+                    _ogg_page(9, 0, 0, bos, htype=2)
+                    + _ogg_page(9, 1, n_samples, native[42:], htype=4)
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return _widen(df.select(id_col, text_col)).mapInPandas(_pack, out_schema)
+
+    return _apply
 
 
 def pack_ogg_opus(
@@ -802,24 +905,6 @@ def pack_ogg_opus(
 
         import pandas as pd
 
-        def page(serial: int, seq: int, granule: int, payload: bytes,
-                 htype: int = 0) -> bytes:
-            segs = []
-            rest = len(payload)
-            while True:
-                segs.append(min(rest, 255))
-                if rest < 255:
-                    break
-                rest -= 255
-            hdr = (b"OggS" + bytes([0, htype])
-                   + granule.to_bytes(8, "little", signed=True)
-                   + _struct.pack("<IIi", serial, seq, 0)
-                   + bytes([len(segs)]) + bytes(segs))
-            full_page = hdr + payload
-            crc = _ogg_crc(full_page)
-            return (full_page[:22] + crc.to_bytes(4, "little")
-                    + full_page[26:])
-
         head = (b"OpusHead" + bytes([1, 1]) + _struct.pack("<H", 0)
                 + _struct.pack("<I", 48000) + _struct.pack("<h", 0)
                 + b"\x00")
@@ -834,16 +919,17 @@ def pack_ogg_opus(
                     continue
                 data = text.encode("utf-8")
                 n = max(1, min(max_pages, -(-len(data) // 64)))
-                out = page(7, 0, 0, head, htype=2) + page(7, 1, 0, tags)
+                out = (_ogg_page(7, 0, 0, head, htype=2)
+                       + _ogg_page(7, 1, 0, tags))
                 for i in range(n):
                     chunk = data[i * 64 : (i + 1) * 64] or b"\x00"
-                    out += page(7, 2 + i, 480 * (i + 1), chunk,
-                                htype=4 if i == n - 1 else 0)
+                    out += _ogg_page(7, 2 + i, 480 * (i + 1), chunk,
+                                     htype=4 if i == n - 1 else 0)
                 payloads.append(out)
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        return df.select(id_col, text_col).mapInPandas(_pack, out_schema)
+        return _widen(df.select(id_col, text_col)).mapInPandas(_pack, out_schema)
 
     return _apply
 

@@ -153,9 +153,11 @@ def weighted_sample_topk(
     path stays lazy. Rows with NULL or non-positive weight carry no
     sampling mass and are dropped.
 
-    Rows-only in the catalog: ln() is engine-last-bit territory, which
-    the oracle-pairing discipline bans (see verify notes) — properties
-    are pinned by tests instead (determinism, weight bias, n ≥ rows).
+    Oracle-paired in the catalog since round 10: ln() appears only in
+    the RANKING key (output columns are hash-exact integers), and the
+    selected set can only diverge across engines on ~1-ulp-close
+    priorities at the cutoff rank — properties (determinism, weight
+    bias, n ≥ rows) are pinned by tests besides.
     """
 
     def _apply(df: DataFrame) -> DataFrame:

@@ -769,10 +769,10 @@ def char_entropy(
     """Shannon entropy (bits/char) of each document's character
     distribution — the compressibility proxy: machine-generated or
     template text sits far below natural language (~4.1 bits for
-    English), random noise near log2(alphabet). Rows-only in the
-    catalog (the log2 calls are engine-last-bit territory the
-    oracle-pairing discipline bans); the closed-form values are pinned
-    by golden tests instead.
+    English), random noise near log2(alphabet). Oracle-paired in the
+    catalog since round 10 (the log2 feeds a 4-dp-rounded sum, safe
+    margin over libm last-bit drift); closed-form goldens (aaaa=0,
+    abab=1, abcd=2 bits) pin the arithmetic besides.
 
     Shape: per-char counts are computed INSIDE the row (filter-count
     over the distinct-char array, then one aggregate fold), so the

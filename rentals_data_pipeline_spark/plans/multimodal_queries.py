@@ -461,6 +461,67 @@ def multimodal_decoded_flac_stats(
 
 
 @query(
+    "multimodal_decoded_ogg_stats",
+    """
+WITH d AS (
+    SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+),
+px AS (
+    SELECT d.doc_id,
+        CASE WHEN i.i < length(d.text)
+             THEN ord(substr(d.text, i.i + 1, 1)) ELSE 0 END AS v
+    FROM d, (SELECT unnest(range(0, 256)) AS i) i
+)
+SELECT doc_id,
+    CAST(8000 AS BIGINT) AS sample_rate,
+    CAST(COUNT(*) AS BIGINT) AS n_samples,
+    CAST(SUM(v) AS BIGINT) AS sum_s,
+    CAST(MIN(v) AS INT) AS min_s,
+    CAST(MAX(v) AS INT) AS max_s
+FROM px GROUP BY 1
+""",
+)
+def multimodal_decoded_ogg_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decoded OGG statistics, oracle-paired (round 10) — closes the
+    last probe-only container: pack each document into a REAL Ogg
+    FLAC stream (operators/multimodal.py::pack_ogg_flac — xiph
+    mapping BOS packet, genuine RFC 3533 page CRCs, the SAME verbatim
+    16-bit frame pack_flac writes), decode through ``decode_media``'s
+    Ogg branch (operators/codecs.py::decode_ogg_flac — page walk,
+    lacing-table packet reassembly, mapping-prefix strip, then the
+    certified native FLAC frame decoder), and report exact sample
+    statistics the oracle replays from ord() arithmetic. The value
+    hash certifies the ENTIRE Ogg reassembly end-to-end: a mislaid
+    lacing boundary, a dropped continuation byte or a misstripped
+    mapping prefix would shift samples and change the hash.
+    Intentionally the same stats contract as
+    ``multimodal_decoded_flac_stats`` — identical samples reached
+    through a different container proves the re-framing is lossless."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = MM.decode_media(docs.transform(MM.pack_ogg_flac()))
+    return (
+        dec.where(F.col("decode_error").isNull())
+        .select(
+            "doc_id",
+            F.col("sample_rate").cast("long").alias("sample_rate"),
+            F.element_at("decoded", 1).alias("ch"),
+        )
+        .select(
+            "doc_id",
+            "sample_rate",
+            F.size("ch").cast("long").alias("n_samples"),
+            F.aggregate(
+                "ch", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+            ).alias("sum_s"),
+            F.array_min("ch").cast("int").alias("min_s"),
+            F.array_max("ch").cast("int").alias("max_s"),
+        )
+    )
+
+
+@query(
     "multimodal_audio_dominant_lag",
     """
 WITH d AS (SELECT doc_id, substr(text, 1, 160) AS t FROM documents),

@@ -85,16 +85,37 @@ def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.transform(SP.stratified_take(["event_type"], "event_id", 100))
 
 
-@query("sample_weighted_documents")  # rows-only: ln() in the priority —
-# engine-last-bit territory the oracle-pairing discipline bans; the
-# sampler's properties are pinned by tests/test_sampling_ops.py
+@query(
+    "sample_weighted_documents",
+    """
+WITH d AS (
+    SELECT doc_id, length(text) AS weight,
+        (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+            / 4294967296.0 AS u
+    FROM documents
+    WHERE text IS NOT NULL AND length(text) > 0
+)
+SELECT doc_id, CAST(weight AS BIGINT) AS weight
+FROM d
+ORDER BY ln(u) / weight DESC, doc_id ASC
+LIMIT 50
+""",
+)
 def sample_weighted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance sampling for training data: 50 documents drawn
     without replacement with probability proportional to length
     (Efraimidis–Spirakis priorities over md5-derived uniforms —
     deterministic across runs, partitionings, and engines). The common
     curation move of oversampling long/high-quality documents, as a
-    repeatable operator."""
+    repeatable operator.
+
+    Oracle-paired since round 10: ln() appears ONLY in the ranking
+    key, never in an output column — the result is (doc_id, integer
+    weight), hash-exact by construction. A cross-engine ln()
+    last-bit divergence could only flip the selected set if two
+    priorities at the rank-50 cutoff were within ~1 ulp of each other
+    (adjacent-priority gaps here are ~1e-4; the discipline's ln ban
+    is about emitted VALUES, which this query has none of)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").alias("weight")
     )

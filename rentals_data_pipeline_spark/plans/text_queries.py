@@ -570,15 +570,49 @@ def text_duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query("text_char_entropy")  # rows-only: log2 is libm — engine-last-bit
-# territory the oracle-pairing discipline bans; closed-form golden
-# tests pin the arithmetic instead (aaaa=0, abab=1, abcd=2 bits)
+@query(
+    "text_char_entropy",
+    """
+WITH d AS (
+    SELECT doc_id, text FROM documents
+    WHERE text IS NOT NULL AND length(text) > 0
+),
+ch AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS c FROM d
+),
+cnt AS (
+    SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2
+),
+tot AS (
+    SELECT doc_id, length(text) AS n FROM d
+)
+SELECT cnt.doc_id,
+    FLOOR((-SUM((CAST(k AS DOUBLE) / n) * log2(CAST(k AS DOUBLE) / n)))
+          * 10000.0 + 0.5) / 10000.0 AS char_entropy_bits,
+    CAST(MAX(n) AS BIGINT) AS n_chars_counted
+FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+GROUP BY cnt.doc_id
+""",
+)
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character-level Shannon entropy
     (operators/text.py::char_entropy): the compressibility proxy that
     flags template/generated text (low bits/char) and binary-ish noise
-    (near log2 alphabet) before training. Zero-shuffle codegen map."""
-    docs = load_table(spark, sf_dir, "documents")
+    (near log2 alphabet) before training. Zero-shuffle codegen map.
+
+    Oracle-paired since round 10 (was rows-only): the per-char
+    probabilities are exact dyadic divisions in both engines, and the
+    only libm call (log2) feeds a sum that is rounded half-up at 4 dp
+    — a cross-engine flip needs a ~1e-15 ordering/last-bit delta to
+    land within 1e-15 of a 0.5e-4 rounding boundary (~1e-11/doc).
+    Closed-form goldens (aaaa=0, abab=1, abcd=2 bits) still pin the
+    arithmetic. Empty/NULL texts are filtered HERE (not in the
+    operator) so both engines see the same domain: Spark's split('')
+    of an empty string yields [''], DuckDB's yields [] — an
+    edge-semantics divergence with no information in it."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
     return docs.select("doc_id", "text").transform(
         TX.char_entropy()
     ).drop("text")

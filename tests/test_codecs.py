@@ -708,7 +708,11 @@ def test_bmp_errors():
 
 
 def test_sniff_dispatch_unknown_magic():
-    with pytest.raises(C.CodecError, match="unsupported codec: magic=4f676753"):
+    with pytest.raises(C.CodecError, match="unsupported codec: magic=00114242"):
+        C.sniff_and_decode(b"\x00\x11BBgarbage-magic")
+    # OggS magic routes to the Ogg branch since round 10: a torso too
+    # short to hold one page header is a parse error, not unknown magic
+    with pytest.raises(C.CodecError, match="ogg parse error: no pages"):
         C.sniff_and_decode(b"OggS\x00\x02vorbis-not-parsed")
 
 
@@ -738,7 +742,7 @@ def test_decode_media_all_containers(spark):
     assert rows[4]["decoded"] == [[1.5, -2.25]]
     assert rows[5]["n_channels"] == 3 and rows[5]["sample_rate"] is None
     assert rows[5]["decoded"] == [[0.0, 3.0], [1.0, 4.0], [2.0, 5.0]]
-    assert rows[6]["decode_error"].startswith("unsupported codec: magic=4f67")
+    assert rows[6]["decode_error"].startswith("ogg parse error")
 
 
 # ---------------------------------------------------------------------------
@@ -2208,6 +2212,7 @@ def _small_valid_blobs() -> dict[str, bytes]:
         "avi": _avi_mjpeg(
             [_encode_jpeg(px[:, :, 0]), _encode_jpeg(px[:, :, 1])], 4, 4
         ),
+        "ogg_flac": _ogg_flac([sig]),
     }
 
 
@@ -2507,6 +2512,27 @@ def _ogg_vorbis(granule_end: int = 88200, rate: int = 44100) -> bytes:
             + _ogg_page(9, 1, granule_end, bytes(25), htype=4))
 
 
+def _ogg_flac(channels, sr=44100, **flac_kw) -> bytes:
+    """xiph Ogg FLAC mapping around the test-side native writer: BOS
+    packet = 0x7F'FLAC' v1.0 + zero header packets + fLaC +
+    STREAMINFO (native[:42]), one EOS audio page with the frames."""
+    native = _encode_flac(channels, sr=sr, **flac_kw)
+    bos = b"\x7fFLAC" + bytes([1, 0]) + (0).to_bytes(2, "big") + native[:42]
+    return (_ogg_page(3, 0, 0, bos, htype=2)
+            + _ogg_page(3, 1, len(channels[0]), native[42:], htype=4))
+
+
+def _ogg_page_raw(serial: int, seq: int, granule: int, segs: list[int],
+                  payload: bytes, htype: int = 0) -> bytes:
+    """A page with an EXPLICIT lacing table (no auto-termination) so
+    tests can split one packet across pages — a final lacing value of
+    255 means the packet continues on the next page (flag 0x01)."""
+    return (b"OggS" + bytes([0, htype])
+            + granule.to_bytes(8, "little", signed=True)
+            + struct.pack("<IIi", serial, seq, 0)
+            + bytes([len(segs)]) + bytes(segs) + payload)
+
+
 def test_probe_decodable_formats():
     blobs = _small_valid_blobs()
     p = C.probe_container(blobs["wav"])
@@ -2575,6 +2601,83 @@ def test_probe_never_reads_payload_bytes():
                            width=64, height=64)])
     headless = full[: full.index(b"mdat") + 4]  # drop all mdat bytes
     assert C.probe_container(full) == C.probe_container(headless)
+
+
+def test_ogg_flac_decode_matches_native():
+    """FLAC-in-Ogg (round 10): the Ogg re-framing is lossless — the
+    reassembled stream decodes bit-identically to the bare container,
+    through sniff_and_decode's Ogg branch."""
+    sig = np.array([0, 100, -100, 50], dtype=np.int64)
+    n1 = C.decode_flac(_encode_flac([sig]))
+    n2 = C.sniff_and_decode(_ogg_flac([sig]))
+    assert n1[0] == n2[0] == 1 and n1[1] == n2[1] == 44100
+    assert list(n1[2][0]) == list(n2[2][0]) == [0, 100, -100, 50]
+    p = C.probe_container(_ogg_flac([sig]))
+    assert (p["format"], p["codec"], p["channels"], p["sample_rate"]) == (
+        "ogg", "flac", 1, 44100)
+    assert p["duration_s"] == pytest.approx(4 / 44100)
+    assert p["n_frames"] == 2  # completed packets: mapping BOS + 1 frame
+
+
+def test_ogg_flac_packet_continuation_across_pages():
+    """RFC 3533 lacing: a packet whose final lacing value is 255
+    continues on the next page (flag 0x01). The reassembler must glue
+    the halves, reject a continuation page without the flag, and
+    reject a stream ending mid-packet."""
+    sig = np.array(list(range(-128, 128)), dtype=np.int64)
+    native = _encode_flac([sig])
+    frames = native[42:]
+    assert len(frames) > 255  # the split below must actually split
+    bos = b"\x7fFLAC" + bytes([1, 0]) + (0).to_bytes(2, "big") + native[:42]
+    tail = frames[255:]
+    segs2 = [255] * (len(tail) // 255) + [len(tail) % 255]
+    ogg = (_ogg_page(5, 0, 0, bos, htype=2)
+           + _ogg_page_raw(5, 1, -1, [255], frames[:255])
+           + _ogg_page_raw(5, 2, 256, segs2, tail, htype=0x04 | 0x01))
+    nch, sr, chans = C.decode_ogg_flac(ogg)
+    assert nch == 1 and list(chans[0]) == list(range(-128, 128))
+    bad = (_ogg_page(5, 0, 0, bos, htype=2)
+           + _ogg_page_raw(5, 1, -1, [255], frames[:255])
+           + _ogg_page_raw(5, 2, 256, segs2, tail, htype=0x04))
+    with pytest.raises(C.CodecError, match="lost packet continuation"):
+        C.decode_ogg_flac(bad)
+    trunc = (_ogg_page(5, 0, 0, bos, htype=2)
+             + _ogg_page_raw(5, 1, -1, [255], frames[:255]))
+    with pytest.raises(C.CodecError, match="truncated final packet"):
+        C.decode_ogg_flac(trunc)
+    orphan = (_ogg_page(5, 0, 0, bos, htype=2)
+              + _ogg_page_raw(5, 1, 256, segs2, tail, htype=0x04 | 0x01))
+    with pytest.raises(C.CodecError, match="orphan continuation page"):
+        C.decode_ogg_flac(orphan)
+
+
+def test_ogg_non_flac_codecs_are_gated():
+    """Entropy-coded Ogg codecs stay environment-gated with a NAMED
+    triage error (parity with the MP4/AVI unsupported-codec gates);
+    structural damage stays a parse error."""
+    with pytest.raises(C.CodecError, match="unsupported ogg codec: opus"):
+        C.sniff_and_decode(_ogg_opus())
+    with pytest.raises(C.CodecError, match="unsupported ogg codec: vorbis"):
+        C.sniff_and_decode(_ogg_vorbis())
+    with pytest.raises(C.CodecError, match="ogg parse error: no pages"):
+        C.sniff_and_decode(b"OggS\x00\x02vorbis")
+    with pytest.raises(C.CodecError, match="bad flac mapping header"):
+        C.decode_ogg_flac(
+            _ogg_page(3, 0, 0, b"\x7fFLAC\x01\x00\x00\x00garbage", htype=2)
+        )
+    # a FLAC stream multiplexed BEHIND a vorbis stream still decodes:
+    # stream selection is by mapping magic, not file order
+    sig = np.array([1, 2, 3, 4], dtype=np.int64)
+    fl = _ogg_flac([sig])
+    vb = _ogg_vorbis()
+    # interleave: vorbis BOS, flac BOS, flac audio, vorbis audio
+    vb_bos = vb[: vb.index(b"OggS", 4)]
+    vb_rest = vb[len(vb_bos):]
+    fl_bos = fl[: fl.index(b"OggS", 4)]
+    fl_rest = fl[len(fl_bos):]
+    mux = vb_bos + fl_bos + fl_rest + vb_rest
+    nch, sr, chans = C.decode_ogg_flac(mux)
+    assert list(chans[0]) == [1, 2, 3, 4]
 
 
 def test_probe_mutation_fuzz_codecerror_only():

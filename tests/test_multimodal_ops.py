@@ -194,7 +194,7 @@ def test_decode_media_failures_are_rows(spark):
         "doc_id long, payload binary",
     )
     errs = {r["doc_id"]: r["decode_error"] for r in MM.decode_media(df).collect()}
-    assert errs[1].startswith("unsupported codec: magic=4f67")
+    assert errs[1].startswith("ogg parse error")
     assert "error" in errs[2] or errs[2].startswith("wave parse")
     assert errs[3] == "unsupported sample width: 8"
 
@@ -486,6 +486,34 @@ def test_pack_ogg_opus_probe_row(spark):
     assert r["duration_s"] == pytest.approx(0.03)
     assert r["probe_error"] is None
     assert out[2]["probe_error"] == "null payload"
+
+
+def test_pack_ogg_flac_decode_roundtrip(spark):
+    """pack_ogg_flac -> decode_media (round 10): the Ogg page walk +
+    packet reassembly feeds the native FLAC decoder and the decoded
+    samples ARE the text's bytes, zero-padded to 256 — identical to
+    the bare pack_flac contract, reached through the Ogg branch."""
+    text = "ogg flac roundtrip é"  # multibyte tail: bytes, not chars
+    docs = spark.createDataFrame(
+        [(1, text), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r
+           for r in MM.decode_media(docs.transform(MM.pack_ogg_flac()))
+           .collect()}
+    r = out[1]
+    assert r["decode_error"] is None
+    assert (r["n_channels"], r["sample_rate"]) == (1, 8000)
+    data = text.encode("utf-8")
+    want = list(data) + [0] * (256 - len(data))
+    assert [int(v) for v in r["decoded"][0]] == want
+    assert out[2]["decode_error"] == "null payload"
+    # probe agrees with decode on the same payloads (triage coherence)
+    p = {r["doc_id"]: r
+         for r in MM.probe_media(docs.transform(MM.pack_ogg_flac()))
+         .collect()}[1]
+    assert (p["format"], p["codec"]) == ("ogg", "flac")
+    assert (p["channels"], p["sample_rate"]) == (1, 8000)
+    assert p["duration_s"] == pytest.approx(256 / 8000)
 
 
 def test_decoded_mp4_stats_query_golden(spark, tmp_path):
