@@ -66,7 +66,12 @@ def _widen(df: DataFrame) -> DataFrame:
     real scale the scan already supplies >= defaultParallelism
     partitions and this is a no-op, so the shuffle (tiny doc_id+text
     rows — applied at the PACK stage, upstream of blob construction,
-    never on packed payloads) only happens where it pays."""
+    never on packed payloads) only happens where it pays. Pack
+    factories expose ``widen=False`` for multi-branch certification
+    pipelines whose sliver branches already run concurrently through
+    a union: there the shuffle+task overhead exceeds the win, and
+    Spark does not reuse the repartition exchange across branch
+    subtrees (both measured in plans/multimodal_queries.py)."""
     if df.isStreaming:  # no .rdd on streams; micro-batches are sized
         return df       # by the source, not by file layout
     target = df.sparkSession.sparkContext.defaultParallelism
@@ -122,6 +127,7 @@ def pack_wav(
     text_col: str = "text",
     out_payload: str = "payload",
     sample_rate: int = 8000,
+    widen: bool = True,
 ) -> Op:
     """Build REAL RIFF/WAVE containers (8-bit unsigned PCM, mono) whose
     data chunk is the utf-8 of the text — a genuine codec payload, not
@@ -160,7 +166,8 @@ def pack_wav(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        return _widen(df.select(id_col, text_col)).mapInPandas(_pack, out_schema)
+        sel = df.select(id_col, text_col)
+        return (_widen(sel) if widen else sel).mapInPandas(_pack, out_schema)
 
     return _apply
 
@@ -171,6 +178,7 @@ def pack_ppm(
     out_payload: str = "payload",
     width: int = 16,
     height: int = 16,
+    widen: bool = True,
 ) -> Op:
     """Build REAL binary-PPM (P6) image containers: ASCII header
     ``P6\\n{w} {h}\\n255\\n`` followed by exactly ``w*h*3`` RGB bytes —
@@ -203,7 +211,8 @@ def pack_ppm(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        return _widen(df.select(id_col, text_col)).mapInPandas(_pack, out_schema)
+        sel = df.select(id_col, text_col)
+        return (_widen(sel) if widen else sel).mapInPandas(_pack, out_schema)
 
     return _apply
 
@@ -213,6 +222,7 @@ def pack_png(
     text_col: str = "text",
     out_payload: str = "payload",
     side: int = 16,
+    widen: bool = True,
 ) -> Op:
     """Build REAL PNG containers (round 8): 8-bit grayscale
     ``side`` x ``side``, filter-0 scanlines, one zlib IDAT — pixel
@@ -270,7 +280,8 @@ def pack_png(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        return _widen(df.select(id_col, text_col)).mapInPandas(_pack, out_schema)
+        sel = df.select(id_col, text_col)
+        return (_widen(sel) if widen else sel).mapInPandas(_pack, out_schema)
 
     return _apply
 
@@ -280,6 +291,7 @@ def pack_bmp(
     text_col: str = "text",
     out_payload: str = "payload",
     side: int = 16,
+    widen: bool = True,
 ) -> Op:
     """Build REAL BMP containers (round 8): 24-bit BI_RGB
     ``side`` x ``side``, bottom-up rows (the common layout) — written
@@ -337,7 +349,8 @@ def pack_bmp(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        return _widen(df.select(id_col, text_col)).mapInPandas(_pack, out_schema)
+        sel = df.select(id_col, text_col)
+        return (_widen(sel) if widen else sel).mapInPandas(_pack, out_schema)
 
     return _apply
 
@@ -405,6 +418,7 @@ def pack_flac(
     text_col: str = "text",
     out_payload: str = "payload",
     n_samples: int = 256,
+    widen: bool = True,
 ) -> Op:
     """Build REAL FLAC containers (round 8): fLaC magic + STREAMINFO +
     ONE fixed-blocking frame holding a VERBATIM subframe of
@@ -435,7 +449,8 @@ def pack_flac(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        return _widen(df.select(id_col, text_col)).mapInPandas(_pack, out_schema)
+        sel = df.select(id_col, text_col)
+        return (_widen(sel) if widen else sel).mapInPandas(_pack, out_schema)
 
     return _apply
 
@@ -446,6 +461,7 @@ def pack_gif_anim(
     out_payload: str = "payload",
     frame_px: int = 8,
     max_frames: int = 8,
+    widen: bool = True,
 ) -> Op:
     """Build REAL animated GIF89a containers from the text — one
     ``frame_px`` x ``frame_px`` 4-color frame per 64-byte text chunk
@@ -531,7 +547,8 @@ def pack_gif_anim(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        return _widen(df.select(id_col, text_col)).mapInPandas(_pack, out_schema)
+        sel = df.select(id_col, text_col)
+        return (_widen(sel) if widen else sel).mapInPandas(_pack, out_schema)
 
     return _apply
 
@@ -619,6 +636,7 @@ def pack_avi_mjpeg(
     text_col: str = "text",
     out_payload: str = "payload",
     max_frames: int = 8,
+    widen: bool = True,
 ) -> Op:
     """Build REAL Motion-JPEG AVI containers from the text — one 16x16
     grayscale frame per 64-byte chunk (up to ``max_frames``), each
@@ -683,7 +701,8 @@ def pack_avi_mjpeg(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        return _widen(df.select(id_col, text_col)).mapInPandas(_pack, out_schema)
+        sel = df.select(id_col, text_col)
+        return (_widen(sel) if widen else sel).mapInPandas(_pack, out_schema)
 
     return _apply
 
@@ -693,6 +712,7 @@ def pack_mp4_mjpeg(
     text_col: str = "text",
     out_payload: str = "payload",
     max_frames: int = 8,
+    widen: bool = True,
 ) -> Op:
     """Build REAL Motion-JPEG MP4 (ISO-BMFF) containers from the text —
     the SAME frame derivation as ``pack_avi_mjpeg`` (16x16 DC-only
@@ -783,7 +803,8 @@ def pack_mp4_mjpeg(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        return _widen(df.select(id_col, text_col)).mapInPandas(_pack, out_schema)
+        sel = df.select(id_col, text_col)
+        return (_widen(sel) if widen else sel).mapInPandas(_pack, out_schema)
 
     return _apply
 
@@ -830,6 +851,7 @@ def pack_ogg_flac(
     text_col: str = "text",
     out_payload: str = "payload",
     n_samples: int = 256,
+    widen: bool = True,
 ) -> Op:
     """Build REAL Ogg FLAC streams (round 10) per the xiph Ogg FLAC
     mapping: a BOS page whose single packet is the 9-byte mapping
@@ -870,7 +892,8 @@ def pack_ogg_flac(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        return _widen(df.select(id_col, text_col)).mapInPandas(_pack, out_schema)
+        sel = df.select(id_col, text_col)
+        return (_widen(sel) if widen else sel).mapInPandas(_pack, out_schema)
 
     return _apply
 
@@ -880,6 +903,7 @@ def pack_ogg_opus(
     text_col: str = "text",
     out_payload: str = "payload",
     max_pages: int = 8,
+    widen: bool = True,
 ) -> Op:
     """Build REAL Ogg Opus streams from the text — RFC 3533 pages with
     GENUINE CRCs: a BOS page carrying an RFC 7845 OpusHead (mono,
@@ -929,7 +953,8 @@ def pack_ogg_opus(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        return _widen(df.select(id_col, text_col)).mapInPandas(_pack, out_schema)
+        sel = df.select(id_col, text_col)
+        return (_widen(sel) if widen else sel).mapInPandas(_pack, out_schema)
 
     return _apply
 

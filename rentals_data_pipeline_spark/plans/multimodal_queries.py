@@ -825,15 +825,31 @@ def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB runs on EVERY blob (cost independent of media size) to
     decide what ``decode_media``/``decode_video_frames`` touch: the
     MP4 route now feeds a REAL decode (``decode_mp4_mjpeg_frames``);
-    Ogg stays probe-only (Opus entropy decode is environment-gated)."""
+    OPUS Ogg stays probe-only (entropy decode is environment-gated;
+    FLAC-in-Ogg decodes since round 10 via the same page walk).
+
+    Parallelism: the five pack branches opt OUT of the pack widen
+    (``widen=False``) — the union of five single-partition sliver
+    branches already runs them concurrently, and both alternatives
+    measured slower at sf0.1 (per-branch widen 2.9s, one shared
+    upstream widen 3.8s — Spark does not reuse the repartition
+    exchange across the five branch subtrees — vs 1.3s unwidened;
+    header-only probing is too cheap to amortize shuffle+task
+    overhead, unlike the real-decode queries the widen exists for)."""
     docs = load_table(spark, sf_dir, "documents")
     rid = F.col("doc_id") % 5
     packed = (
-        docs.filter(rid == 0).transform(MM.pack_wav())
-        .unionByName(docs.filter(rid == 1).transform(MM.pack_ppm()))
-        .unionByName(docs.filter(rid == 2).transform(MM.pack_avi_mjpeg()))
-        .unionByName(docs.filter(rid == 3).transform(MM.pack_mp4_mjpeg()))
-        .unionByName(docs.filter(rid == 4).transform(MM.pack_ogg_opus()))
+        docs.filter(rid == 0).transform(MM.pack_wav(widen=False))
+        .unionByName(docs.filter(rid == 1).transform(MM.pack_ppm(widen=False)))
+        .unionByName(
+            docs.filter(rid == 2).transform(MM.pack_avi_mjpeg(widen=False))
+        )
+        .unionByName(
+            docs.filter(rid == 3).transform(MM.pack_mp4_mjpeg(widen=False))
+        )
+        .unionByName(
+            docs.filter(rid == 4).transform(MM.pack_ogg_opus(widen=False))
+        )
     )
     probed = MM.probe_media(packed)
     # certification projection: not-applicable fields flatten to -1 /
@@ -1100,11 +1116,16 @@ def pipeline_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy decode is not expressible in ANSI SQL."""
     from pyspark.sql import Window
 
+    # the three sliver branches opt OUT of the pack widen: the union
+    # runs them concurrently and the packed relation is materialized
+    # by the localCheckpoint below anyway — measured at sf0.1:
+    # unwidened 2.7s vs per-branch widen ~5s vs shared widen 3.9s
+    # (Spark does not reuse the repartition exchange across branches)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     rid = F.col("doc_id") % 3
-    avi = docs.where(rid == 0).transform(MM.pack_avi_mjpeg())
-    gif = docs.where(rid == 1).transform(MM.pack_gif_anim())
-    mp4 = docs.where(rid == 2).transform(MM.pack_mp4_mjpeg())
+    avi = docs.where(rid == 0).transform(MM.pack_avi_mjpeg(widen=False))
+    gif = docs.where(rid == 1).transform(MM.pack_gif_anim(widen=False))
+    mp4 = docs.where(rid == 2).transform(MM.pack_mp4_mjpeg(widen=False))
     packed = (
         avi.unionByName(gif).unionByName(mp4).localCheckpoint(eager=True)
     )
