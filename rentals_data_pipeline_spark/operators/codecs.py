@@ -30,10 +30,13 @@ plus numpy. Coverage:
   wasted bits, left-side/right-side/mid-side stereo decorrelation.
   Lossless, so roundtrip tests assert exact equality.
 
-Remaining compressed AV containers (MP4/H.264/Ogg) stay
-environment-gated — video entropy stacks are out of scope without
-libs — and surface as ``unsupported codec`` rows with the magic
-recorded for triage.
+Containers decode as far as their PAYLOAD codecs allow: Motion-JPEG
+in AVI and MP4 (round 9) and FLAC-in-Ogg (round 10 — Ogg page walk +
+packet reassembly feeding the native FLAC decoder) are full decode
+paths. The remaining payload codecs (H.264/HEVC in MP4/AVI,
+Vorbis/Opus/Theora in Ogg) stay environment-gated — their entropy
+stacks are out of scope without libs — and surface as named
+``unsupported {mp4,avi,ogg} codec`` rows for triage.
 
 Contract: each ``decode_*`` takes the raw payload bytes and returns
 ``(n_channels, sample_rate, channels)`` where ``channels`` is a list

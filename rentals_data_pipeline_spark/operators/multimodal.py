@@ -12,10 +12,11 @@ entropy decode + IDCT, subsampling, restart markers), FLAC (Rice/LPC
 frame decode, stereo decorrelation) and binary PPM P6
 (``pack_wav``/``pack_ppm`` build genuine containers to feed it), plus
 Motion-JPEG video in BOTH mainstream containers — AVI (RIFF walk) and
-MP4 (ISO-BMFF box walk + stbl sample table, round 9). Compressed
-inter-frame AV codecs (H.264, Vorbis) stay environment-gated — no
-PIL/ffmpeg in this container — and surface as ``unsupported codec``
-error ROWS, never task failures. Everything Spark-side is real and
+MP4 (ISO-BMFF box walk + stbl sample table, round 9) — and FLAC-in-Ogg
+(round 10: page walk + lacing-table packet reassembly into the native
+FLAC decoder). Compressed inter-frame AV codecs (H.264, Vorbis/Opus)
+stay environment-gated — no PIL/ffmpeg in this container — and surface
+as ``unsupported codec`` error ROWS, never task failures. Everything Spark-side is real and
 tested:
 
 - ``pack_media``: documents → media-shaped rows (payload bytes + typed
@@ -1086,10 +1087,11 @@ def decode_media(
     Motion-JPEG video decodes in BOTH mainstream containers — AVI
     (RIFF walk) and, since round 9, MP4 (ISO-BMFF sample-table walk) —
     as a first-frame view here (``decode_video_frames`` is the
-    per-frame surface). Compressed AV codecs (H.264-in-MP4,
-    Opus/Vorbis-in-Ogg) stay environment-gated: no av libs in this
-    container, so they surface as ``unsupported`` error rows with the
-    codec/magic recorded for triage.
+    per-frame surface); FLAC-in-Ogg decodes since round 10 (page walk
+    + packet reassembly into the native FLAC decoder). Compressed AV
+    codecs (H.264-in-MP4, Opus/Vorbis-in-Ogg) stay environment-gated:
+    no av libs in this container, so they surface as ``unsupported``
+    error rows with the codec/magic recorded for triage.
     """
     out_schema = T.StructType(
         [
