@@ -1799,6 +1799,11 @@ def decode_ogg_flac(raw: bytes) -> Decoded:
         pos = seg_end + paylen
     if n_pages == 0:
         raise CodecError("ogg parse error: no pages")
+    if pos != n:
+        # 1..26 trailing bytes are a page header torso, not padding:
+        # without this check they'd be silently accepted while 27+
+        # raise lost-sync — identical corruption must triage the same
+        raise CodecError("ogg parse error: truncated page header")
     if flac_serial is None:
         lead = bos_codecs[0] if bos_codecs else None
         if lead is None:
@@ -2742,6 +2747,10 @@ def _probe_ogg(raw: bytes) -> dict:
         pos = seg_end + paylen
     if not streams:
         raise CodecError("ogg parse error: no pages")
+    if pos != n:
+        # probe/decode coherence: a 1..26-byte page-header torso at
+        # the tail is truncation, triaged the same as a 27+ one
+        raise CodecError("ogg parse error: truncated page header")
     aud = next(
         (
             s

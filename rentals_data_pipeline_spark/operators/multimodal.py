@@ -57,7 +57,7 @@ MEDIA_TYPES = ("image", "audio", "video")
 N_HISTOGRAM_BINS = 16
 
 
-def _widen(df: DataFrame) -> DataFrame:
+def _widen(df: DataFrame, enabled: bool = True) -> DataFrame:
     """Ensure a CPU-bound Arrow stage gets at least core-count
     parallelism. The pack/decode pipelines are pure-Python per-blob
     work: their wall-clock is partitions-bounded, and a small corpus
@@ -73,8 +73,8 @@ def _widen(df: DataFrame) -> DataFrame:
     a union: there the shuffle+task overhead exceeds the win, and
     Spark does not reuse the repartition exchange across branch
     subtrees (both measured in plans/multimodal_queries.py)."""
-    if df.isStreaming:  # no .rdd on streams; micro-batches are sized
-        return df       # by the source, not by file layout
+    if not enabled or df.isStreaming:  # no .rdd on streams; micro-
+        return df       # batches are sized by the source, not files
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -167,8 +167,9 @@ def pack_wav(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        sel = df.select(id_col, text_col)
-        return (_widen(sel) if widen else sel).mapInPandas(_pack, out_schema)
+        return _widen(df.select(id_col, text_col), widen).mapInPandas(
+            _pack, out_schema
+        )
 
     return _apply
 
@@ -212,8 +213,9 @@ def pack_ppm(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        sel = df.select(id_col, text_col)
-        return (_widen(sel) if widen else sel).mapInPandas(_pack, out_schema)
+        return _widen(df.select(id_col, text_col), widen).mapInPandas(
+            _pack, out_schema
+        )
 
     return _apply
 
@@ -281,8 +283,9 @@ def pack_png(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        sel = df.select(id_col, text_col)
-        return (_widen(sel) if widen else sel).mapInPandas(_pack, out_schema)
+        return _widen(df.select(id_col, text_col), widen).mapInPandas(
+            _pack, out_schema
+        )
 
     return _apply
 
@@ -350,8 +353,9 @@ def pack_bmp(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        sel = df.select(id_col, text_col)
-        return (_widen(sel) if widen else sel).mapInPandas(_pack, out_schema)
+        return _widen(df.select(id_col, text_col), widen).mapInPandas(
+            _pack, out_schema
+        )
 
     return _apply
 
@@ -450,8 +454,9 @@ def pack_flac(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        sel = df.select(id_col, text_col)
-        return (_widen(sel) if widen else sel).mapInPandas(_pack, out_schema)
+        return _widen(df.select(id_col, text_col), widen).mapInPandas(
+            _pack, out_schema
+        )
 
     return _apply
 
@@ -548,8 +553,9 @@ def pack_gif_anim(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        sel = df.select(id_col, text_col)
-        return (_widen(sel) if widen else sel).mapInPandas(_pack, out_schema)
+        return _widen(df.select(id_col, text_col), widen).mapInPandas(
+            _pack, out_schema
+        )
 
     return _apply
 
@@ -702,8 +708,9 @@ def pack_avi_mjpeg(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        sel = df.select(id_col, text_col)
-        return (_widen(sel) if widen else sel).mapInPandas(_pack, out_schema)
+        return _widen(df.select(id_col, text_col), widen).mapInPandas(
+            _pack, out_schema
+        )
 
     return _apply
 
@@ -804,8 +811,9 @@ def pack_mp4_mjpeg(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        sel = df.select(id_col, text_col)
-        return (_widen(sel) if widen else sel).mapInPandas(_pack, out_schema)
+        return _widen(df.select(id_col, text_col), widen).mapInPandas(
+            _pack, out_schema
+        )
 
     return _apply
 
@@ -893,8 +901,9 @@ def pack_ogg_flac(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        sel = df.select(id_col, text_col)
-        return (_widen(sel) if widen else sel).mapInPandas(_pack, out_schema)
+        return _widen(df.select(id_col, text_col), widen).mapInPandas(
+            _pack, out_schema
+        )
 
     return _apply
 
@@ -954,8 +963,9 @@ def pack_ogg_opus(
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:
-        sel = df.select(id_col, text_col)
-        return (_widen(sel) if widen else sel).mapInPandas(_pack, out_schema)
+        return _widen(df.select(id_col, text_col), widen).mapInPandas(
+            _pack, out_schema
+        )
 
     return _apply
 

@@ -358,16 +358,18 @@ def pq_adc_topk(
     window is exactly equivalent to one unblocked pass (pinned by
     tests/test_quantize_ops.py::test_pq_adc_probe_blocking). Each
     block re-scans the codes relation, so when more than one block is
-    emitted the codes source is persisted (MEMORY_AND_DISK — codes are
-    m bytes/vector, ~64x smaller than the raw corpus) and the
+    emitted the CALLER'S ``codes`` frame is persisted (MEMORY_AND_DISK
+    — codes are m bytes/vector, ~64x smaller than the raw corpus; the
+    internal projection reads through the cached subtree) and the
     per-block survivors are combined with a BALANCED union tree, not a
     left-deep chain: at 10M probes / 1200 blocks the plan stays
     ~log2(1200) ≈ 11 deep instead of 1200. The persist is registered
     before any block executes (Spark's CacheManager substitutes cached
     plans at execution time, so the already-built block plans hit the
     cache too); it stays pinned for the lifetime of the returned
-    DataFrame — callers done with the result can release it via
-    ``spark.catalog.clearCache()`` or by unpersisting ``codes``.
+    DataFrame — callers done with the result release it with
+    ``codes.unpersist()`` (possible precisely because the persist is
+    on their frame: unpersist is sameResult-matched, non-cascading).
     Ranking: raw float64 ADC score desc, match-id tiebreak —
     bit-deterministic given the deterministic codes.
     """
@@ -448,8 +450,12 @@ def pq_adc_topk(
         # multi-block: every block re-scans codes — persist once (the
         # CacheManager substitutes at execution, so the block plans
         # built above hit the cache too), and fold the survivors with
-        # a balanced union tree to keep the plan log-depth
-        src.persist(StorageLevel.MEMORY_AND_DISK)
+        # a balanced union tree to keep the plan log-depth. Persist
+        # the CALLER'S frame, not the internal projection: unpersist
+        # is sameResult-matched and non-cascading, so caching `src`
+        # would pin memory the caller could never release short of
+        # clearCache() (round-10 review finding)
+        codes.persist(StorageLevel.MEMORY_AND_DISK)
     while len(parts) > 1:
         parts = [
             parts[i].unionByName(parts[i + 1])

@@ -241,10 +241,21 @@ def sliding_estimates(
     ``date_trunc``'d midnight TIMESTAMP — the internal date roundtrip
     is lossless and the output keeps the input type).
     Register-max union == sketch of the union exactly, so the sliding
-    estimate equals a direct sketch of each window's raw data."""
+    estimate equals a direct sketch of each window's raw data.
+
+    NULL ``order_key`` rows carry no window mass and are DROPPED
+    (explicit filter below — matching the exact twin, whose fanout
+    likewise excludes NULL days; the pre-r10 rows-frame form emitted a
+    row for them, an accident of Window null ordering, not a
+    contract). ``frame_days`` must be >= 1: Spark's ``sequence()``
+    defaults to a DESCENDING step when stop < start, which would
+    silently turn a zero/negative frame into future leakage."""
+    if frame_days < 1:
+        raise ValueError(f"frame_days must be >= 1, got {frame_days}")
     parts = list(part_keys or [])
     key_type = dict(sketches.dtypes)[order_key]
     day = F.col(order_key).cast("date")
+    sketches = sketches.where(F.col(order_key).isNotNull())
     fan = sketches.select(
         *parts,
         F.explode(

@@ -2651,6 +2651,20 @@ def test_ogg_flac_packet_continuation_across_pages():
         C.decode_ogg_flac(orphan)
 
 
+def test_ogg_trailing_torso_is_truncation():
+    """1..26 trailing bytes are a page-header torso: both the decode
+    and the probe must triage them as truncation, not silently accept
+    what a 27-byte torso would reject (round-10 review finding)."""
+    sig = np.array([0, 100, -100, 50], dtype=np.int64)
+    blob = _ogg_flac([sig])
+    assert C.decode_ogg_flac(blob)  # clean blob decodes
+    for tail in (1, 20, 26):
+        with pytest.raises(C.CodecError, match="truncated page header"):
+            C.decode_ogg_flac(blob + b"x" * tail)
+        with pytest.raises(C.CodecError, match="truncated page header"):
+            C.probe_container(blob + b"x" * tail)
+
+
 def test_ogg_non_flac_codecs_are_gated():
     """Entropy-coded Ogg codecs stay environment-gated with a NAMED
     triage error (parity with the MP4/AVI unsupported-codec gates);

@@ -210,6 +210,13 @@ def test_pq_adc_probe_blocking(spark):
     }
     assert one_pass == blocked
     assert len({p for p, _, _ in one_pass}) == 20
+    # multi-block persists the CALLER'S codes frame (round-10 review:
+    # caching the internal projection would be unreleasable — unpersist
+    # is sameResult-matched and non-cascading), so the documented
+    # release path actually works
+    assert codes.storageLevel.useMemory or codes.storageLevel.useDisk
+    codes.unpersist()
+    assert not (codes.storageLevel.useMemory or codes.storageLevel.useDisk)
     empty = QZ.pq_adc_topk(probes.where(F.lit(False)), codes, books, k=3)
     assert empty.count() == 0
     assert empty.columns == ["probe_id", "match_id", "adc_score"]

@@ -139,6 +139,29 @@ def test_heavy_hitters_exact_vs_brute_force(spark):
         heavy_hitters(df, "v", k=1)
 
 
+def test_sliding_estimates_guards(spark):
+    # round-10 review findings: frame_days < 1 must fail loudly
+    # (Spark sequence() would silently build a DESCENDING window =
+    # future leakage), and NULL order-key rows carry no window mass
+    # (matching the exact twin's fanout, which drops them too).
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from rentals_data_pipeline_spark.operators import sketches as SK
+
+    df = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2), (None, 3)],
+        "day string, user_id int",
+    ).select(F.col("day").cast("date").alias("day"), "user_id")
+    daily = SK.distinct_sketches(df, ["day"], "user_id")
+    with _pytest.raises(ValueError, match="frame_days"):
+        SK.sliding_estimates(daily, "day", frame_days=0)
+    rows = SK.sliding_estimates(daily, "day", frame_days=7).collect()
+    days = {r["day"] for r in rows}
+    assert None not in days and len(rows) == 2
+    est = {str(r["day"]): r["n_distinct_est"] for r in rows}
+    assert est["2024-01-01"] == 1 and est["2024-01-02"] == 2
+
+
 def test_sliding_estimates_accuracy(spark):
     # Trailing-7-day HLL union vs exact per-window distincts at
     # sf0.001: every day's estimate within the lgk=12 error band.
