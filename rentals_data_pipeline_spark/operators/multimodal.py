@@ -831,19 +831,10 @@ def _ogg_crc(page: bytes) -> int:
     return crc
 
 
-def _ogg_page(serial: int, seq: int, granule: int, payload: bytes,
-              htype: int = 0) -> bytes:
-    """One RFC 3533 Ogg page with a GENUINE CRC: 255-wise lacing of
-    ``payload`` (a terminating lacing value < 255 is always emitted,
-    so the payload is one completed packet). Shared by the Opus and
-    FLAC packers."""
-    segs = []
-    rest = len(payload)
-    while True:
-        segs.append(min(rest, 255))
-        if rest < 255:
-            break
-        rest -= 255
+def _ogg_page_raw(serial: int, seq: int, granule: int, segs: list[int],
+                  payload: bytes, htype: int = 0) -> bytes:
+    """One RFC 3533 Ogg page with a GENUINE CRC and an EXPLICIT lacing
+    table (``len(segs) <= 255`` — the page-format bound)."""
     hdr = (b"OggS" + bytes([0, htype])
            + granule.to_bytes(8, "little", signed=True)
            + serial.to_bytes(4, "little")
@@ -853,6 +844,49 @@ def _ogg_page(serial: int, seq: int, granule: int, payload: bytes,
     full_page = hdr + payload
     crc = _ogg_crc(full_page)
     return full_page[:22] + crc.to_bytes(4, "little") + full_page[26:]
+
+
+def _ogg_page(serial: int, seq: int, granule: int, payload: bytes,
+              htype: int = 0) -> bytes:
+    """One-page packet: 255-wise lacing with a terminating value
+    < 255. Payloads above 255*255-1 bytes overflow a single page's
+    lacing table — use ``_ogg_packet_pages``."""
+    segs = []
+    rest = len(payload)
+    while True:
+        segs.append(min(rest, 255))
+        if rest < 255:
+            break
+        rest -= 255
+    return _ogg_page_raw(serial, seq, granule, segs, payload, htype)
+
+
+def _ogg_packet_pages(serial: int, start_seq: int, granule: int,
+                      payload: bytes, htype_first: int = 0,
+                      htype_last: int = 0) -> tuple[bytes, int]:
+    """One packet as however many pages RFC 3533 needs: a page holds
+    at most 255 lacing values, so a packet over 255*255-1 bytes spans
+    CONTINUATION pages (flag 0x01; non-final pages carry granule -1 —
+    no packet completes on them). Returns (pages_bytes, next_seq).
+    ``decode_ogg_flac`` reassembles exactly this framing (pinned by
+    the continuation test). A one-page packet degenerates to
+    ``_ogg_page`` output."""
+    n = len(payload)
+    segs = [255] * (n // 255) + [n % 255]
+    out = []
+    off = 0
+    n_pages = -(-len(segs) // 255)
+    for p in range(n_pages):
+        group = segs[p * 255 : (p + 1) * 255]
+        body = payload[off : off + sum(group)]
+        off += sum(group)
+        last = p == n_pages - 1
+        htype = (htype_first if p == 0 else 0x01) | (htype_last if last else 0)
+        out.append(
+            _ogg_page_raw(serial, start_seq + p,
+                          granule if last else -1, group, body, htype)
+        )
+    return b"".join(out), start_seq + n_pages
 
 
 def pack_ogg_flac(
@@ -894,10 +928,13 @@ def pack_ogg_flac(
                 # native[:42] = fLaC + STREAMINFO block (4 + 4 + 34)
                 bos = (b"\x7fFLAC" + bytes([1, 0])
                        + (0).to_bytes(2, "big") + native[:42])
-                payloads.append(
-                    _ogg_page(9, 0, 0, bos, htype=2)
-                    + _ogg_page(9, 1, n_samples, native[42:], htype=4)
+                # the frame packet spans continuation pages above
+                # 255*255-1 bytes (n_samples ~> 32.5k) — RFC framing,
+                # not a crash (round-10 second review pass)
+                frames, _ = _ogg_packet_pages(
+                    9, 1, n_samples, native[42:], htype_last=4
                 )
+                payloads.append(_ogg_page(9, 0, 0, bos, htype=2) + frames)
             yield pd.DataFrame({id_col: pdf[id_col], out_payload: payloads})
 
     def _apply(df: DataFrame) -> DataFrame:

@@ -330,6 +330,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     code_col: str = "pq_code",
     probe_block_size: int = 8192,
+    persist_codes: bool = True,
 ) -> DataFrame:
     """Approximate top-k by inner product over PQ codes (ADC).
 
@@ -454,8 +455,12 @@ def pq_adc_topk(
         # the CALLER'S frame, not the internal projection: unpersist
         # is sameResult-matched and non-cascading, so caching `src`
         # would pin memory the caller could never release short of
-        # clearCache() (round-10 review finding)
-        codes.persist(StorageLevel.MEMORY_AND_DISK)
+        # clearCache() (round-10 review finding). Callers that build
+        # codes internally and return a LAZY result (no handle to
+        # unpersist, e.g. the recall gate query) pass
+        # persist_codes=False and pay the per-block re-scan instead
+        if persist_codes:
+            codes.persist(StorageLevel.MEMORY_AND_DISK)
     while len(parts) > 1:
         parts = [
             parts[i].unionByName(parts[i + 1])

@@ -249,12 +249,28 @@ def sliding_estimates(
     row for them, an accident of Window null ordering, not a
     contract). ``frame_days`` must be >= 1: Spark's ``sequence()``
     defaults to a DESCENDING step when stop < start, which would
-    silently turn a zero/negative frame into future leakage."""
+    silently turn a zero/negative frame into future leakage. The
+    day-grain precondition is ENFORCED per row (``raise_error`` when
+    the date roundtrip is lossy) — an hourly-grain caller migrating
+    from the old rows-frame API must fail loudly, not have 24 rows/day
+    silently collapsed into wrong windows. NULL ``part_keys`` values
+    are real groups (the semi-join matches them null-safely), same as
+    the old Window.partitionBy semantics."""
     if frame_days < 1:
         raise ValueError(f"frame_days must be >= 1, got {frame_days}")
     parts = list(part_keys or [])
     key_type = dict(sketches.dtypes)[order_key]
-    day = F.col(order_key).cast("date")
+    raw_day = F.col(order_key).cast("date")
+    day = F.when(
+        raw_day.cast(key_type) == F.col(order_key), raw_day
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "sliding_estimates: order_key must be day-grain "
+                "(DATE or midnight TIMESTAMP)"
+            )
+        ).cast("date")
+    )
     sketches = sketches.where(F.col(order_key).isNotNull())
     fan = sketches.select(
         *parts,
@@ -264,8 +280,12 @@ def sliding_estimates(
         "sketch",
     )
     days = sketches.select(*parts, day.alias("_win_day")).distinct()
+    cond = F.lit(True)
+    for c in [*parts, "_win_day"]:
+        # eqNullSafe so NULL-valued part_keys stay real groups
+        cond = cond & fan[c].eqNullSafe(days[c])
     return (
-        fan.join(F.broadcast(days), [*parts, "_win_day"], "left_semi")
+        fan.join(F.broadcast(days), cond, "left_semi")
         .groupBy(*parts, "_win_day")
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(out_col)

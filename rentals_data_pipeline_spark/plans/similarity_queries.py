@@ -617,7 +617,12 @@ def sim_pq_adc_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         F.col("vec_id").alias("match_id"), F.col("embedding").alias("match_vec")
     )
-    approx = QZ.pq_adc_topk(probes, codes, books, k=5)
+    # persist_codes=False: this query builds codes internally and
+    # returns a LAZY one-row aggregate — there is no handle for a
+    # caller to unpersist, so a multi-block run (>8192 probes) would
+    # pin the cache for the session. The quality gate pays the
+    # per-block codes re-scan instead (round-10 review finding).
+    approx = QZ.pq_adc_topk(probes, codes, books, k=5, persist_codes=False)
     exact = SIM.brute_force_topk(probes, corpus, k=5, kernel="gemm")
     hits = exact.join(
         approx, ["probe_id", "match_id"], "left_semi"

@@ -2651,6 +2651,30 @@ def test_ogg_flac_packet_continuation_across_pages():
         C.decode_ogg_flac(orphan)
 
 
+def test_ogg_packet_pages_spans_large_packets():
+    """A packet over 255*255-1 bytes must span RFC continuation pages
+    (flag 0x01, granule -1 on non-final pages) instead of overflowing
+    a single page's lacing byte (second r10 review pass: the packer
+    crashed with ValueError at n_samples ~> 32.5k where pack_flac
+    worked). Roundtrip through the product packer + decoder."""
+    from rentals_data_pipeline_spark.operators.multimodal import (
+        _flac_text_stream, _ogg_packet_pages, _ogg_page)
+    for n in (256, 40000):  # 1-page and 2-page frame packets
+        text = ("paging " * 8000)[: max(10, n // 3)]
+        native = _flac_text_stream(text.encode(), n)
+        bos = (b"\x7fFLAC" + bytes([1, 0]) + (0).to_bytes(2, "big")
+               + native[:42])
+        frames, nxt = _ogg_packet_pages(9, 1, n, native[42:], htype_last=4)
+        assert nxt - 1 == (1 if n == 256 else 2)  # 2-page continuation
+        ogg = _ogg_page(9, 0, 0, bos, htype=2) + frames
+        nch, sr, chans = C.decode_ogg_flac(ogg)
+        data = text.encode()[:n] + b"\x00" * max(0, n - len(text.encode()))
+        assert nch == 1 and sr == 8000
+        assert [int(x) for x in chans[0]] == list(data)
+        p = C.probe_container(ogg)
+        assert p["codec"] == "flac" and p["n_frames"] == 2
+
+
 def test_ogg_trailing_torso_is_truncation():
     """1..26 trailing bytes are a page-header torso: both the decode
     and the probe must triage them as truncation, not silently accept

@@ -160,6 +160,27 @@ def test_sliding_estimates_guards(spark):
     assert None not in days and len(rows) == 2
     est = {str(r["day"]): r["n_distinct_est"] for r in rows}
     assert est["2024-01-01"] == 1 and est["2024-01-02"] == 2
+    # NULL part_keys are real groups (null-safe semi join), matching
+    # the old Window.partitionBy semantics (second r10 review pass)
+    gdf = spark.createDataFrame(
+        [("a", "2024-01-01", 1), (None, "2024-01-01", 2),
+         (None, "2024-01-02", 3)],
+        "grp string, day string, user_id int",
+    ).select("grp", F.col("day").cast("date").alias("day"), "user_id")
+    gd = SK.distinct_sketches(gdf, ["grp", "day"], "user_id")
+    grows = SK.sliding_estimates(
+        gd, "day", frame_days=7, part_keys=["grp"]
+    ).collect()
+    got = {(r["grp"], str(r["day"])): r["n_distinct_est"] for r in grows}
+    assert got == {("a", "2024-01-01"): 1, (None, "2024-01-01"): 1,
+                   (None, "2024-01-02"): 2}
+    # sub-day grain must fail loudly, never silently collapse to dates
+    hourly = spark.createDataFrame(
+        [("2024-01-01 05:00:00", 1)], "ts string, user_id int"
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    hd = SK.distinct_sketches(hourly, ["ts"], "user_id")
+    with _pytest.raises(Exception, match="day-grain"):
+        SK.sliding_estimates(hd, "ts", frame_days=7).collect()
 
 
 def test_sliding_estimates_accuracy(spark):
