@@ -82,12 +82,41 @@ MARKERS = {
 }
 
 
+def _count_global_windows(jplan) -> int:
+    """Window/WindowGroupLimit nodes with an EMPTY partition spec —
+    Spark moves ALL rows to one task for these (the WindowExec
+    single-partition warning); at 100 TB that is a straggler by
+    construction. Counted by a JVM tree walk (the plan STRING does not
+    distinguish a missing partition list reliably). The catalog hit
+    zero in round 10 (the sliding-sketch rewrite removed the last
+    one), so any reappearance fails the audit: partition the window,
+    use the contribution-fanout shape, or range-partitioned top-n."""
+    n = 0
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if cls in ("WindowExec", "WindowGroupLimitExec",
+                   "WindowInPandasExec"):
+            try:
+                if node.partitionSpec().isEmpty():
+                    n += 1
+            except Exception:
+                pass
+        ch = node.children()
+        for i in range(ch.length()):
+            stack.append(ch.apply(i))
+    return n
+
+
 def audit_query(spark, name: str, fn, sf_dir: str) -> dict:
     df = fn(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    jplan = df._jdf.queryExecution().executedPlan()
+    plan = jplan.toString()
     row = {"query": name}
     for key, pat in MARKERS.items():
         row[key] = len(re.findall(pat, plan))
+    row["gwin"] = _count_global_windows(jplan)
     return row
 
 
@@ -114,6 +143,12 @@ def main() -> int:
             failures.append(
                 f"{name}: BroadcastNestedLoopJoin x{row['bnlj']} "
                 f"(whitelist allows {allowed})"
+            )
+        if row["gwin"]:
+            failures.append(
+                f"{name}: partition-less Window x{row['gwin']} "
+                "(single-partition straggler; partition it or use the "
+                "contribution-fanout shape)"
             )
         print(json.dumps(row), flush=True)
     for f in failures:
