@@ -138,6 +138,11 @@ HEADLINE = [
     # lacing-table packet reassembly + the native FLAC frame decoder)
     # — the last container goes from probe-only to value-certified
     "multimodal_decoded_ogg_stats",
+    # round-10 additions: SemDeDup (cluster-partitioned semantic dedup,
+    # one matmul per cluster group) and C4-style corpus span dedup
+    # with rewrite (span-content MIN agg + reassembly, zero Python)
+    "dedup_semdedup_embeddings",
+    "dedup_span_rewrite_documents",
 ]
 
 

@@ -1095,6 +1095,109 @@ def edit_distance_pairs(
     return _apply
 
 
+def span_dedup_rewrite(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 8,
+) -> Callable[[DataFrame], DataFrame]:
+    """Corpus-level span deduplication with REWRITE — the C4/RefinedWeb
+    "remove repeated spans, keep the first occurrence" curation step
+    (C4 drops any three-sentence span seen before; this corpus has no
+    sentence structure, so the unit is a fixed window of ``span_words``
+    whitespace tokens). Unlike ``shared_span_pairs`` (detection — which
+    PAIRS share spans), this REWRITES the corpus: every span instance
+    that is not the globally first occurrence of its content is deleted
+    and each document is reassembled from its surviving spans. Returns
+    (doc_id, n_spans, kept_spans, new_text); documents with zero words
+    produce no row (they have no spans to judge — the degenerate-input
+    test pins this).
+
+    First occurrence is by (doc_id, span index) lexicographic order — a
+    total, engine-independent order, so the survivor set is
+    deterministic and the DuckDB oracle replays it exactly. A document
+    whose every span occurred earlier elsewhere keeps an EMPTY
+    new_text — real curation drops such rows downstream; keeping them
+    here makes the removal auditable (kept_spans = 0).
+
+    Scale shape (the reason this is written span-first, not
+    token-explode-first): spans are built per-row with array ops
+    (split → filter → slice — one fused codegen map, no token explode,
+    no window), so the explode factor is n_words/span_words, not
+    n_words. Then exactly three shuffles, each on a natural key:
+    groupBy(span) min(first-instance) — map-side combinable, skew-safe
+    because MIN over a hot span combines before the wire; the join
+    back on span (AQE handles the sliver); groupBy(doc_id) to
+    reassemble. Nothing quadratic anywhere and no driver state — this
+    is the shape that survives 100 TB, where the span table is the
+    corpus re-keyed by content hash.
+    """
+    if span_words < 1:
+        raise ValueError("span_words must be >= 1")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        words = F.filter(
+            F.split(F.col(text_col), " "), lambda w: w != F.lit("")
+        )
+        n_spans = F.expr(
+            f"CAST(ceil(size(_words) / CAST({span_words} AS DOUBLE)) AS INT)"
+        )
+        spans = F.transform(
+            F.sequence(F.lit(0), F.col("_n") - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("g"),
+                F.array_join(
+                    F.slice(F.col("_words"), i * span_words + 1, span_words),
+                    " ",
+                ).alias("span"),
+            ),
+        )
+        inst = (
+            df.select(F.col(id_col), words.alias("_words"))
+            .withColumn("_n", n_spans)
+            .where(F.col("_n") > 0)  # zero-word docs have no spans
+            .select(F.col(id_col), F.explode(spans).alias("_s"))
+            .select(
+                F.col(id_col),
+                F.col("_s.g").alias("g"),
+                F.col("_s.span").alias("span"),
+            )
+        )
+        firsts = inst.groupBy("span").agg(
+            F.min(F.struct(F.col(id_col), F.col("g"))).alias("_first")
+        )
+        kept = (F.col("_first")[id_col] == F.col(id_col)) & (
+            F.col("_first")["g"] == F.col("g")
+        )
+        return (
+            inst.join(firsts, "span")
+            .select(F.col(id_col), "g", "span", kept.alias("_kept"))
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_spans"),
+                F.sum(F.col("_kept").cast("long")).alias("kept_spans"),
+                F.array_join(
+                    F.transform(
+                        # collect_list drops the nulls the when() leaves
+                        # for removed spans, so only survivors are sorted
+                        # back into document order
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_kept"),
+                                    F.struct(F.col("g"), F.col("span")),
+                                )
+                            )
+                        ),
+                        lambda s: s["span"],
+                    ),
+                    " ",
+                ).alias("new_text"),
+            )
+        )
+
+    return _apply
+
+
 def connected_components_auto(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -882,3 +882,124 @@ def ivf_topk(
         match_vec,
         broadcast_probes,
     )
+
+
+def semdedup_keep(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    threshold: float = 0.35,
+    scale: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and dropping within-cluster
+    near-duplicates, keeping per duplicate relation the member LEAST
+    similar to its centroid (the paper's keep-the-outlier rule — edge
+    examples carry more training signal than prototypical ones).
+    Returns every non-null input vector as
+    (vec_id, cluster_id, centroid_sim, kept).
+
+    The whole point of the method is the scale shape: clustering first
+    means the quadratic pair work is n²/k per cluster instead of n²
+    corpus-wide. Here each cluster is ONE ``applyInPandas`` group — a
+    single numpy matmul over the cluster's members — so the pair space
+    never exists outside a task, and the only corpus shuffle is the
+    groupBy on cluster_id. At 100 TB size ``n_clusters`` so a cluster's
+    (members × dim) matrix fits an executor core (the paper uses
+    k ≈ 0.1‰ of n); a skewed cluster is the same hot-cell hazard as
+    IVF — re-cluster or cap upstream.
+
+    Determinism / oracle parity (the repo's established 4-dp contract):
+
+    - centroids default to the embeddings of the ``n_clusters`` lowest
+      ids — a fixed seed choice the DuckDB oracle replays verbatim.
+      Pass ``centroids`` (e.g. from ``kmeans_refine_centroids``) for
+      production-quality cells; the dedup semantics are unchanged.
+    - assignment = argmax of the HALF-UP-ROUNDED cosine to each
+      centroid, ties to the lowest centroid id — one numpy matmul per
+      Arrow batch against the broadcast centroid matrix (the
+      ``ivf_assign_udf`` shape; a JVM fold per centroid would plant
+      n_clusters × dim literals in the plan, which costs the optimizer
+      seconds at k=8 and is intractable at production k). Rounding
+      happens INSIDE the kernel, so the argmax the oracle replays on
+      rounded values is the argmax Spark took. Zero-norm vectors have
+      no cosine; their similarity coalesces to -2.0 on both engines so
+      they deterministically land in cluster 0 and never pair.
+    - drop rule = greedy dominator: order a cluster by
+      (centroid_sim, id) ascending; a member is dropped iff ANY
+      earlier member's rounded pairwise cosine exceeds ``threshold``.
+      Single pass, no fixpoint, and exactly expressible as the
+      pair-wise CASE the SQL oracle runs.
+    """
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    if centroids is None:
+        centroids = [
+            [float(x) for x in r["_v"]]
+            for r in corpus.select(
+                F.col(vec_col).alias("_v"), F.col(id_col).alias("_i")
+            )
+            .orderBy("_i")
+            .limit(n_clusters)  # bounded collect: n_clusters × dim floats
+            .collect()
+        ]
+    out_schema = "vec_id long, cluster_id int, centroid_sim double, kept boolean"
+    if not centroids:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    pow10 = float(10**scale)
+    c = np.asarray(centroids, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+
+    @F.pandas_udf("struct<cluster_id: int, centroid_sim: double>")
+    def _assign(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"cluster_id": [], "centroid_sim": []})
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sims = np.floor((vn @ cn.T) * pow10 + 0.5) / pow10
+        sims = np.nan_to_num(sims, nan=-2.0)  # zero-norm rows
+        # argmax over ROUNDED sims; np.argmax takes the FIRST max —
+        # exactly the lowest-centroid-id tiebreak the oracle replays
+        cell = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                "cluster_id": cell.astype("int32"),
+                "centroid_sim": sims[np.arange(len(cell)), cell],
+            }
+        )
+
+    assigned = corpus.select(
+        F.col(id_col).alias("_id"),
+        as_double(F.col(vec_col)).alias("_v"),
+        _assign(F.col(vec_col)).alias("_a"),
+    ).select(
+        "_id",
+        "_v",
+        F.col("_a.cluster_id").alias("cluster_id"),
+        F.col("_a.centroid_sim").alias("centroid_sim"),
+    )
+
+    def _dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["centroid_sim", "_id"], kind="mergesort")
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sims = np.floor((vn @ vn.T) * pow10 + 0.5) / pow10
+        # row i dominates col j for i < j in (centroid_sim, id) order;
+        # NaN (zero-norm) compares False — never dropped, never dominates
+        dominated = np.triu(sims > threshold, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["_id"].to_numpy(),
+                "cluster_id": pdf["cluster_id"].to_numpy(),
+                "centroid_sim": pdf["centroid_sim"].to_numpy(),
+                "kept": ~dominated,
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        lambda _key, pdf: _dedup(pdf), schema=out_schema
+    )

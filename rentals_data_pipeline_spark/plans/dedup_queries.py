@@ -650,3 +650,48 @@ def dedup_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_train").cast("long").alias("n_train"),
         F.col("n_eval").cast("long").alias("n_eval"),
     )
+
+
+@query(
+    "dedup_span_rewrite_documents",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+raw AS (
+    SELECT doc_id, i AS pos, ws[i] AS word
+    FROM t, UNNEST(generate_series(1, len(ws))) AS u(i)
+    WHERE ws[i] <> ''
+),
+w AS (
+    SELECT doc_id, word,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS fpos
+    FROM raw
+),
+s AS (
+    SELECT doc_id, CAST((fpos - 1) // 8 AS BIGINT) AS g,
+           string_agg(word, ' ' ORDER BY fpos) AS span
+    FROM w GROUP BY doc_id, 2
+),
+r AS (
+    SELECT doc_id, g, span,
+           ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, g) AS rn
+    FROM s
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_spans,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY g),
+                '') AS new_text
+FROM r GROUP BY doc_id
+""",
+)
+def dedup_span_rewrite_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style corpus span dedup with rewrite: delete every
+    8-word span instance that is not the globally first occurrence of
+    its content and reassemble each document from the survivors
+    (operators/dedup.py::span_dedup_rewrite — span-first array ops, no
+    token explode; three natural-key shuffles). The oracle replays the
+    identical (doc_id, span index) first-occurrence order token by
+    token, so a hash match certifies the span chunking, the keep-first
+    rule, AND the reassembly order."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.transform(DD.span_dedup_rewrite("doc_id", "text", 8))

@@ -965,3 +965,66 @@ def sim_matryoshka_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("probe_id", "match_id", "cosine")
     )
+
+
+@query(
+    "dedup_semdedup_embeddings",
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (
+    SELECT v AS cv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+    FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+),
+sims AS (
+    SELECT e.vec_id, c.cid, e.v,
+           COALESCE(
+               FLOOR((list_dot_product(e.v, c.cv)
+                      / NULLIF(sqrt(list_dot_product(e.v, e.v))
+                               * sqrt(list_dot_product(c.cv, c.cv)), 0))
+                     * 10000.0 + 0.5) / 10000.0,
+               -2.0) AS s
+    FROM e CROSS JOIN c
+),
+assign AS (
+    SELECT vec_id, v, cid, s,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cid ASC) AS rn
+    FROM sims
+),
+a AS (
+    SELECT vec_id, v, CAST(cid AS INT) AS cluster_id, s AS centroid_sim
+    FROM assign WHERE rn = 1
+),
+dup AS (
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           x.centroid_sim AS cs_a, y.centroid_sim AS cs_b
+    FROM a x JOIN a y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+    WHERE FLOOR((list_dot_product(x.v, y.v)
+                 / NULLIF(sqrt(list_dot_product(x.v, x.v))
+                          * sqrt(list_dot_product(y.v, y.v)), 0))
+                * 10000.0 + 0.5) / 10000.0 > 0.35
+),
+dropped AS (
+    SELECT DISTINCT CASE WHEN (cs_a, id_a) < (cs_b, id_b)
+                         THEN id_b ELSE id_a END AS vec_id
+    FROM dup
+)
+SELECT a.vec_id, a.cluster_id, a.centroid_sim,
+       d.vec_id IS NULL AS kept
+FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+""",
+)
+def dedup_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) over the embeddings table: fixed-seed
+    8-way clustering, within-cluster near-dup detection at cosine >
+    0.35, greedy keep-the-centroid-outlier rule — every vector returned
+    with its cluster, rounded centroid similarity, and kept flag
+    (operators/similarity.py::semdedup_keep). The Spark side confines
+    the quadratic pair work to one numpy matmul per cluster group
+    (n²/k, the method's scale point); the oracle brute-forces the same
+    pairs cluster-wide, so a hash match certifies assignment, pairing,
+    and the dominator keep rule end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semdedup_keep(
+        emb, "vec_id", "embedding", n_clusters=8, threshold=0.35
+    )

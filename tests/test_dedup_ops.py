@@ -504,3 +504,61 @@ def test_dedup_against_index_plan_is_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Corpus span dedup with rewrite (span_dedup_rewrite) — C4-style
+# ---------------------------------------------------------------------------
+
+_SPAN_DOCS = [
+    (1, "a b c d"),     # both spans first occurrences
+    (2, "a b x y"),     # "a b" already seen at (1,0) → removed
+    (3, "c d"),         # whole doc removed → empty rewrite, row kept
+    (4, "a  b e"),      # double space: tokens [a,b,e] — "a b" removed
+    (5, ""),            # zero words → no spans → no output row
+    (6, "p q r"),       # short tail span "r" stands alone
+    (7, "z w z w"),     # within-doc duplicate: g0 kept, g1 removed
+]
+
+
+def _span_rows(spark):
+    df = spark.createDataFrame(_SPAN_DOCS, ["doc_id", "text"])
+    out = df.transform(DD.span_dedup_rewrite("doc_id", "text", 2))
+    return {r.doc_id: r for r in out.collect()}
+
+
+def test_span_rewrite_keep_first_across_docs(spark):
+    rows = _span_rows(spark)
+    assert rows[1].new_text == "a b c d" and rows[1].kept_spans == 2
+    assert rows[2].new_text == "x y" and rows[2].kept_spans == 1
+    assert rows[6].new_text == "p q r" and rows[6].kept_spans == 2
+
+
+def test_span_rewrite_fully_deduped_doc_is_auditable(spark):
+    rows = _span_rows(spark)
+    assert rows[3].n_spans == 1 and rows[3].kept_spans == 0
+    assert rows[3].new_text == ""
+
+
+def test_span_rewrite_zero_word_doc_has_no_row(spark):
+    assert 5 not in _span_rows(spark)
+
+
+def test_span_rewrite_tokenizes_like_the_oracle(spark):
+    # consecutive spaces yield empty tokens on both engines; both filter
+    # them BEFORE chunking, so doc 4 chunks as [a b][e]
+    rows = _span_rows(spark)
+    assert rows[4].n_spans == 2 and rows[4].new_text == "e"
+
+
+def test_span_rewrite_within_doc_duplicate(spark):
+    rows = _span_rows(spark)
+    assert rows[7].n_spans == 2 and rows[7].kept_spans == 1
+    assert rows[7].new_text == "z w"
+
+
+def test_span_rewrite_rejects_bad_span_size():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        DD.span_dedup_rewrite(span_words=0)

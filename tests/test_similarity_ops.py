@@ -565,3 +565,72 @@ def test_ivf_probe_plan_is_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semdedup_keep) — hand-computable 2-D corpus
+# ---------------------------------------------------------------------------
+
+# centroids default to the 2 lowest ids: c0 = id1 [1,0], c1 = id2 [0,1].
+# cluster 0 order by (centroid_sim, id): id3 (0.9939), id4 (0.9939),
+# id1 (1.0) — pairwise cosines all > 0.9, so the centroid-OUTLIER id3
+# survives and dominates both others (the paper's keep rule).
+_SEM_VECS = [
+    (1, [1.0, 0.0]),
+    (2, [0.0, 1.0]),
+    (3, [0.9, 0.1]),
+    (4, [0.9, 0.1]),
+    (5, [-1.0, 0.0]),
+    (6, [0.0, 0.0]),   # zero norm: cluster 0 at -2.0, never pairs
+    (7, None),         # null vector: dropped up front
+]
+
+
+def _semdedup_rows(spark, **kw):
+    df = spark.createDataFrame(
+        _SEM_VECS, "vec_id long, embedding array<double>"
+    )
+    out = SIM.semdedup_keep(df, n_clusters=2, threshold=0.9, **kw)
+    return {r.vec_id: r for r in out.collect()}
+
+
+def test_semdedup_keeps_centroid_outlier(spark):
+    rows = _semdedup_rows(spark)
+    assert set(rows) == {1, 2, 3, 4, 5, 6}  # null vector absent
+    assert rows[3].kept and not rows[4].kept  # id tiebreak inside the dup pair
+    assert not rows[1].kept  # prototypical member loses to the outlier
+    assert rows[3].centroid_sim == 0.9939 and rows[1].centroid_sim == 1.0
+
+
+def test_semdedup_far_pairs_survive(spark):
+    rows = _semdedup_rows(spark)
+    # cluster 1: id2 (cs 1.0) and id5 (cs 0.0) — cosine 0.0, both kept
+    assert rows[2].cluster_id == rows[5].cluster_id == 1
+    assert rows[2].kept and rows[5].kept
+
+
+def test_semdedup_zero_norm_never_pairs(spark):
+    rows = _semdedup_rows(spark)
+    assert rows[6].cluster_id == 0
+    assert rows[6].centroid_sim == -2.0
+    assert rows[6].kept
+
+
+def test_semdedup_explicit_centroids_flip_clusters(spark):
+    rows = _semdedup_rows(spark, centroids=[[0.0, 1.0], [1.0, 0.0]])
+    assert rows[1].cluster_id == 1 and rows[2].cluster_id == 0
+
+
+def test_semdedup_empty_corpus(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = SIM.semdedup_keep(df)
+    assert out.columns == ["vec_id", "cluster_id", "centroid_sim", "kept"]
+    assert out.count() == 0
+
+
+def test_semdedup_single_row_corpus(spark):
+    df = spark.createDataFrame(
+        [(9, [0.5, 0.5])], "vec_id long, embedding array<double>"
+    )
+    rows = SIM.semdedup_keep(df, n_clusters=8).collect()
+    assert len(rows) == 1 and rows[0].kept and rows[0].centroid_sim == 1.0
