@@ -139,10 +139,12 @@ HEADLINE = [
     # — the last container goes from probe-only to value-certified
     "multimodal_decoded_ogg_stats",
     # round-10 additions: SemDeDup (cluster-partitioned semantic dedup,
-    # one matmul per cluster group) and C4-style corpus span dedup
-    # with rewrite (span-content MIN agg + reassembly, zero Python)
+    # one matmul per cluster group), C4-style corpus span dedup with
+    # rewrite (span-content MIN agg + reassembly, zero Python), and the
+    # incremental kept-set-index SemDeDup probe
     "dedup_semdedup_embeddings",
     "dedup_span_rewrite_documents",
+    "dedup_semdedup_incremental",
 ]
 
 

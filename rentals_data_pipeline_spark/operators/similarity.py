@@ -935,18 +935,45 @@ def semdedup_keep(
     """
     corpus = corpus.where(F.col(vec_col).isNotNull())
     if centroids is None:
-        centroids = [
-            [float(x) for x in r["_v"]]
-            for r in corpus.select(
-                F.col(vec_col).alias("_v"), F.col(id_col).alias("_i")
-            )
-            .orderBy("_i")
-            .limit(n_clusters)  # bounded collect: n_clusters × dim floats
-            .collect()
-        ]
+        centroids = _semdedup_seed_centroids(corpus, id_col, vec_col, n_clusters)
     out_schema = "vec_id long, cluster_id int, centroid_sim double, kept boolean"
     if not centroids:
         return corpus.sparkSession.createDataFrame([], out_schema)
+    assigned = _semdedup_assigned(corpus, id_col, vec_col, centroids, scale)
+    kernel = _semdedup_kernel(threshold, scale)
+    return assigned.groupBy("cluster_id").applyInPandas(
+        lambda _key, pdf: kernel(pdf), schema=out_schema
+    )
+
+
+def _semdedup_seed_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_clusters: int
+) -> list[list[float]]:
+    """Fixed-seed centroids: the embeddings of the ``n_clusters``
+    lowest ids — deterministic, oracle-replayable, and a bounded
+    collect (n_clusters × dim floats)."""
+    return [
+        [float(x) for x in r["_v"]]
+        for r in corpus.where(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col).alias("_v"), F.col(id_col).alias("_i"))
+        .orderBy("_i")
+        .limit(n_clusters)
+        .collect()
+    ]
+
+
+def _semdedup_assigned(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    scale: int,
+) -> DataFrame:
+    """Cluster assignment frame (_id, _v, cluster_id, centroid_sim):
+    one numpy matmul per Arrow batch against the broadcast centroid
+    matrix, sims ROUNDED half-up inside the kernel so the argmax the
+    SQL oracle replays on rounded values is the argmax taken here.
+    Zero-norm vectors coalesce to -2.0 (cluster 0, never pair)."""
     pow10 = float(10**scale)
     c = np.asarray(centroids, dtype=np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -971,7 +998,7 @@ def semdedup_keep(
             }
         )
 
-    assigned = corpus.select(
+    return corpus.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         as_double(F.col(vec_col)).alias("_v"),
         _assign(F.col(vec_col)).alias("_a"),
@@ -982,24 +1009,160 @@ def semdedup_keep(
         F.col("_a.centroid_sim").alias("centroid_sim"),
     )
 
+
+def _semdedup_kernel(threshold: float, scale: int, emit_vec: bool = False):
+    """Per-cluster greedy-dominator kernel: sort by (centroid_sim, id)
+    ascending, one matmul for the cluster's rounded pairwise cosines,
+    drop any member an earlier member exceeds ``threshold`` against.
+    NaN sims (zero-norm rows) compare False — never dropped, never
+    dominate. ``emit_vec`` adds the vector column for index builds."""
+    pow10 = float(10**scale)
+
     def _dedup(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["centroid_sim", "_id"], kind="mergesort")
         v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
         with np.errstate(divide="ignore", invalid="ignore"):
             vn = v / np.linalg.norm(v, axis=1, keepdims=True)
             sims = np.floor((vn @ vn.T) * pow10 + 0.5) / pow10
-        # row i dominates col j for i < j in (centroid_sim, id) order;
-        # NaN (zero-norm) compares False — never dropped, never dominates
         dominated = np.triu(sims > threshold, k=1).any(axis=0)
+        out = {
+            "vec_id": pdf["_id"].to_numpy(),
+            "cluster_id": pdf["cluster_id"].to_numpy(),
+            "centroid_sim": pdf["centroid_sim"].to_numpy(),
+            "kept": ~dominated,
+        }
+        if emit_vec:
+            out["vec"] = pdf["_v"].to_numpy()
+        return pd.DataFrame(out)
+
+    return _dedup
+
+
+def semdedup_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    threshold: float = 0.35,
+    scale: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> tuple[list[list[float]], DataFrame]:
+    """Persistable SemDeDup index for INCREMENTAL semantic dedup:
+    ``(centroids, kept_index)`` where ``kept_index`` is the KEPT rows
+    of ``semdedup_keep(corpus)`` carrying their vectors —
+    (vec_id, vec, cluster_id, centroid_sim). Write it partitioned by
+    cluster_id; probing a new batch then shuffles only the batch (the
+    ``minhash_index`` production shape: a 100 TB corpus grows by a few
+    TB a day, and the index is what the training set actually
+    contains). The kept set is the index by design — a vector dropped
+    at build time is NOT in the corpus, so new data should be judged
+    against the survivors that represent it. Same (centroids,
+    threshold, scale) must be used at build and probe time."""
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    if centroids is None:
+        centroids = _semdedup_seed_centroids(corpus, id_col, vec_col, n_clusters)
+    schema = (
+        "vec_id long, cluster_id int, centroid_sim double, kept boolean,"
+        " vec array<double>"
+    )
+    if not centroids:
+        return [], corpus.sparkSession.createDataFrame([], schema)
+    assigned = _semdedup_assigned(corpus, id_col, vec_col, centroids, scale)
+    kernel = _semdedup_kernel(threshold, scale, emit_vec=True)
+    flagged = assigned.groupBy("cluster_id").applyInPandas(
+        lambda _key, pdf: kernel(pdf), schema=schema
+    )
+    return centroids, flagged.where(F.col("kept")).select(
+        "vec_id", "vec", "cluster_id", "centroid_sim"
+    )
+
+
+def semdedup_against_index(
+    batch: DataFrame,
+    centroids: list[list[float]],
+    index: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    scale: int = 4,
+) -> DataFrame:
+    """Incremental SemDeDup: judge a NEW batch against an existing
+    kept-set ``index`` (from :func:`semdedup_index`) without
+    re-scoring the index. Returns the batch rows as
+    (vec_id, cluster_id, centroid_sim, kept); index members are
+    immutable survivors — they dominate but are never re-emitted.
+
+    Drop rule, consistent with :func:`semdedup_keep`'s greedy
+    dominator: a batch vector is dropped iff its rounded cosine
+    exceeds ``threshold`` against ANY index member of its cluster, or
+    against an earlier batch member ((centroid_sim, id) ascending).
+    With an EMPTY index this reduces exactly to
+    ``semdedup_keep(batch, centroids=centroids)`` (pinned by test).
+
+    Plan shape: batch assignment is the same broadcast-matmul map; the
+    cluster groupBy shuffles batch + index rows (partition the stored
+    index by cluster_id and only the batch truly moves); inside each
+    group ONE RECTANGULAR matmul scores (index+batch) rows against
+    batch columns — the index×index block is never computed, so probe
+    FLOPs scale with |batch|, not |index|². Group size is
+    |cluster kept set| + |cluster batch| — the same boundedness
+    contract as the build side."""
+    out_schema = "vec_id long, cluster_id int, centroid_sim double, kept boolean"
+    if not centroids:
+        # empty index universe (e.g. the base corpus was empty): no
+        # clusters exist, nothing to judge against — no batch row can
+        # be certified either way, so the result is empty by contract
+        return batch.sparkSession.createDataFrame([], out_schema)
+    assigned = _semdedup_assigned(
+        batch, id_col, vec_col, centroids, scale
+    ).withColumn("_idx", F.lit(0))
+    idx = index.select(
+        F.col("vec_id").alias("_id"),
+        F.col("vec").alias("_v"),
+        "cluster_id",
+        "centroid_sim",
+        F.lit(1).alias("_idx"),
+    )
+    pow10 = float(10**scale)
+
+    def _probe(pdf: pd.DataFrame) -> pd.DataFrame:
+        # index rows first (any internal order — they cannot drop),
+        # then batch rows in the build kernel's (centroid_sim, id) order
+        pdf = pdf.sort_values(
+            ["_idx", "centroid_sim", "_id"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        is_batch = (pdf["_idx"] == 0).to_numpy()
+        if not is_batch.any():
+            return pd.DataFrame(
+                {
+                    "vec_id": np.array([], dtype=np.int64),
+                    "cluster_id": np.array([], dtype=np.int32),
+                    "centroid_sim": np.array([], dtype=np.float64),
+                    "kept": np.array([], dtype=bool),
+                }
+            )
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            # rectangular matmul: (index+batch) rows × batch cols —
+            # the index×index block is never computed
+            sims = np.floor((vn @ vn[is_batch].T) * pow10 + 0.5) / pow10
+        pos = np.arange(len(pdf))
+        earlier = pos[:, None] < pos[is_batch][None, :]
+        dominated = ((sims > threshold) & earlier).any(axis=0)
         return pd.DataFrame(
             {
-                "vec_id": pdf["_id"].to_numpy(),
-                "cluster_id": pdf["cluster_id"].to_numpy(),
-                "centroid_sim": pdf["centroid_sim"].to_numpy(),
+                "vec_id": pdf["_id"].to_numpy()[is_batch],
+                "cluster_id": pdf["cluster_id"].to_numpy()[is_batch],
+                "centroid_sim": pdf["centroid_sim"].to_numpy()[is_batch],
                 "kept": ~dominated,
             }
         )
 
-    return assigned.groupBy("cluster_id").applyInPandas(
-        lambda _key, pdf: _dedup(pdf), schema=out_schema
+    return (
+        assigned.unionByName(idx)
+        .groupBy("cluster_id")
+        .applyInPandas(lambda _key, pdf: _probe(pdf), schema=out_schema)
     )

@@ -1028,3 +1028,104 @@ def dedup_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semdedup_keep(
         emb, "vec_id", "embedding", n_clusters=8, threshold=0.35
     )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    """Rounded-cosine SQL fragment (the 4-dp half-up contract)."""
+    return (
+        f"FLOOR((list_dot_product({a}, {b})"
+        f" / NULLIF(sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})), 0))"
+        f" * 10000.0 + 0.5) / 10000.0"
+    )
+
+
+_SEMDEDUP_INCREMENTAL_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+base AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+newb AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+c AS (
+    SELECT v AS cv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+    FROM (SELECT * FROM base ORDER BY vec_id LIMIT 8)
+),
+bsims AS (
+    SELECT base.vec_id, c.cid, base.v,
+           COALESCE({_sql_cos('base.v', 'c.cv')}, -2.0) AS s
+    FROM base CROSS JOIN c
+),
+bassign AS (
+    SELECT vec_id, v, cid, s,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cid ASC) AS rn
+    FROM bsims
+),
+ba AS (
+    SELECT vec_id, v, CAST(cid AS INT) AS cluster_id, s AS centroid_sim
+    FROM bassign WHERE rn = 1
+),
+bdup AS (
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           x.centroid_sim AS cs_a, y.centroid_sim AS cs_b
+    FROM ba x JOIN ba y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+    WHERE {_sql_cos('x.v', 'y.v')} > 0.35
+),
+bdropped AS (
+    SELECT DISTINCT CASE WHEN (cs_a, id_a) < (cs_b, id_b)
+                         THEN id_b ELSE id_a END AS vec_id
+    FROM bdup
+),
+bkept AS (
+    SELECT ba.* FROM ba LEFT JOIN bdropped d ON ba.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+),
+nsims AS (
+    SELECT n.vec_id, c.cid, n.v,
+           COALESCE({_sql_cos('n.v', 'c.cv')}, -2.0) AS s
+    FROM newb n CROSS JOIN c
+),
+nassign AS (
+    SELECT vec_id, v, cid, s,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cid ASC) AS rn
+    FROM nsims
+),
+na AS (
+    SELECT vec_id, v, CAST(cid AS INT) AS cluster_id, s AS centroid_sim
+    FROM nassign WHERE rn = 1
+),
+crossdom AS (
+    SELECT DISTINCT n.vec_id
+    FROM na n JOIN bkept k ON n.cluster_id = k.cluster_id
+    WHERE {_sql_cos('n.v', 'k.v')} > 0.35
+),
+selfdom AS (
+    SELECT DISTINCT CASE WHEN (x.centroid_sim, x.vec_id)
+                              < (y.centroid_sim, y.vec_id)
+                         THEN y.vec_id ELSE x.vec_id END AS vec_id
+    FROM na x JOIN na y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+    WHERE {_sql_cos('x.v', 'y.v')} > 0.35
+)
+SELECT na.vec_id, na.cluster_id, na.centroid_sim,
+       (cd.vec_id IS NULL AND sd.vec_id IS NULL) AS kept
+FROM na
+LEFT JOIN crossdom cd ON na.vec_id = cd.vec_id
+LEFT JOIN selfdom sd ON na.vec_id = sd.vec_id
+"""
+
+
+@query("dedup_semdedup_incremental", _SEMDEDUP_INCREMENTAL_ORACLE)
+def dedup_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup: build the kept-set index over the base
+    corpus (vec_id % 5 != 0), then judge the new batch (vec_id % 5 = 0)
+    against it without re-scoring the index
+    (operators/similarity.py::semdedup_index / semdedup_against_index —
+    the minhash_index production shape for daily embedding growth).
+    The oracle replays the ENTIRE two-stage pipeline — base clustering,
+    base greedy dedup, batch assignment, cross-domination by kept index
+    members, within-batch domination — so one hash match certifies the
+    incremental path end-to-end against the build-time semantics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    cents, idx = SIM.semdedup_index(base, n_clusters=8, threshold=0.35)
+    return SIM.semdedup_against_index(batch, cents, idx, threshold=0.35)

@@ -634,3 +634,71 @@ def test_semdedup_single_row_corpus(spark):
     )
     rows = SIM.semdedup_keep(df, n_clusters=8).collect()
     assert len(rows) == 1 and rows[0].kept and rows[0].centroid_sim == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Incremental SemDeDup (semdedup_index / semdedup_against_index)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_index_is_the_kept_set(spark):
+    df = spark.createDataFrame(
+        [r for r in _SEM_VECS if r[1] is not None],
+        "vec_id long, embedding array<double>",
+    )
+    full = SIM.semdedup_keep(df, n_clusters=2, threshold=0.9)
+    kept_ids = {r.vec_id for r in full.collect() if r.kept}
+    cents, idx = SIM.semdedup_index(df, n_clusters=2, threshold=0.9)
+    rows = idx.collect()
+    assert {r.vec_id for r in rows} == kept_ids
+    # vectors ride along for the probe matmul
+    assert all(r.vec is not None for r in rows)
+    assert len(cents) == 2
+
+
+def test_semdedup_against_empty_index_equals_build(spark):
+    df = spark.createDataFrame(
+        _SEM_VECS, "vec_id long, embedding array<double>"
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    empty_idx = spark.createDataFrame(
+        [],
+        "vec_id long, vec array<double>, cluster_id int, centroid_sim double",
+    )
+    inc = {
+        r.vec_id: (r.cluster_id, r.centroid_sim, r.kept)
+        for r in SIM.semdedup_against_index(
+            df, cents, empty_idx, threshold=0.9
+        ).collect()
+    }
+    full = {
+        r.vec_id: (r.cluster_id, r.centroid_sim, r.kept)
+        for r in SIM.semdedup_keep(
+            df, centroids=cents, threshold=0.9
+        ).collect()
+    }
+    assert inc == full
+
+
+def test_semdedup_incremental_drops_copies_of_index_members(spark):
+    df = spark.createDataFrame(
+        [r for r in _SEM_VECS if r[1] is not None],
+        "vec_id long, embedding array<double>",
+    )
+    cents, idx = SIM.semdedup_index(df, n_clusters=2, threshold=0.9)
+    batch = spark.createDataFrame(
+        [
+            (101, [0.9, 0.1]),    # copy of kept id3 → dropped
+            (102, [0.05, -1.0]),  # far from everything → kept
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r.kept
+        for r in SIM.semdedup_against_index(
+            batch, cents, idx, threshold=0.9
+        ).collect()
+    }
+    assert out == {101: False, 102: True}
+    # index members are never re-emitted
+    assert set(out) == {101, 102}
