@@ -829,3 +829,125 @@ def consolidate_gate_storage(
         "archive_files": int(n_files),
         "archive_bytes": int(total_bytes),
     }
+
+
+EMB_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def init_semdedup_index(
+    spark: SparkSession,
+    index_dir: str,
+    seed: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.35,
+    scale: int = 4,
+) -> None:
+    """Seed the persisted SemDeDup index ``streaming_semdedup_gate``
+    probes: run the certified build
+    (operators/similarity.py::semdedup_index) over a non-empty SEED
+    corpus, persist its centroids (the cluster universe every later
+    probe assigns against — immutable for the index's lifetime, the
+    same contract as ``ivf_index(centroids=...)``) and its kept rows
+    under the hive ``batch=-1`` partition the gate's per-batch
+    overwrite layout expects. A seed is REQUIRED because SemDeDup has
+    no cluster universe without centroids; an arbitrary stream prefix
+    is a fine seed (the paper samples centroids from the corpus)."""
+    from rentals_data_pipeline_spark.operators.similarity import (
+        semdedup_index,
+    )
+
+    cents, kept = semdedup_index(
+        seed, n_clusters=n_clusters, threshold=threshold, scale=scale
+    )
+    if not cents:
+        raise ValueError(
+            "semdedup gate seed corpus is empty: no centroid universe"
+        )
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    kept.write.mode("overwrite").parquet(f"{index_dir}/kept/batch=-1")
+
+
+def streaming_semdedup_gate(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.35,
+    scale: int = 4,
+    max_files_per_trigger: int = 1,
+):
+    """Online SEMANTIC dedup gate for an arriving embedding stream —
+    the SemDeDup face of ``streaming_dedup_gate``: each micro-batch is
+    judged by the certified incremental operator
+    (operators/similarity.py::semdedup_against_index — within-batch
+    greedy dominator + domination by any kept index member of the
+    batch row's cluster), the kept rows land in ``output_dir`` and
+    their index rows (vector + cluster + centroid_sim) grow the
+    persisted index, so the next batch is judged against a corpus that
+    includes this one.
+
+    Same storage/replay design as the LSH gate: the index lives in
+    cluster-assignable PARQUET (TB-scale at 100 TB — far beyond
+    per-key streaming state), every write targets the batch's OWN
+    ``batch=<id>`` partition with overwrite, and the probe reads only
+    STRICTLY-EARLIER partitions, so a checkpoint replay of a crashed
+    batch never self-matches. Centroids load once per run (a bounded
+    n_clusters × dim collect); they are the fixed cluster universe —
+    growing a drifted corpus eventually wants an index rebuild with
+    re-sampled centroids, exactly like IVF re-centering."""
+    from rentals_data_pipeline_spark.operators.similarity import (
+        as_double,
+        semdedup_against_index,
+    )
+
+    cents = [
+        list(r["cv"])
+        for r in spark.read.parquet(f"{index_dir}/centroids")
+        .orderBy("cid")
+        .collect()
+    ]
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)  # file-source
+        # lineage is not re-resolvable inside foreachBatch joins
+        idx = sp.read.parquet(f"{index_dir}/kept").where(
+            F.col("batch") < batch_id
+        ).select("vec_id", "vec", "cluster_id", "centroid_sim")
+        judged = semdedup_against_index(
+            batch_df, cents, idx, threshold=threshold, scale=scale
+        )
+        kept = judged.where(F.col("kept")).localCheckpoint(eager=True)
+        novel = batch_df.join(
+            kept.select("vec_id"), "vec_id", "left_semi"
+        )
+        novel.write.mode("overwrite").parquet(
+            f"{output_dir}/batch={batch_id}"
+        )
+        new_idx = kept.join(
+            batch_df.select(
+                "vec_id", as_double(F.col("embedding")).alias("vec")
+            ),
+            "vec_id",
+        ).select("vec_id", "vec", "cluster_id", "centroid_sim")
+        new_idx.write.mode("overwrite").parquet(
+            f"{index_dir}/kept/batch={batch_id}"
+        )
+
+    return (
+        spark.readStream.schema(EMB_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

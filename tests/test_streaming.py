@@ -1244,3 +1244,147 @@ def test_consolidate_gate_storage_bounds_partitions(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(out_dir).collect()
     )
     assert after == [0, 1, 2, 3, 4, 5, 7]
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantic dedup gate (SemDeDup face of the LSH gate)
+# ---------------------------------------------------------------------------
+
+
+def _emb_arrivals(spark, tmp_path, batches):
+    """Write one mtime-ordered parquet file per micro-batch."""
+    import os as _os
+    import shutil
+
+    src = tmp_path / "emb_src"
+    src.mkdir()
+    flat = tmp_path / "emb_arrivals"
+    flat.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}"))
+        part = next((src / f"b{i}").glob("part-*.parquet"))
+        dst = flat / f"{i:03d}.parquet"
+        shutil.copy(part, dst)
+        _os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
+    return str(flat)
+
+
+def test_streaming_semdedup_gate_matches_sequential_batches(spark, tmp_path):
+    """The online semantic gate keeps exactly what sequentially applying
+    the certified incremental operator per micro-batch keeps: near-dups
+    of the seed index drop, within-batch dups drop to the greedy
+    dominator's survivor, cross-batch dups lose to an earlier-arrived
+    survivor, and novel vectors grow the index for later batches."""
+    from rentals_data_pipeline_spark.operators.similarity import (
+        as_double,
+        semdedup_against_index,
+        semdedup_index,
+    )
+
+    seed_rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    batches = [
+        # 10 ~ seed id1 (cross-index dup); 11/12 a within-batch dup
+        # pair far from the seed; 13 novel
+        [(10, [0.98, 0.02]), (11, [-1.0, 0.0]), (12, [-1.0, -0.02]),
+         (13, [0.5, -0.5])],
+        # 20 ~ whichever of 11/12 survived batch 0; 21 novel
+        [(20, [-1.0, -0.01]), (21, [-0.5, 0.5])],
+    ]
+
+    seed = spark.createDataFrame(
+        seed_rows, "vec_id long, embedding array<double>"
+    )
+    cents, idx = semdedup_index(seed, n_clusters=2, threshold=0.9)
+    idx = idx.localCheckpoint(eager=True)
+
+    # expected: the certified operator applied sequentially per batch
+    expected: list[int] = []
+    for rows in batches:
+        bdf = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        judged = semdedup_against_index(bdf, cents, idx, threshold=0.9)
+        kept = judged.where(F.col("kept")).localCheckpoint(eager=True)
+        expected += [r["vec_id"] for r in kept.collect()]
+        idx = idx.unionByName(
+            kept.join(
+                bdf.select(
+                    "vec_id", as_double(F.col("embedding")).alias("vec")
+                ),
+                "vec_id",
+            ).select("vec_id", "vec", "cluster_id", "centroid_sim")
+        ).localCheckpoint(eager=True)
+
+    # the scenario must exercise every rule: a cross-index drop, a
+    # within-batch drop, a cross-batch drop, and novel keeps
+    assert 10 not in expected and 20 not in expected
+    assert len({11, 12} & set(expected)) == 1
+    assert 13 in expected and 21 in expected
+
+    flat = _emb_arrivals(spark, tmp_path, batches)
+    index_dir = str(tmp_path / "semidx")
+    out_dir = str(tmp_path / "semkept")
+    SJ.init_semdedup_index(spark, index_dir, seed, n_clusters=2,
+                           threshold=0.9)
+    q = SJ.streaming_semdedup_gate(
+        spark, flat, index_dir, out_dir, str(tmp_path / "semckpt"),
+        threshold=0.9,
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["vec_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == sorted(expected)
+    # the persisted index = seed survivors + stream survivors
+    idx_ids = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(f"{index_dir}/kept").collect()
+    )
+    assert idx_ids == sorted([1, 2] + expected)
+
+
+def test_streaming_semdedup_gate_replay_is_idempotent(spark, tmp_path):
+    """Fresh-checkpoint rerun over the same arrivals: every batch
+    re-targets its own batch=<id> partition and probes only
+    strictly-earlier partitions, so the kept set is identical instead
+    of self-matching everything away."""
+    seed = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    batches = [
+        [(10, [0.7, 0.7]), (11, [-1.0, 0.0])],
+        [(20, [0.7, 0.7]), (21, [0.3, -0.9])],
+    ]
+    flat = _emb_arrivals(spark, tmp_path, batches)
+    index_dir = str(tmp_path / "semidx")
+    out_dir = str(tmp_path / "semkept")
+    SJ.init_semdedup_index(spark, index_dir, seed, n_clusters=2,
+                           threshold=0.9)
+    SJ.streaming_semdedup_gate(
+        spark, flat, index_dir, out_dir, str(tmp_path / "ck1"),
+        threshold=0.9,
+    ).awaitTermination()
+    first = sorted(
+        r["vec_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    SJ.streaming_semdedup_gate(
+        spark, flat, index_dir, out_dir, str(tmp_path / "ck2"),
+        threshold=0.9,
+    ).awaitTermination()
+    second = sorted(
+        r["vec_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    assert first == second
+
+
+def test_init_semdedup_index_rejects_empty_seed(spark, tmp_path):
+    import pytest as _pytest
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="seed"):
+        SJ.init_semdedup_index(spark, str(tmp_path / "idx"), empty)
