@@ -967,22 +967,30 @@ def sim_matryoshka_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_cos(a: str, b: str) -> str:
+    """Rounded-cosine SQL fragment (the 4-dp half-up contract)."""
+    return (
+        f"FLOOR((list_dot_product({a}, {b})"
+        f" / NULLIF(sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})), 0))"
+        f" * 10000.0 + 0.5) / 10000.0"
+    )
+
+
 @query(
     "dedup_semdedup_embeddings",
-    """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WHERE embedding IS NOT NULL
+),
 c AS (
     SELECT v AS cv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
     FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
 ),
 sims AS (
     SELECT e.vec_id, c.cid, e.v,
-           COALESCE(
-               FLOOR((list_dot_product(e.v, c.cv)
-                      / NULLIF(sqrt(list_dot_product(e.v, e.v))
-                               * sqrt(list_dot_product(c.cv, c.cv)), 0))
-                     * 10000.0 + 0.5) / 10000.0,
-               -2.0) AS s
+           COALESCE({_sql_cos('e.v', 'c.cv')}, -2.0) AS s
     FROM e CROSS JOIN c
 ),
 assign AS (
@@ -999,10 +1007,7 @@ dup AS (
     SELECT x.vec_id AS id_a, y.vec_id AS id_b,
            x.centroid_sim AS cs_a, y.centroid_sim AS cs_b
     FROM a x JOIN a y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
-    WHERE FLOOR((list_dot_product(x.v, y.v)
-                 / NULLIF(sqrt(list_dot_product(x.v, x.v))
-                          * sqrt(list_dot_product(y.v, y.v)), 0))
-                * 10000.0 + 0.5) / 10000.0 > 0.35
+    WHERE {_sql_cos('x.v', 'y.v')} > 0.35
 ),
 dropped AS (
     SELECT DISTINCT CASE WHEN (cs_a, id_a) < (cs_b, id_b)
@@ -1030,18 +1035,11 @@ def dedup_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_cos(a: str, b: str) -> str:
-    """Rounded-cosine SQL fragment (the 4-dp half-up contract)."""
-    return (
-        f"FLOOR((list_dot_product({a}, {b})"
-        f" / NULLIF(sqrt(list_dot_product({a}, {a}))"
-        f" * sqrt(list_dot_product({b}, {b})), 0))"
-        f" * 10000.0 + 0.5) / 10000.0"
-    )
-
-
 _SEMDEDUP_INCREMENTAL_ORACLE = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WHERE embedding IS NOT NULL
+),
 base AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
 newb AS (SELECT * FROM e WHERE vec_id % 5 = 0),
 c AS (

@@ -871,7 +871,9 @@ def init_semdedup_index(
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
-    kept.write.mode("overwrite").parquet(f"{index_dir}/kept/batch=-1")
+    kept.write.mode("overwrite").partitionBy("cluster_id").parquet(
+        f"{index_dir}/kept/batch=-1"
+    )
 
 
 def streaming_semdedup_gate(
@@ -895,14 +897,29 @@ def streaming_semdedup_gate(
     includes this one.
 
     Same storage/replay design as the LSH gate: the index lives in
-    cluster-assignable PARQUET (TB-scale at 100 TB — far beyond
-    per-key streaming state), every write targets the batch's OWN
-    ``batch=<id>`` partition with overwrite, and the probe reads only
-    STRICTLY-EARLIER partitions, so a checkpoint replay of a crashed
-    batch never self-matches. Centroids load once per run (a bounded
-    n_clusters × dim collect); they are the fixed cluster universe —
-    growing a drifted corpus eventually wants an index rebuild with
-    re-sampled centroids, exactly like IVF re-centering."""
+    PARQUET partitioned by (batch, cluster_id) — TB-scale at 100 TB,
+    far beyond per-key streaming state — every write targets the
+    batch's OWN ``batch=<id>`` partition with overwrite, and the probe
+    reads only STRICTLY-EARLIER partitions, so a checkpoint replay of
+    a crashed batch never self-matches. Centroids load once per run (a
+    bounded n_clusters × dim collect); they are the fixed cluster
+    universe — growing a drifted corpus eventually wants an index
+    rebuild with re-sampled centroids, exactly like IVF re-centering.
+
+    Honest cost note: the cluster_id partitioning prunes PER-CLUSTER
+    reads but does NOT exempt the index from the probe's groupBy
+    shuffle — in this implementation every trigger re-shuffles the
+    index rows alongside the batch (cumulative O(|index|) I/O per
+    trigger). That is fine at gate-sized indexes; at a truly TB-scale
+    index, run the gate per cluster (read only ``cluster_id=<c>``
+    partitions for the clusters the batch actually hits — the batch's
+    assignment map gives that set for free) or keep the index as a
+    bucketed table so the groupBy co-locates without a shuffle.
+
+    Precondition, same as the LSH gate's doc_id: ``vec_id`` is unique
+    within a micro-batch. Exact duplicate rows (a replaying producer)
+    are dropped here defensively; two DIFFERENT vectors sharing a
+    vec_id in one batch have no right answer and will double-write."""
     from rentals_data_pipeline_spark.operators.similarity import (
         as_double,
         semdedup_against_index,
@@ -917,8 +934,12 @@ def streaming_semdedup_gate(
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        batch_df = batch_df.localCheckpoint(eager=True)  # file-source
-        # lineage is not re-resolvable inside foreachBatch joins
+        # exact-duplicate rows (replaying producer) collapse before
+        # judging; see the vec_id-uniqueness precondition above
+        batch_df = batch_df.dropDuplicates().localCheckpoint(
+            eager=True
+        )  # file-source lineage is not re-resolvable inside
+        # foreachBatch joins
         idx = sp.read.parquet(f"{index_dir}/kept").where(
             F.col("batch") < batch_id
         ).select("vec_id", "vec", "cluster_id", "centroid_sim")
@@ -938,7 +959,7 @@ def streaming_semdedup_gate(
             ),
             "vec_id",
         ).select("vec_id", "vec", "cluster_id", "centroid_sim")
-        new_idx.write.mode("overwrite").parquet(
+        new_idx.write.mode("overwrite").partitionBy("cluster_id").parquet(
             f"{index_dir}/kept/batch={batch_id}"
         )
 
