@@ -892,6 +892,7 @@ def semdedup_keep(
     threshold: float = 0.35,
     scale: int = 4,
     centroids: list[list[float]] | None = None,
+    max_cluster_members: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and dropping within-cluster
@@ -909,7 +910,14 @@ def semdedup_keep(
     groupBy on cluster_id. At 100 TB size ``n_clusters`` so a cluster's
     (members × dim) matrix fits an executor core (the paper uses
     k ≈ 0.1‰ of n); a skewed cluster is the same hot-cell hazard as
-    IVF — re-cluster or cap upstream.
+    IVF. Unlike IVF's ``max_cell_size`` (an unbiased trim — acceptable
+    for RECALL, which degrades gracefully), silently sampling a dedup
+    cluster would silently ship duplicates, so the guard here is
+    ``max_cluster_members``: when set, a cluster exceeding the bound
+    FAILS the stage with the cluster id and size in the message — the
+    production contract is "re-cluster with larger k", made enforceable
+    instead of an OOM surprise. Default None (the certified corpora
+    are orders of magnitude under any real bound).
 
     Determinism / oracle parity (the repo's established 4-dp contract):
 
@@ -940,7 +948,9 @@ def semdedup_keep(
     if not centroids:
         return corpus.sparkSession.createDataFrame([], out_schema)
     assigned = _semdedup_assigned(corpus, id_col, vec_col, centroids, scale)
-    kernel = _semdedup_kernel(threshold, scale)
+    kernel = _semdedup_kernel(
+        threshold, scale, max_members=max_cluster_members
+    )
     return assigned.groupBy("cluster_id").applyInPandas(
         lambda _key, pdf: kernel(pdf), schema=out_schema
     )
@@ -1010,15 +1020,28 @@ def _semdedup_assigned(
     )
 
 
-def _semdedup_kernel(threshold: float, scale: int, emit_vec: bool = False):
+def _semdedup_kernel(
+    threshold: float,
+    scale: int,
+    emit_vec: bool = False,
+    max_members: int | None = None,
+):
     """Per-cluster greedy-dominator kernel: sort by (centroid_sim, id)
     ascending, one matmul for the cluster's rounded pairwise cosines,
     drop any member an earlier member exceeds ``threshold`` against.
     NaN sims (zero-norm rows) compare False — never dropped, never
-    dominate. ``emit_vec`` adds the vector column for index builds."""
+    dominate. ``emit_vec`` adds the vector column for index builds;
+    ``max_members`` makes the hot-cluster hazard an explicit failure
+    instead of an executor OOM (see ``semdedup_keep``)."""
     pow10 = float(10**scale)
 
     def _dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        if max_members is not None and len(pdf) > max_members:
+            raise ValueError(
+                f"semdedup cluster {int(pdf['cluster_id'].iat[0])} has "
+                f"{len(pdf)} members > max_cluster_members="
+                f"{max_members}: re-cluster with larger n_clusters"
+            )
         pdf = pdf.sort_values(["centroid_sim", "_id"], kind="mergesort")
         v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
         with np.errstate(divide="ignore", invalid="ignore"):

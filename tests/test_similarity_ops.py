@@ -702,3 +702,20 @@ def test_semdedup_incremental_drops_copies_of_index_members(spark):
     assert out == {101: False, 102: True}
     # index members are never re-emitted
     assert set(out) == {101, 102}
+
+
+def test_semdedup_hot_cluster_guard(spark):
+    df = spark.createDataFrame(
+        [r for r in _SEM_VECS if r[1] is not None],
+        "vec_id long, embedding array<double>",
+    )
+    # cluster 0 holds ids 1/3/4/6 — four members, over a bound of 3
+    with pytest.raises(Exception, match="max_cluster_members"):
+        SIM.semdedup_keep(
+            df, n_clusters=2, threshold=0.9, max_cluster_members=3
+        ).collect()
+    # a loose bound passes untouched
+    rows = SIM.semdedup_keep(
+        df, n_clusters=2, threshold=0.9, max_cluster_members=100
+    ).collect()
+    assert len(rows) == 6
