@@ -1069,6 +1069,7 @@ def semdedup_index(
     threshold: float = 0.35,
     scale: int = 4,
     centroids: list[list[float]] | None = None,
+    max_cluster_members: int | None = None,
 ) -> tuple[list[list[float]], DataFrame]:
     """Persistable SemDeDup index for INCREMENTAL semantic dedup:
     ``(centroids, kept_index)`` where ``kept_index`` is the KEPT rows
@@ -1080,7 +1081,9 @@ def semdedup_index(
     contains). The kept set is the index by design — a vector dropped
     at build time is NOT in the corpus, so new data should be judged
     against the survivors that represent it. Same (centroids,
-    threshold, scale) must be used at build and probe time."""
+    threshold, scale) must be used at build and probe time.
+    ``max_cluster_members`` is the same enforceable hot-cluster bound
+    as ``semdedup_keep``'s."""
     corpus = corpus.where(F.col(vec_col).isNotNull())
     if centroids is None:
         centroids = _semdedup_seed_centroids(corpus, id_col, vec_col, n_clusters)
@@ -1091,7 +1094,9 @@ def semdedup_index(
     if not centroids:
         return [], corpus.sparkSession.createDataFrame([], schema)
     assigned = _semdedup_assigned(corpus, id_col, vec_col, centroids, scale)
-    kernel = _semdedup_kernel(threshold, scale, emit_vec=True)
+    kernel = _semdedup_kernel(
+        threshold, scale, emit_vec=True, max_members=max_cluster_members
+    )
     flagged = assigned.groupBy("cluster_id").applyInPandas(
         lambda _key, pdf: kernel(pdf), schema=schema
     )
@@ -1108,6 +1113,7 @@ def semdedup_against_index(
     vec_col: str = "embedding",
     threshold: float = 0.35,
     scale: int = 4,
+    max_cluster_members: int | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup: judge a NEW batch against an existing
     kept-set ``index`` (from :func:`semdedup_index`) without
@@ -1129,7 +1135,9 @@ def semdedup_against_index(
     batch columns — the index×index block is never computed, so probe
     FLOPs scale with |batch|, not |index|². Group size is
     |cluster kept set| + |cluster batch| — the same boundedness
-    contract as the build side."""
+    contract as the build side, and ``max_cluster_members`` makes it
+    enforceable here too (the bound applies to that combined group
+    size, since that is what one probe task must hold)."""
     out_schema = "vec_id long, cluster_id int, centroid_sim double, kept boolean"
     if not centroids:
         # empty index universe (e.g. the base corpus was empty): no
@@ -1149,6 +1157,13 @@ def semdedup_against_index(
     pow10 = float(10**scale)
 
     def _probe(pdf: pd.DataFrame) -> pd.DataFrame:
+        if max_cluster_members is not None and len(pdf) > max_cluster_members:
+            raise ValueError(
+                f"semdedup probe cluster {int(pdf['cluster_id'].iat[0])} "
+                f"has {len(pdf)} index+batch members > "
+                f"max_cluster_members={max_cluster_members}: re-cluster "
+                f"with larger n_clusters"
+            )
         # index rows first (any internal order — they cannot drop),
         # then batch rows in the build kernel's (centroid_sim, id) order
         pdf = pdf.sort_values(

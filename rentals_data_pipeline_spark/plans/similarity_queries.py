@@ -27,6 +27,16 @@ from rentals_data_pipeline_spark.operators import similarity as SIM
 from rentals_data_pipeline_spark.plans.catalog import query
 from rentals_data_pipeline_spark.sources.tables import load_table
 
+def _sql_cos(a: str, b: str) -> str:
+    """Rounded-cosine SQL fragment (the 4-dp half-up contract)."""
+    return (
+        f"FLOOR((list_dot_product({a}, {b})"
+        f" / NULLIF(sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})), 0))"
+        f" * 10000.0 + 0.5) / 10000.0"
+    )
+
+
 _ORACLE_COSINE_PAIRS = """
 e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -44,10 +54,7 @@ scored AS (
     SELECT
         p.probe_id,
         c.vec_id AS match_id,
-        FLOOR((list_dot_product(p.pv, c.v)
-               / NULLIF(sqrt(list_dot_product(p.pv, p.pv))
-                        * sqrt(list_dot_product(c.v, c.v)), 0))
-              * 10000.0 + 0.5) / 10000.0 AS cosine
+        {_sql_cos('p.pv', 'c.v')} AS cosine
     FROM probe p JOIN e c ON p.probe_id <> c.vec_id
 ),
 ranked AS (
@@ -82,10 +89,7 @@ p AS (
     SELECT
         a.vec_id AS id_a,
         b.vec_id AS id_b,
-        FLOOR((list_dot_product(a.v, b.v)
-               / NULLIF(sqrt(list_dot_product(a.v, a.v))
-                        * sqrt(list_dot_product(b.v, b.v)), 0))
-              * 10000.0 + 0.5) / 10000.0 AS cosine
+        {_sql_cos('a.v', 'b.v')} AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cosine FROM p WHERE cosine > 0.4
@@ -111,10 +115,7 @@ p AS (
     SELECT
         a.vec_id AS id_a,
         b.vec_id AS id_b,
-        FLOOR((list_dot_product(a.v, b.v)
-               / NULLIF(sqrt(list_dot_product(a.v, a.v))
-                        * sqrt(list_dot_product(b.v, b.v)), 0))
-              * 10000.0 + 0.5) / 10000.0 AS cosine
+        {_sql_cos('a.v', 'b.v')} AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cosine FROM p WHERE cosine > 0.4
@@ -192,10 +193,7 @@ p AS (
         a.vec_id AS id_a,
         b.vec_id AS id_b
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE FLOOR((list_dot_product(a.v, b.v)
-                 / NULLIF(sqrt(list_dot_product(a.v, a.v))
-                          * sqrt(list_dot_product(b.v, b.v)), 0))
-                * 10000.0 + 0.5) / 10000.0 > 0.4
+    WHERE {_sql_cos('a.v', 'b.v')} > 0.4
 ),
 ed AS (
     SELECT id_a AS src, id_b AS dst FROM p
@@ -507,7 +505,7 @@ def sim_quantize_int8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_quantized_cosine_topk",
-    """
+    f"""
 WITH e AS (
     SELECT vec_id, i AS dim_idx, CAST(embedding[i] AS DOUBLE) AS v
     FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
@@ -533,10 +531,7 @@ scored AS (
     SELECT
         p.probe_id,
         c.vec_id AS match_id,
-        FLOOR((list_dot_product(p.pv, c.v)
-               / NULLIF(sqrt(list_dot_product(p.pv, p.pv))
-                        * sqrt(list_dot_product(c.v, c.v)), 0))
-              * 10000.0 + 0.5) / 10000.0 AS cosine
+        {_sql_cos('p.pv', 'c.v')} AS cosine
     FROM probe p JOIN vecs c ON p.probe_id <> c.vec_id
 ),
 ranked AS (
@@ -767,10 +762,7 @@ scored AS (
     SELECT
         p.probe_id,
         c.vec_id AS match_id,
-        FLOOR((list_dot_product(p.pv, c.v)
-               / NULLIF(sqrt(list_dot_product(p.pv, p.pv))
-                        * sqrt(list_dot_product(c.v, c.v)), 0))
-              * 10000.0 + 0.5) / 10000.0 AS cosine
+        {_sql_cos('p.pv', 'c.v')} AS cosine
     FROM probe p JOIN e c ON p.probe_id <> c.vec_id
 ),
 ranked AS (
@@ -858,10 +850,7 @@ probe AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % 50 = 0),
 pre AS (
     SELECT
         p.probe_id, c.vec_id AS match_id, p.pv, c.v,
-        FLOOR((list_dot_product(p.pv[1:16], c.v[1:16])
-               / NULLIF(sqrt(list_dot_product(p.pv[1:16], p.pv[1:16]))
-                        * sqrt(list_dot_product(c.v[1:16], c.v[1:16])), 0))
-              * 10000.0 + 0.5) / 10000.0 AS pre_cos
+        {_sql_cos('p.pv[1:16]', 'c.v[1:16]')} AS pre_cos
     FROM probe p JOIN e c ON p.probe_id <> c.vec_id
 ),
 cand AS (
@@ -871,10 +860,7 @@ cand AS (
 ),
 fr AS (
     SELECT probe_id, match_id, pre_cos,
-        FLOOR((list_dot_product(pv, v)
-               / NULLIF(sqrt(list_dot_product(pv, pv))
-                        * sqrt(list_dot_product(v, v)), 0))
-              * 10000.0 + 0.5) / 10000.0 AS cosine
+        {_sql_cos('pv', 'v')} AS cosine
     FROM cand WHERE prn <= 20
 ),
 ranked AS (
@@ -964,16 +950,6 @@ def sim_matryoshka_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         full.withColumn("rn", F.row_number().over(w_full))
         .where(F.col("rn") <= 5)
         .select("probe_id", "match_id", "cosine")
-    )
-
-
-def _sql_cos(a: str, b: str) -> str:
-    """Rounded-cosine SQL fragment (the 4-dp half-up contract)."""
-    return (
-        f"FLOOR((list_dot_product({a}, {b})"
-        f" / NULLIF(sqrt(list_dot_product({a}, {a}))"
-        f" * sqrt(list_dot_product({b}, {b})), 0))"
-        f" * 10000.0 + 0.5) / 10000.0"
     )
 
 

@@ -716,6 +716,7 @@ def consolidate_gate_storage(
     key: str = "batch",
     archive_value: int = -2,
     target_file_bytes: int = 128 * 1024 * 1024,
+    subpartition_by: tuple[str, ...] = (),
 ) -> dict:
     """Maintenance for ``streaming_dedup_gate`` storage (output corpus
     or either index dir): fold every batch partition older than the
@@ -745,7 +746,15 @@ def consolidate_gate_storage(
 
     Uses the Hadoop FileSystem API, so the same code runs on HDFS/S3A
     paths, not just local disk. Returns a report dict; ``folded: []``
-    means the dataset was already consolidated."""
+    means the dataset was already consolidated.
+
+    ``subpartition_by`` MUST name any partition columns nested INSIDE
+    the batch dirs (the semdedup gate's kept index is
+    ``batch=<id>/cluster_id=<c>``, so pass ``("cluster_id",)``) — the
+    archive is then written with the same inner layout. Omitting it on
+    such a layout would write a FLAT archive next to two-level live
+    partitions, and the gate's next read would fail on conflicting
+    directory structures."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -808,11 +817,18 @@ def consolidate_gate_storage(
         .drop(key)
         .distinct()  # crash-repair: duplicates from folded dirs that
         # outlived a completed swap collapse here
-        .repartition(int(n_files))
+    )
+    merged = (
+        merged.repartition(int(n_files), *subpartition_by)
+        if subpartition_by
+        else merged.repartition(int(n_files))
     )
     # Stage, then swap: the old archive dir stays on disk (not just in
     # app-scoped checkpoint blocks) until the replacement is durable.
-    merged.write.mode("overwrite").parquet(staging)
+    writer = merged.write.mode("overwrite")
+    if subpartition_by:
+        writer = writer.partitionBy(*subpartition_by)
+    writer.parquet(staging)
     if archive_value in vals:
         fs.delete(arch_path, True)
     if not fs.rename(spath, arch_path):
@@ -871,6 +887,13 @@ def init_semdedup_index(
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    # persist the build params NEXT TO the index: "same (centroids,
+    # threshold, scale) at build and probe time" is the operator's
+    # documented contract — storing them makes it self-enforcing
+    # instead of an operator-discipline footnote
+    spark.createDataFrame(
+        [(float(threshold), int(scale))], "threshold double, scale int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/params")
     kept.write.mode("overwrite").partitionBy("cluster_id").parquet(
         f"{index_dir}/kept/batch=-1"
     )
@@ -882,8 +905,8 @@ def streaming_semdedup_gate(
     index_dir: str,
     output_dir: str,
     checkpoint_dir: str,
-    threshold: float = 0.35,
-    scale: int = 4,
+    threshold: float | None = None,
+    scale: int | None = None,
     max_files_per_trigger: int = 1,
 ):
     """Online SEMANTIC dedup gate for an arriving embedding stream —
@@ -906,6 +929,12 @@ def streaming_semdedup_gate(
     universe — growing a drifted corpus eventually wants an index
     rebuild with re-sampled centroids, exactly like IVF re-centering.
 
+    Maintenance: per-trigger partitions accumulate exactly like the
+    LSH gate's — fold them with ``consolidate_gate_storage(spark,
+    f"{index_dir}/kept", subpartition_by=("cluster_id",))`` (the
+    subpartition argument is REQUIRED for this index's two-level
+    layout; see that function's docstring).
+
     Honest cost note: the cluster_id partitioning prunes PER-CLUSTER
     reads but does NOT exempt the index from the probe's groupBy
     shuffle — in this implementation every trigger re-shuffles the
@@ -919,7 +948,14 @@ def streaming_semdedup_gate(
     Precondition, same as the LSH gate's doc_id: ``vec_id`` is unique
     within a micro-batch. Exact duplicate rows (a replaying producer)
     are dropped here defensively; two DIFFERENT vectors sharing a
-    vec_id in one batch have no right answer and will double-write."""
+    vec_id in one batch have no right answer and will double-write.
+
+    ``threshold``/``scale`` default to the values PERSISTED with the
+    index (init_semdedup_index stores them) — the build/probe
+    same-params contract is enforced, not trusted: passing an explicit
+    value that disagrees with the stored one raises instead of
+    silently judging new batches under different semantics than the
+    index's survivors were kept under."""
     from rentals_data_pipeline_spark.operators.similarity import (
         as_double,
         semdedup_against_index,
@@ -931,6 +967,20 @@ def streaming_semdedup_gate(
         .orderBy("cid")
         .collect()
     ]
+    stored = spark.read.parquet(f"{index_dir}/params").collect()[0]
+    for name, given, kept_val in (
+        ("threshold", threshold, stored["threshold"]),
+        ("scale", scale, stored["scale"]),
+    ):
+        if given is not None and given != kept_val:
+            raise ValueError(
+                f"semdedup gate {name}={given} disagrees with the "
+                f"index's build-time {name}={kept_val} "
+                f"({index_dir}/params); rebuild the index or drop "
+                f"the explicit argument"
+            )
+    threshold = float(stored["threshold"])
+    scale = int(stored["scale"])
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession

@@ -1388,3 +1388,104 @@ def test_init_semdedup_index_rejects_empty_seed(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="seed"):
         SJ.init_semdedup_index(spark, str(tmp_path / "idx"), empty)
+
+
+def test_semdedup_gate_params_are_persisted_and_enforced(spark, tmp_path):
+    """The build/probe same-params contract is self-enforcing: the gate
+    loads (threshold, scale) persisted with the index, and an explicit
+    disagreeing value raises instead of silently judging new batches
+    under different semantics."""
+    import pytest as _pytest
+
+    seed = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    batches = [[(10, [0.98, 0.02]), (11, [-1.0, 0.0])]]
+    flat = _emb_arrivals(spark, tmp_path, batches)
+    index_dir = str(tmp_path / "semidx")
+    out_dir = str(tmp_path / "semkept")
+    SJ.init_semdedup_index(spark, index_dir, seed, n_clusters=2,
+                           threshold=0.9)
+    with _pytest.raises(ValueError, match="disagrees"):
+        SJ.streaming_semdedup_gate(
+            spark, flat, index_dir, out_dir, str(tmp_path / "ckbad"),
+            threshold=0.35,
+        )
+    # omitting threshold loads the persisted 0.9: 10 (cos 0.9998 to
+    # seed id1) drops, 11 survives — at the 0.35 default it would
+    # still drop, but 11 vs seed id2 is cos 0.0 either way; the
+    # decisive check is that the run works without re-stating params
+    SJ.streaming_semdedup_gate(
+        spark, flat, index_dir, out_dir, str(tmp_path / "ckgood"),
+    ).awaitTermination()
+    got = sorted(
+        r["vec_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == [11]
+
+
+def test_semdedup_index_consolidation_preserves_layout(spark, tmp_path):
+    """consolidate_gate_storage with subpartition_by keeps the semdedup
+    index's two-level batch/cluster_id layout readable: the archive is
+    written cluster-partitioned, the row set survives, and the gate can
+    keep running against the consolidated index."""
+    seed = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    batches = [
+        [(10, [0.7, 0.7])],
+        [(11, [-1.0, 0.0])],
+        [(12, [0.3, -0.9])],
+    ]
+    flat = _emb_arrivals(spark, tmp_path, batches)
+    index_dir = str(tmp_path / "semidx")
+    out_dir = str(tmp_path / "semkept")
+    SJ.init_semdedup_index(spark, index_dir, seed, n_clusters=2,
+                           threshold=0.9)
+    SJ.streaming_semdedup_gate(
+        spark, flat, index_dir, out_dir, str(tmp_path / "ck"),
+    ).awaitTermination()
+    kept_path = f"{index_dir}/kept"
+    before = sorted(
+        r["vec_id"] for r in spark.read.parquet(kept_path).collect()
+    )
+    report = SJ.consolidate_gate_storage(
+        spark, kept_path, keep_last=1, subpartition_by=("cluster_id",)
+    )
+    assert report["folded"]  # something actually folded
+    after_df = spark.read.parquet(kept_path)
+    assert sorted(r["vec_id"] for r in after_df.collect()) == before
+    # cluster_id survived as a partition column in the archive
+    import os as _os
+
+    arch = _os.path.join(kept_path, "batch=-2")
+    assert any(d.startswith("cluster_id=") for d in _os.listdir(arch))
+
+
+def test_semdedup_index_and_probe_hot_cluster_guard(spark):
+    import pytest as _pytest
+
+    from rentals_data_pipeline_spark.operators.similarity import (
+        semdedup_against_index,
+        semdedup_index,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i) / 100.0]) for i in range(1, 6)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="max_cluster_members"):
+        semdedup_index(
+            df, n_clusters=1, threshold=0.99, max_cluster_members=3
+        )[1].collect()
+    cents, idx = semdedup_index(df, n_clusters=1, threshold=0.99)
+    idx = idx.localCheckpoint(eager=True)
+    batch = spark.createDataFrame(
+        [(100, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="max_cluster_members"):
+        semdedup_against_index(
+            batch, cents, idx, threshold=0.99, max_cluster_members=1
+        ).collect()
