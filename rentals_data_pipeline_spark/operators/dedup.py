@@ -1123,13 +1123,18 @@ def span_dedup_rewrite(
     token-explode-first): spans are built per-row with array ops
     (split → filter → slice — one fused codegen map, no token explode,
     no window), so the explode factor is n_words/span_words, not
-    n_words. Then exactly three shuffles, each on a natural key:
-    groupBy(span) min(first-instance) — map-side combinable, skew-safe
-    because MIN over a hot span combines before the wire; the join
-    back on span (AQE handles the sliver); groupBy(doc_id) to
-    reassemble. Nothing quadratic anywhere and no driver state — this
-    is the shape that survives 100 TB, where the span table is the
-    corpus re-keyed by content hash.
+    n_words. Then exactly three shuffles, each on a natural key: the
+    first-occurrence MIN aggregates on md5(span) — a fixed 32-byte
+    digest, never the span TEXT, so the shuffle payload is flat no
+    matter how long spans get (C4's unit is THREE SENTENCES — hundreds
+    of bytes — and content-keyed shuffles must carry digests, the same
+    discipline the decontamination path enforces; md5 here is a
+    fingerprint, collision-free at any realistic corpus size, the
+    split-leakage bow-fingerprint precedent). The join back recomputes
+    the digest codegen-side (AQE broadcasts the firsts sliver);
+    groupBy(doc_id) reassembles. Nothing quadratic anywhere and no
+    driver state — this is the shape that survives 100 TB, where the
+    span table is the corpus re-keyed by content hash.
     """
     if span_words < 1:
         raise ValueError("span_words must be >= 1")
@@ -1162,14 +1167,17 @@ def span_dedup_rewrite(
                 F.col("_s.span").alias("span"),
             )
         )
-        firsts = inst.groupBy("span").agg(
-            F.min(F.struct(F.col(id_col), F.col("g"))).alias("_first")
+        firsts = (
+            inst.select(F.md5("span").alias("_d"), id_col, "g")
+            .groupBy("_d")
+            .agg(F.min(F.struct(F.col(id_col), F.col("g"))).alias("_first"))
         )
         kept = (F.col("_first")[id_col] == F.col(id_col)) & (
             F.col("_first")["g"] == F.col("g")
         )
         return (
-            inst.join(firsts, "span")
+            inst.withColumn("_d", F.md5("span"))
+            .join(firsts, "_d")
             .select(F.col(id_col), "g", "span", kept.alias("_kept"))
             .groupBy(id_col)
             .agg(
