@@ -145,6 +145,9 @@ HEADLINE = [
     "dedup_semdedup_embeddings",
     "dedup_span_rewrite_documents",
     "dedup_semdedup_incremental",
+    # the SemDeDup-paper release workflow composed cross-table:
+    # embedding dedup -> document handoff -> quality gate -> split
+    "pipeline_semantic_curation",
 ]
 
 

@@ -320,3 +320,80 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunk_tokens",
         "quality",
     )
+
+
+_SEMANTIC_CURATION_ORACLE_TEMPLATE = """
+WITH {semdedup_ctes},
+keptv AS (
+    SELECT a.vec_id FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+),
+t AS (
+    SELECT doc.doc_id, doc.text,
+           string_split_regex(doc.text, '\\s+') AS toks
+    FROM documents doc JOIN keptv k ON doc.doc_id = k.vec_id
+),
+q AS (
+    SELECT doc_id,
+        FLOOR((0.4 * LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                        / NULLIF(CAST(len(toks) AS DOUBLE), 0.0))
+               + 0.3 * (CAST(len(list_filter(toks, x -> x IN ({en}))) AS DOUBLE)
+                        / NULLIF(CAST(len(toks) AS DOUBLE), 0.0)))
+              * 10000.0 + 0.5) / 10000.0 AS quality
+    FROM t
+)
+SELECT doc_id, quality,
+    CASE WHEN (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10000) < 8000 THEN 'train'
+         WHEN (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10000) < 9000 THEN 'val'
+         ELSE 'test' END AS split
+FROM q WHERE quality >= {floor}
+"""
+
+
+def _semantic_curation_oracle() -> str:
+    from rentals_data_pipeline_spark.plans.similarity_queries import (
+        SEMDEDUP_CORE_CTES,
+    )
+
+    return _SEMANTIC_CURATION_ORACLE_TEMPLATE.format(
+        semdedup_ctes=SEMDEDUP_CORE_CTES, en=_EN, floor=QUALITY_FLOOR
+    )
+
+
+@query("pipeline_semantic_curation", _semantic_curation_oracle())
+def pipeline_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup-paper release workflow (arXiv:2303.09540 §4), cross-
+    modality: semantically dedup the EMBEDDINGS table (fixed-seed 8-way
+    clustering, cosine > 0.35, keep-the-centroid-outlier —
+    operators/similarity.py::semdedup_keep), keep only the DOCUMENTS
+    whose vectors survived (left-semi on doc_id = vec_id; docs without
+    an embedding are out of scope by definition), gate the survivors on
+    the certified quality score, and split train/val/test by the
+    leakage-free md5-bucket hash. One hash match certifies the
+    embedding-side dedup, the cross-table handoff, the quality
+    arithmetic, and the split thresholds end-to-end.
+
+    Plan shape: semdedup's one cluster exchange + one matmul stage; the
+    kept-id sliver broadcasts into the documents scan (the corpus side
+    never shuffles for the handoff); quality + split are codegen map
+    stages fused into that scan."""
+    from rentals_data_pipeline_spark.operators import sampling as SP
+    from rentals_data_pipeline_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = (
+        SIM.semdedup_keep(emb, n_clusters=8, threshold=0.35)
+        .where(F.col("kept"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return (
+        docs.join(F.broadcast(kept), "doc_id", "left_semi")
+        .transform(TX.quality_score())
+        .where(F.col("quality") >= QUALITY_FLOOR)
+        .transform(SP.train_val_test_split("doc_id", (0.8, 0.1, 0.1)))
+        .select("doc_id", "quality", "split")
+    )

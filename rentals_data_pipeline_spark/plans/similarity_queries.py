@@ -953,10 +953,12 @@ def sim_matryoshka_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_semdedup_embeddings",
-    f"""
-WITH e AS (
+# The SemDeDup pipeline as reusable WITH-body CTEs (e → c → assign →
+# a → dup → dropped): the standalone certification query selects the
+# per-vector kept flags from these; pipeline_semantic_curation
+# (curation_queries.py) composes the same CTEs with the document-side
+# quality/split stages — one certified definition of the algorithm.
+SEMDEDUP_CORE_CTES = f"""e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     WHERE embedding IS NOT NULL
 ),
@@ -989,7 +991,13 @@ dropped AS (
     SELECT DISTINCT CASE WHEN (cs_a, id_a) < (cs_b, id_b)
                          THEN id_b ELSE id_a END AS vec_id
     FROM dup
-)
+)"""
+
+
+@query(
+    "dedup_semdedup_embeddings",
+    f"""
+WITH {SEMDEDUP_CORE_CTES}
 SELECT a.vec_id, a.cluster_id, a.centroid_sim,
        d.vec_id IS NULL AS kept
 FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
