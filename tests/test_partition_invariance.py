@@ -137,3 +137,29 @@ def test_unigram_logprob_layout_invariant(spark):
             assert _rows(fn(spark, SF_DIR)) == want
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_semdedup_keep_partition_invariant(spark):
+    """SemDeDup's per-cluster greedy dominator sorts inside the kernel,
+    so the kept set must not depend on input layout — the hazard is an
+    applyInPandas group arriving in shuffle order."""
+    from rentals_data_pipeline_spark.operators.similarity import (
+        semdedup_keep,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    want = _rows(semdedup_keep(emb, n_clusters=4, threshold=0.35))
+    for layout in _layouts(emb):
+        assert _rows(semdedup_keep(layout, n_clusters=4, threshold=0.35)) == want
+
+
+def test_span_dedup_rewrite_partition_invariant(spark):
+    """First-occurrence is a MIN aggregate on span digests — the order
+    rows meet the aggregate must not change which instance wins."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    op = DD.span_dedup_rewrite("doc_id", "text", 8)
+    want = _rows(docs.transform(op))
+    for layout in _layouts(docs):
+        assert _rows(layout.transform(op)) == want

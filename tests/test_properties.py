@@ -502,3 +502,110 @@ def test_activity_streaks_conservation(spark, pairs):
             run = run + 1 if b == a + 1 else 1
             longest = max(longest, run)
         assert got[u] == (len(days), longest), (u, days, got[u])
+
+
+_VEC_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),  # vec_id (collisions avoided by unique_by)
+        st.tuples(  # 3-dim vectors from a small grid → plenty of near-dups
+            st.sampled_from([-1.0, -0.5, 0.0, 0.5, 1.0]),
+            st.sampled_from([-1.0, -0.5, 0.0, 0.5, 1.0]),
+            st.sampled_from([-1.0, -0.5, 0.0, 0.5, 1.0]),
+        ),
+    ),
+    min_size=2,
+    max_size=16,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=_VEC_ROWS, nparts=st.integers(min_value=1, max_value=3))
+@settings(**_SETTINGS)
+def test_semdedup_kept_set_is_tau_independent(spark, rows, nparts):
+    """The SemDeDup kept set is an independent set under the >tau
+    relation within each cluster: if two kept members of one cluster
+    exceeded the threshold, the greedy dominator would have dropped
+    the later one — for ANY vectors and ANY partitioning."""
+    import math
+
+    from rentals_data_pipeline_spark.operators.similarity import (
+        semdedup_keep,
+    )
+
+    df = spark.createDataFrame(
+        [(i, list(v)) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    ).repartition(nparts)
+    out = semdedup_keep(df, n_clusters=2, threshold=0.8).collect()
+    assert len(out) == len(rows)  # every non-null vector judged
+    vecs = {i: v for i, v in rows}
+
+    def cos4(a, b):
+        na, nb = math.hypot(*a), math.hypot(*b)
+        if na == 0 or nb == 0:
+            return None
+        d = sum(x * y for x, y in zip(a, b)) / (na * nb)
+        return math.floor(d * 1e4 + 0.5) / 1e4
+
+    kept = [r for r in out if r.kept]
+    for i, x in enumerate(kept):
+        for y in kept[i + 1:]:
+            if x.cluster_id != y.cluster_id:
+                continue
+            c = cos4(vecs[x.vec_id], vecs[y.vec_id])
+            assert c is None or c <= 0.8, (
+                f"kept pair {x.vec_id},{y.vec_id} cosine {c} > tau"
+            )
+
+
+_DOC_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),  # doc_id
+        st.lists(  # word-soup from a tiny vocab → cross-doc span dups
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=0,
+            max_size=12,
+        ),
+    ),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(docs=_DOC_ROWS, nparts=st.integers(min_value=1, max_value=3))
+@settings(**_SETTINGS)
+def test_span_rewrite_keeps_exactly_first_instance(spark, docs, nparts):
+    """For any corpus and any partitioning: every distinct span content
+    survives exactly once, at its minimal (doc_id, span index); every
+    document's rewrite is the in-order concatenation of its surviving
+    spans."""
+    import rentals_data_pipeline_spark.operators.dedup as DD2
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in docs], "doc_id long, text string"
+    ).repartition(nparts)
+    out = {r.doc_id: r for r in
+           df.transform(DD2.span_dedup_rewrite("doc_id", "text", 3)).collect()}
+
+    # replay the contract in plain python
+    spans = []  # (doc_id, g, span)
+    for i, ws in sorted(docs):
+        ws = [w for w in ws if w]
+        for g in range((len(ws) + 2) // 3):
+            spans.append((i, g, " ".join(ws[g * 3:g * 3 + 3])))
+    first = {}
+    for i, g, s in sorted(spans):
+        first.setdefault(s, (i, g))
+    expect = {}
+    for i, g, s in spans:
+        e = expect.setdefault(i, {"n": 0, "kept": 0, "texts": []})
+        e["n"] += 1
+        if first[s] == (i, g):
+            e["kept"] += 1
+            e["texts"].append((g, s))
+    for i, e in expect.items():
+        r = out[i]
+        assert r.n_spans == e["n"] and r.kept_spans == e["kept"]
+        assert r.new_text == " ".join(s for _, s in sorted(e["texts"]))
+    assert set(out) == set(expect)  # zero-word docs absent on both sides
