@@ -1020,6 +1020,25 @@ def _semdedup_assigned(
     )
 
 
+def semdedup_assign(
+    batch: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 4,
+) -> DataFrame:
+    """Public cluster-assignment map for SemDeDup probes:
+    (_id, _v, cluster_id, centroid_sim) for every non-null vector —
+    exactly the frame :func:`semdedup_against_index` computes
+    internally. Expose it so a caller that needs the batch's HIT
+    CLUSTER SET before probing (the streaming gate prunes its
+    persisted-index read to ``cluster_id IN hits``) can compute the
+    assignment ONCE and hand it back via that function's ``assigned``
+    argument instead of paying the matmul twice. Same (centroids,
+    scale) must be used here and at probe time."""
+    return _semdedup_assigned(batch, id_col, vec_col, centroids, scale)
+
+
 def _semdedup_kernel(
     threshold: float,
     scale: int,
@@ -1114,12 +1133,28 @@ def semdedup_against_index(
     threshold: float = 0.35,
     scale: int = 4,
     max_cluster_members: int | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup: judge a NEW batch against an existing
     kept-set ``index`` (from :func:`semdedup_index`) without
     re-scoring the index. Returns the batch rows as
     (vec_id, cluster_id, centroid_sim, kept); index members are
     immutable survivors — they dominate but are never re-emitted.
+
+    ``assigned`` (optional): the batch's pre-computed assignment frame
+    from :func:`semdedup_assign` with the SAME (centroids, scale) —
+    callers that already materialized it (the streaming gate collects
+    the hit-cluster set from it to prune the index read) pass it here
+    so the assignment matmul runs once, not twice. When provided,
+    ``batch``/``id_col``/``vec_col`` are ignored for scoring; the
+    caller certifies the frame came from ``semdedup_assign`` with
+    matching parameters.
+
+    Pruning contract: a batch row can only be dominated by index
+    members of ITS OWN cluster, so an ``index`` restricted to the
+    batch's hit clusters (``assigned.cluster_id`` values) returns
+    byte-identical verdicts to the full index — rows of unhit clusters
+    contribute nothing (pinned by test).
 
     Drop rule, consistent with :func:`semdedup_keep`'s greedy
     dominator: a batch vector is dropped iff its rounded cosine
@@ -1144,9 +1179,9 @@ def semdedup_against_index(
         # clusters exist, nothing to judge against — no batch row can
         # be certified either way, so the result is empty by contract
         return batch.sparkSession.createDataFrame([], out_schema)
-    assigned = _semdedup_assigned(
-        batch, id_col, vec_col, centroids, scale
-    ).withColumn("_idx", F.lit(0))
+    if assigned is None:
+        assigned = _semdedup_assigned(batch, id_col, vec_col, centroids, scale)
+    assigned = assigned.withColumn("_idx", F.lit(0))
     idx = index.select(
         F.col("vec_id").alias("_id"),
         F.col("vec").alias("_v"),

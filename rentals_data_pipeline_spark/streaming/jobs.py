@@ -899,6 +899,32 @@ def init_semdedup_index(
     )
 
 
+def read_pruned_semdedup_index(
+    spark: SparkSession,
+    index_dir: str,
+    batch_id: int,
+    hit_clusters: list[int],
+) -> DataFrame:
+    """Partition-pruned read of the persisted SemDeDup kept index:
+    strictly-earlier batches (replay safety) restricted to the
+    clusters a probe batch actually hits. ``batch`` and ``cluster_id``
+    are both hive partition columns of the ``kept/`` layout, so both
+    predicates become PartitionFilters — the scan lists and reads ONLY
+    the hit ``batch=<b>/cluster_id=<c>`` directories (pinned by the
+    inputFiles test), which is what keeps a trigger's index I/O
+    proportional to the batch's cluster footprint instead of |index|.
+    An empty hit set (an all-NULL-embedding batch) short-circuits to
+    an empty, correctly-typed frame without touching storage."""
+    idx = spark.read.parquet(f"{index_dir}/kept")
+    cols = ["vec_id", "vec", "cluster_id", "centroid_sim"]
+    if not hit_clusters:
+        return idx.select(*cols).where(F.lit(False))
+    return idx.where(
+        (F.col("batch") < batch_id)
+        & F.col("cluster_id").isin([int(c) for c in hit_clusters])
+    ).select(*cols)
+
+
 def streaming_semdedup_gate(
     spark: SparkSession,
     input_dir: str,
@@ -935,15 +961,26 @@ def streaming_semdedup_gate(
     subpartition argument is REQUIRED for this index's two-level
     layout; see that function's docstring).
 
-    Honest cost note: the cluster_id partitioning prunes PER-CLUSTER
-    reads but does NOT exempt the index from the probe's groupBy
-    shuffle — in this implementation every trigger re-shuffles the
-    index rows alongside the batch (cumulative O(|index|) I/O per
-    trigger). That is fine at gate-sized indexes; at a truly TB-scale
-    index, run the gate per cluster (read only ``cluster_id=<c>``
-    partitions for the clusters the batch actually hits — the batch's
-    assignment map gives that set for free) or keep the index as a
-    bucketed table so the groupBy co-locates without a shuffle.
+    Probe cost per trigger — pruned, not full-index: the batch is
+    assigned to clusters FIRST (``semdedup_assign``, one broadcast
+    matmul), the hit-cluster set is collected (bounded by n_clusters —
+    a list of ints, never rows), and the index read is filtered to
+    ``batch < id AND cluster_id IN hits`` — both hive partition
+    columns, so the scan reads ONLY the hit ``cluster_id=<c>`` dirs
+    (partition-pruned; pinned by test). A batch row can only be
+    dominated by index members of its own cluster, so the pruned
+    verdicts are byte-identical to a full-index probe (pinned by
+    test). The probe's groupBy then shuffles just those pruned rows —
+    per-trigger I/O scales with the batch's cluster footprint, not
+    with |index|. A TB-scale kept-set with well-sized n_clusters
+    (k ≈ 0.1‰ of n, the SemDeDup paper's ratio) therefore reads
+    ~|batch|/k of itself per trigger, not all of itself.
+
+    NULL-embedding rows cannot be duplicates of anything (they have no
+    vector to compare): they PASS THROUGH to ``output_dir`` with the
+    batch's novel survivors instead of being silently dropped, and are
+    never added to the index. Quarantine them upstream if a producer
+    emitting null vectors should be treated as an error.
 
     Precondition, same as the LSH gate's doc_id: ``vec_id`` is unique
     within a micro-batch. Exact duplicate rows (a replaying producer)
@@ -959,6 +996,7 @@ def streaming_semdedup_gate(
     from rentals_data_pipeline_spark.operators.similarity import (
         as_double,
         semdedup_against_index,
+        semdedup_assign,
     )
 
     cents = [
@@ -990,16 +1028,25 @@ def streaming_semdedup_gate(
             eager=True
         )  # file-source lineage is not re-resolvable inside
         # foreachBatch joins
-        idx = sp.read.parquet(f"{index_dir}/kept").where(
-            F.col("batch") < batch_id
-        ).select("vec_id", "vec", "cluster_id", "centroid_sim")
+        # assignment runs ONCE: it feeds both the hit-cluster set that
+        # prunes the index read and (via assigned=) the probe itself
+        assigned = semdedup_assign(
+            batch_df, cents, scale=scale
+        ).localCheckpoint(eager=True)
+        hits = sorted(
+            r["cluster_id"]
+            for r in assigned.select("cluster_id").distinct().collect()
+        )  # bounded: at most n_clusters ints (the centroid universe)
+        idx = read_pruned_semdedup_index(sp, index_dir, batch_id, hits)
         judged = semdedup_against_index(
-            batch_df, cents, idx, threshold=threshold, scale=scale
+            batch_df, cents, idx,
+            threshold=threshold, scale=scale, assigned=assigned,
         )
         kept = judged.where(F.col("kept")).localCheckpoint(eager=True)
+        # NULL-embedding rows pass through: no vector, no duplicate
         novel = batch_df.join(
             kept.select("vec_id"), "vec_id", "left_semi"
-        )
+        ).unionByName(batch_df.where(F.col("embedding").isNull()))
         novel.write.mode("overwrite").parquet(
             f"{output_dir}/batch={batch_id}"
         )

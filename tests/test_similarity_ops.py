@@ -704,6 +704,66 @@ def test_semdedup_incremental_drops_copies_of_index_members(spark):
     assert set(out) == {101, 102}
 
 
+def test_semdedup_pruned_index_probe_matches_full(spark):
+    """The pruning contract the streaming gate relies on: an index
+    restricted to the batch's hit clusters returns byte-identical
+    verdicts to the full index, because a batch row can only be
+    dominated by index members of its own cluster."""
+    df = spark.createDataFrame(
+        [r for r in _SEM_VECS if r[1] is not None],
+        "vec_id long, embedding array<double>",
+    )
+    cents, idx = SIM.semdedup_index(df, n_clusters=2, threshold=0.9)
+    idx = idx.localCheckpoint(eager=True)
+    batch = spark.createDataFrame(
+        [(101, [0.9, 0.1]), (102, [0.88, 0.12])],
+        "vec_id long, embedding array<double>",
+    )
+    assigned = SIM.semdedup_assign(batch, cents)
+    hits = [
+        r["cluster_id"]
+        for r in assigned.select("cluster_id").distinct().collect()
+    ]
+    # the scenario only means something if pruning actually removes
+    # index rows: the batch must hit a strict subset of clusters
+    idx_clusters = {r.cluster_id for r in idx.collect()}
+    assert set(hits) < idx_clusters
+    pruned = idx.where(F.col("cluster_id").isin(hits))
+    key = lambda df_: sorted(  # noqa: E731
+        (r.vec_id, r.cluster_id, r.centroid_sim, r.kept)
+        for r in df_.collect()
+    )
+    assert key(
+        SIM.semdedup_against_index(batch, cents, pruned, threshold=0.9)
+    ) == key(SIM.semdedup_against_index(batch, cents, idx, threshold=0.9))
+
+
+def test_semdedup_assign_short_circuit_matches(spark):
+    """Passing a pre-computed semdedup_assign frame via assigned= must
+    be a pure short-circuit — identical verdicts to letting the probe
+    assign internally."""
+    df = spark.createDataFrame(
+        [r for r in _SEM_VECS if r[1] is not None],
+        "vec_id long, embedding array<double>",
+    )
+    cents, idx = SIM.semdedup_index(df, n_clusters=2, threshold=0.9)
+    idx = idx.localCheckpoint(eager=True)
+    batch = spark.createDataFrame(
+        [(101, [0.9, 0.1]), (102, [0.05, -1.0]), (103, [-0.9, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assigned = SIM.semdedup_assign(batch, cents)
+    key = lambda df_: sorted(  # noqa: E731
+        (r.vec_id, r.cluster_id, r.centroid_sim, r.kept)
+        for r in df_.collect()
+    )
+    assert key(
+        SIM.semdedup_against_index(
+            batch, cents, idx, threshold=0.9, assigned=assigned
+        )
+    ) == key(SIM.semdedup_against_index(batch, cents, idx, threshold=0.9))
+
+
 def test_semdedup_hot_cluster_guard(spark):
     df = spark.createDataFrame(
         [r for r in _SEM_VECS if r[1] is not None],

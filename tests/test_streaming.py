@@ -1380,6 +1380,76 @@ def test_streaming_semdedup_gate_replay_is_idempotent(spark, tmp_path):
     assert first == second
 
 
+def test_semdedup_gate_probe_read_is_partition_pruned(spark, tmp_path):
+    """The gate's index read prunes at the DIRECTORY level: batch and
+    cluster_id predicates land in the scan's PartitionFilters, and a
+    file in an unhit cluster partition is never opened — per-trigger
+    index I/O scales with the batch's cluster footprint, not |index|."""
+    seed = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    index_dir = str(tmp_path / "semidx")
+    SJ.init_semdedup_index(spark, index_dir, seed, n_clusters=2,
+                           threshold=0.9)
+    # plant an unreadable file in the UNHIT cluster's partition dir
+    # (name sorts last so schema inference touches a real footer first)
+    poison = (
+        tmp_path / "semidx" / "kept" / "batch=-1" / "cluster_id=1"
+        / "zzz-poison.parquet"
+    )
+    poison.write_text("this is not a parquet file")
+
+    pruned = SJ.read_pruned_semdedup_index(spark, index_dir, 0, [0])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "cluster_id" in pf and "batch" in pf, plan
+    # executing the pruned read never opens the poison file …
+    assert sorted(r["vec_id"] for r in pruned.collect()) == [1]
+    # … while a read that includes cluster 1 must try to and fail
+    with pytest.raises(Exception):
+        SJ.read_pruned_semdedup_index(spark, index_dir, 0, [0, 1]).collect()
+    # empty hit set (all-NULL-embedding batch): typed empty, no I/O
+    empty = SJ.read_pruned_semdedup_index(spark, index_dir, 0, [])
+    assert empty.count() == 0
+    assert empty.columns == ["vec_id", "vec", "cluster_id", "centroid_sim"]
+
+
+def test_semdedup_gate_null_embeddings_pass_through(spark, tmp_path):
+    """NULL-embedding rows cannot be duplicates: they land in the
+    output with the batch's survivors (never silently dropped) and are
+    never added to the index."""
+    seed = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    batches = [
+        [(10, [0.98, 0.02]), (11, None), (12, [0.5, -0.5])],
+        [(20, None), (21, [-0.5, 0.5])],
+    ]
+    flat = _emb_arrivals(spark, tmp_path, batches)
+    index_dir = str(tmp_path / "semidx")
+    out_dir = str(tmp_path / "semkept")
+    SJ.init_semdedup_index(spark, index_dir, seed, n_clusters=2,
+                           threshold=0.9)
+    SJ.streaming_semdedup_gate(
+        spark, flat, index_dir, out_dir, str(tmp_path / "semckpt"),
+        threshold=0.9,
+    ).awaitTermination()
+    out = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # 10 is a near-dup of seed id1 and drops; nulls 11/20 pass through
+    assert set(out) == {11, 12, 20, 21}
+    assert out[11] is None and out[20] is None
+    idx_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{index_dir}/kept").collect()
+    }
+    assert idx_ids == {1, 2, 12, 21}
+
+
 def test_init_semdedup_index_rejects_empty_seed(spark, tmp_path):
     import pytest as _pytest
 
