@@ -316,18 +316,25 @@ def dedup_against_index(
     Recall is identical to pairing over the unioned corpus (same
     signature function, same banding — pinned by an equivalence test),
     but the work is |new| shingling + an equi-join that touches only
-    the index buckets the new batch's band keys land in. At scale the
-    new batch's (band, band_key) probe side is small — Spark broadcasts
-    it into the partitioned index scan, so the corpus-sized index is
-    filtered, never shuffled; the verify join then gathers shingle sets
-    for just the candidate corpus docs.
+    the index buckets the new batch's band keys land in. The
+    batch-sized side of EVERY index join carries an explicit
+    ``broadcast()`` hint: size estimates at a toy SF happily build the
+    hash relation from the INDEX side (or, past the auto-broadcast
+    threshold, fall back to a sort-merge join that shuffles the whole
+    index), and either orientation is the scale-killer at a TB-scale
+    corpus index. With the hints the index relations are always the
+    STREAMED side — scanned once per trigger, never shuffled, never
+    collected into a broadcast — regardless of what the statistics
+    claim (pinned by a plan test with auto-broadcast disabled).
     """
     probe_bands, probe_sets = minhash_index(
         new_docs, id_col, text_col, ngram, num_hashes, bands, rows
     )
     cand = (
-        probe_bands.select(
-            F.col(id_col).alias("new_id"), "band", "band_key"
+        F.broadcast(
+            probe_bands.select(
+                F.col(id_col).alias("new_id"), "band", "band_key"
+            )
         )
         .join(
             index_bands.select(
@@ -339,11 +346,16 @@ def dedup_against_index(
         .distinct()
     )
     return (
-        cand.join(
-            probe_sets.select(
-                F.col(id_col).alias("new_id"), F.col("hset").alias("new_set")
-            ),
-            "new_id",
+        F.broadcast(
+            cand.join(
+                F.broadcast(
+                    probe_sets.select(
+                        F.col(id_col).alias("new_id"),
+                        F.col("hset").alias("new_set"),
+                    )
+                ),
+                "new_id",
+            )
         )
         .join(
             index_sets.select(

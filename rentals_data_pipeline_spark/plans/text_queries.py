@@ -618,9 +618,35 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("text")
 
 
-@query("text_unigram_logprob")  # rows-only: ln() is engine-last-bit
-# territory the oracle-pairing discipline bans; ordering/regime
-# goldens pin the semantics instead
+@query(
+    "text_unigram_logprob",
+    """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+    FROM documents
+),
+freq AS (
+    SELECT token, COUNT(*) AS tf FROM tok GROUP BY token
+),
+tot AS (SELECT SUM(tf) AS n_total FROM freq),
+anchored AS (
+    SELECT token,
+        CAST(FLOOR((-ln(CAST(tf AS DOUBLE) / CAST(n_total AS DOUBLE)))
+             * 100000000.0 + 0.5) / 100000000.0 AS DECIMAL(28,8)) AS nlp8
+    FROM freq CROSS JOIN tot
+),
+scored AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        SUM(nlp8) AS nll_sum
+    FROM tok JOIN anchored USING (token)
+    GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+    FLOOR((CAST(nll_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+          * 10000.0 + 0.5) / 10000.0 AS nll_per_token
+FROM scored
+""",
+)
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative unigram negative log-likelihood per document —
     the language-model-free perplexity proxy: documents made of words
@@ -639,7 +665,17 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle order. The ln() itself runs |vocab| times (once per
     distinct token in the frequency relation), not |corpus tokens|
     times. Output rounding uses the repo's floor-based round_half_up,
-    not Spark's string-mediated F.round."""
+    not Spark's string-mediated F.round.
+
+    Oracle-paired since round 11 (was rows-only): the 8-dp half-up
+    anchor is exactly the graduation trick that oracle-paired
+    text_char_entropy in round 10 — the only libm call (ln) is rounded
+    per DISTINCT token before any summation, so a cross-engine hash
+    flip needs DuckDB's and the JVM's ln() to differ by ~1e-15 within
+    1e-15 of a 0.5e-8 boundary on some vocab entry; the decimal sums
+    and the final 4-dp division are then bit-identical by
+    construction. The nll_sum stays internal (decimal columns fail the
+    oracle lint); only BIGINT/rounded-double columns are emitted."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")

@@ -506,11 +506,19 @@ def streaming_dedup_gate(
     """Online near-dup gate for an arriving corpus: each micro-batch is
     (1) deduped WITHIN itself (``minhash_near_dup_pairs`` — keep the
     lowest doc_id of every near-dup pair), (2) probed against the
-    PERSISTED LSH index (``dedup_against_index`` — broadcast band-key
-    probe into the partitioned index, never an index re-scan), then
+    PERSISTED LSH index (``dedup_against_index`` — the batch's band
+    keys and candidate sliver carry enforced broadcast hints, so the
+    index relations are STREAMED through one filtered scan per trigger
+    and never shuffled or built into a hash relation, regardless of
+    size estimates; pinned by plan test), then
     (3) the novel survivors append to ``output_dir`` and their index
     rows append to the index — so the next batch probes a corpus that
-    includes this one.
+    includes this one. Per-trigger index cost is one columnar scan —
+    unlike the SemDeDup gate there is no partition key that prunes it
+    (band keys are high-cardinality and every batch hits all 16
+    bands), so at a truly TB-scale index amortize the scan by batching
+    triggers larger or consolidating the index with
+    ``consolidate_gate_storage`` (fewer, larger files).
 
     The index lives in STORAGE (parquet bands + shingle sets), not in
     executor state: at 100 TB the corpus index is itself TB-scale, far

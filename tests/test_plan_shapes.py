@@ -370,3 +370,53 @@ def test_minhash_gram_stage_has_no_window(spark):
     s = _shape(spark, "dedup_minhash_lsh_pairs")
     assert "Window [" not in s["plan"], s["plan"]
     assert s["python"] == 0, s["plan"]
+
+
+def test_lsh_index_probe_never_builds_or_shuffles_the_index(spark, tmp_path):
+    """r11: the streaming LSH gate's probe (dedup_against_index) must
+    keep the CORPUS INDEX on the streamed side of every join. Size
+    estimates at a toy SF happily broadcast the index (or, past the
+    threshold, sort-merge it — shuffling the whole index per trigger);
+    the explicit probe-side broadcast hints pin the orientation. Run
+    with auto-broadcast DISABLED so only the hints can produce a
+    BroadcastHashJoin — any SortMergeJoin, or any BHJ whose build side
+    scans the persisted index, is the TB-scale regression."""
+    from pyspark.sql import functions as F
+
+    from rentals_data_pipeline_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx_b, idx_s = minhash_index(docs)
+    d = str(tmp_path)
+    idx_b.write.parquet(f"{d}/bands/batch=-1")
+    idx_s.write.parquet(f"{d}/sets/batch=-1")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hits = dedup_against_index(
+            docs.limit(20),
+            spark.read.parquet(f"{d}/bands").where(F.col("batch") < 5),
+            spark.read.parquet(f"{d}/sets").where(F.col("batch") < 5),
+        )
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" not in plan, plan
+    # both index joins build from the hinted probe side: the band join
+    # broadcasts the probe band keys (BuildLeft), the verify join
+    # broadcasts the candidate+probe-set sliver (BuildLeft)
+    band_join = [
+        ln for ln in plan.splitlines()
+        if "BroadcastHashJoin [band" in ln
+    ]
+    verify_join = [
+        ln for ln in plan.splitlines()
+        if "BroadcastHashJoin [corpus_id" in ln
+    ]
+    assert band_join and "BuildLeft" in band_join[0], plan
+    assert verify_join and "BuildLeft" in verify_join[0], plan
