@@ -76,7 +76,12 @@ def _widen(df: DataFrame, enabled: bool = True) -> DataFrame:
     if not enabled or df.isStreaming:  # no .rdd on streams; micro-
         return df       # batches are sized by the source, not files
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # partition count via the JVM-internal RDD: df.rdd would splice a
+    # Python-serializer conversion stage into the DAG just to ask for
+    # the count (r10 verdict) — toRdd() plans the same physical tree
+    # without it
+    n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    if n_parts < target:
         return df.repartition(target)
     return df
 

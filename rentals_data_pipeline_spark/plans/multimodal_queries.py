@@ -234,9 +234,17 @@ def multimodal_decoded_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-bit unsigned PCM samples ARE the text's bytes, the oracle
     recomputes every statistic from ord() arithmetic — certifying the
     container write + header parse + de-interleave end-to-end with
-    integer-exact values (no float hash risk)."""
+    integer-exact values (no float hash risk).
+
+    widen=False (r11, measured at sf0.1): the stdlib-wave parse is a
+    near-memcpy — 8-bit PCM samples ARE the payload bytes — so the
+    repartition costs more than the decode it parallelizes (widened
+    1.02s vs unwidened 0.78s median-of-5; every other decoder family
+    measured the opposite: png 0.69/0.81, bmp 0.80/1.00, ppm
+    0.84/0.98, flac 0.99/5.46). Same rationale as the container
+    probe's opt-out: widen pays only where per-blob CPU dominates."""
     docs = load_table(spark, sf_dir, "documents")
-    wavs = docs.transform(MM.pack_wav())
+    wavs = docs.transform(MM.pack_wav(widen=False))
     dec = MM.decode_media(wavs)
     ch = F.get(F.col("decoded"), 0)
     return dec.where(F.col("decode_error").isNull()).select(
