@@ -917,7 +917,15 @@ def semdedup_keep(
     FAILS the stage with the cluster id and size in the message — the
     production contract is "re-cluster with larger k", made enforceable
     instead of an OOM surprise. Default None (the certified corpora
-    are orders of magnitude under any real bound).
+    are orders of magnitude under any real bound). The guard raises
+    INSIDE the applyInPandas task, so Spark retries the task
+    (recomputing the upstream assignment shuffle each attempt) before
+    the job fails, and the ValueError surfaces wrapped in a
+    PythonException — deliberate: a driver-side pre-count would add a
+    second full assignment pass to EVERY healthy run just to fail
+    faster on the one that is already doomed. Grep the task error for
+    ``max_cluster_members`` when triaging; the same applies to the
+    probe-side guard in :func:`semdedup_against_index`.
 
     Determinism / oracle parity (the repo's established 4-dp contract):
 
@@ -961,7 +969,18 @@ def _semdedup_seed_centroids(
 ) -> list[list[float]]:
     """Fixed-seed centroids: the embeddings of the ``n_clusters``
     lowest ids — deterministic, oracle-replayable, and a bounded
-    collect (n_clusters × dim floats)."""
+    collect (n_clusters × dim floats). Degenerate-k behavior, pinned
+    here because a config typo can silently request it: when
+    ``n_clusters`` approaches |corpus| every vector tends toward its
+    own cluster, pair spaces shrink toward empty, and near-dup recall
+    degrades toward exact-centroid-copies only — the math stays
+    correct (ties assign to the lowest centroid id, so true copies of
+    a centroid still pair; cluster-count invariance of the keep rule
+    is pinned by test at k=2 and k=32) but the dedup finds less. When
+    ``n_clusters`` EXCEEDS the corpus, the centroid list is simply the
+    whole corpus. Production contract: k ≪ n (the paper uses
+    k ≈ 0.1‰ of n); sizing is the operator caller's job because only
+    it knows the corpus scale."""
     return [
         [float(x) for x in r["_v"]]
         for r in corpus.where(F.col(vec_col).isNotNull())

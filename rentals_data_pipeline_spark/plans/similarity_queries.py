@@ -958,13 +958,18 @@ def sim_matryoshka_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-vector kept flags from these; pipeline_semantic_curation
 # (curation_queries.py) composes the same CTEs with the document-side
 # quality/split stages — one certified definition of the algorithm.
-SEMDEDUP_CORE_CTES = f"""e AS (
+# ``semdedup_core_ctes(k)`` parameterizes the cluster count: a 100 TB
+# run uses k ~ 1e5, so the keep rule must not silently depend on the
+# catalog's k=8 — the cluster-count-invariance test replays the oracle
+# at k=2 and k=32 against the operator on the same corpus.
+def semdedup_core_ctes(n_clusters: int = 8) -> str:
+    return f"""e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     WHERE embedding IS NOT NULL
 ),
 c AS (
     SELECT v AS cv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
-    FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+    FROM (SELECT * FROM e ORDER BY vec_id LIMIT {n_clusters})
 ),
 sims AS (
     SELECT e.vec_id, c.cid, e.v,
@@ -992,6 +997,9 @@ dropped AS (
                          THEN id_b ELSE id_a END AS vec_id
     FROM dup
 )"""
+
+
+SEMDEDUP_CORE_CTES = semdedup_core_ctes(8)
 
 
 @query(

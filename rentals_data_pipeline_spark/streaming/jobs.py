@@ -717,6 +717,36 @@ def streaming_decontamination_gate(
     )
 
 
+def _detect_nested_partitions(fs, jvm, dir_path: str) -> tuple[str, ...]:
+    """Walk the ``<col>=<val>`` directory chain under ``dir_path`` and
+    return the nested hive partition columns in order (empty tuple for
+    a flat layout). One representative child per level suffices: hive
+    layouts are homogeneous by construction, and a level mixing
+    different ``<col>=`` names is already unreadable — raised here
+    with the offending names rather than downstream as a parquet
+    discovery error."""
+    cols: list[str] = []
+    cur = jvm.org.apache.hadoop.fs.Path(dir_path)
+    while True:
+        part_dirs = [
+            st.getPath()
+            for st in fs.listStatus(cur)
+            if st.isDirectory()
+            and "=" in st.getPath().getName()
+            and not st.getPath().getName().startswith(("_", "."))
+        ]
+        if not part_dirs:
+            return tuple(cols)
+        names = {p.getName().split("=", 1)[0] for p in part_dirs}
+        if len(names) != 1:
+            raise ValueError(
+                f"conflicting nested partition columns {sorted(names)} "
+                f"under {cur}"
+            )
+        cols.append(names.pop())
+        cur = part_dirs[0]
+
+
 def consolidate_gate_storage(
     spark: SparkSession,
     path: str,
@@ -756,13 +786,16 @@ def consolidate_gate_storage(
     paths, not just local disk. Returns a report dict; ``folded: []``
     means the dataset was already consolidated.
 
-    ``subpartition_by`` MUST name any partition columns nested INSIDE
-    the batch dirs (the semdedup gate's kept index is
-    ``batch=<id>/cluster_id=<c>``, so pass ``("cluster_id",)``) — the
-    archive is then written with the same inner layout. Omitting it on
-    such a layout would write a FLAT archive next to two-level live
-    partitions, and the gate's next read would fail on conflicting
-    directory structures."""
+    ``subpartition_by`` names any partition columns nested INSIDE the
+    batch dirs (the semdedup gate's kept index is
+    ``batch=<id>/cluster_id=<c>``, so ``("cluster_id",)``) — the
+    archive is then written with the same inner layout. The on-disk
+    layout is AUTO-DETECTED from the ``<col>=`` directory chain under
+    the first folded partition and ENFORCED, not caller-trusted:
+    omitted on a nested layout → the detected columns are used (a flat
+    archive next to two-level live partitions would fail the gate's
+    next read on conflicting directory structures); explicitly given
+    but disagreeing with the detected chain → raises."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -812,6 +845,19 @@ def consolidate_gate_storage(
     read_vals = folded + (
         [archive_value] if archive_value in vals else []
     )
+    detected = _detect_nested_partitions(
+        fs, jvm, f"{path}/{key}={read_vals[0]}"
+    )
+    if not subpartition_by:
+        subpartition_by = detected
+    elif tuple(subpartition_by) != detected:
+        raise ValueError(
+            f"subpartition_by={tuple(subpartition_by)} disagrees with "
+            f"the on-disk nested partition layout {detected} under "
+            f"{path}/{key}={read_vals[0]}; folding with the wrong "
+            f"inner layout would corrupt the archive's directory "
+            f"structure"
+        )
     total_bytes = sum(
         fs.getContentSummary(
             jvm.org.apache.hadoop.fs.Path(f"{path}/{key}={v}")

@@ -1534,6 +1534,68 @@ def test_semdedup_index_consolidation_preserves_layout(spark, tmp_path):
     assert any(d.startswith("cluster_id=") for d in _os.listdir(arch))
 
 
+def test_consolidation_autodetects_nested_layout(spark, tmp_path):
+    """r11 (ADVICE): subpartition_by is enforced against the on-disk
+    layout, not caller-trusted. Omitting it on the semdedup index's
+    two-level batch/cluster_id layout auto-derives ("cluster_id",)
+    instead of writing a flat archive the next read would choke on;
+    an explicitly disagreeing argument raises."""
+    seed = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    batches = [
+        [(10, [0.7, 0.7])],
+        [(11, [-1.0, 0.0])],
+        [(12, [0.3, -0.9])],
+    ]
+    flat = _emb_arrivals(spark, tmp_path, batches)
+    index_dir = str(tmp_path / "semidx")
+    SJ.init_semdedup_index(spark, index_dir, seed, n_clusters=2,
+                           threshold=0.9)
+    SJ.streaming_semdedup_gate(
+        spark, flat, index_dir, str(tmp_path / "semkept"),
+        str(tmp_path / "ck"),
+    ).awaitTermination()
+    kept_path = f"{index_dir}/kept"
+    before = sorted(
+        r["vec_id"] for r in spark.read.parquet(kept_path).collect()
+    )
+    # a disagreeing explicit argument raises before any write
+    with pytest.raises(ValueError, match="disagrees"):
+        SJ.consolidate_gate_storage(
+            spark, kept_path, keep_last=1, subpartition_by=("wrong_col",)
+        )
+    # omitted: the nested layout is detected and preserved
+    report = SJ.consolidate_gate_storage(spark, kept_path, keep_last=1)
+    assert report["folded"]
+    after_df = spark.read.parquet(kept_path)
+    assert sorted(r["vec_id"] for r in after_df.collect()) == before
+    import os as _os
+
+    arch = _os.path.join(kept_path, "batch=-2")
+    assert any(d.startswith("cluster_id=") for d in _os.listdir(arch))
+
+
+def test_consolidation_flat_layout_rejects_spurious_subpartition(
+    spark, tmp_path
+):
+    """The inverse direction: claiming a nested layout on a FLAT gate
+    output raises instead of writing an archive partitioned by a
+    column the live dirs don't have."""
+    p = tmp_path / "flatout"
+    for b in (0, 1, 2):
+        spark.createDataFrame(
+            [(b, "x")], "doc_id long, text string"
+        ).write.parquet(f"{p}/batch={b}")
+    with pytest.raises(ValueError, match="disagrees"):
+        SJ.consolidate_gate_storage(
+            spark, str(p), keep_last=1, subpartition_by=("cluster_id",)
+        )
+    report = SJ.consolidate_gate_storage(spark, str(p), keep_last=1)
+    assert report["folded"] == [0, 1]
+
+
 def test_semdedup_index_and_probe_hot_cluster_guard(spark):
     import pytest as _pytest
 
