@@ -148,6 +148,39 @@ HEADLINE = [
     # the SemDeDup-paper release workflow composed cross-table:
     # embedding dedup -> document handoff -> quality gate -> split
     "pipeline_semantic_curation",
+    # round-11 coverage extension (r10 verdict item 6): every family
+    # gets at least one benched query so a regression in any plan
+    # module is visible round-over-round. Selection = the measured
+    # most-expensive query of each previously-unbenched family
+    # (profile/scalar/scd2/setops/sort), plus the heaviest unbenched
+    # query of each under-covered family (one-shot sf0.1 sweep,
+    # 2026-08-16). sim_srp_near_dup_pairs (20s) and
+    # pipeline_embedding_curation_srp (21s) stay excluded for bench
+    # runtime — their cost is the documented S-curve regime, certified
+    # by their oracle rows; reshape_denormalize_star stays excluded
+    # per the driver-serialization note above.
+    "profile_orders_columns",
+    "scalar_variant_json",
+    "scd2_apply_changes_incremental",
+    "setops_customer_cohorts",
+    "sort_global_top10_orders",
+    "agg_mode_orders_priority",
+    "window_rolling_autocorr",
+    "ts_changepoint_cusum",
+    "quality_referential_integrity",
+    "join_range_value_bands",
+    "sql_recursive_month_spine",
+    "stats_equal_frequency_binning",
+    "analytics_funnel_conversion_window",
+    "graph_jaccard_link_prediction",
+    "dedup_cluster_size_histogram",
+    "multimodal_decoded_avi_stats",
+    "text_bpe_merges",
+    "tpch_q20_potential_promotion",
+    # round-11 new query: DSIR hashed-bigram importance weights — the
+    # data-selection scoring pass (broadcast LM, two data-sized
+    # shuffles)
+    "sample_dsir_importance",
 ]
 
 

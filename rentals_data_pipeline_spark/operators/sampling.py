@@ -293,3 +293,111 @@ def stratified_split(
         )
 
     return _apply
+
+
+def dsir_log_importance(
+    target_col: str = "is_target",
+    n_buckets: int = 4096,
+    ngram: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "dsir",
+) -> Op:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023, arXiv:2302.03169 §3): score every RAW
+    document by how much more likely its text is under a hashed-n-gram
+    LM of the TARGET slice than under the raw pool's own LM —
+    log w(x) = Σ_grams [ln p_target(bucket) - ln p_raw(bucket)] with
+    add-1 smoothing over ``n_buckets`` hash buckets. High scores mark
+    raw documents that look like the target distribution; feed the
+    weights to ``weighted_sample_topk`` for the paper's resampling
+    step.
+
+    Input: (id, text, ``target_col`` boolean). Output: one row per RAW
+    document with ≥ ``ngram`` tokens — (id, n_grams, log_importance).
+    Target rows train the numerator LM and are never scored; rows with
+    a NULL flag train neither LM and are not scored (NULL-key rules as
+    in ``hash_bucket``). Shorter documents have no n-grams, hence no
+    score — the same degenerate-doc absence contract as MinHash.
+
+    Scale shape: n-grams assemble INSIDE the token array (codegen
+    transform — the ``corpus_ngram_topk`` pattern, no window); bucket
+    counts map-side combine to ≤ ``n_buckets`` rows; the per-bucket
+    log-ratio table is ≤ ``n_buckets`` rows and BROADCASTS into the
+    gram stream, so the only data-sized shuffles are the count
+    aggregate and the per-doc rollup. Hashing is ``hash_bucket`` (md5,
+    engine-portable); the hash collisions ARE the method — DSIR's
+    hashed n-grams trade vocabulary fidelity for a fixed-width model.
+
+    Oracle parity: each bucket's log-ratio is rounded half-up at 8 dp
+    and anchored as DECIMAL(28,8) before the per-doc sum — the exact
+    ``text_unigram_logprob`` anchor, so the sum is order-invariant and
+    engine-exact; the final per-doc score rounds at 4 dp.
+    """
+    from rentals_data_pipeline_spark.functions.rounding import round_half_up
+
+    parts = " , ' ', ".join(f"toks[i + {j}]" for j in range(ngram))
+    gram_expr = (
+        f"transform(slice(toks, 1, greatest(size(toks) - {ngram - 1}, 0)), "
+        f"(t, i) -> concat({parts}))"
+    )
+
+    def _apply(df: DataFrame) -> DataFrame:
+        grams = (
+            df.select(
+                F.col(id_col),
+                F.col(target_col).alias("_tgt"),
+                F.split(F.col(text_col), r"\s+").alias("toks"),
+            )
+            .select(
+                id_col,
+                "_tgt",
+                F.explode(F.expr(gram_expr)).alias("_gram"),
+            )
+            .select(
+                id_col,
+                "_tgt",
+                hash_bucket(F.col("_gram"), n_buckets, seed).alias("_b"),
+            )
+        )
+        cnt = grams.groupBy("_b").agg(
+            F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_ct"),
+            F.sum(F.when(~F.col("_tgt"), 1).otherwise(0)).alias("_cr"),
+        )
+        tot = cnt.agg(
+            F.sum("_ct").alias("_nt"), F.sum("_cr").alias("_nr")
+        )
+        lr = cnt.crossJoin(F.broadcast(tot)).select(
+            "_b",
+            round_half_up(
+                F.log(
+                    (F.col("_ct") + F.lit(1.0))
+                    / (F.col("_nt") + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.col("_cr") + F.lit(1.0))
+                    / (F.col("_nr") + F.lit(float(n_buckets)))
+                ),
+                8,
+            )
+            .cast("decimal(28,8)")
+            .alias("_lr8"),
+        )
+        return (
+            grams.where(~F.col("_tgt"))
+            .join(F.broadcast(lr), "_b")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_grams"),
+                F.sum("_lr8").alias("_s"),
+            )
+            .select(
+                id_col,
+                "n_grams",
+                round_half_up(
+                    F.col("_s").cast("double"), 4
+                ).alias("log_importance"),
+            )
+        )
+
+    return _apply

@@ -1,6 +1,6 @@
 """Catalog queries for deterministic sampling / dataset splitting.
 
-All three are fully oracle-paired: the md5-bucket arithmetic
+Every query here is fully oracle-paired: the md5-bucket arithmetic
 (operators/sampling.py::hash_bucket) is reproduced in DuckDB as
 ``('0x' || substr(md5(seed || key), 1, 8))::BIGINT % n``.
 """
@@ -239,3 +239,64 @@ def sample_balanced_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= F.col("min_n"))
         .select("vec_id", "label")
     )
+
+
+@query(
+    "sample_dsir_importance",
+    r"""
+WITH d AS (
+    SELECT doc_id, text, (doc_id % 7 = 0) AS tgt FROM documents
+),
+toks AS (
+    SELECT doc_id, tgt, string_split_regex(text, '\s+') AS t FROM d
+),
+grams AS (
+    SELECT doc_id, tgt,
+        (('0x' || substr(md5('dsir' || (t[i] || ' ' || t[i + 1])), 1, 8))::BIGINT
+         % 4096) AS b
+    FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+),
+cnt AS (
+    SELECT b,
+        SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+        SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cr
+    FROM grams GROUP BY b
+),
+tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM cnt),
+lr AS (
+    SELECT b,
+        CAST(FLOOR((ln((ct + 1.0) / (nt + 4096.0))
+                  - ln((cr + 1.0) / (nr + 4096.0))) * 100000000.0 + 0.5)
+             / 100000000.0 AS DECIMAL(28,8)) AS lr8
+    FROM cnt CROSS JOIN tot
+),
+doc AS (
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, SUM(lr8) AS s
+    FROM grams g JOIN lr USING (b)
+    WHERE NOT g.tgt
+    GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams,
+    FLOOR(CAST(s AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS log_importance
+FROM doc
+""",
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (arXiv:2302.03169) for the raw pool
+    against a target slice (operators/sampling.py::dsir_log_importance)
+    — the data-selection step a pretraining pipeline runs to upweight
+    raw web documents that look like a curated target corpus. Target =
+    every 7th document (a deterministic stand-in for the curated
+    slice); every other document scores
+    Σ_bigrams [ln p_target(bucket) - ln p_raw(bucket)] over 4096
+    md5-hashed bigram buckets with add-1 smoothing. The per-bucket
+    log-ratio is 8-dp-anchored DECIMAL so the per-doc sum is
+    engine-exact (the text_unigram_logprob contract); compose with
+    sample_weighted_documents (A-ES) for the paper's resampling step."""
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = docs.select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") % 7 == 0).alias("is_target"),
+    )
+    return flagged.transform(SP.dsir_log_importance())

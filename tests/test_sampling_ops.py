@@ -186,3 +186,68 @@ def test_balanced_labels_exact_counts(spark):
     counts = {r["label"]: r["count"] for r in out.groupBy("label").count().collect()}
     assert set(counts.values()) == {min_n}
     assert len(counts) == emb.select("label").distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (dsir_log_importance)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_corpus(spark):
+    # target slice speaks "alpha beta"; raw doc 10 mimics it, raw doc
+    # 11 speaks a different language, doc 12 is too short to score,
+    # doc 13 has a NULL flag (trains neither LM, never scored)
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta alpha beta", True),
+            (2, "alpha beta gamma alpha beta", True),
+            (10, "alpha beta alpha beta", False),
+            (11, "zeta eta theta iota kappa", False),
+            (12, "alpha", False),
+            (13, "alpha beta alpha beta", None),
+        ],
+        "doc_id long, text string, is_target boolean",
+    )
+
+
+def test_dsir_target_lookalike_scores_higher(spark):
+    rows = {
+        r.doc_id: r
+        for r in _dsir_corpus(spark)
+        .transform(SP.dsir_log_importance())
+        .collect()
+    }
+    # only the two scorable raw docs appear: target rows are never
+    # scored, the 1-token doc has no bigrams, the NULL-flag row is out
+    assert set(rows) == {10, 11}
+    assert rows[10].log_importance > rows[11].log_importance
+    # the lookalike's buckets are target-heavy -> positive log ratio;
+    # the unseen-language doc only hits smoothing mass -> negative
+    assert rows[10].log_importance > 0 > rows[11].log_importance
+    assert rows[10].n_grams == 3 and rows[11].n_grams == 4
+
+
+def test_dsir_weights_are_layout_invariant(spark):
+    df = _dsir_corpus(spark)
+    a = sorted(
+        tuple(r)
+        for r in df.transform(SP.dsir_log_importance()).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in df.repartition(7, "doc_id")
+        .transform(SP.dsir_log_importance())
+        .collect()
+    )
+    assert a == b
+
+
+def test_dsir_empty_and_all_target_inputs(spark):
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, is_target boolean"
+    )
+    assert empty.transform(SP.dsir_log_importance()).count() == 0
+    all_tgt = spark.createDataFrame(
+        [(1, "a b c", True)], "doc_id long, text string, is_target boolean"
+    )
+    assert all_tgt.transform(SP.dsir_log_importance()).count() == 0

@@ -59,3 +59,45 @@ def test_column_pruning_reaches_parquet(spark):
     schema_part = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_orderkey" in schema_part and "l_quantity" in schema_part
     assert "l_comment" not in schema_part and "l_extendedprice" not in schema_part
+
+
+def test_semdedup_persisted_index_probe_is_cluster_pruned(spark, tmp_path):
+    """r11: the batch-mode production read path for an incremental
+    SemDeDup index — persisted partitioned by cluster_id — must prune
+    to the probe batch's hit clusters at the scan, the same contract
+    the streaming gate's read_pruned_semdedup_index pins. Probing the
+    pruned read returns verdicts identical to the full index."""
+    from rentals_data_pipeline_spark.operators.similarity import (
+        semdedup_against_index,
+        semdedup_assign,
+        semdedup_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents, idx = semdedup_index(emb, n_clusters=4, threshold=0.35)
+    out = str(tmp_path / "semidx")
+    idx.write.partitionBy("cluster_id").parquet(out)
+
+    batch = emb.limit(40)
+    assigned = semdedup_assign(batch, cents)
+    hits = sorted(
+        r["cluster_id"]
+        for r in assigned.select("cluster_id").distinct().collect()
+    )
+    stored = spark.read.parquet(out)
+    pruned = stored.where(F.col("cluster_id").isin(hits)).select(
+        "vec_id", "vec", "cluster_id", "centroid_sim"
+    )
+    plan = _scan_plan(pruned)
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "cluster_id" in pf, plan
+
+    key = lambda df: sorted(  # noqa: E731
+        (r.vec_id, r.cluster_id, r.centroid_sim, r.kept)
+        for r in df.collect()
+    )
+    full = stored.select("vec_id", "vec", "cluster_id", "centroid_sim")
+    assert key(
+        semdedup_against_index(batch, cents, pruned, threshold=0.35)
+    ) == key(semdedup_against_index(batch, cents, full, threshold=0.35))

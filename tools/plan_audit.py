@@ -54,6 +54,7 @@ BNLJ_WHITELIST = {
     "text_tfidf_top_terms": 1,  # 1-row corpus size N
     "dedup_ngram_jaccard_topk": 1,  # 1-row doc-count bound
     "text_unigram_logprob": 1,  # 1-row token-total for log-probs
+    "sample_dsir_importance": 1,  # 1-row (N_target, N_raw) LM totals
     "sim_srp_lsh_recall": 2,  # recall harness: exact-baseline 1-row totals
     "sim_pq_adc_topk_recall": 2,  # same harness shape
     "sim_ivf_pq_residual_recall": 3,  # A/B harness: three 1-row totals
