@@ -316,16 +316,25 @@ def dedup_against_index(
     Recall is identical to pairing over the unioned corpus (same
     signature function, same banding — pinned by an equivalence test),
     but the work is |new| shingling + an equi-join that touches only
-    the index buckets the new batch's band keys land in. The
-    batch-sized side of EVERY index join carries an explicit
-    ``broadcast()`` hint: size estimates at a toy SF happily build the
-    hash relation from the INDEX side (or, past the auto-broadcast
-    threshold, fall back to a sort-merge join that shuffles the whole
-    index), and either orientation is the scale-killer at a TB-scale
-    corpus index. With the hints the index relations are always the
-    STREAMED side — scanned once per trigger, never shuffled, never
-    collected into a broadcast — regardless of what the statistics
-    claim (pinned by a plan test with auto-broadcast disabled).
+    the index buckets the new batch's band keys land in.
+
+    Join orientation at a TB-scale index, enforced rather than
+    stats-trusted (size estimates at a toy SF happily build the hash
+    relation from the INDEX side, or past the auto-broadcast threshold
+    fall back to a sort-merge join that shuffles the whole index;
+    pinned by a plan test with auto-broadcast disabled):
+
+    - the band join broadcasts the PROBE band keys (bounded:
+      |batch| × bands rows of three scalars) — index bands streamed;
+    - the verify side first reduces the index sets to the CANDIDATE
+      SLIVER via a left-semi join against the broadcast distinct
+      candidate ids (8 bytes each, bounded by |batch| × bands ×
+      bucket width — never the sets themselves, whose replication per
+      candidate PAIR is unbounded under band-key skew) — index sets
+      streamed through one filtered scan;
+    - the final pair join then runs over two candidate-scale
+      relations and is left to the optimizer: a shuffle there moves
+      the sliver, never the index.
     """
     probe_bands, probe_sets = minhash_index(
         new_docs, id_col, text_col, ngram, num_hashes, bands, rows
@@ -345,25 +354,25 @@ def dedup_against_index(
         .select("new_id", "corpus_id")
         .distinct()
     )
+    corpus_sliver = index_sets.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("hset").alias("corpus_set"),
+    ).join(
+        F.broadcast(cand.select("corpus_id").distinct()),
+        "corpus_id",
+        "left_semi",
+    )
     return (
-        F.broadcast(
-            cand.join(
-                F.broadcast(
-                    probe_sets.select(
-                        F.col(id_col).alias("new_id"),
-                        F.col("hset").alias("new_set"),
-                    )
-                ),
-                "new_id",
-            )
-        )
-        .join(
-            index_sets.select(
-                F.col(id_col).alias("corpus_id"),
-                F.col("hset").alias("corpus_set"),
+        cand.join(
+            F.broadcast(
+                probe_sets.select(
+                    F.col(id_col).alias("new_id"),
+                    F.col("hset").alias("new_set"),
+                )
             ),
-            "corpus_id",
+            "new_id",
         )
+        .join(corpus_sliver, "corpus_id")
         .select(
             "new_id",
             "corpus_id",

@@ -321,7 +321,8 @@ def dsir_log_importance(
     score — the same degenerate-doc absence contract as MinHash.
 
     Scale shape: n-grams assemble INSIDE the token array (codegen
-    transform — the ``corpus_ngram_topk`` pattern, no window); bucket
+    transform — ``operators/text.py::ngram_array_expr``, no window);
+    bucket
     counts map-side combine to ≤ ``n_buckets`` rows; the per-bucket
     log-ratio table is ≤ ``n_buckets`` rows and BROADCASTS into the
     gram stream, so the only data-sized shuffles are the count
@@ -335,12 +336,9 @@ def dsir_log_importance(
     engine-exact; the final per-doc score rounds at 4 dp.
     """
     from rentals_data_pipeline_spark.functions.rounding import round_half_up
+    from rentals_data_pipeline_spark.operators.text import ngram_array_expr
 
-    parts = " , ' ', ".join(f"toks[i + {j}]" for j in range(ngram))
-    gram_expr = (
-        f"transform(slice(toks, 1, greatest(size(toks) - {ngram - 1}, 0)), "
-        f"(t, i) -> concat({parts}))"
-    )
+    gram_expr = ngram_array_expr(ngram, arr="toks")
 
     def _apply(df: DataFrame) -> DataFrame:
         grams = (

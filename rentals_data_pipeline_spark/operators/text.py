@@ -44,6 +44,28 @@ def tokens(col: Column) -> Column:
     return F.split(col, r"\s+")
 
 
+def ngram_array_expr(n: int, arr: str = "toks", digest: bool = False) -> str:
+    """SQL expression assembling space-joined word n-grams INSIDE a
+    token-array column — the repo's one copy of the in-array n-gram
+    trick (previously four near-identical strings across two modules):
+    ``transform`` over ``slice(arr, 1, greatest(size(arr) - (n-1), 0))``
+    with 0-based ``arr[i + j]`` indexing, always in bounds because the
+    slice stops ``n-1`` short. Pure codegen — no per-document window,
+    no token-level shuffle. ``digest=True`` wraps each gram in
+    ``unhex(md5(...))`` so only fixed 16-byte digests ever leave the
+    row (the shuffle-payload discipline the dedup family relies on).
+    The lambda's element binding ``t`` IS ``{arr}[i + 0]``; using it
+    for j=0 keeps the expression one array lookup shorter."""
+    parts = " , ' ', ".join(["t"] + [f"{arr}[i + {j}]" for j in range(1, n)])
+    body = f"concat({parts})"
+    if digest:
+        body = f"unhex(md5({body}))"
+    return (
+        f"transform(slice({arr}, 1, greatest(size({arr}) - {n - 1}, 0)), "
+        f"(t, i) -> {body})"
+    )
+
+
 def token_stats(text_col: str = "text") -> Op:
     """Token counts: whitespace tokens, distinct tokens, BPE-ish
     subword-unit count, average token length."""
@@ -514,10 +536,7 @@ def repetition_stats(id_col: str = "doc_id", text_col: str = "text") -> Op:
     collision-free at any certifiable scale). Fractions are rounded
     half-up at 4 decimals so the oracle replays them exactly.
     """
-    bigram_expr = (
-        "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)), "
-        "(t, i) -> unhex(md5(concat(t, ' ', _toks[i + 1]))))"
-    )
+    bigram_expr = ngram_array_expr(2, arr="_toks", digest=True)
 
     def _apply(df: DataFrame) -> DataFrame:
         # NULL-text docs emitted nothing under the old exploded form
@@ -641,11 +660,7 @@ def corpus_ngram_topk(
     millions of pages shows up as a top corpus n-gram long before any
     per-document signal fires).
     """
-    parts = " , ' ', ".join(f"toks[i + {j}]" for j in range(n))
-    expr = (
-        f"transform(slice(toks, 1, greatest(size(toks) - {n - 1}, 0)), "
-        f"(t, i) -> concat({parts}))"
-    )
+    expr = ngram_array_expr(n, arr="toks")
 
     def _apply(df: DataFrame) -> DataFrame:
         grams = (
@@ -706,11 +721,7 @@ def duplicated_ngram_fraction(
     relation — exact same output, AQE-skew-splittable join, one extra
     materialization.
     """
-    tail = " , ' ', ".join(f"_toks[i + {j}]" for j in range(1, n))
-    gram_expr = (
-        f"transform(slice(_toks, 1, greatest(size(_toks) - {n - 1}, 0)), "
-        f"(t, i) -> unhex(md5(concat(t, ' ', {tail}))))"
-    )
+    gram_expr = ngram_array_expr(n, arr="_toks", digest=True)
 
     def _apply(df: DataFrame) -> DataFrame:
         g = (

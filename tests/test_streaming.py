@@ -1577,6 +1577,54 @@ def test_consolidation_autodetects_nested_layout(spark, tmp_path):
     assert any(d.startswith("cluster_id=") for d in _os.listdir(arch))
 
 
+def test_consolidation_skips_layout_neutral_empty_batch_dirs(
+    spark, tmp_path
+):
+    """r11 review: a gate batch that keeps ZERO rows writes its
+    batch=<id> dir with only _SUCCESS — no cluster_id= subdirs. Layout
+    detection must skip such layout-neutral dirs instead of concluding
+    'flat': with the documented explicit subpartition_by it would
+    otherwise raise forever (consolidation wedged on the oldest empty
+    dir), and with it omitted it would fold a FLAT archive into a
+    nested index."""
+    seed = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    batches = [
+        [(10, [0.9999, 0.0001])],   # near-copy of seed id1: kept=∅
+        [(11, [-1.0, 0.0])],
+        [(12, [0.3, -0.9])],
+    ]
+    flat = _emb_arrivals(spark, tmp_path, batches)
+    index_dir = str(tmp_path / "semidx")
+    SJ.init_semdedup_index(spark, index_dir, seed, n_clusters=2,
+                           threshold=0.9)
+    SJ.streaming_semdedup_gate(
+        spark, flat, index_dir, str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    ).awaitTermination()
+    kept_path = f"{index_dir}/kept"
+    import os as _os
+
+    # precondition: batch=0 really is layout-neutral (no cluster dirs)
+    b0 = _os.path.join(kept_path, "batch=0")
+    assert not any(d.startswith("cluster_id=") for d in _os.listdir(b0))
+    before = sorted(
+        r["vec_id"] for r in spark.read.parquet(kept_path).collect()
+    )
+    # keep_last=1 folds batch=-1..1 including the empty batch=0; both
+    # the explicit and the derived path must keep the nested layout
+    report = SJ.consolidate_gate_storage(
+        spark, kept_path, keep_last=1, subpartition_by=("cluster_id",)
+    )
+    assert 0 in report["folded"]
+    after = spark.read.parquet(kept_path)
+    assert sorted(r["vec_id"] for r in after.collect()) == before
+    arch = _os.path.join(kept_path, "batch=-2")
+    assert any(d.startswith("cluster_id=") for d in _os.listdir(arch))
+
+
 def test_consolidation_flat_layout_rejects_spurious_subpartition(
     spark, tmp_path
 ):
