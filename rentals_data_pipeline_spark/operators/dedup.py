@@ -306,6 +306,7 @@ def dedup_against_index(
     rows: int = 4,
     threshold: float = 0.5,
     scale: int = 4,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Near-dup check of a NEW batch against an existing corpus index
     (from ``minhash_index``): returns (new_id, corpus_id, jaccard) for
@@ -328,13 +329,26 @@ def dedup_against_index(
       |batch| × bands rows of three scalars) — index bands streamed;
     - the verify side first reduces the index sets to the CANDIDATE
       SLIVER via a left-semi join against the broadcast distinct
-      candidate ids (8 bytes each, bounded by |batch| × bands ×
-      bucket width — never the sets themselves, whose replication per
-      candidate PAIR is unbounded under band-key skew) — index sets
-      streamed through one filtered scan;
+      candidate ids (8 bytes each — never the sets themselves, whose
+      replication per candidate PAIR is unbounded under band-key
+      skew) — index sets streamed through one filtered scan;
     - the final pair join then runs over two candidate-scale
       relations and is left to the optimizer: a shuffle there moves
       the sliver, never the index.
+
+    ``broadcast_candidates`` caveat: the candidate-id set is bounded
+    by |batch| × bands × BUCKET WIDTH, and bucket width is a
+    CORPUS-side quantity — an index whose boilerplate concentrates
+    ~10⁸ docs in one (band, band_key) bucket would push the id
+    broadcast past Spark's 8 GB cap and fail the trigger. The default
+    True is right for trigger-bounded gate batches against a
+    healthily-banded index (ids are 8 bytes; even 10⁶ candidates ≈
+    8 MB); for an index with known hot buckets pass False — the
+    semi-join is left to the optimizer/AQE, which degrades to a
+    completing (if slow) shuffle instead of a failing broadcast. The
+    production mitigation for hot buckets is upstream either way:
+    re-band, or drop the ubiquitous grams the way
+    ``corpus_ngram_topk`` surfaces them.
     """
     probe_bands, probe_sets = minhash_index(
         new_docs, id_col, text_col, ngram, num_hashes, bands, rows
@@ -354,14 +368,13 @@ def dedup_against_index(
         .select("new_id", "corpus_id")
         .distinct()
     )
+    cand_ids = cand.select("corpus_id").distinct()
+    if broadcast_candidates:
+        cand_ids = F.broadcast(cand_ids)
     corpus_sliver = index_sets.select(
         F.col(id_col).alias("corpus_id"),
         F.col("hset").alias("corpus_set"),
-    ).join(
-        F.broadcast(cand.select("corpus_id").distinct()),
-        "corpus_id",
-        "left_semi",
-    )
+    ).join(cand_ids, "corpus_id", "left_semi")
     return (
         cand.join(
             F.broadcast(

@@ -46,8 +46,14 @@ def tokens(col: Column) -> Column:
 
 def ngram_array_expr(n: int, arr: str = "toks", digest: bool = False) -> str:
     """SQL expression assembling space-joined word n-grams INSIDE a
-    token-array column — the repo's one copy of the in-array n-gram
-    trick (previously four near-identical strings across two modules):
+    token-array column — the one copy of the trick for the
+    TEXT/SAMPLING word-n-gram form (previously four near-identical
+    strings across those two modules). The dedup family's shingle
+    builders (operators/dedup.py: xxhash64 shingles, positional
+    struct digests) deliberately keep their own variants: their
+    wrappers differ, and their emitted digests are byte-certified by
+    oracles — a fix to the slice/bounds scaffold here must be applied
+    there too:
     ``transform`` over ``slice(arr, 1, greatest(size(arr) - (n-1), 0))``
     with 0-based ``arr[i + j]`` indexing, always in bounds because the
     slice stops ``n-1`` short. Pure codegen — no per-document window,
