@@ -78,6 +78,11 @@ BUDGETS: dict[str, dict[str, float]] = {
     # star join: dims broadcast; the only shuffle is post-agg group
     # rows (measured 87 B/rec, fanout 0.0003 = 25 groups / 77k scans)
     "join_star_revenue": {"bpr": 250.0, "fanout": 0.01},
+    # DSIR: the hashed-LM shuffles carry (bucket, count) ints and the
+    # per-doc rollup (measured 20 B/rec, fanout 1.37 — bucket partials
+    # + doc rows over input docs; the scale killer would be raw grams
+    # crossing the wire, which would blow fanout past doc length)
+    "sample_dsir_importance": {"bpr": 60.0, "fanout": 5.0},
 }
 
 
