@@ -205,6 +205,22 @@ def profile_table(
     cols = columns or list(fields)
     numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
+    # The exact-distinct path expands every input row (N+1)-fold
+    # (Spark's Expand) BEFORE the partial aggregate, so the partial agg
+    # is the dominant cost and is partitions-bounded: a small corpus
+    # read from one parquet file arrives as ONE partition and profiles
+    # single-threaded (measured 2.98s -> 1.31s at sf0.1 on orders).
+    # Conditional, like the multimodal _widen: at real scale the scan
+    # already supplies >= defaultParallelism partitions and this is a
+    # no-op. Every emitted statistic is partitioning-invariant by
+    # construction (counts, min/max, exact-decimal sums), so the
+    # repartition cannot change results. Partition count comes from
+    # the JVM-internal RDD — df.rdd would splice a Python-serializer
+    # stage into the DAG just to ask.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df._jdf.queryExecution().toRdd().getNumPartitions() < target:
+        df = df.repartition(target)
+
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         t = fields[c]
