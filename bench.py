@@ -177,10 +177,12 @@ HEADLINE = [
     "multimodal_decoded_avi_stats",
     "text_bpe_merges",
     "tpch_q20_potential_promotion",
-    # round-11 new query: DSIR hashed-bigram importance weights — the
-    # data-selection scoring pass (broadcast LM, two data-sized
-    # shuffles)
+    # round-11 new queries: DSIR hashed-bigram importance weights (the
+    # data-selection scoring pass — broadcast LM, two data-sized
+    # shuffles) and the per-source dataset-card funnel (gates as
+    # flag columns over one scan + one digest window + one agg)
     "sample_dsir_importance",
+    "pipeline_curation_funnel_by_source",
 ]
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rentals_data_pipeline_spark.functions.rounding import round_half_up
 from rentals_data_pipeline_spark.operators import relational as R
 from rentals_data_pipeline_spark.operators import text as TX
 from rentals_data_pipeline_spark.plans.catalog import query
@@ -396,4 +397,151 @@ def pipeline_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("quality") >= QUALITY_FLOOR)
         .transform(SP.train_val_test_split("doc_id", (0.8, 0.1, 0.1)))
         .select("doc_id", "quality", "split")
+    )
+
+
+@query(
+    "pipeline_curation_funnel_by_source",
+    f"""
+WITH t AS (
+    SELECT doc_id, source, text,
+        string_split_regex(text, '\\s+') AS toks
+    FROM documents
+),
+s AS (
+    SELECT doc_id, source, text, toks,
+        {_LANG_SCORES_SQL}
+    FROM t
+),
+f AS (
+    SELECT doc_id, source,
+        COALESCE(CAST(len(toks) AS BIGINT), 0) AS n_toks,
+        COALESCE(GREATEST(score_en, score_es, score_de, score_fr) > 0
+                 AND score_en = GREATEST(score_en, score_es,
+                                         score_de, score_fr),
+                 FALSE) AS lang_pass,
+        COALESCE(GREATEST(score_en, score_es, score_de, score_fr) > 0
+                 AND score_en = GREATEST(score_en, score_es,
+                                         score_de, score_fr)
+                 AND FLOOR((0.4 * LEAST(CAST(len(toks) AS DOUBLE) / 100.0,
+                                        1.0)
+                     + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                              / NULLIF(CAST(len(toks) AS DOUBLE), 0.0))
+                     + 0.3 * (CAST(len(list_filter(toks,
+                                                   t -> t IN ({_EN})))
+                                   AS DOUBLE)
+                              / NULLIF(CAST(len(toks) AS DOUBLE), 0.0)))
+                     * 10000.0 + 0.5) / 10000.0 >= {QUALITY_FLOOR},
+                 FALSE) AS elig,
+        md5(text) AS fp
+    FROM s
+),
+w AS (
+    SELECT *,
+        MIN(CASE WHEN elig THEN doc_id END)
+            OVER (PARTITION BY fp) AS first_elig
+    FROM f
+),
+fin AS (
+    SELECT *, (elig AND doc_id = first_elig) AS final_pass FROM w
+)
+SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CASE WHEN lang_pass THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_lang_pass,
+    CAST(SUM(CASE WHEN elig THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_quality_pass,
+    CAST(SUM(CASE WHEN final_pass THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_docs_out,
+    CAST(SUM(n_toks) AS BIGINT) AS tokens_in,
+    CAST(SUM(CASE WHEN final_pass THEN n_toks ELSE 0 END) AS BIGINT)
+        AS tokens_out,
+    FLOOR((CAST(SUM(CASE WHEN final_pass THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+        AS survival_rate
+FROM fin
+GROUP BY source
+""",
+)
+def pipeline_curation_funnel_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source curation funnel — the dataset-card table every corpus
+    release publishes (docs/tokens in, survivors of each gate, final
+    survival rate per source), for the same gate chain
+    pipeline_corpus_curation certifies: predicted-English → quality
+    floor → exact keep-first dedup.
+
+    Design point: the funnel is COLUMNS, not jobs — every stage
+    predicate computes as a flag in one projection over one scan, the
+    exact-dedup survivor is a window MIN over md5(text) restricted to
+    eligible docs (keep-first by doc_id among docs that passed the
+    upstream gates, matching the sequential pipeline's semantics), and
+    the report is ONE aggregation on source. Total movement at 100 TB:
+    one 16-byte-digest-keyed window shuffle + one |sources|-row agg —
+    vs the naive per-stage count() chain that re-scans the corpus once
+    per gate. Every stage reuses arithmetic certified by its
+    standalone query (text_language_id, text_quality_score,
+    dedup_exact_documents), so the DuckDB oracle replays the whole
+    funnel; NULL-text docs count in n_docs, fail every gate
+    (COALESCE(flag, FALSE) on both engines), and contribute 0 tokens."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    from pyspark.sql import Window
+
+    scored = docs.transform(TX.language_id()).transform(TX.quality_score())
+    lang_pass = F.coalesce(F.col("lang_pred") == "en", F.lit(False))
+    elig = F.coalesce(
+        (F.col("lang_pred") == "en")
+        & (F.col("quality") >= QUALITY_FLOOR),
+        F.lit(False),
+    )
+    flags = scored.select(
+        "doc_id",
+        "source",
+        F.coalesce(
+            F.size(TX.tokens(F.col("text"))).cast("long"), F.lit(0)
+        ).alias("n_toks"),
+        lang_pass.alias("lang_pass"),
+        elig.alias("elig"),
+        F.md5("text").alias("fp"),
+    )
+    first_elig = F.min(
+        F.when(F.col("elig"), F.col("doc_id"))
+    ).over(Window.partitionBy("fp"))
+    fin = flags.withColumn(
+        "final_pass", F.col("elig") & (F.col("doc_id") == first_elig)
+    )
+    one = F.lit(1)
+    zero = F.lit(0)
+    return (
+        fin.groupBy("source")
+        .agg(
+            F.count(one).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("lang_pass"), one).otherwise(zero))
+            .cast("long")
+            .alias("n_lang_pass"),
+            F.sum(F.when(F.col("elig"), one).otherwise(zero))
+            .cast("long")
+            .alias("n_quality_pass"),
+            F.sum(F.when(F.col("final_pass"), one).otherwise(zero))
+            .cast("long")
+            .alias("n_docs_out"),
+            F.sum("n_toks").cast("long").alias("tokens_in"),
+            F.sum(
+                F.when(F.col("final_pass"), F.col("n_toks")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("tokens_out"),
+            round_half_up(
+                F.sum(
+                    F.when(F.col("final_pass"), one).otherwise(zero)
+                ).cast("double")
+                / F.count(one).cast("double"),
+                4,
+            ).alias("survival_rate"),
+        )
     )

@@ -201,3 +201,69 @@ def test_run_pipeline_observed_single_pass_funnel(spark, wide_csv):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_funnel_by_source_matches_sequential_gates(spark):
+    """The one-pass funnel's per-source counts must equal running the
+    certified gate chain sequentially: lang filter, then quality floor,
+    then exact keep-first dedup among survivors."""
+    from pyspark.sql import functions as F
+
+    from rentals_data_pipeline_spark.operators import relational as R
+    from rentals_data_pipeline_spark.operators import text as TX
+    from rentals_data_pipeline_spark.plans.catalog import QUERIES
+    from rentals_data_pipeline_spark.plans.curation_queries import (
+        QUALITY_FLOOR,
+    )
+    from rentals_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    funnel = {
+        r["source"]: r
+        for r in QUERIES["pipeline_curation_funnel_by_source"](
+            spark, sf
+        ).collect()
+    }
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "text"
+    )
+    lang = docs.transform(TX.language_id()).where(
+        F.col("lang_pred") == "en"
+    )
+    qual = lang.transform(TX.quality_score()).where(
+        F.col("quality") >= QUALITY_FLOOR
+    )
+    final = qual.withColumn("fp", F.md5("text")).transform(
+        R.dedup_keep_first(["fp"], [F.col("doc_id")])
+    )
+    seq = {
+        "n_docs": {
+            r["source"]: r["n"]
+            for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+        },
+        "n_lang_pass": {
+            r["source"]: r["n"]
+            for r in lang.groupBy("source").agg(F.count("*").alias("n")).collect()
+        },
+        "n_quality_pass": {
+            r["source"]: r["n"]
+            for r in qual.groupBy("source").agg(F.count("*").alias("n")).collect()
+        },
+        "n_docs_out": {
+            r["source"]: r["n"]
+            for r in final.groupBy("source").agg(F.count("*").alias("n")).collect()
+        },
+    }
+    assert set(funnel) == set(seq["n_docs"])
+    for src, row in funnel.items():
+        for stage in ("n_docs", "n_lang_pass", "n_quality_pass", "n_docs_out"):
+            assert row[stage] == seq[stage].get(src, 0), (src, stage)
+    # the funnel must be a real funnel
+    for row in funnel.values():
+        assert (
+            row["n_docs"]
+            >= row["n_lang_pass"]
+            >= row["n_quality_pass"]
+            >= row["n_docs_out"]
+        )
+        assert row["tokens_in"] >= row["tokens_out"]
