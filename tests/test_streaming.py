@@ -1625,6 +1625,64 @@ def test_consolidation_skips_layout_neutral_empty_batch_dirs(
     assert any(d.startswith("cluster_id=") for d in _os.listdir(arch))
 
 
+def test_semdedup_gate_keeps_judging_after_consolidation(spark, tmp_path):
+    """Continuity across maintenance: after consolidate_gate_storage
+    folds old batches into the batch=-2 archive, a LATER batch must
+    still be judged against the archived survivors (the probe's
+    batch < id filter sees -2) — a near-copy of an archived vector
+    drops, a novel one keeps."""
+    seed = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    first = [
+        [(10, [0.7, 0.7])],
+        [(11, [-1.0, 0.0])],
+        [(12, [0.3, -0.9])],
+    ]
+    flat = _emb_arrivals(spark, tmp_path, first)
+    index_dir = str(tmp_path / "semidx")
+    out_dir = str(tmp_path / "semkept")
+    SJ.init_semdedup_index(spark, index_dir, seed, n_clusters=2,
+                           threshold=0.9)
+    SJ.streaming_semdedup_gate(
+        spark, flat, index_dir, out_dir, str(tmp_path / "ck"),
+        threshold=0.9,
+    ).awaitTermination()
+    # fold everything but the newest batch into the archive
+    report = SJ.consolidate_gate_storage(
+        spark, f"{index_dir}/kept", keep_last=1
+    )
+    assert report["folded"]
+    # a new arrival: 20 near-copies ARCHIVED vector 10; 21 is novel
+    import os as _os
+    import shutil as _shutil
+
+    src = tmp_path / "more"
+    src.mkdir()
+    spark.createDataFrame(
+        [(20, [0.700001, 0.7]), (21, [0.9, -0.9])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.parquet(str(src / "b"))
+    part = next((src / "b").glob("part-*.parquet"))
+    dst = _os.path.join(flat, "900.parquet")
+    _shutil.copy(part, dst)
+    _os.utime(dst, (1700999000, 1700999000))
+    SJ.streaming_semdedup_gate(
+        spark, flat, index_dir, out_dir, str(tmp_path / "ck"),
+        threshold=0.9,
+    ).awaitTermination()
+    out_ids = {
+        r["vec_id"] for r in spark.read.parquet(out_dir).collect()
+    }
+    assert 21 in out_ids and 20 not in out_ids
+    idx_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{index_dir}/kept").collect()
+    }
+    assert 10 in idx_ids and 21 in idx_ids and 20 not in idx_ids
+
+
 def test_consolidation_flat_layout_rejects_spurious_subpartition(
     spark, tmp_path
 ):
