@@ -183,6 +183,9 @@ HEADLINE = [
     # flag columns over one scan + one digest window + one agg)
     "sample_dsir_importance",
     "pipeline_curation_funnel_by_source",
+    # the per-suite eval-integrity contamination table (broadcast
+    # digest slivers; train never shuffles for the membership probe)
+    "dedup_contamination_report",
 ]
 
 

@@ -695,3 +695,132 @@ def dedup_span_rewrite_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule, AND the reassembly order."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.transform(DD.span_dedup_rewrite("doc_id", "text", 8))
+
+
+@query(
+    "dedup_contamination_report",
+    r"""
+WITH d AS (
+    SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+),
+g AS (
+    SELECT doc_id,
+        CASE WHEN len(w) >= 5
+             THEN list_distinct(list_transform(
+                      generate_series(1, len(w) - 4),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           || ' ' || w[i+3] || ' ' || w[i+4]))
+             ELSE [] END AS s
+    FROM d
+),
+tr AS (
+    SELECT * FROM g
+    WHERE doc_id % 83 <> 0 AND doc_id % 89 <> 0 AND doc_id % 97 <> 0
+),
+tn AS (
+    SELECT COUNT(*) AS n_train FROM d
+    WHERE doc_id % 83 <> 0 AND doc_id % 89 <> 0 AND doc_id % 97 <> 0
+),
+bm83 AS (SELECT DISTINCT u.gram FROM g, unnest(g.s) AS u(gram)
+         WHERE g.doc_id % 83 = 0),
+bm89 AS (SELECT DISTINCT u.gram FROM g, unnest(g.s) AS u(gram)
+         WHERE g.doc_id % 89 = 0),
+bm97 AS (SELECT DISTINCT u.gram FROM g, unnest(g.s) AS u(gram)
+         WHERE g.doc_id % 97 = 0),
+c83 AS (SELECT COUNT(DISTINCT tr.doc_id) AS n
+        FROM tr, unnest(tr.s) AS u(gram) JOIN bm83 ON u.gram = bm83.gram),
+c89 AS (SELECT COUNT(DISTINCT tr.doc_id) AS n
+        FROM tr, unnest(tr.s) AS u(gram) JOIN bm89 ON u.gram = bm89.gram),
+c97 AS (SELECT COUNT(DISTINCT tr.doc_id) AS n
+        FROM tr, unnest(tr.s) AS u(gram) JOIN bm97 ON u.gram = bm97.gram),
+b83 AS (SELECT COUNT(*) AS nb FROM d WHERE doc_id % 83 = 0),
+b89 AS (SELECT COUNT(*) AS nb FROM d WHERE doc_id % 89 = 0),
+b97 AS (SELECT COUNT(*) AS nb FROM d WHERE doc_id % 97 = 0)
+SELECT 'suite_83' AS suite,
+    CAST(b83.nb AS BIGINT) AS n_benchmark_docs,
+    CAST(tn.n_train AS BIGINT) AS n_train_docs,
+    CAST(c83.n AS BIGINT) AS n_contaminated,
+    FLOOR((CAST(c83.n AS DOUBLE) / CAST(tn.n_train AS DOUBLE))
+          * 10000.0 + 0.5) / 10000.0 AS contamination_rate
+FROM b83, c83, tn
+UNION ALL
+SELECT 'suite_89',
+    CAST(b89.nb AS BIGINT), CAST(tn.n_train AS BIGINT),
+    CAST(c89.n AS BIGINT),
+    FLOOR((CAST(c89.n AS DOUBLE) / CAST(tn.n_train AS DOUBLE))
+          * 10000.0 + 0.5) / 10000.0
+FROM b89, c89, tn
+UNION ALL
+SELECT 'suite_97',
+    CAST(b97.nb AS BIGINT), CAST(tn.n_train AS BIGINT),
+    CAST(c97.n AS BIGINT),
+    FLOOR((CAST(c97.n AS DOUBLE) / CAST(tn.n_train AS DOUBLE))
+          * 10000.0 + 0.5) / 10000.0
+FROM b97, c97, tn
+""",
+)
+def dedup_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-integrity dataset card: per benchmark SUITE, how much of
+    the training corpus shares a word 5-gram with it — the
+    contamination table a release audit publishes alongside the
+    decontaminated corpus (the removal itself is
+    dedup_decontaminate_train / the streaming Bloom gate; this is the
+    multi-suite MEASUREMENT over the same digest machinery). Three
+    deterministic slices play held-out suites (doc_id % 83/89/97 = 0);
+    train = docs in none of them.
+
+    Scale shape: training shingles digest ONCE (in-array build, pure
+    map); each suite's digest set is a benchmark-sized sliver that
+    BROADCASTS into a left-semi probe of the train gram stream —
+    train never shuffles for the membership test, only the
+    contaminated doc_id sliver reaches each count-distinct. The 1-row
+    count carriers (per-suite benchmark size, train total) replicate
+    as whitelisted 1-row cross joins. At 100 TB this is the same
+    per-suite cost as one decontamination pass, and the suite
+    partitioned decon index (add_benchmark_to_decon_index) supplies
+    the same slivers without recomputing them."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    suites = (("suite_83", 83), ("suite_89", 89), ("suite_97", 97))
+    train_pred = None
+    for _, p in suites:
+        c = F.col("doc_id") % p != 0
+        train_pred = c if train_pred is None else (train_pred & c)
+    train = docs.where(train_pred)
+    train_grams = train.transform(DD.shingle_digest_rows())
+    train_total = train.agg(
+        F.count(F.lit(1)).cast("long").alias("n_train_docs")
+    )
+    parts = []
+    for name, p in suites:
+        bench = docs.where(F.col("doc_id") % p == 0)
+        bench_digests = (
+            bench.transform(DD.shingle_digest_rows()).select("d").distinct()
+        )
+        contaminated = (
+            train_grams.join(F.broadcast(bench_digests), "d", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+        )
+        bench_n = bench.agg(
+            F.count(F.lit(1)).cast("long").alias("n_benchmark_docs")
+        )
+        parts.append(
+            bench_n.crossJoin(F.broadcast(contaminated))
+            .crossJoin(F.broadcast(train_total))
+            .select(
+                F.lit(name).alias("suite"),
+                "n_benchmark_docs",
+                "n_train_docs",
+                "n_contaminated",
+                RND(
+                    F.col("n_contaminated").cast("double")
+                    / F.col("n_train_docs").cast("double"),
+                    4,
+                ).alias("contamination_rate"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
