@@ -769,58 +769,105 @@ def dedup_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic slices play held-out suites (doc_id % 83/89/97 = 0);
     train = docs in none of them.
 
-    Scale shape: training shingles digest ONCE (in-array build, pure
-    map); each suite's digest set is a benchmark-sized sliver that
-    BROADCASTS into a left-semi probe of the train gram stream —
-    train never shuffles for the membership test, only the
-    contaminated doc_id sliver reaches each count-distinct. The 1-row
-    count carriers (per-suite benchmark size, train total) replicate
-    as whitelisted 1-row cross joins. At 100 TB this is the same
-    per-suite cost as one decontamination pass, and the suite
-    partitioned decon index (add_benchmark_to_decon_index) supplies
-    the same slivers without recomputing them."""
+    Scale shape (r12 single-digest rewrite): the training corpus is
+    shingled + digested exactly ONCE — one subtree, one scan — and
+    probed by ONE broadcast holding all three suites' digest slivers
+    tagged with their suite name (an inner join adds the tag, so one
+    pass over the train gram stream answers every suite; train never
+    shuffles for the membership test, only the (suite, doc_id) sliver
+    reaches the count-distinct). The suite slivers themselves come
+    from one scan of the union of benchmarks (suite tags exploded from
+    a per-doc membership array), and every per-suite/train count comes
+    from one conditional aggregate over one scan — 3 scans of
+    ``documents`` total, vs the previous per-suite shape whose
+    dominant 100 TB cost (the train digest pass) ran once per suite.
+    At 100 TB the suite-partitioned decon index
+    (add_benchmark_to_decon_index) supplies the same tagged slivers
+    without recomputing them."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     suites = (("suite_83", 83), ("suite_89", 89), ("suite_97", 97))
+    in_suite = {
+        name: F.col("doc_id") % p == 0 for name, p in suites
+    }
     train_pred = None
-    for _, p in suites:
-        c = F.col("doc_id") % p != 0
+    for name, _ in suites:
+        c = ~in_suite[name]
         train_pred = c if train_pred is None else (train_pred & c)
-    train = docs.where(train_pred)
-    train_grams = train.transform(DD.shingle_digest_rows())
-    train_total = train.agg(
-        F.count(F.lit(1)).cast("long").alias("n_train_docs")
+    # one scan: every headcount in a single conditional aggregate
+    counts = docs.agg(
+        *[
+            F.coalesce(
+                F.sum(in_suite[name].cast("long")), F.lit(0).cast("long")
+            ).alias(f"nb_{name}")
+            for name, _ in suites
+        ],
+        F.coalesce(
+            F.sum(train_pred.cast("long")), F.lit(0).cast("long")
+        ).alias("n_train_docs"),
     )
-    parts = []
-    for name, p in suites:
-        bench = docs.where(F.col("doc_id") % p == 0)
-        bench_digests = (
-            bench.transform(DD.shingle_digest_rows()).select("d").distinct()
+    stack_args = ", ".join(
+        f"'{name}', nb_{name}" for name, _ in suites
+    )
+    bench_counts = counts.select(
+        F.expr(
+            f"stack({len(suites)}, {stack_args})"
+            " as (suite, n_benchmark_docs)"
+        ),
+        "n_train_docs",
+    )
+    # one scan: train digests ONCE (the dominant cost term at scale)
+    train_grams = docs.where(train_pred).transform(DD.shingle_digest_rows())
+    # one scan: all suite slivers, tagged — a doc in two suites (rare:
+    # doc_id divisible by two of the primes) digests once per tag,
+    # which is benchmark-sized work either way
+    any_suite = None
+    for name, _ in suites:
+        any_suite = (
+            in_suite[name]
+            if any_suite is None
+            else (any_suite | in_suite[name])
         )
-        contaminated = (
-            train_grams.join(F.broadcast(bench_digests), "d", "left_semi")
-            .select("doc_id")
-            .distinct()
-            .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
-        )
-        bench_n = bench.agg(
-            F.count(F.lit(1)).cast("long").alias("n_benchmark_docs")
-        )
-        parts.append(
-            bench_n.crossJoin(F.broadcast(contaminated))
-            .crossJoin(F.broadcast(train_total))
-            .select(
-                F.lit(name).alias("suite"),
-                "n_benchmark_docs",
-                "n_train_docs",
-                "n_contaminated",
-                RND(
-                    F.col("n_contaminated").cast("double")
-                    / F.col("n_train_docs").cast("double"),
-                    4,
-                ).alias("contamination_rate"),
+    tagged = docs.where(any_suite).select(
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        F.when(in_suite[name], F.lit(name))
+                        for name, _ in suites
+                    ]
+                ),
+                lambda x: x.isNotNull(),
             )
+        ).alias("suite"),
+        "doc_id",
+        "text",
+    )
+    suite_digests = (
+        tagged.transform(DD.shingle_digest_rows(id_col="suite"))
+        .distinct()  # (suite, d)
+    )
+    # one probe: the tagged sliver broadcasts, the inner join adds the
+    # suite label, and one groupBy answers all three suites
+    contaminated = (
+        train_grams.join(F.broadcast(suite_digests), "d")
+        .select("suite", "doc_id")
+        .distinct()
+        .groupBy("suite")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    )
+    return (
+        bench_counts.join(contaminated, "suite", "left")
+        .select(
+            "suite",
+            "n_benchmark_docs",
+            "n_train_docs",
+            F.coalesce("n_contaminated", F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+            RND(
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_train_docs").cast("double"),
+                4,
+            ).alias("contamination_rate"),
         )
-    out = parts[0]
-    for part in parts[1:]:
-        out = out.unionByName(part)
-    return out
+    )
