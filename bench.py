@@ -186,6 +186,9 @@ HEADLINE = [
     # the per-suite eval-integrity contamination table (broadcast
     # digest slivers; train never shuffles for the membership probe)
     "dedup_contamination_report",
+    # round-12: the 100 TB profile mode (HLL distincts, no Expand) —
+    # benched next to its exact twin so the A/B stays visible
+    "profile_orders_columns_approx",
 ]
 
 

@@ -249,6 +249,24 @@ def minhash_near_dup_pairs(
     return _apply
 
 
+# Directory-pruning bucket count for a persisted band index: the gate
+# partitions bands/batch=<id> by kb = pmod(hash(band, band_key),
+# N_BAND_BUCKETS), and a probe batch's bounded (band, band_key) set
+# prunes to its own kb directories. 64 balances prune ratio (a 1-doc
+# batch touches <= 16 of 64 dirs) against per-batch file fanout
+# (consolidate_gate_storage bounds the long-run dir count either way).
+N_BAND_BUCKETS = 64
+
+
+def band_bucket(
+    band: Column, band_key: Column, n_buckets: int = N_BAND_BUCKETS
+) -> Column:
+    """Stable directory-bucket id for a band-index row. Build and probe
+    must use the same ``n_buckets``; the function is a pure column map
+    so bucket membership is identical on both sides by construction."""
+    return F.pmod(F.hash(band, band_key), F.lit(n_buckets))
+
+
 def minhash_index(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -257,6 +275,7 @@ def minhash_index(
     num_hashes: int = 64,
     bands: int = 16,
     rows: int = 4,
+    checkpoint: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Persistable LSH index over a corpus, for INCREMENTAL dedup: new
     batches are checked against the stored index without re-scanning
@@ -279,12 +298,21 @@ def minhash_index(
     signature parameters must be used at build and probe time. Docs
     shorter than ``ngram`` words are absent (same degenerate-bucket
     rationale as ``minhash_near_dup_pairs``).
+
+    ``checkpoint=True`` localCheckpoints the shared minhash aggregate
+    before the two outputs are derived, so a caller that consumes BOTH
+    frames (the streaming gate: probe + index write) pays the
+    shingle+minhash pass once instead of once per consumer. Batch-only
+    (localCheckpoint is illegal on a streaming frame); leave False when
+    only one output is used or lineage must stay re-resolvable.
     """
     elems = df.transform(shingle_hash_rows(id_col, text_col, ngram))
     grouped = elems.groupBy(id_col).agg(
         F.collect_set("h").alias("hset"),
         *minhash_agg_exprs(F.col("h"), num_hashes),
     )
+    if checkpoint:
+        grouped = grouped.localCheckpoint(eager=True)
     banded = grouped.select(
         id_col,
         F.posexplode(
@@ -307,6 +335,9 @@ def dedup_against_index(
     threshold: float = 0.5,
     scale: int = 4,
     broadcast_candidates: bool = True,
+    broadcast_probe: bool = True,
+    materialize_candidates: bool = False,
+    probe_index: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """Near-dup check of a NEW batch against an existing corpus index
     (from ``minhash_index``): returns (new_id, corpus_id, jaccard) for
@@ -349,10 +380,33 @@ def dedup_against_index(
     production mitigation for hot buckets is upstream either way:
     re-band, or drop the ubiquitous grams the way
     ``corpus_ngram_topk`` surfaces them.
+
+    ``broadcast_probe`` (default True) hints the probe SHINGLE SETS —
+    the one probe-side relation whose rows are variable-width (a set
+    per doc, not 8-byte ids). Right for trigger-bounded gate batches;
+    for BATCH-mode use on a large ``new_docs``, pass False so the pair
+    join degrades to a completing shuffle instead of failing at
+    Spark's broadcast cap.
+
+    ``materialize_candidates=True`` localCheckpoints the candidate
+    pairs before the id filter is derived from them, so the band join
+    (and the index-bands scan under it) runs ONCE per call instead of
+    twice — once for the semi-join filter, once as the pair-join
+    input. Batch-bounded rows; the streaming gate passes True, default
+    False keeps lineage pure for batch composition.
+
+    ``probe_index`` optionally supplies a precomputed
+    ``minhash_index(new_docs, ...)`` pair built with IDENTICAL
+    parameters — the streaming gate derives its directory-prune key
+    set from the same materialized probe instead of re-shingling the
+    batch here.
     """
-    probe_bands, probe_sets = minhash_index(
-        new_docs, id_col, text_col, ngram, num_hashes, bands, rows
-    )
+    if probe_index is not None:
+        probe_bands, probe_sets = probe_index
+    else:
+        probe_bands, probe_sets = minhash_index(
+            new_docs, id_col, text_col, ngram, num_hashes, bands, rows
+        )
     cand = (
         F.broadcast(
             probe_bands.select(
@@ -368,6 +422,8 @@ def dedup_against_index(
         .select("new_id", "corpus_id")
         .distinct()
     )
+    if materialize_candidates:
+        cand = cand.localCheckpoint(eager=True)
     cand_ids = cand.select("corpus_id").distinct()
     if broadcast_candidates:
         cand_ids = F.broadcast(cand_ids)
@@ -375,14 +431,15 @@ def dedup_against_index(
         F.col(id_col).alias("corpus_id"),
         F.col("hset").alias("corpus_set"),
     ).join(cand_ids, "corpus_id", "left_semi")
+    probe_verify = probe_sets.select(
+        F.col(id_col).alias("new_id"),
+        F.col("hset").alias("new_set"),
+    )
+    if broadcast_probe:
+        probe_verify = F.broadcast(probe_verify)
     return (
         cand.join(
-            F.broadcast(
-                probe_sets.select(
-                    F.col(id_col).alias("new_id"),
-                    F.col("hset").alias("new_set"),
-                )
-            ),
+            probe_verify,
             "new_id",
         )
         .join(corpus_sliver, "corpus_id")

@@ -214,12 +214,20 @@ def profile_table(
     # already supplies >= defaultParallelism partitions and this is a
     # no-op. Every emitted statistic is partitioning-invariant by
     # construction (counts, min/max, exact-decimal sums), so the
-    # repartition cannot change results. Partition count comes from
-    # the JVM-internal RDD — df.rdd would splice a Python-serializer
-    # stage into the DAG just to ask.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df._jdf.queryExecution().toRdd().getNumPartitions() < target:
-        df = df.repartition(target)
+    # repartition cannot change results. Guards (r12, mirrors _widen):
+    # never on a streaming frame (no RDD probe on streams; micro-batch
+    # parallelism is the source's job), and only when the plan is a
+    # bare scan — under AQE, toRdd() on a plan with upstream exchanges
+    # EXECUTES those shuffle stages just to expose a partition count,
+    # and a derived input's parallelism is already set by its own
+    # shuffle. Partition count comes from the JVM-internal RDD —
+    # df.rdd would splice a Python-serializer stage in just to ask.
+    if not df.isStreaming:
+        qe = df._jdf.queryExecution()
+        if "Exchange" not in qe.sparkPlan().toString():
+            target = df.sparkSession.sparkContext.defaultParallelism
+            if qe.toRdd().getNumPartitions() < target:
+                df = df.repartition(target)
 
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c in cols:

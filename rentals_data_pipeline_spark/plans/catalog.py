@@ -615,6 +615,28 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(orders)
 
 
+@query("profile_orders_columns_approx")
+def profile_orders_columns_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The documented 100 TB mode of the column profiler (r12,
+    adjudicating the exact-distinct cost): ``exact_distinct=False``
+    swaps the Expand-based exact COUNT(DISTINCT) — which replicates
+    every scanned row (N_cols+1)-fold before the partial aggregate,
+    the dominant cost of the exact profile — for HLL
+    ``approx_count_distinct``: ONE un-expanded pass with bytes-sized
+    state per column. Rows-only by necessity: HLL register maxima are
+    engine-specific sketch values (the sketch_* family rationale); the
+    exact twin ``profile_orders_columns`` is the oracle-certified
+    pair, and per-column agreement (identical rows outside
+    n_distinct; n_distinct within HLL relative-error bounds) is pinned
+    by test against the exact profile."""
+    from rentals_data_pipeline_spark.operators.quality import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(orders, exact_distinct=False)
+
+
 # ---------------------------------------------------------------------------
 # Distribution-drift monitor: PSI between two ingestion periods.
 # ---------------------------------------------------------------------------

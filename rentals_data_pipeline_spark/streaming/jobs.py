@@ -489,8 +489,14 @@ def init_dedup_index(spark: SparkSession, index_dir: str) -> None:
     bands, sets = minhash_index(empty)
     # batch=-1 seeds the hive-partitioned layout the gate writes into:
     # each micro-batch owns the batch=<id> subdir, so a checkpoint
-    # REPLAY overwrites its own partition instead of appending twice
-    bands.write.mode("overwrite").parquet(f"{index_dir}/bands/batch=-1")
+    # REPLAY overwrites its own partition instead of appending twice.
+    # bands carry a second kb=<bucket> level (band_bucket of the band
+    # key) so a probe's bounded band-key set DIRECTORY-PRUNES the
+    # index scan; the seed pins that depth with a schema-bearing empty
+    # file (partition discovery rejects mixed directory depths)
+    bands.write.mode("overwrite").parquet(
+        f"{index_dir}/bands/batch=-1/kb=0"
+    )
     sets.write.mode("overwrite").parquet(f"{index_dir}/sets/batch=-1")
 
 
@@ -508,17 +514,24 @@ def streaming_dedup_gate(
     lowest doc_id of every near-dup pair), (2) probed against the
     PERSISTED LSH index (``dedup_against_index`` — the batch's band
     keys and candidate sliver carry enforced broadcast hints, so the
-    index relations are STREAMED through one filtered scan per trigger
-    and never shuffled or built into a hash relation, regardless of
-    size estimates; pinned by plan test), then
-    (3) the novel survivors append to ``output_dir`` and their index
-    rows append to the index — so the next batch probes a corpus that
-    includes this one. Per-trigger index cost is one columnar scan —
-    unlike the SemDeDup gate there is no partition key that prunes it
-    (band keys are high-cardinality and every batch hits all 16
-    bands), so at a truly TB-scale index amortize the scan by batching
-    triggers larger or consolidating the index with
-    ``consolidate_gate_storage`` (fewer, larger files).
+    index relations are STREAMED and never shuffled or built into a
+    hash relation, regardless of size estimates; pinned by plan test),
+    then (3) the novel survivors append to ``output_dir`` and their
+    index rows append to the index — so the next batch probes a corpus
+    that includes this one. Per-trigger band-index cost is ONE
+    DIRECTORY-PRUNED columnar scan, run ONCE (r12): band keys can't
+    prune on band number (every batch hits all 16 bands), but they DO
+    prune on band-KEY hash bucket — index bands are written
+    ``batch=<id>/kb=<band_bucket(band, band_key)>`` and the probe
+    reads only the ≤ |batch|×bands kb directories its own band keys
+    land in (both predicates are hive PartitionFilters; pinned by a
+    poison-file test and a pruned-vs-full equivalence test), and the
+    candidate pairs are materialized before the id filter derives from
+    them, so the band join runs once per trigger, not twice. The sets
+    index pays one candidate-semi-joined scan per trigger. Amortize
+    further by batching triggers larger or consolidating the index
+    with ``consolidate_gate_storage`` (fewer, larger files; the kb
+    layout is auto-detected and preserved under ``batch=-2``).
 
     The index lives in STORAGE (parquet bands + shingle sets), not in
     executor state: at 100 TB the corpus index is itself TB-scale, far
@@ -538,6 +551,7 @@ def streaming_dedup_gate(
     equal mtimes tie-break arbitrarily, so a real feed should stamp
     arrival order into the mtime or run one-file batches)."""
     from rentals_data_pipeline_spark.operators.dedup import (
+        band_bucket,
         dedup_against_index,
         minhash_index,
         minhash_near_dup_pairs,
@@ -554,30 +568,58 @@ def streaming_dedup_gate(
             F.greatest("id_a", "id_b").alias("doc_id")
         ).distinct()
         survivors = batch_df.join(losers, "doc_id", "left_anti")
-        # probe only STRICTLY-EARLIER batch partitions (partition-
-        # pruned scan). This is what makes replay idempotent: a batch
-        # that crashed after writing its own index partition would
-        # otherwise SELF-MATCH on replay and overwrite its output
-        # with an empty partition.
-        idx_bands = sp.read.parquet(f"{index_dir}/bands").where(
-            F.col("batch") < batch_id
-        )
-        idx_sets = sp.read.parquet(f"{index_dir}/sets").where(
-            F.col("batch") < batch_id
-        )
-        hits = dedup_against_index(
-            survivors, idx_bands, idx_sets, threshold=threshold
-        )
-        novel = survivors.join(
-            hits.select(F.col("new_id").alias("doc_id")).distinct(),
-            "doc_id",
-            "left_anti",
-        ).localCheckpoint(eager=True)  # one computation feeds 3 writes
+        # the probe's minhash index is built ONCE (checkpointed) —
+        # it feeds the prune-key collect AND both probe-side joins
+        probe = minhash_index(survivors, checkpoint=True)
+        # bounded collect: <= N_BAND_BUCKETS distinct bucket ints
+        kbs = [
+            r["kb"]
+            for r in probe[0]
+            .select(band_bucket(F.col("band"), F.col("band_key")).alias("kb"))
+            .distinct()
+            .collect()
+        ]
+        if kbs:
+            # probe only STRICTLY-EARLIER batch partitions AND only
+            # the kb directories this batch's band keys land in —
+            # both hive partition filters, so the scan is pruned at
+            # the directory listing. batch < batch_id is what makes
+            # replay idempotent: a batch that crashed after writing
+            # its own index partition would otherwise SELF-MATCH on
+            # replay and overwrite its output with an empty partition.
+            idx_bands = sp.read.parquet(f"{index_dir}/bands").where(
+                (F.col("batch") < batch_id) & F.col("kb").isin(kbs)
+            )
+            idx_sets = sp.read.parquet(f"{index_dir}/sets").where(
+                F.col("batch") < batch_id
+            )
+            hits = dedup_against_index(
+                survivors,
+                idx_bands,
+                idx_sets,
+                threshold=threshold,
+                materialize_candidates=True,
+                probe_index=probe,
+            )
+            novel = survivors.join(
+                hits.select(F.col("new_id").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            )
+        else:
+            # no probe band keys (every survivor shorter than the
+            # shingle width, or empty batch): nothing can match
+            novel = survivors
+        novel = novel.localCheckpoint(
+            eager=True
+        )  # one computation feeds 3 writes
         novel.write.mode("overwrite").parquet(
             f"{output_dir}/batch={batch_id}"
         )
-        nb, ns = minhash_index(novel)
-        nb.write.mode("overwrite").parquet(
+        nb, ns = minhash_index(novel, checkpoint=True)
+        nb.withColumn(
+            "kb", band_bucket(F.col("band"), F.col("band_key"))
+        ).write.partitionBy("kb").mode("overwrite").parquet(
             f"{index_dir}/bands/batch={batch_id}"
         )
         ns.write.mode("overwrite").parquet(

@@ -5,6 +5,7 @@ fixture, executed via the single-pass agg runner."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from rentals_data_pipeline_spark.operators import quality as Q
 
@@ -106,6 +107,57 @@ def test_profile_table_single_pass_stats(spark):
         for r in profile_table(df, exact_distinct=False).collect()
     }
     assert approx["k"]["n_distinct"] > 0
+
+
+def test_profile_approx_twin_agrees_with_exact(spark):
+    """r12: the 100 TB profile mode (profile_orders_columns_approx,
+    exact_distinct=False) must agree with the oracle-certified exact
+    twin on EVERY statistic except n_distinct, and its HLL n_distinct
+    must land within the default-rsd error band of the exact count —
+    the twin-certification contract the rows-only rationale cites."""
+    from rentals_data_pipeline_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["col_name"]: r
+        for r in QUERIES["profile_orders_columns"](spark, sf).collect()
+    }
+    approx = {
+        r["col_name"]: r
+        for r in QUERIES["profile_orders_columns_approx"](
+            spark, sf
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for c in exact:
+        e, a = exact[c].asDict(), approx[c].asDict()
+        nd_e, nd_a = e.pop("n_distinct"), a.pop("n_distinct")
+        assert e == a, c  # every non-sketch statistic identical
+        # default approx_count_distinct rsd is 0.05; allow 4 sigma
+        assert abs(nd_a - nd_e) <= max(4, 0.2 * nd_e), (c, nd_e, nd_a)
+
+
+def test_profile_table_skips_probe_on_derived_input(spark):
+    """r12 (ADVICE): the partition-count probe must not run on a plan
+    with upstream exchanges — under AQE, toRdd() would EXECUTE those
+    shuffle stages just to read a partition count — and must not touch
+    a streaming frame at all (plan construction used to fail)."""
+    from rentals_data_pipeline_spark.operators.quality import profile_table
+
+    base = spark.createDataFrame(
+        [(i % 5, float(i)) for i in range(50)], "k long, v double"
+    )
+    derived = base.groupBy("k").agg(F.sum("v").alias("v"))
+    # exchange-bearing input: profiles correctly, no widen repartition
+    prof = {r["col_name"]: r for r in profile_table(derived).collect()}
+    assert prof["k"]["n_distinct"] == 5
+    # streaming frame: plan must CONSTRUCT (the old unconditional
+    # toRdd() probe raised at construction time)
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    agg = profile_table(stream.select(F.col("value").alias("k")))
+    assert agg.isStreaming
 
 
 def test_ks_drift_single_period_group_is_null_not_inf(spark):

@@ -1030,6 +1030,163 @@ def test_streaming_dedup_gate_replay_is_idempotent(spark, tmp_path):
     assert replay == first  # no self-match wipeout, no duplication
 
 
+def test_lsh_gate_band_index_read_is_kb_pruned(spark, tmp_path):
+    """r12: the LSH gate's band-index read prunes at the DIRECTORY
+    level — the index is written batch=<id>/kb=<band_bucket> and a
+    small batch's probe reads a STRICT SUBSET of the kb directories
+    (both predicates are hive PartitionFilters); a poison file in an
+    unhit kb partition is never opened, and probing the pruned read
+    returns hits identical to the full index."""
+    from rentals_data_pipeline_spark.operators.dedup import (
+        N_BAND_BUCKETS,
+        band_bucket,
+        dedup_against_index,
+        minhash_index,
+    )
+
+    # a corpus wide enough to populate most kb buckets
+    corpus = [(i, " ".join(f"c{i}w{j}" for j in range(30)))
+              for i in range(60)]
+    # probe doc 0 verbatim: guaranteed index hit (jaccard 1.0)
+    probe_docs = spark.createDataFrame(
+        corpus[:1], "doc_id long, text string"
+    )
+    flat = tmp_path / "arrivals"
+    flat.mkdir()
+    spark.createDataFrame(corpus, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "b0"))
+    import shutil
+
+    shutil.copy(
+        next((tmp_path / "b0").glob("part-*.parquet")),
+        flat / "000.parquet",
+    )
+    index_dir = str(tmp_path / "index")
+    SJ.init_dedup_index(spark, index_dir)
+    SJ.streaming_dedup_gate(
+        spark, str(flat), index_dir, str(tmp_path / "kept"),
+        str(tmp_path / "ckpt"),
+    ).awaitTermination()
+    # the gate wrote the two-level layout
+    kb_dirs = sorted(
+        (tmp_path / "index" / "bands" / "batch=0").glob("kb=*")
+    )
+    assert kb_dirs, "gate did not write kb partitions"
+
+    probe = minhash_index(probe_docs)
+    kbs = sorted(
+        r["kb"]
+        for r in probe[0]
+        .select(band_bucket(F.col("band"), F.col("band_key")).alias("kb"))
+        .distinct()
+        .collect()
+    )
+    assert 0 < len(kbs) <= 16 < N_BAND_BUCKETS
+    full = spark.read.parquet(f"{index_dir}/bands").where(
+        F.col("batch") < 5
+    )
+    pruned = spark.read.parquet(f"{index_dir}/bands").where(
+        (F.col("batch") < 5) & F.col("kb").isin(kbs)
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "kb" in pf and "batch" in pf, plan
+    # strict directory subset: at least one populated kb dir is NOT in
+    # the probe's bucket set (inputFiles() ignores partition filters,
+    # so the unhit dir + the poison behavior below are the proof that
+    # the pruned read opens strictly fewer directories)
+    unhit = next(
+        d for d in kb_dirs if int(d.name.split("=")[1]) not in kbs
+    )
+    # pruned-vs-full hit equivalence (before poisoning)
+    idx_sets = spark.read.parquet(f"{index_dir}/sets").where(
+        F.col("batch") < 5
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r.new_id, r.corpus_id, r.jaccard) for r in df.collect()
+    )
+    hits_pruned = key(
+        dedup_against_index(probe_docs, pruned, idx_sets)
+    )
+    assert hits_pruned == key(
+        dedup_against_index(probe_docs, full, idx_sets)
+    )
+    assert (0, 0, 1.0) in hits_pruned  # non-vacuous: the verbatim dup
+    # a poison file in an UNHIT kb partition is never opened …
+    (unhit / "zzz-poison.parquet").write_text("not a parquet file")
+    assert key(
+        dedup_against_index(
+            probe_docs,
+            spark.read.parquet(f"{index_dir}/bands").where(
+                (F.col("batch") < 5) & F.col("kb").isin(kbs)
+            ),
+            idx_sets,
+        )
+    ) == hits_pruned
+    # … while an unpruned read must try to and fail
+    with pytest.raises(Exception):
+        spark.read.parquet(f"{index_dir}/bands").where(
+            F.col("batch") < 5
+        ).collect()
+
+
+def test_dedup_against_index_probe_broadcast_optout(spark):
+    """r12 (ADVICE): broadcast_probe=False removes the force-broadcast
+    on the variable-width probe SHINGLE SETS — batch-mode callers with
+    a large new_docs degrade to a completing shuffle instead of
+    failing at the broadcast cap — and materialize_candidates=True
+    (the gate's setting) replaces the twice-evaluated candidate
+    subtree with one checkpointed scan. Both knobs preserve hits
+    exactly."""
+    from rentals_data_pipeline_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index,
+    )
+
+    docs = [(i, " ".join(f"d{i % 7}w{j}" for j in range(25)))
+            for i in range(20)]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(x[1] for x in docs[:5])],
+        "doc_id long, text string",
+    )
+    idx_b, idx_s = minhash_index(corpus)
+    key = lambda df: sorted(  # noqa: E731
+        (r.new_id, r.corpus_id, r.jaccard) for r in df.collect()
+    )
+    base = key(dedup_against_index(new, idx_b, idx_s))
+    assert base  # non-vacuous: verbatim dups must hit
+    assert base == key(
+        dedup_against_index(new, idx_b, idx_s, broadcast_probe=False)
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffled = dedup_against_index(
+            new, idx_b, idx_s,
+            broadcast_probe=False, broadcast_candidates=False,
+        )
+        plan = shuffled._jdf.queryExecution().executedPlan().toString()
+        # with auto-broadcast off, the only remaining broadcast is the
+        # enforced BAND-KEY hint (it may print twice: the candidate
+        # subtree is shared by the id filter and the pair join) — the
+        # probe-set and candidate-id hints are gone, so an over-cap
+        # relation degrades to shuffle
+        bhj = [
+            ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln
+        ]
+        assert bhj and all("band" in ln for ln in bhj), plan
+        assert base == key(shuffled)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert base == key(
+        dedup_against_index(
+            new, idx_b, idx_s, materialize_candidates=True
+        )
+    )
+
+
 def _write_arrival_files(spark, tmp_path, batches):
     """One flat dir of single-file parquet batches with strictly
     increasing mtimes (the file source orders by modification time)."""
