@@ -189,6 +189,11 @@ HEADLINE = [
     # round-12: the 100 TB profile mode (HLL distincts, no Expand) —
     # benched next to its exact twin so the A/B stays visible
     "profile_orders_columns_approx",
+    # round-12 new operators: hard-negative mining (label-masked GEMM
+    # tier) and the vocabulary coverage curve (frequency-histogram
+    # cumulative walk)
+    "sim_hard_negatives",
+    "text_vocab_coverage",
 ]
 
 

@@ -155,6 +155,8 @@ def _topk_gemm(
     match_id: str,
     match_vec: str,
     probe_block_size: int = 8192,
+    probe_label: str | None = None,
+    match_label: str | None = None,
 ) -> DataFrame:
     """GEMM tier of ``brute_force_topk``: one (batch × dim) @
     (dim × block) matmul per corpus Arrow batch per probe block,
@@ -170,60 +172,100 @@ def _topk_gemm(
     materialization at 100× scale). Blocks partition the probe ids, so
     unioning per-block survivors before the per-probe window is exactly
     equivalent to one unblocked pass (pinned by
-    tests/test_similarity_ops.py::test_topk_gemm_probe_blocking)."""
-    out_schema = f"{probe_id} long, {match_id} long, cosine double"
+    tests/test_similarity_ops.py::test_topk_gemm_probe_blocking).
 
-    def _block_scorer(pids: np.ndarray, pn: np.ndarray):
+    ``probe_label``/``match_label`` (both or neither) turn the kernel
+    into HARD-NEGATIVE mining: candidates sharing the probe's label
+    are masked alongside self-matches before the per-batch top-k, and
+    the match label rides through to the output. Labels must be
+    non-null integrals (callers filter)."""
+    out_schema = f"{probe_id} long, {match_id} long, cosine double"
+    if match_label is not None:
+        out_schema += f", {match_label} long"
+
+    def _block_scorer(
+        pids: np.ndarray, pn: np.ndarray, plabs: "np.ndarray | None"
+    ):
         def _score(batches):
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 cids = pdf[match_id].to_numpy(dtype=np.int64)
+                clabs = (
+                    pdf[match_label].to_numpy(dtype=np.int64)
+                    if match_label is not None
+                    else None
+                )
                 cmat = np.stack(
                     [np.asarray(x, dtype=np.float64) for x in pdf[match_vec]]
                 )
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
                     sims = np.floor((cn @ pn.T) * 1e4 + 0.5) / 1e4  # batch × block
-                out_p, out_m, out_c = [], [], []
+                out_p, out_m, out_c, out_l = [], [], [], []
                 for j in range(len(pids)):
                     col = sims[:, j]
                     keep = cids != pids[j]  # self-exclusion
+                    if plabs is not None:
+                        keep &= clabs != plabs[j]  # same-label mask
                     cand_ids, cand_cos = cids[keep], col[keep]
                     # total order (cosine desc, match_id asc) == final window
                     order = np.lexsort((cand_ids, -cand_cos))[:k]
                     out_p.extend([pids[j]] * len(order))
                     out_m.extend(cand_ids[order])
                     out_c.extend(cand_cos[order])
-                yield pd.DataFrame(
-                    {probe_id: out_p, match_id: out_m, "cosine": out_c}
-                )
+                    if clabs is not None:
+                        out_l.extend(clabs[keep][order])
+                data = {probe_id: out_p, match_id: out_m, "cosine": out_c}
+                if match_label is not None:
+                    data[match_label] = out_l
+                yield pd.DataFrame(data)
 
         return _score
 
-    corpus_kv = corpus.select(match_id, match_vec)
+    corpus_cols = [match_id, match_vec] + (
+        [match_label] if match_label is not None else []
+    )
+    corpus_kv = corpus.select(*corpus_cols)
+    probe_cols = [probe_id, probe_vec] + (
+        [probe_label] if probe_label is not None else []
+    )
     block_ids: list[np.ndarray] = []
     block_mats: list[np.ndarray] = []
+    block_labs: list["np.ndarray | None"] = []
     ids_buf: list[int] = []
     mat_buf: list[np.ndarray] = []
-    for r in probes.select(probe_id, probe_vec).toLocalIterator():
-        ids_buf.append(r[0])
-        mat_buf.append(np.asarray(r[1], dtype=np.float64))
-        if len(ids_buf) >= probe_block_size:
-            block_ids.append(np.array(ids_buf, dtype=np.int64))
-            block_mats.append(np.stack(mat_buf))
-            ids_buf, mat_buf = [], []
-    if ids_buf:
+    lab_buf: list[int] = []
+
+    def _flush() -> None:
         block_ids.append(np.array(ids_buf, dtype=np.int64))
         block_mats.append(np.stack(mat_buf))
+        block_labs.append(
+            np.array(lab_buf, dtype=np.int64)
+            if probe_label is not None
+            else None
+        )
+
+    for r in probes.select(*probe_cols).toLocalIterator():
+        ids_buf.append(r[0])
+        mat_buf.append(np.asarray(r[1], dtype=np.float64))
+        if probe_label is not None:
+            lab_buf.append(r[2])
+        if len(ids_buf) >= probe_block_size:
+            _flush()
+            ids_buf, mat_buf, lab_buf = [], [], []
+    if ids_buf:
+        _flush()
     if not block_ids:
         return corpus.sparkSession.createDataFrame([], out_schema)
 
     survivors = None
-    for pids, pmat in zip(block_ids, block_mats):
+    for pids, pmat, plabs in zip(block_ids, block_mats, block_labs):
         with np.errstate(divide="ignore", invalid="ignore"):
             pn = pmat / np.linalg.norm(pmat, axis=1, keepdims=True)
-        part = corpus_kv.mapInPandas(_block_scorer(pids, pn), out_schema)
+        part = corpus_kv.mapInPandas(
+            _block_scorer(pids, pn, plabs), out_schema
+        )
         survivors = part if survivors is None else survivors.unionByName(part)
 
     w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(), F.col(match_id))
@@ -231,6 +273,59 @@ def _topk_gemm(
         survivors.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .drop("rn")
+    )
+
+
+def hard_negative_topk(
+    df: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    probe_block_size: int = 8192,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor
+    vector, the ``k`` most-cosine-similar vectors carrying a DIFFERENT
+    label — the negatives that sit closest to the decision boundary
+    and dominate the contrastive gradient (the batch-mining step of
+    triplet/InfoNCE pipelines). Output: (anchor_id, neg_id, cosine,
+    neg_label) on the 4-dp half-up rounding contract with the
+    (cosine desc, neg_id asc) tiebreak, so the frontier is
+    engine-deterministic.
+
+    Scale shape: the ``brute_force_topk`` GEMM tier with a label mask
+    — FLOPs not rows. Same-label candidates are masked WITH the
+    self-match before each per-batch top-k, so only the
+    different-label frontier survives to the per-anchor window; the
+    pair space is never materialized and shuffle volume stays
+    n_batches × |anchors| × k. NULL vectors or labels carry no signal
+    and are dropped on both sides (the oracle mirrors the filter).
+    Anchors whose label is the only one in the corpus emit nothing —
+    there is no negative to mine."""
+    base = df.where(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    probes = base.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("anchor_vec"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    corpus = base.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).alias("neg_vec"),
+        F.col(label_col).alias("neg_label"),
+    )
+    return _topk_gemm(
+        probes,
+        corpus,
+        k,
+        "anchor_id",
+        "anchor_vec",
+        "neg_id",
+        "neg_vec",
+        probe_block_size,
+        probe_label="anchor_label",
+        match_label="neg_label",
     )
 
 

@@ -164,6 +164,95 @@ def token_frequencies(
     )
 
 
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    coverage_pcts: tuple[int, ...] = (50, 90, 95, 99),
+) -> DataFrame:
+    """Minimal-vocabulary coverage curve: for each target percentage,
+    the smallest number of distinct tokens — taken most-frequent-first
+    — whose occurrences cover at least that share of all token
+    occurrences, plus the tokens actually covered and the corpus
+    total. The sizing table behind tokenizer-vocab and
+    stopword-cutoff decisions.
+
+    Scale shape: the corpus shuffles ONCE as map-side-combined
+    (token → count) rows; the counts then collapse to the FREQUENCY
+    HISTOGRAM (a second, tiny shuffle of |distinct frequency values|
+    rows — the bounded distinct-value axis, the same rationale as the
+    equal-frequency-binning walk), and the cumulative window walks
+    that histogram, never the vocabulary: terms sharing a frequency
+    are interchangeable for a MINIMAL vocabulary, so the boundary
+    bucket contributes ceil arithmetic instead of a term-level sort.
+    All arithmetic is integral (needed = ceil(total×pct/100) as
+    (total×pct + 99) div 100), so the result is exact and
+    layout-invariant at any scale. Empty tokens (leading/trailing
+    whitespace artifacts of the split) are dropped; NULL text emits
+    nothing."""
+    tok = df.select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    hist = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("n_terms"))
+    w_cum = Window.orderBy(F.col("cnt").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "cnt",
+        "n_terms",
+        F.sum(F.col("cnt") * F.col("n_terms")).over(w_cum).alias("cum_tokens"),
+        F.sum("n_terms").over(w_cum).alias("cum_terms"),
+    )
+    total = hist.agg(
+        F.sum(F.col("cnt") * F.col("n_terms")).alias("total_tokens")
+    )
+    ds = (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            "*",
+            F.explode(
+                F.array(*[F.lit(p) for p in coverage_pcts])
+            ).alias("pct"),
+        )
+        .withColumn("needed", F.expr("(total_tokens * pct + 99) div 100"))
+    )
+    # boundary bucket per pct: the FIRST bucket (in cum order) whose
+    # running total reaches the target — cum_tokens is strictly
+    # increasing, so the struct-min is exactly that bucket
+    boundary = (
+        ds.where(F.col("cum_tokens") >= F.col("needed"))
+        .groupBy("pct")
+        .agg(
+            F.min(
+                F.struct(
+                    "cum_tokens",
+                    "cum_terms",
+                    "cnt",
+                    "n_terms",
+                    "needed",
+                    "total_tokens",
+                )
+            ).alias("b")
+        )
+        .select("pct", "b.*")
+    )
+    take = F.expr("(needed - (cum_tokens - cnt * n_terms) + cnt - 1) div cnt")
+    return boundary.select(
+        F.col("pct").cast("int").alias("coverage_pct"),
+        (F.col("cum_terms") - F.col("n_terms") + take)
+        .cast("long")
+        .alias("vocab_size"),
+        (
+            F.col("cum_tokens")
+            - F.col("cnt") * F.col("n_terms")
+            + take * F.col("cnt")
+        )
+        .cast("long")
+        .alias("covered_tokens"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+    )
+
+
 def tf_idf_top_terms(
     df: DataFrame,
     k: int = 3,

@@ -82,6 +82,43 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_hard_negatives",
+    f"""
+WITH p AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+scored AS (
+    SELECT
+        a.vec_id AS anchor_id,
+        b.vec_id AS neg_id,
+        {_sql_cos('a.v', 'b.v')} AS cosine,
+        b.label AS neg_label,
+        ROW_NUMBER() OVER (
+            PARTITION BY a.vec_id
+            ORDER BY {_sql_cos('a.v', 'b.v')} DESC, b.vec_id) AS rn
+    FROM p a JOIN p b ON a.label <> b.label
+)
+SELECT anchor_id, neg_id, cosine, CAST(neg_label AS BIGINT) AS neg_label
+FROM scored WHERE rn = 1
+""",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (r12): per anchor vector, the single
+    most-cosine-similar vector with a DIFFERENT label — the
+    boundary-hugging negatives a contrastive (triplet/InfoNCE)
+    training pipeline mines per batch
+    (operators/similarity.py::hard_negative_topk — the GEMM tier with
+    a same-label mask fused into the per-batch top-k, FLOPs not rows,
+    never the pair space). The exhaustive oracle certifies the mask,
+    the rounding contract, AND the (cosine desc, id asc) tiebreak in
+    one hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.hard_negative_topk(emb, k=1)
+
+
+@query(
     "sim_embedding_near_dup_pairs",
     f"""
 WITH {_ORACLE_COSINE_PAIRS},

@@ -856,3 +856,56 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank INT, pair_a STRING, pair_b STRING, merged STRING"
     )
+
+
+@query(
+    "text_vocab_coverage",
+    r"""
+WITH tok AS (
+    SELECT u.term AS term
+    FROM documents, unnest(string_split_regex(text, '\s+')) AS u(term)
+    WHERE u.term <> ''
+),
+tc AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+h AS (SELECT cnt, COUNT(*) AS n_terms FROM tc GROUP BY cnt),
+c AS (
+    SELECT cnt, n_terms,
+        SUM(cnt * n_terms) OVER (ORDER BY cnt DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+        SUM(n_terms) OVER (ORDER BY cnt DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_terms
+    FROM h
+),
+t AS (SELECT SUM(cnt * n_terms) AS total_tokens FROM h),
+ds AS (
+    SELECT c.*, t.total_tokens, p.pct,
+        (t.total_tokens * p.pct + 99) // 100 AS needed
+    FROM c, t, (VALUES (50), (90), (95), (99)) AS p(pct)
+),
+b AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY pct ORDER BY cum_tokens) AS rn
+    FROM ds WHERE cum_tokens >= needed
+)
+SELECT CAST(pct AS INTEGER) AS coverage_pct,
+    CAST(cum_terms - n_terms
+         + (needed - (cum_tokens - cnt * n_terms) + cnt - 1) // cnt
+         AS BIGINT) AS vocab_size,
+    CAST(cum_tokens - cnt * n_terms
+         + ((needed - (cum_tokens - cnt * n_terms) + cnt - 1) // cnt) * cnt
+         AS BIGINT) AS covered_tokens,
+    CAST(total_tokens AS BIGINT) AS total_tokens
+FROM b WHERE rn = 1
+""",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (r12): the smallest most-frequent-first
+    vocabulary covering 50/90/95/99% of all token occurrences
+    (operators/text.py::vocab_coverage — one corpus shuffle of
+    map-side-combined token counts, then a cumulative walk over the
+    bounded FREQUENCY-HISTOGRAM axis with integer ceil arithmetic at
+    the boundary bucket, never a vocabulary-sized sort). The oracle
+    replays the same histogram walk; the hash certifies the tokenize,
+    the histogram collapse, the boundary pick, AND the ceil take in
+    one comparison."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return TX.vocab_coverage(docs)

@@ -827,3 +827,79 @@ def test_semdedup_hot_cluster_guard(spark):
         df, n_clusters=2, threshold=0.9, max_cluster_members=100
     ).collect()
     assert len(rows) == 6
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (hard_negative_topk)
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negative_topk_matches_pairwise_spec(spark):
+    """r12: the GEMM label-mask kernel must equal the naive pairwise
+    spec (join on label<>label, rounded cosine, (cos desc, id asc)
+    window) row-for-row — including k>1 and a probe block small enough
+    to force multi-block unioning."""
+    import numpy as np
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(6)], i % 3)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    got = sorted(
+        (r.anchor_id, r.neg_id, r.cosine, r.neg_label)
+        for r in SIM.hard_negative_topk(
+            df, k=2, probe_block_size=7
+        ).collect()
+    )
+    # spec: rounded cosine over every different-label pair
+    vecs = {i: np.asarray(v, dtype=np.float64) for i, v, _ in rows}
+    labs = {i: l for i, _, l in rows}
+
+    def cos(a, b):
+        x = vecs[a] / np.linalg.norm(vecs[a])
+        y = vecs[b] / np.linalg.norm(vecs[b])
+        return math.floor(float(x @ y) * 1e4 + 0.5) / 1e4
+
+    want = []
+    for a in vecs:
+        cands = sorted(
+            (
+                (-cos(a, b), b)
+                for b in vecs
+                if b != a and labs[b] != labs[a]
+            ),
+        )[:2]
+        want += [(a, b, -negc, labs[b]) for negc, b in cands]
+    assert got == sorted(want)
+
+
+def test_hard_negative_topk_null_and_single_label(spark):
+    """NULL vectors/labels drop on both sides; an anchor whose label is
+    the only one present emits nothing (no negative exists)."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, None, 1),
+            (3, [0.0, 1.0], None),
+            (4, [0.9, 0.1], 0),
+        ],
+        "vec_id long, embedding array<double>, label long",
+    )
+    # only ids 1 and 4 survive the filters, and they share label 0
+    assert SIM.hard_negative_topk(df).count() == 0
+    with_neg = df.union(
+        spark.createDataFrame(
+            [(5, [0.5, 0.5], 1)],
+            "vec_id long, embedding array<double>, label long",
+        )
+    )
+    out = {
+        r.anchor_id: (r.neg_id, r.neg_label)
+        for r in SIM.hard_negative_topk(with_neg).collect()
+    }
+    # 1 and 4 can only pick 5; 5 picks its nearest label-0 vector
+    assert out[1] == (5, 1) and out[4] == (5, 1)
+    assert out[5][1] == 0

@@ -296,3 +296,30 @@ def test_char_entropy_closed_forms(spark):
     assert got[1] == 0.0 and got[2] == 1.0 and got[3] == 2.0
     # H(2/3, 1/3) = log2(3) - 2/3  ~ 0.9183
     assert got[4] == pytest.approx(0.9183, abs=1e-4)
+
+
+def test_vocab_coverage_hand_computed(spark):
+    """r12: minimal-vocab coverage on a corpus small enough to check by
+    hand. Frequencies: a×6, b×3, c×3, d×2, e×1 (total 15).
+    - 50%: needed 8 -> a (6) + one of {b,c} (3) = 2 terms, 9 tokens
+    - 90%: needed 14 -> a+b+c (12) + d (2) = 4 terms, 14 tokens
+    - 95%: needed 15 (ceil 14.25) -> all 5 terms, 15 tokens
+    - 99%: needed 15 -> all 5 terms
+    The 50% row exercises the boundary-bucket ceil take (1 of the 2
+    frequency-3 terms)."""
+    from rentals_data_pipeline_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [("a a a b b c",), ("a a a b c c d d e",), (None,)],
+        "text string",
+    )
+    got = {
+        r.coverage_pct: (r.vocab_size, r.covered_tokens, r.total_tokens)
+        for r in vocab_coverage(docs).collect()
+    }
+    assert got == {
+        50: (2, 9, 15),
+        90: (4, 14, 15),
+        95: (5, 15, 15),
+        99: (5, 15, 15),
+    }

@@ -55,9 +55,10 @@ BNLJ_WHITELIST = {
     "dedup_ngram_jaccard_topk": 1,  # 1-row doc-count bound
     "text_unigram_logprob": 1,  # 1-row token-total for log-probs
     "sample_dsir_importance": 1,  # 1-row (N_target, N_raw) LM totals
-    "dedup_contamination_report": 6,  # 3 suites × two 1-row count
-    # carriers each (per-suite benchmark size + contaminated count;
-    # the shared train total re-prints per consumer)
+    # dedup_contamination_report needs no entry since r12: the
+    # single-scan rewrite carries counts via stack + equi-join on
+    # suite (no 1-row cross joins remain)
+    "text_vocab_coverage": 1,  # 1-row token-total for the thresholds
     "sim_srp_lsh_recall": 2,  # recall harness: exact-baseline 1-row totals
     "sim_pq_adc_topk_recall": 2,  # same harness shape
     "sim_ivf_pq_residual_recall": 3,  # A/B harness: three 1-row totals
