@@ -75,12 +75,20 @@ def _widen(df: DataFrame, enabled: bool = True) -> DataFrame:
     subtrees (both measured in plans/multimodal_queries.py)."""
     if not enabled or df.isStreaming:  # no .rdd on streams; micro-
         return df       # batches are sized by the source, not files
+    qe = df._jdf.queryExecution()
+    # probe only exchange-free plans (a bare scan): under AQE, toRdd()
+    # on a plan with upstream exchanges EXECUTES those shuffle stages
+    # just to expose a partition count — and a derived input's
+    # parallelism is already set by its own shuffle anyway (r12,
+    # mirrors the profile_table guard)
+    if "Exchange" in qe.sparkPlan().toString():
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     # partition count via the JVM-internal RDD: df.rdd would splice a
     # Python-serializer conversion stage into the DAG just to ask for
     # the count (r10 verdict) — toRdd() plans the same physical tree
     # without it
-    n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    n_parts = qe.toRdd().getNumPartitions()
     if n_parts < target:
         return df.repartition(target)
     return df

@@ -37,10 +37,17 @@ def _sql_cos(a: str, b: str) -> str:
     )
 
 
+# NULL embeddings must be filtered HERE, not left to NULL-cosine
+# ordering: the Spark operators drop null vectors on both sides, and
+# without the filter a NULL probe would still emit rank rows with NULL
+# cosine in DuckDB — invisible on the null-free fixtures, a row-count
+# mismatch the first time a fixture regen carries nulls (r12
+# hardening; same rule as the SemDeDup CTEs).
 _ORACLE_COSINE_PAIRS = """
 e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
     FROM embeddings
+    WHERE embedding IS NOT NULL
 )
 """
 

@@ -83,6 +83,24 @@ BUDGETS: dict[str, dict[str, float]] = {
     # + doc rows over input docs; the scale killer would be raw grams
     # crossing the wire, which would blow fanout past doc length)
     "sample_dsir_importance": {"bpr": 60.0, "fanout": 5.0},
+    # r12 contamination rewrite: digests and count slivers only, train
+    # never shuffles for the membership probe (measured 40 B/rec,
+    # fanout 0.60 — per-doc gram partials, never raw text)
+    "dedup_contamination_report": {"bpr": 120.0, "fanout": 2.0},
+    # r12 vocab coverage: token counts collapse to the frequency
+    # histogram; shuffles carry (token, count) then (cnt, n_terms)
+    # ints (measured 42 B/rec, fanout 0.16 — the scale killer would
+    # be raw token rows reaching the window, blowing fanout past 1)
+    "text_vocab_coverage": {"bpr": 120.0, "fanout": 1.0},
+    # r12 hard negatives: only per-batch top-k survivors shuffle to
+    # the per-anchor window (measured 27 B/rec, fanout 0.5 = k x
+    # anchors x batches over corpus rows; the pair space never
+    # crosses the wire)
+    "sim_hard_negatives": {"bpr": 80.0, "fanout": 2.0},
+    # r12 streaks: the fact reduces to distinct (user, day) in one
+    # shuffle; day-rows, never events, flow to the window (measured
+    # 8 B/rec, fanout 0.80 at the null-free fixture's day density)
+    "analytics_activity_streaks": {"bpr": 30.0, "fanout": 2.0},
 }
 
 
