@@ -190,11 +190,10 @@ HEADLINE = [
     # benched next to its exact twin so the A/B stays visible
     "profile_orders_columns_approx",
     # round-12 new operators: hard-negative mining (label-masked GEMM
-    # tier), the vocabulary coverage curve (frequency-histogram
-    # cumulative walk), and the gaps-and-islands streak decomposition
+    # tier) and the vocabulary coverage curve (frequency-histogram
+    # cumulative walk)
     "sim_hard_negatives",
     "text_vocab_coverage",
-    "analytics_activity_streaks",
 ]
 
 

@@ -47,6 +47,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from rentals_data_pipeline_spark.functions.widen import widen_if_narrow
+
 if TYPE_CHECKING:  # pandas only crosses into executors inside mapInPandas
     import pandas as pd
 
@@ -72,26 +74,11 @@ def _widen(df: DataFrame, enabled: bool = True) -> DataFrame:
     pipelines whose sliver branches already run concurrently through
     a union: there the shuffle+task overhead exceeds the win, and
     Spark does not reuse the repartition exchange across branch
-    subtrees (both measured in plans/multimodal_queries.py)."""
-    if not enabled or df.isStreaming:  # no .rdd on streams; micro-
-        return df       # batches are sized by the source, not files
-    qe = df._jdf.queryExecution()
-    # probe only exchange-free plans (a bare scan): under AQE, toRdd()
-    # on a plan with upstream exchanges EXECUTES those shuffle stages
-    # just to expose a partition count — and a derived input's
-    # parallelism is already set by its own shuffle anyway (r12,
-    # mirrors the profile_table guard)
-    if "Exchange" in qe.sparkPlan().toString():
-        return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    # partition count via the JVM-internal RDD: df.rdd would splice a
-    # Python-serializer conversion stage into the DAG just to ask for
-    # the count (r10 verdict) — toRdd() plans the same physical tree
-    # without it
-    n_parts = qe.toRdd().getNumPartitions()
-    if n_parts < target:
-        return df.repartition(target)
-    return df
+    subtrees (both measured in plans/multimodal_queries.py). The probe
+    mechanics (streaming/exchange guards, JVM-internal partition
+    count) live in the ONE shared copy,
+    functions/widen.py::widen_if_narrow."""
+    return widen_if_narrow(df, enabled)
 
 
 def pack_media(

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rentals_data_pipeline_spark.functions.rounding import round_half_up
+from rentals_data_pipeline_spark.functions.widen import widen_if_narrow
 
 logger = logging.getLogger(__name__)
 
@@ -210,24 +211,17 @@ def profile_table(
     # is the dominant cost and is partitions-bounded: a small corpus
     # read from one parquet file arrives as ONE partition and profiles
     # single-threaded (measured 2.98s -> 1.31s at sf0.1 on orders).
-    # Conditional, like the multimodal _widen: at real scale the scan
-    # already supplies >= defaultParallelism partitions and this is a
-    # no-op. Every emitted statistic is partitioning-invariant by
+    # Conditional widen, ONE shared copy with the multimodal packers
+    # (functions/widen.py::widen_if_narrow): no-op at real scale, on
+    # streaming frames, and on exchange-bearing (derived) plans —
+    # under AQE, toRdd() on a plan with upstream exchanges would
+    # eagerly execute those shuffle stages just to read a partition
+    # count (r11 ADVICE; the guard checks executedPlan, where
+    # EnsureRequirements actually puts the exchanges — r12 review).
+    # Every emitted statistic is partitioning-invariant by
     # construction (counts, min/max, exact-decimal sums), so the
-    # repartition cannot change results. Guards (r12, mirrors _widen):
-    # never on a streaming frame (no RDD probe on streams; micro-batch
-    # parallelism is the source's job), and only when the plan is a
-    # bare scan — under AQE, toRdd() on a plan with upstream exchanges
-    # EXECUTES those shuffle stages just to expose a partition count,
-    # and a derived input's parallelism is already set by its own
-    # shuffle. Partition count comes from the JVM-internal RDD —
-    # df.rdd would splice a Python-serializer stage in just to ask.
-    if not df.isStreaming:
-        qe = df._jdf.queryExecution()
-        if "Exchange" not in qe.sparkPlan().toString():
-            target = df.sparkSession.sparkContext.defaultParallelism
-            if qe.toRdd().getNumPartitions() < target:
-                df = df.repartition(target)
+    # repartition cannot change results.
+    df = widen_if_narrow(df)
 
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c in cols:

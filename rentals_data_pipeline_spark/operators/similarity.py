@@ -179,6 +179,12 @@ def _topk_gemm(
     are masked alongside self-matches before the per-batch top-k, and
     the match label rides through to the output. Labels must be
     non-null integrals (callers filter)."""
+    if (probe_label is None) != (match_label is None):
+        raise ValueError(
+            "probe_label and match_label must be passed together — "
+            "one-sided labels would silently disable the same-label "
+            "mask instead of mining hard negatives"
+        )
     out_schema = f"{probe_id} long, {match_id} long, cosine double"
     if match_label is not None:
         out_schema += f", {match_label} long"

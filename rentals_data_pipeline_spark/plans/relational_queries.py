@@ -738,57 +738,6 @@ def analytics_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "analytics_activity_streaks",
-    """
-WITH d AS (
-    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
-    FROM events WHERE ts IS NOT NULL
-),
-i AS (
-    SELECT user_id, day,
-        day - CAST(ROW_NUMBER() OVER (
-            PARTITION BY user_id ORDER BY day) AS INT) AS anchor
-    FROM d
-),
-s AS (SELECT user_id, anchor, COUNT(*) AS len FROM i GROUP BY 1, 2)
-SELECT user_id,
-    CAST(MAX(len) AS BIGINT) AS longest_streak,
-    CAST(COUNT(*) AS BIGINT) AS n_streaks,
-    CAST(SUM(len) AS BIGINT) AS active_days
-FROM s GROUP BY user_id
-""",
-)
-def analytics_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user activity streaks (r12) — the gaps-and-islands
-    decomposition: consecutive active DAYS collapse to one island via
-    the day-minus-rank anchor, giving longest streak, streak count,
-    and total active days per user. Scale shape: the fact reduces to
-    distinct (user, day) in one user-day-keyed shuffle (≤ 30 rows per
-    user on this dataset — days, never events, flow further); the
-    rank window and both aggregations are user-partitioned, so AQE
-    reuses the layout and no stage sees a global sort. All-integer
-    date arithmetic, exact on both engines."""
-    events = load_table(spark, sf_dir, "events")
-    days = (
-        events.where(F.col("ts").isNotNull())
-        .select("user_id", F.to_date("ts").alias("day"))
-        .distinct()
-    )
-    w = Window.partitionBy("user_id").orderBy("day")
-    islands = days.withColumn(
-        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
-    )
-    streaks = islands.groupBy("user_id", "anchor").agg(
-        F.count(F.lit(1)).alias("len")
-    )
-    return streaks.groupBy("user_id").agg(
-        F.max("len").cast("long").alias("longest_streak"),
-        F.count(F.lit(1)).cast("long").alias("n_streaks"),
-        F.sum("len").cast("long").alias("active_days"),
-    )
-
-
-@query(
     "analytics_retention_cohorts",
     """
 WITH first_day AS (

@@ -500,6 +500,74 @@ def init_dedup_index(spark: SparkSession, index_dir: str) -> None:
     sets.write.mode("overwrite").parquet(f"{index_dir}/sets/batch=-1")
 
 
+def migrate_band_index_layout(spark: SparkSession, index_dir: str) -> list:
+    """One-shot migration of a pre-r12 band index (flat ``batch=<id>``
+    dirs) to the ``batch=<id>/kb=<bucket>`` layout the r12 gate reads
+    and writes. Spark's partition discovery REJECTS mixed directory
+    depths outright, so a deployment restarting the upgraded gate on
+    an index written by the old code must run this once first (the
+    gate's first new trigger would otherwise fail the whole tree's
+    read). Idempotent: batch dirs that already carry ``kb=`` children
+    are skipped. Each flat dir is rewritten through an
+    underscore-prefixed staging dir and swapped in with an O(1)
+    rename (source deleted only after the staged copy is complete —
+    same crash discipline as ``consolidate_gate_storage``; a stray
+    staging dir from an interrupted run is repaired at entry). A
+    zero-row dir is rewritten as a schema-bearing empty file under
+    ``kb=0`` so it keeps anchoring schema inference, exactly like the
+    ``init_dedup_index`` seed. Returns the migrated batch ids."""
+    from rentals_data_pipeline_spark.operators.dedup import band_bucket
+
+    jvm = spark._jvm
+    bands_dir = f"{index_dir}/bands"
+    root = jvm.org.apache.hadoop.fs.Path(bands_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    migrated = []
+    # staging names carry the batch id with NO "=" (a "=" in any dir
+    # name is parsed as a partition column — same rule as
+    # consolidate_gate_storage's staging dir)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("_mig_"):
+            # interrupted run: the matching batch dir was deleted
+            # before the rename — finish the swap; if the batch dir
+            # still exists the staging copy is redundant — drop it
+            target = jvm.org.apache.hadoop.fs.Path(
+                f"{bands_dir}/batch={name[len('_mig_'):]}"
+            )
+            if not fs.exists(target):
+                if not fs.rename(st.getPath(), target):
+                    raise OSError(f"migration repair rename failed: {name}")
+            else:
+                fs.delete(st.getPath(), True)
+            continue
+        if not name.startswith("batch="):
+            continue
+        batch_id = name.split("=", 1)[1]
+        children = [
+            c.getPath().getName() for c in fs.listStatus(st.getPath())
+        ]
+        if any(c.startswith("kb=") for c in children):
+            continue  # already nested
+        df = spark.read.parquet(f"{bands_dir}/{name}")
+        staging = f"{bands_dir}/_mig_{batch_id}"
+        if df.isEmpty():
+            df.write.mode("overwrite").parquet(f"{staging}/kb=0")
+        else:
+            df.withColumn(
+                "kb", band_bucket(F.col("band"), F.col("band_key"))
+            ).write.partitionBy("kb").mode("overwrite").parquet(staging)
+        fs.delete(st.getPath(), True)
+        if not fs.rename(
+            jvm.org.apache.hadoop.fs.Path(staging), st.getPath()
+        ):
+            raise OSError(f"migration swap rename failed: {name}")
+        migrated.append(name)
+    return sorted(migrated)
+
+
 def streaming_dedup_gate(
     spark: SparkSession,
     input_dir: str,
@@ -531,7 +599,10 @@ def streaming_dedup_gate(
     index pays one candidate-semi-joined scan per trigger. Amortize
     further by batching triggers larger or consolidating the index
     with ``consolidate_gate_storage`` (fewer, larger files; the kb
-    layout is auto-detected and preserved under ``batch=-2``).
+    layout is auto-detected and preserved under ``batch=-2``). An
+    index written by the pre-kb gate (flat ``batch=<id>`` dirs) must
+    run :func:`migrate_band_index_layout` once before the upgraded
+    gate restarts on it — partition discovery rejects mixed depths.
 
     The index lives in STORAGE (parquet bands + shingle sets), not in
     executor state: at 100 TB the corpus index is itself TB-scale, far

@@ -1131,6 +1131,71 @@ def test_lsh_gate_band_index_read_is_kb_pruned(spark, tmp_path):
         ).collect()
 
 
+def test_migrate_band_index_layout_from_flat(spark, tmp_path):
+    """r12: an index written by the pre-kb gate (flat batch=<id> band
+    dirs) migrates in place to the nested layout — rows preserved
+    exactly, empty seed dirs keep a schema anchor, re-running is a
+    no-op — and the upgraded gate then dedups new arrivals against the
+    migrated content."""
+    from rentals_data_pipeline_spark.operators.dedup import minhash_index
+
+    docs = [(i, " ".join(f"old{i}w{j}" for j in range(25)))
+            for i in range(4)]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    index_dir = str(tmp_path / "index")
+    # pre-r12 layout: flat batch dirs — the empty seed plus the old
+    # corpus in the batch=-2 archive (where consolidate_gate_storage
+    # puts history; anything < 0 stays visible to a fresh stream's
+    # first probe, while live batch ids restart at 0)
+    empty = corpus.limit(0)
+    eb, es = minhash_index(empty)
+    eb.write.parquet(f"{index_dir}/bands/batch=-1")
+    es.write.parquet(f"{index_dir}/sets/batch=-1")
+    ob, os_ = minhash_index(corpus)
+    ob.write.parquet(f"{index_dir}/bands/batch=-2")
+    os_.write.parquet(f"{index_dir}/sets/batch=-2")
+    before = sorted(
+        (r.doc_id, r.band, r.band_key)
+        for r in spark.read.parquet(f"{index_dir}/bands").drop(
+            "batch"
+        ).collect()
+    )
+
+    migrated = SJ.migrate_band_index_layout(spark, index_dir)
+    assert migrated == ["batch=-1", "batch=-2"]
+    assert SJ.migrate_band_index_layout(spark, index_dir) == []  # no-op
+    tree = spark.read.parquet(f"{index_dir}/bands")
+    assert "kb" in tree.columns
+    assert sorted(
+        (r.doc_id, r.band, r.band_key)
+        for r in tree.drop("batch", "kb").collect()
+    ) == before
+    assert list((tmp_path / "index" / "bands" / "batch=-2").glob("kb=*"))
+
+    # the upgraded gate runs on the migrated index and drops a
+    # verbatim dup of migrated content
+    arrivals = [(100, docs[0][1]), (101, "fresh " * 25)]
+    flat = tmp_path / "arrivals"
+    flat.mkdir()
+    spark.createDataFrame(
+        arrivals, "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "a0"))
+    import shutil
+
+    shutil.copy(
+        next((tmp_path / "a0").glob("part-*.parquet")),
+        flat / "000.parquet",
+    )
+    out_dir = str(tmp_path / "kept")
+    SJ.streaming_dedup_gate(
+        spark, str(flat), index_dir, out_dir, str(tmp_path / "ckpt"),
+    ).awaitTermination()
+    kept = sorted(
+        r.doc_id for r in spark.read.parquet(out_dir).collect()
+    )
+    assert kept == [101]
+
+
 def test_dedup_against_index_probe_broadcast_optout(spark):
     """r12 (ADVICE): broadcast_probe=False removes the force-broadcast
     on the variable-width probe SHINGLE SETS — batch-mode callers with

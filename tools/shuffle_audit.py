@@ -97,9 +97,9 @@ BUDGETS: dict[str, dict[str, float]] = {
     # anchors x batches over corpus rows; the pair space never
     # crosses the wire)
     "sim_hard_negatives": {"bpr": 80.0, "fanout": 2.0},
-    # r12 streaks: the fact reduces to distinct (user, day) in one
-    # shuffle; day-rows, never events, flow to the window (measured
-    # 8 B/rec, fanout 0.80 at the null-free fixture's day density)
+    # streaks (budget added r12): the fact reduces to distinct
+    # (user, day) in one shuffle; day-rows, never events, flow to the
+    # window (measured 8 B/rec, fanout 0.80 at the fixture's density)
     "analytics_activity_streaks": {"bpr": 30.0, "fanout": 2.0},
 }
 
