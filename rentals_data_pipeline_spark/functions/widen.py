@@ -5,11 +5,23 @@ inline copies had independently picked up the same bug)."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
+# Shuffle exchanges only — the same pattern tools/plan_audit.py counts.
+# A bare "Exchange" substring would also match BroadcastExchange /
+# ReusedExchange, and a broadcast join over a narrow single-file scan
+# sets NO downstream partitioning: treating it as "derived" would
+# silently reinstate the single-threaded regression this module exists
+# to fix (r12 review pass 2).
+_SHUFFLE_EXCHANGE = re.compile(
+    r"Exchange (?:hash|range)partitioning|Exchange SinglePartition"
+)
 
-def plan_has_exchange(df: DataFrame) -> bool:
-    """True when the physical plan carries an Exchange (shuffle).
+
+def plan_has_shuffle(df: DataFrame) -> bool:
+    """True when the physical plan carries a SHUFFLE exchange.
 
     Checked on ``executedPlan``, NOT ``sparkPlan``: exchanges are
     inserted by EnsureRequirements during ``prepareForExecution``, so
@@ -18,22 +30,28 @@ def plan_has_exchange(df: DataFrame) -> bool:
     targets (r12 review, verified empirically). Under AQE,
     ``executedPlan`` is the AdaptiveSparkPlan wrapper whose string is
     the initial plan WITH exchanges; building it runs no jobs."""
-    return "Exchange" in df._jdf.queryExecution().executedPlan().toString()
+    return bool(
+        _SHUFFLE_EXCHANGE.search(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+    )
 
 
 def widen_if_narrow(df: DataFrame, enabled: bool = True) -> DataFrame:
     """Repartition ``df`` up to ``defaultParallelism`` when — and only
-    when — it is a batch frame whose plan is exchange-free (a bare
-    scan) and whose scan supplies fewer partitions than cores.
+    when — it is a batch frame whose plan carries no shuffle and whose
+    scan supplies fewer partitions than cores.
 
     The guards, in order:
 
     - streaming frames are untouched (no RDD probe on streams;
       micro-batch parallelism is the source's job);
-    - exchange-bearing plans are untouched: under AQE, ``toRdd()`` on
-      a plan with upstream exchanges EXECUTES those shuffle stages
-      just to expose a partition count, and a derived input's
-      parallelism is already set by its own shuffle;
+    - shuffle-bearing plans are untouched: under AQE, ``toRdd()`` on
+      a plan with upstream shuffles EXECUTES those stages just to
+      expose a partition count, and a shuffle already sets the input's
+      parallelism. Broadcast-only plans (a dim join over a narrow
+      scan) still widen — a broadcast sets no downstream partitioning,
+      and the probe's cost there is the small broadcast build;
     - the partition count comes from the JVM-internal RDD
       (``df.rdd`` would splice a Python-serializer stage into the DAG
       just to ask — r10 verdict).
@@ -43,10 +61,10 @@ def widen_if_narrow(df: DataFrame, enabled: bool = True) -> DataFrame:
     aggregates with deterministic merge)."""
     if not enabled or df.isStreaming:
         return df
-    qe = df._jdf.queryExecution()
-    if "Exchange" in qe.executedPlan().toString():
+    if plan_has_shuffle(df):
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if qe.toRdd().getNumPartitions() < target:
+    n = df._jdf.queryExecution().toRdd().getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df

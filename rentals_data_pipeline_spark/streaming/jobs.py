@@ -498,6 +498,47 @@ def init_dedup_index(spark: SparkSession, index_dir: str) -> None:
         f"{index_dir}/bands/batch=-1/kb=0"
     )
     sets.write.mode("overwrite").parquet(f"{index_dir}/sets/batch=-1")
+    _band_meta_guard(spark, index_dir)
+
+
+def _band_meta_guard(spark: SparkSession, index_dir: str) -> None:
+    """Pin the kb bucket count a persisted band index was built with.
+
+    ``band_bucket`` bakes N_BAND_BUCKETS into the DIRECTORY NAMES —
+    unlike num_hashes/bands it leaves no trace in the rows — so a
+    later build running with a different constant would compute probe
+    buckets the index dirs don't use and silently prune away true
+    candidates (recall loss with no error and no test signal). The
+    count is recorded as an empty marker dir
+    ``<index_dir>/bands_meta/n_buckets=<N>`` by init/migrate; this
+    guard raises on mismatch and self-heals an absent marker (an
+    index created before the marker existed) by adopting the current
+    constant."""
+    from rentals_data_pipeline_spark.operators.dedup import N_BAND_BUCKETS
+
+    jvm = spark._jvm
+    meta = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/bands_meta")
+    fs = meta.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(meta):
+        vals = [
+            st.getPath().getName().split("=", 1)[1]
+            for st in fs.listStatus(meta)
+            if st.getPath().getName().startswith("n_buckets=")
+        ]
+        if vals and vals != [str(N_BAND_BUCKETS)]:
+            raise ValueError(
+                f"band index at {index_dir} was bucketed with "
+                f"n_buckets={vals} but this build uses "
+                f"{N_BAND_BUCKETS}; probing would silently prune true "
+                f"candidates — rebuild or re-migrate the index"
+            )
+        if vals:
+            return
+    fs.mkdirs(
+        jvm.org.apache.hadoop.fs.Path(
+            f"{index_dir}/bands_meta/n_buckets={N_BAND_BUCKETS}"
+        )
+    )
 
 
 def migrate_band_index_layout(spark: SparkSession, index_dir: str) -> list:
@@ -508,14 +549,19 @@ def migrate_band_index_layout(spark: SparkSession, index_dir: str) -> list:
     an index written by the old code must run this once first (the
     gate's first new trigger would otherwise fail the whole tree's
     read). Idempotent: batch dirs that already carry ``kb=`` children
-    are skipped. Each flat dir is rewritten through an
-    underscore-prefixed staging dir and swapped in with an O(1)
-    rename (source deleted only after the staged copy is complete —
-    same crash discipline as ``consolidate_gate_storage``; a stray
-    staging dir from an interrupted run is repaired at entry). A
-    zero-row dir is rewritten as a schema-bearing empty file under
-    ``kb=0`` so it keeps anchoring schema inference, exactly like the
-    ``init_dedup_index`` seed. Returns the migrated batch ids."""
+    are skipped. Crash discipline (same as
+    ``consolidate_gate_storage`` — a recursive delete is NOT atomic,
+    so the source is never deleted while it is the only complete
+    copy): each flat dir is staged to ``_mig_<id>``, the source is
+    renamed aside to ``_old_<id>`` (O(1)), the staging dir is renamed
+    in, and only then is the aside copy deleted. Every crash window
+    is repaired at entry: a staging dir with no live target promotes,
+    a stray one drops; an aside dir with a live target drops, an
+    orphaned one restores. A zero-row dir is rewritten as a
+    schema-bearing empty file under ``kb=0`` so it keeps anchoring
+    schema inference, exactly like the ``init_dedup_index`` seed.
+    Returns the migrated batch ids and stamps the bucket-count marker
+    (``_band_meta_guard``)."""
     from rentals_data_pipeline_spark.operators.dedup import band_bucket
 
     jvm = spark._jvm
@@ -524,25 +570,35 @@ def migrate_band_index_layout(spark: SparkSession, index_dir: str) -> list:
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root):
         return []
-    migrated = []
-    # staging names carry the batch id with NO "=" (a "=" in any dir
-    # name is parsed as a partition column — same rule as
+    def _path(rel: str):
+        return jvm.org.apache.hadoop.fs.Path(f"{bands_dir}/{rel}")
+
+    # hidden dir names carry the batch id with NO "=" (a "=" in any
+    # dir name is parsed as a partition column — same rule as
     # consolidate_gate_storage's staging dir)
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
+    names = [st.getPath().getName() for st in fs.listStatus(root)]
+    # repair interrupted runs: staging dirs first (a complete copy
+    # promotes into a missing target), then aside dirs (drop when the
+    # target is live, restore when orphaned)
+    for name in names:
         if name.startswith("_mig_"):
-            # interrupted run: the matching batch dir was deleted
-            # before the rename — finish the swap; if the batch dir
-            # still exists the staging copy is redundant — drop it
-            target = jvm.org.apache.hadoop.fs.Path(
-                f"{bands_dir}/batch={name[len('_mig_'):]}"
-            )
+            target = _path(f"batch={name[len('_mig_'):]}")
             if not fs.exists(target):
-                if not fs.rename(st.getPath(), target):
+                if not fs.rename(_path(name), target):
                     raise OSError(f"migration repair rename failed: {name}")
             else:
-                fs.delete(st.getPath(), True)
-            continue
+                fs.delete(_path(name), True)
+    for name in names:
+        if name.startswith("_old_"):
+            target = _path(f"batch={name[len('_old_'):]}")
+            if fs.exists(target):
+                fs.delete(_path(name), True)
+            elif not fs.rename(_path(name), target):
+                raise OSError(f"migration repair rename failed: {name}")
+
+    migrated = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
         if not name.startswith("batch="):
             continue
         batch_id = name.split("=", 1)[1]
@@ -559,12 +615,16 @@ def migrate_band_index_layout(spark: SparkSession, index_dir: str) -> list:
             df.withColumn(
                 "kb", band_bucket(F.col("band"), F.col("band_key"))
             ).write.partitionBy("kb").mode("overwrite").parquet(staging)
-        fs.delete(st.getPath(), True)
-        if not fs.rename(
-            jvm.org.apache.hadoop.fs.Path(staging), st.getPath()
-        ):
+        # swap: source aside (O(1)) -> staging in -> drop aside; the
+        # source is never deleted while it is the only complete copy
+        aside = _path(f"_old_{batch_id}")
+        if not fs.rename(st.getPath(), aside):
+            raise OSError(f"migration aside rename failed: {name}")
+        if not fs.rename(_path(f"_mig_{batch_id}"), st.getPath()):
             raise OSError(f"migration swap rename failed: {name}")
+        fs.delete(aside, True)
         migrated.append(name)
+    _band_meta_guard(spark, index_dir)
     return sorted(migrated)
 
 
@@ -628,6 +688,10 @@ def streaming_dedup_gate(
         minhash_near_dup_pairs,
     )
 
+    # fail fast if the persisted index was bucketed with a different
+    # N_BAND_BUCKETS — a mismatch would silently prune true candidates
+    _band_meta_guard(spark, index_dir)
+
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)  # file-source
@@ -687,7 +751,15 @@ def streaming_dedup_gate(
         novel.write.mode("overwrite").parquet(
             f"{output_dir}/batch={batch_id}"
         )
-        nb, ns = minhash_index(novel, checkpoint=True)
+        # the index rows for novel are a SUBSET of the checkpointed
+        # probe index (minhash_index is a pure per-doc map, pinned by
+        # the append-composability test) — semi-join the survivors'
+        # sliver out instead of re-shingling the batch (r12 review:
+        # the second minhash pass was the dominant duplicate cost in
+        # the common mostly-novel case)
+        novel_ids = novel.select("doc_id")
+        nb = probe[0].join(novel_ids, "doc_id", "left_semi")
+        ns = probe[1].join(novel_ids, "doc_id", "left_semi")
         nb.withColumn(
             "kb", band_bucket(F.col("band"), F.col("band_key"))
         ).write.partitionBy("kb").mode("overwrite").parquet(

@@ -142,8 +142,10 @@ def test_profile_table_skips_probe_on_derived_input(spark):
     with upstream exchanges — under AQE, toRdd() would EXECUTE those
     shuffle stages just to read a partition count — and must not touch
     a streaming frame at all (plan construction used to fail)."""
+    from pyspark.sql.functions import broadcast
+
     from rentals_data_pipeline_spark.functions.widen import (
-        plan_has_exchange,
+        plan_has_shuffle,
         widen_if_narrow,
     )
     from rentals_data_pipeline_spark.operators.quality import profile_table
@@ -152,12 +154,17 @@ def test_profile_table_skips_probe_on_derived_input(spark):
         [(i % 5, float(i)) for i in range(50)], "k long, v double"
     )
     derived = base.groupBy("k").agg(F.sum("v").alias("v"))
-    # the guard must actually SEE the exchange (r12 review: checked on
+    # the guard must actually SEE the shuffle (r12 review: checked on
     # sparkPlan it never fired — EnsureRequirements only inserts
     # exchanges into executedPlan) and leave the derived plan alone
-    assert plan_has_exchange(derived)
-    assert not plan_has_exchange(base)
+    assert plan_has_shuffle(derived)
+    assert not plan_has_shuffle(base)
     assert widen_if_narrow(derived) is derived
+    # a broadcast-only join is NOT a shuffle: it sets no downstream
+    # partitioning, so the widen must still be allowed to fire there
+    dim = spark.createDataFrame([(0, "a"), (1, "b")], "k long, tag string")
+    joined = base.join(broadcast(dim), "k")
+    assert not plan_has_shuffle(joined)
     # exchange-bearing input: profiles correctly, no widen repartition
     prof = {r["col_name"]: r for r in profile_table(derived).collect()}
     assert prof["k"]["n_distinct"] == 5

@@ -1196,6 +1196,32 @@ def test_migrate_band_index_layout_from_flat(spark, tmp_path):
     assert kept == [101]
 
 
+def test_band_meta_guard_rejects_bucket_count_mismatch(spark, tmp_path):
+    """r12: the kb bucket count is baked into directory NAMES — a
+    build running with a different N_BAND_BUCKETS against a persisted
+    index must fail fast instead of silently pruning true candidates
+    (the marker is stamped by init/migrate, checked at gate start)."""
+    index_dir = str(tmp_path / "index")
+    SJ.init_dedup_index(spark, index_dir)
+    meta = tmp_path / "index" / "bands_meta"
+    assert list(meta.glob("n_buckets=*"))
+    # simulate an index built under a different constant
+    next(meta.glob("n_buckets=*")).rename(meta / "n_buckets=128")
+    with pytest.raises(ValueError, match="n_buckets"):
+        SJ._band_meta_guard(spark, index_dir)
+    with pytest.raises(ValueError, match="n_buckets"):
+        SJ.streaming_dedup_gate(
+            spark, str(tmp_path / "nowhere"), index_dir,
+            str(tmp_path / "out"), str(tmp_path / "ck"),
+        )
+    # absent marker self-heals (an index created before the marker)
+    import shutil
+
+    shutil.rmtree(meta)
+    SJ._band_meta_guard(spark, index_dir)
+    assert list(meta.glob("n_buckets=*"))
+
+
 def test_dedup_against_index_probe_broadcast_optout(spark):
     """r12 (ADVICE): broadcast_probe=False removes the force-broadcast
     on the variable-width probe SHINGLE SETS — batch-mode callers with
