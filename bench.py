@@ -194,6 +194,10 @@ HEADLINE = [
     # cumulative walk)
     "sim_hard_negatives",
     "text_vocab_coverage",
+    # round-12 wave 2: split-half embedding-drift monitor and the
+    # Benford first-digit money-column audit
+    "sim_centroid_drift",
+    "quality_benford_first_digit",
 ]
 
 

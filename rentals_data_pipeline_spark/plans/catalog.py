@@ -676,6 +676,98 @@ FROM terms GROUP BY 1
 """
 
 
+# Benford first-digit expected fractions, log10(1 + 1/d) fixed at 8 dp.
+# Computed once in Python and embedded as IDENTICAL literals in the
+# Spark plan and the oracle SQL — no ln/log10 ever evaluates inside an
+# oracle-paired query (the repo's rounding contract), so the
+# comparison is literal-exact by construction.
+_BENFORD = {
+    1: "0.30103000", 2: "0.17609126", 3: "0.12493874",
+    4: "0.09691001", 5: "0.07918125", 6: "0.06694679",
+    7: "0.05799195", 8: "0.05115252", 9: "0.04575749",
+}
+
+_BENFORD_ORACLE = f"""
+WITH d AS (
+    SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INT) AS digit
+    FROM orders WHERE o_totalprice >= 1.0
+),
+obs AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+tot AS (SELECT SUM(n) AS total FROM obs),
+exp AS (
+    SELECT * FROM (VALUES
+        {", ".join(f"({k}, {v})" for k, v in sorted(_BENFORD.items()))}
+    ) AS t(digit, expected_frac)
+)
+SELECT e.digit,
+    CAST(COALESCE(o.n, 0) AS BIGINT) AS n_observed,
+    CAST(t.total AS BIGINT) AS n_total,
+    FLOOR((CAST(COALESCE(o.n, 0) AS DOUBLE) / t.total) * 1000000.0 + 0.5)
+        / 1000000.0 AS observed_frac,
+    CAST(e.expected_frac AS DOUBLE) AS expected_frac,
+    FLOOR(ABS(CAST(COALESCE(o.n, 0) AS DOUBLE) / t.total
+              - CAST(e.expected_frac AS DOUBLE))
+          * 1000000.0 + 0.5) / 1000000.0 AS abs_deviation
+FROM exp e LEFT JOIN obs o ON o.digit = e.digit, tot t
+"""
+
+
+@query("quality_benford_first_digit", _BENFORD_ORACLE)
+def quality_benford_first_digit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benford's-law first-digit audit of order totals (r12) — the
+    classic fabricated-data / unit-mixup detector a DQ suite runs on
+    money columns: observed first-significant-digit fractions against
+    log10(1 + 1/d), with per-digit absolute deviation. Always 9 rows
+    (digits with zero observations report 0). Scale shape: the fact
+    reduces to a 9-row digit histogram in one map-side-combined
+    aggregation; everything after is 9-row arithmetic. The first
+    digit comes from FLOOR → BIGINT → string head — floor is
+    IEEE-exact and integer casts/strings are identical across engines
+    (double→string is NOT, and DuckDB's double→BIGINT cast rounds
+    half-even where Spark truncates — both hazards sidestepped).
+    Expected fractions are Python-computed literals embedded
+    identically on both sides."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") >= 1.0
+    )
+    obs = orders.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = obs.agg(F.sum("n").alias("total"))
+    expected = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(_BENFORD.items())],
+        "digit int, expected_frac double",
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        expected.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_observed"),
+            F.col("total").cast("long").alias("n_total"),
+            r6(
+                F.coalesce("n", F.lit(0)).cast("double") / F.col("total")
+            ).alias("observed_frac"),
+            "expected_frac",
+            r6(
+                F.abs(
+                    F.coalesce("n", F.lit(0)).cast("double")
+                    / F.col("total")
+                    - F.col("expected_frac")
+                )
+            ).alias("abs_deviation"),
+        )
+    )
+
+
 @query("quality_psi_value_drift", _PSI_ORACLE)
 def quality_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of the event `value` distribution,

@@ -1163,3 +1163,127 @@ def dedup_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = emb.where(F.col("vec_id") % 5 == 0)
     cents, idx = SIM.semdedup_index(base, n_clusters=8, threshold=0.35)
     return SIM.semdedup_against_index(batch, cents, idx, threshold=0.35)
+
+
+@query(
+    "sim_centroid_drift",
+    """
+WITH e AS (
+    SELECT vec_id, label, vec_id % 2 AS half, i AS dim_idx,
+           CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+),
+c AS (
+    SELECT label, half, dim_idx,
+           CAST(SUM(CAST(FLOOR(v * 1000000.0 + 0.5) / 1000000.0
+                         AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS m
+    FROM e GROUP BY label, half, dim_idx
+),
+n AS (
+    SELECT label, half, COUNT(DISTINCT vec_id) AS n_vecs
+    FROM e GROUP BY label, half
+),
+parts AS (
+    SELECT c0.label,
+           SUM(CAST(FLOOR(c0.m * c1.m * 1000000.0 + 0.5) / 1000000.0
+                    AS DECIMAL(38,6))) AS dot,
+           SUM(CAST(FLOOR(c0.m * c0.m * 1000000.0 + 0.5) / 1000000.0
+                    AS DECIMAL(38,6))) AS n0,
+           SUM(CAST(FLOOR(c1.m * c1.m * 1000000.0 + 0.5) / 1000000.0
+                    AS DECIMAL(38,6))) AS n1
+    FROM c c0 JOIN c c1
+      ON c0.label = c1.label AND c0.dim_idx = c1.dim_idx
+     AND c0.half = 0 AND c1.half = 1
+    GROUP BY c0.label
+),
+out AS (
+    SELECT p.label,
+           ne.n_vecs AS n_even, no.n_vecs AS n_odd,
+           FLOOR((CAST(p.dot AS DOUBLE)
+                  / (SQRT(CAST(p.n0 AS DOUBLE))
+                     * SQRT(CAST(p.n1 AS DOUBLE))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS centroid_cosine
+    FROM parts p
+    JOIN n ne ON ne.label = p.label AND ne.half = 0
+    JOIN n no ON no.label = p.label AND no.half = 1
+)
+SELECT label, CAST(n_even AS BIGINT) AS n_even,
+       CAST(n_odd AS BIGINT) AS n_odd, centroid_cosine
+FROM out
+""",
+)
+def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift monitor (r12): per label, the cosine between
+    the class centroid of one half of the corpus and the other
+    (deterministic vec_id-parity split standing in for
+    before/after-reembedding periods) — the check a production
+    embedding pipeline runs to catch a silent encoder change or
+    ingest drift; a healthy pipeline sits near 1.0 per class.
+    Composed from ``sim_label_centroids``'s certified centroid stage:
+    per-(label, half, dim) means over the exploded vectors (one
+    vector-keyed shuffle, map-side combined), the two half-centroids
+    join as |labels|x|dims| broadcast-sized relations, and every
+    product folds 6-dp-anchored decimals so the score is
+    bit-identical across engines and partitionings. Labels with an
+    empty half drop (no drift pair exists) in both engines."""
+    dec = "decimal(38,6)"
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "raw"),
+    ).select(
+        "vec_id",
+        "label",
+        "half",
+        (F.col("pos") + 1).alias("dim_idx"),
+        F.col("raw").cast("double").alias("v"),
+    )
+    c = e.groupBy("label", "half", "dim_idx").agg(
+        (
+            F.sum(r6(F.col("v")).cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    n = e.groupBy("label", "half").agg(
+        F.count_distinct("vec_id").alias("n_vecs")
+    )
+    c0 = c.where(F.col("half") == 0).select(
+        "label", "dim_idx", F.col("m").alias("m0")
+    )
+    c1 = c.where(F.col("half") == 1).select(
+        "label", "dim_idx", F.col("m").alias("m1")
+    )
+    parts = (
+        c0.join(F.broadcast(c1), ["label", "dim_idx"])
+        .groupBy("label")
+        .agg(
+            F.sum(r6(F.col("m0") * F.col("m1")).cast(dec)).alias("dot"),
+            F.sum(r6(F.col("m0") * F.col("m0")).cast(dec)).alias("n0"),
+            F.sum(r6(F.col("m1") * F.col("m1")).cast(dec)).alias("n1"),
+        )
+    )
+    ne = n.where(F.col("half") == 0).select(
+        "label", F.col("n_vecs").alias("n_even")
+    )
+    no = n.where(F.col("half") == 1).select(
+        "label", F.col("n_vecs").alias("n_odd")
+    )
+    return (
+        parts.join(F.broadcast(ne), "label")
+        .join(F.broadcast(no), "label")
+        .select(
+            "label",
+            F.col("n_even").cast("long").alias("n_even"),
+            F.col("n_odd").cast("long").alias("n_odd"),
+            r6(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("n0").cast("double"))
+                    * F.sqrt(F.col("n1").cast("double"))
+                )
+            ).alias("centroid_cosine"),
+        )
+    )

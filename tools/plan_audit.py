@@ -59,6 +59,7 @@ BNLJ_WHITELIST = {
     # single-scan rewrite carries counts via stack + equi-join on
     # suite (no 1-row cross joins remain)
     "text_vocab_coverage": 1,  # 1-row token-total for the thresholds
+    "quality_benford_first_digit": 1,  # 1-row digit-count total
     "sim_srp_lsh_recall": 2,  # recall harness: exact-baseline 1-row totals
     "sim_pq_adc_topk_recall": 2,  # same harness shape
     "sim_ivf_pq_residual_recall": 3,  # A/B harness: three 1-row totals
