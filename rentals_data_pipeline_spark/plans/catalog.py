@@ -745,7 +745,7 @@ def quality_benford_first_digit(
         [(k, float(v)) for k, v in sorted(_BENFORD.items())],
         "digit int, expected_frac double",
     )
-    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    r6 = lambda c: RND(c, 6)  # noqa: E731
     return (
         expected.join(obs, "digit", "left")
         .crossJoin(F.broadcast(total))

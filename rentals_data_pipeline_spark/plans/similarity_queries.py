@@ -378,7 +378,7 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-invariant), and the mean divides the exact decimal sum cast
     to double by the count, so the cross-engine hash is exact."""
     dec = "decimal(38,6)"
-    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    r6 = lambda c: RND(c, 6)  # noqa: E731
     emb = load_table(spark, sf_dir, "embeddings")
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("pos", "v")
@@ -450,7 +450,7 @@ def sim_centroid_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep/drop boundary comparison — is bit-identical across engines
     and partitionings."""
     dec = "decimal(38,6)"
-    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    r6 = lambda c: RND(c, 6)  # noqa: E731
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "raw")
@@ -1219,71 +1219,65 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     before/after-reembedding periods) — the check a production
     embedding pipeline runs to catch a silent encoder change or
     ingest drift; a healthy pipeline sits near 1.0 per class.
-    Composed from ``sim_label_centroids``'s certified centroid stage:
-    per-(label, half, dim) means over the exploded vectors (one
-    vector-keyed shuffle, map-side combined), the two half-centroids
-    join as |labels|x|dims| broadcast-sized relations, and every
-    product folds 6-dp-anchored decimals so the score is
-    bit-identical across engines and partitionings. Labels with an
-    empty half drop (no drift pair exists) in both engines."""
+
+    Shape (r12 review fix): the oracle spells the textbook two-branch
+    form, but Catalyst pushes each branch's half-filter below its
+    aggregate, so that form scans + posexplodes the fact table FOUR
+    times.  Here both halves fold in ONE conditional aggregation over
+    ONE scan: per (label, dim) the 6-dp-anchored decimal sums and row
+    counts of each half (decimal sums are order-invariant, so the
+    per-half means are bit-identical to the filtered-branch values),
+    then one tiny per-label reduce folds the dot/norm decimals over
+    dims present in BOTH halves (matching the oracle's inner join) and
+    reads each half's vector count off the dim-1 row (vec_id is a key,
+    every non-empty vector has dim 1).  Labels with an empty half drop
+    (no drift pair exists) in both engines.  One data-sized shuffle of
+    |labels|x|dims| partial rows — the same shape at 100 TB."""
     dec = "decimal(38,6)"
-    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    r6 = lambda c: RND(c, 6)  # noqa: E731
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
-        "vec_id",
         "label",
         (F.col("vec_id") % 2).alias("half"),
         F.posexplode("embedding").alias("pos", "raw"),
     ).select(
-        "vec_id",
         "label",
         "half",
         (F.col("pos") + 1).alias("dim_idx"),
         F.col("raw").cast("double").alias("v"),
     )
-    c = e.groupBy("label", "half", "dim_idx").agg(
-        (
-            F.sum(r6(F.col("v")).cast(dec)).cast("double")
-            / F.count(F.lit(1))
-        ).alias("m")
+    even = F.col("half") == 0
+    byd = e.groupBy("label", "dim_idx").agg(
+        F.sum(F.when(even, r6(F.col("v"))).cast(dec)).alias("s0"),
+        F.count(F.when(even, F.lit(1))).alias("c0"),
+        F.sum(F.when(~even, r6(F.col("v"))).cast(dec)).alias("s1"),
+        F.count(F.when(~even, F.lit(1))).alias("c1"),
     )
-    n = e.groupBy("label", "half").agg(
-        F.count_distinct("vec_id").alias("n_vecs")
+    m = byd.select(
+        "label",
+        "dim_idx",
+        "c0",
+        "c1",
+        (F.col("s0").cast("double") / F.nullif(F.col("c0"), F.lit(0))).alias("m0"),
+        (F.col("s1").cast("double") / F.nullif(F.col("c1"), F.lit(0))).alias("m1"),
     )
-    c0 = c.where(F.col("half") == 0).select(
-        "label", "dim_idx", F.col("m").alias("m0")
+    both = F.col("m0").isNotNull() & F.col("m1").isNotNull()
+    out = m.groupBy("label").agg(
+        F.sum(F.when(both, r6(F.col("m0") * F.col("m1"))).cast(dec)).alias("dot"),
+        F.sum(F.when(both, r6(F.col("m0") * F.col("m0"))).cast(dec)).alias("n0"),
+        F.sum(F.when(both, r6(F.col("m1") * F.col("m1"))).cast(dec)).alias("n1"),
+        F.max(F.when(F.col("dim_idx") == 1, F.col("c0"))).alias("n_even"),
+        F.max(F.when(F.col("dim_idx") == 1, F.col("c1"))).alias("n_odd"),
     )
-    c1 = c.where(F.col("half") == 1).select(
-        "label", "dim_idx", F.col("m").alias("m1")
-    )
-    parts = (
-        c0.join(F.broadcast(c1), ["label", "dim_idx"])
-        .groupBy("label")
-        .agg(
-            F.sum(r6(F.col("m0") * F.col("m1")).cast(dec)).alias("dot"),
-            F.sum(r6(F.col("m0") * F.col("m0")).cast(dec)).alias("n0"),
-            F.sum(r6(F.col("m1") * F.col("m1")).cast(dec)).alias("n1"),
-        )
-    )
-    ne = n.where(F.col("half") == 0).select(
-        "label", F.col("n_vecs").alias("n_even")
-    )
-    no = n.where(F.col("half") == 1).select(
-        "label", F.col("n_vecs").alias("n_odd")
-    )
-    return (
-        parts.join(F.broadcast(ne), "label")
-        .join(F.broadcast(no), "label")
-        .select(
-            "label",
-            F.col("n_even").cast("long").alias("n_even"),
-            F.col("n_odd").cast("long").alias("n_odd"),
-            r6(
-                F.col("dot").cast("double")
-                / (
-                    F.sqrt(F.col("n0").cast("double"))
-                    * F.sqrt(F.col("n1").cast("double"))
-                )
-            ).alias("centroid_cosine"),
-        )
+    return out.where((F.col("n_even") > 0) & (F.col("n_odd") > 0)).select(
+        "label",
+        F.col("n_even").cast("long").alias("n_even"),
+        F.col("n_odd").cast("long").alias("n_odd"),
+        r6(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("n0").cast("double"))
+                * F.sqrt(F.col("n1").cast("double"))
+            )
+        ).alias("centroid_cosine"),
     )
