@@ -198,6 +198,11 @@ HEADLINE = [
     # Benford first-digit money-column audit
     "sim_centroid_drift",
     "quality_benford_first_digit",
+    # round-12 wave 3: rank-based drift (Mann-Whitney U over the
+    # bounded distinct-value frame) and per-segment revenue Gini
+    # (fact folds to the customer dim before the rank window)
+    "stats_mann_whitney_value_drift",
+    "stats_gini_revenue_concentration",
 ]
 
 

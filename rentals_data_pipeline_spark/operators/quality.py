@@ -450,3 +450,150 @@ def ks_drift(
         F.max("_nr").cast("long").alias("n_ref"),
         F.max("_nc").cast("long").alias("n_cur"),
     )
+
+
+def mann_whitney_drift(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+    *,
+    scale: int = 6,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test between two
+    periods of a numeric column, per group — the rank-based drift
+    monitor next to ``ks_drift``: where KS reacts to the largest ECDF
+    gap, U measures the whole stochastic ordering (P[ref > cur]), the
+    standard choice when the metric is heavy-tailed and means/KS are
+    dominated by outliers.  ``period_col`` must be 0 (reference) / 1
+    (current); returns per group the sample sizes, the exact
+    tie-corrected U of the reference sample, and the normal-
+    approximation z score.
+
+    Exact, not approximate: per distinct value the two period counts
+    aggregate (ONE shuffle on (group, value), map-side combined); a
+    cumulative window over the |groups x distinct values| frame
+    assigns each tie group its average rank as the INTEGER
+    ``2*avg_rank`` (= lowest + highest rank in the run, so no fp rank
+    arithmetic exists anywhere); the rank-sum, the tie term
+    sum(t^3 - t), and the sample sizes fold as integers.  At 100 TB
+    the window input is bounded by value cardinality (2-dp metrics),
+    exactly like ks_drift, and the fact table shuffles once as
+    pre-aggregated counts.
+
+    Cross-engine determinism: U = (R1_2 - n1*(n1+1)) / 2 and the z
+    denominator sqrt((n1*n2/12) * ((N+1) - T/(N*(N-1)))) are built
+    from exact integers with the identical IEEE expression tree the
+    oracle spells, so values match bit-for-bit before the final
+    ``scale``-dp normalization.  nullif guards: a group with N <= 1
+    (tie-term divisor 0), an all-tied group (sigma 0), or an
+    empty period (n1*n2 = 0) yields NULL z in BOTH engines instead of
+    an ANSI divide-by-zero error / IEEE Inf."""
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(
+            F.count(F.lit(1)).alias("_t"),
+            F.sum(
+                F.when(F.col(period_col) == 0, 1).otherwise(0)
+            ).alias("_c1"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = counts.select(
+        F.col(group_col),
+        "_t",
+        "_c1",
+        F.coalesce(F.sum("_t").over(w_prev), F.lit(0)).alias("_cb"),
+    )
+    # 2*avg_rank of a tie run starting after _cb rows with _t members:
+    # lowest rank = _cb+1, highest = _cb+_t, sum = 2*_cb + _t + 1.
+    rank2 = F.lit(2) * (F.col("_cb") + 1) + F.col("_t") - 1
+    agg = rk.groupBy(group_col).agg(
+        F.sum("_c1").cast("long").alias("_n1"),
+        (F.sum("_t") - F.sum("_c1")).cast("long").alias("_n2"),
+        F.sum(F.col("_c1") * rank2).cast("long").alias("_r1_2"),
+        F.sum(
+            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+        ).cast("long").alias("_ties"),
+    )
+    n1d = F.col("_n1").cast("double")
+    n2d = F.col("_n2").cast("double")
+    nd = (F.col("_n1") + F.col("_n2")).cast("double")
+    u = (F.col("_r1_2").cast("double") - n1d * (n1d + F.lit(1.0))) / F.lit(
+        2.0
+    )
+    sigma = F.sqrt(
+        (n1d * n2d / F.lit(12.0))
+        * (
+            (nd + F.lit(1.0))
+            - F.col("_ties").cast("double")
+            / F.nullif(nd * (nd - F.lit(1.0)), F.lit(0.0))
+        )
+    )
+    return agg.select(
+        F.col(group_col),
+        F.col("_n1").alias("n_ref"),
+        F.col("_n2").alias("n_cur"),
+        u.alias("u_stat"),
+        round_half_up(
+            (u - n1d * n2d / F.lit(2.0)) / F.nullif(sigma, F.lit(0.0)),
+            scale,
+        ).alias("z_score"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    scale: int = 6,
+) -> DataFrame:
+    """Gini coefficient of a non-negative measure per group — the
+    single-number concentration diagnostic next to the Pareto skyline
+    and key-skew profiles: 0 = every entity contributes equally,
+    ->1 = one entity carries everything.  The pipeline use is spotting
+    a source/segment whose revenue (or token mass, or dedup-cluster
+    mass) silently concentrates into a few keys — the precursor of
+    shuffle skew and of over-sampled sources in a training mixture.
+
+    ``df`` must carry one row per entity with ``value_col`` an EXACT
+    type (integer or anchored decimal — the caller fixes the decimal
+    contract); ``id_col`` breaks value ties so ranks are total and
+    deterministic.  Uses the rank formulation
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over values sorted
+    ascending: ONE row_number window over the entity-level frame (dim-
+    sized — |customers|, |sources| — never the fact table, which the
+    caller has already aggregated away) and one map-side-combined
+    fold; rank products stay in decimal so both sums are exact, and
+    the single division is one IEEE op per group.  nullif guards the
+    all-zero group (n*sum = 0 -> NULL, not an ANSI error)."""
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    rk = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col),
+        F.col(value_col).alias("_x"),
+        F.row_number().over(w).alias("_i"),
+    )
+    agg = rk.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_i").cast("decimal(18,0)") * F.col("_x")).alias("_s1"),
+        F.sum("_x").alias("_s"),
+    )
+    nd = F.col("_n").cast("double")
+    sd = F.col("_s").cast("double")
+    return agg.select(
+        F.col(group_col),
+        F.col("_n").cast("long").alias("n_entities"),
+        sd.alias("total_value"),
+        round_half_up(
+            (F.lit(2.0) * F.col("_s1").cast("double") - (nd + F.lit(1.0)) * sd)
+            / F.nullif(nd * sd, F.lit(0.0)),
+            scale,
+        ).alias("gini"),
+    )

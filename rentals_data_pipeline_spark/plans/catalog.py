@@ -854,6 +854,146 @@ def stats_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_drift(df, "event_type", "period", "value")
 
 
+_MW_ORACLE = """
+WITH e AS (
+    SELECT event_type, value,
+        CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END
+            AS r
+    FROM events WHERE value IS NOT NULL
+),
+g AS (
+    SELECT event_type, value, COUNT(*) AS t, CAST(SUM(r) AS BIGINT) AS c1
+    FROM e GROUP BY 1, 2
+),
+rk AS (
+    SELECT event_type, t, c1,
+        COALESCE(SUM(t) OVER (PARTITION BY event_type ORDER BY value
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM g
+),
+a AS (
+    SELECT event_type,
+        CAST(SUM(c1) AS BIGINT) AS n1,
+        CAST(SUM(t) - SUM(c1) AS BIGINT) AS n2,
+        CAST(SUM(c1 * (2 * (cb + 1) + t - 1)) AS BIGINT) AS r1_2,
+        CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+    FROM rk GROUP BY event_type
+)
+SELECT event_type, n1 AS n_ref, n2 AS n_cur,
+    (CAST(r1_2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0))
+        / 2.0 AS u_stat,
+    FLOOR(
+        ((CAST(r1_2 AS DOUBLE)
+          - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0
+         - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+        / NULLIF(SQRT((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+            * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+               - CAST(ties AS DOUBLE)
+                 / NULLIF(CAST(n1 + n2 AS DOUBLE)
+                          * (CAST(n1 + n2 AS DOUBLE) - 1.0), 0.0))),
+          0.0)
+        * 1000000.0 + 0.5) / 1000000.0 AS z_score
+FROM a
+"""
+
+
+@query("stats_mann_whitney_value_drift", _MW_ORACLE)
+def stats_mann_whitney_value_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact tie-corrected Mann-Whitney U (rank-sum) of the event
+    `value` distribution, first half-month (reference) vs second
+    (current), per event type — the rank-based member of the drift
+    family (operators/quality.py::mann_whitney_drift): PSI needs
+    bucket edges, KS takes the largest ECDF gap, U measures the whole
+    stochastic ordering and is the standard test when the metric is
+    heavy-tailed.  Same scale shape as ks_drift: one map-side-combined
+    count shuffle on (type, value), a cumulative window over the
+    bounded distinct-value frame, integer rank/tie arithmetic, and one
+    IEEE z-score division per group."""
+    from rentals_data_pipeline_spark.operators.quality import (
+        mann_whitney_drift,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    df = events.select(
+        "event_type",
+        "value",
+        (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"))
+        .cast("int")
+        .alias("period"),
+    )
+    return mann_whitney_drift(df, "event_type", "period", "value")
+
+
+_GINI_ORACLE = """
+WITH rev AS (
+    SELECT c.c_mktsegment AS segment, o.o_custkey AS k,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(15,2)))
+                AS DECIMAL(20,2)) AS x
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+),
+rk AS (
+    SELECT segment, x,
+           ROW_NUMBER() OVER (PARTITION BY segment ORDER BY x, k) AS i
+    FROM rev
+),
+a AS (
+    SELECT segment, COUNT(*) AS n,
+           SUM(CAST(i AS DECIMAL(18,0)) * x) AS s1,
+           SUM(x) AS s
+    FROM rk GROUP BY segment
+)
+SELECT segment, CAST(n AS BIGINT) AS n_entities,
+       CAST(s AS DOUBLE) AS total_value,
+       FLOOR(((2.0 * CAST(s1 AS DOUBLE)
+               - (CAST(n AS DOUBLE) + 1.0) * CAST(s AS DOUBLE))
+              / NULLIF(CAST(n AS DOUBLE) * CAST(s AS DOUBLE), 0.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS gini
+FROM a
+"""
+
+
+@query("stats_gini_revenue_concentration", _GINI_ORACLE)
+def stats_gini_revenue_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gini coefficient of per-customer revenue within each market
+    segment (operators/quality.py::gini_concentration) — the
+    concentration twin of the Pareto skyline and the key-skew profile:
+    one number per segment saying how unequally revenue spreads over
+    customers, the same diagnostic a curation pipeline runs over
+    per-source token mass before fixing a sampling mixture.  The fact
+    table aggregates to the customer dim FIRST (map-side combined,
+    anchored DECIMAL(20,2) so rank products stay exact); the
+    row_number window and the Gini fold run over the dim-sized frame."""
+    from rentals_data_pipeline_spark.operators.quality import (
+        gini_concentration,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rev = (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_custkey"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+            .cast("decimal(20,2)")
+            .alias("x")
+        )
+    )
+    return gini_concentration(rev, "segment", "x", "o_custkey")
+
+
 # ---------------------------------------------------------------------------
 # Shuffle-key skew diagnostics: the pre-flight salt-factor check.
 # ---------------------------------------------------------------------------

@@ -196,3 +196,74 @@ def test_ks_drift_single_period_group_is_null_not_inf(spark):
     assert out["only_ref"]["n_cur"] == 0
     d = out["both"]["ks_d"]
     assert d is not None and math.isfinite(d) and d == 1.0
+
+
+def test_mann_whitney_hand_computed(spark):
+    """Textbook example computed by hand: ref = [1, 2, 3], cur = [2, 4].
+    Pooled avg ranks: 1 -> 1, the tied 2s -> 2.5 each, 3 -> 4, 4 -> 5;
+    R_ref = 1 + 2.5 + 4 = 7.5, U_ref = 7.5 - 3*4/2 = 1.5.  Tie term
+    T = 2^3 - 2 = 6, sigma = sqrt((3*2/12) * (6 - 6/20)), z = (1.5 - 3)
+    / sigma.  Also pins the degenerate guards: an all-tied group and a
+    one-period group yield NULL z (never Inf or an ANSI error)."""
+    import math
+
+    from rentals_data_pipeline_spark.operators.quality import (
+        mann_whitney_drift,
+    )
+
+    rows = (
+        [("g", 0, v) for v in [1.0, 2.0, 3.0]]
+        + [("g", 1, v) for v in [2.0, 4.0]]
+        + [("tied", 0, 7.0), ("tied", 0, 7.0), ("tied", 1, 7.0)]
+        + [("only_ref", 0, 1.0), ("only_ref", 0, 2.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, period int, value double")
+    out = {
+        r["g"]: r
+        for r in mann_whitney_drift(df, "g", "period", "value").collect()
+    }
+    g = out["g"]
+    assert (g["n_ref"], g["n_cur"]) == (3, 2)
+    assert g["u_stat"] == 1.5
+    sigma = math.sqrt((3 * 2 / 12.0) * (6.0 - 6.0 / 20.0))
+    expect_z = math.floor((1.5 - 3.0) / sigma * 1e6 + 0.5) / 1e6
+    assert g["z_score"] == expect_z
+    # all values tied: sigma = 0 -> NULL z, but U is still defined
+    t = out["tied"]
+    assert t["z_score"] is None
+    assert t["u_stat"] == 2 * 2.0 - 2 * 3 / 2.0  # both ref ranks avg 2.0
+    # one-period group: n1*n2 = 0 -> sigma 0 -> NULL z
+    assert out["only_ref"]["z_score"] is None
+    assert out["only_ref"]["n_cur"] == 0
+
+
+def test_gini_concentration_hand_computed(spark):
+    """Hand examples: values [1, 1, 2] give G = (2*(1+2+6) - 4*4)
+    / (3*4) = 1/6; a perfectly equal group gives exactly 0; an all-zero
+    group has no defined concentration -> NULL (nullif, not an ANSI
+    divide-by-zero)."""
+    from decimal import Decimal
+
+    from rentals_data_pipeline_spark.operators.quality import (
+        gini_concentration,
+    )
+
+    rows = (
+        [("s", "a", Decimal("1.00")), ("s", "b", Decimal("1.00")),
+         ("s", "c", Decimal("2.00"))]
+        + [("eq", "a", Decimal("5.00")), ("eq", "b", Decimal("5.00"))]
+        + [("zero", "a", Decimal("0.00")), ("zero", "b", Decimal("0.00"))]
+    )
+    df = spark.createDataFrame(
+        rows, "g string, id string, x decimal(20,2)"
+    )
+    out = {
+        r["g"]: r for r in gini_concentration(df, "g", "x", "id").collect()
+    }
+    import math
+
+    assert out["s"]["n_entities"] == 3
+    assert out["s"]["total_value"] == 4.0
+    assert out["s"]["gini"] == math.floor(1 / 6 * 1e6 + 0.5) / 1e6
+    assert out["eq"]["gini"] == 0.0
+    assert out["zero"]["gini"] is None

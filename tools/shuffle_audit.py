@@ -101,6 +101,16 @@ BUDGETS: dict[str, dict[str, float]] = {
     # (user, day) in one shuffle; day-rows, never events, flow to the
     # window (measured 8 B/rec, fanout 0.80 at the fixture's density)
     "analytics_activity_streaks": {"bpr": 30.0, "fanout": 2.0},
+    # r12 Mann-Whitney drift: pre-aggregated (type, value) count rows
+    # shuffle, then the distinct-value frame re-shuffles to the
+    # window (measured 12 B/rec, fanout 1.81 — the scale killer would
+    # be raw fact rows reaching the rank window, blowing fanout)
+    "stats_mann_whitney_value_drift": {"bpr": 40.0, "fanout": 4.0},
+    # r12 Gini concentration: the fact folds to the customer dim
+    # before anything shuffles; only dim-sized (segment, x) rows flow
+    # to the rank window (measured 23 B/rec, fanout 0.18 = customer
+    # rows over fact+dim scan rows)
+    "stats_gini_revenue_concentration": {"bpr": 60.0, "fanout": 0.6},
 }
 
 
