@@ -199,10 +199,12 @@ HEADLINE = [
     "sim_centroid_drift",
     "quality_benford_first_digit",
     # round-12 wave 3: rank-based drift (Mann-Whitney U over the
-    # bounded distinct-value frame) and per-segment revenue Gini
-    # (fact folds to the customer dim before the rank window)
+    # bounded distinct-value frame), per-segment revenue Gini (fact
+    # folds to the customer dim before the rank window), and the
+    # Spearman monotonic-trend monitor (single-scan count cube)
     "stats_mann_whitney_value_drift",
     "stats_gini_revenue_concentration",
+    "stats_spearman_value_trend",
 ]
 
 

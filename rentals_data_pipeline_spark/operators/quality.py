@@ -547,6 +547,102 @@ def mann_whitney_drift(
     )
 
 
+def spearman_rank_correlation(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    scale: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation (average ties) between two numeric
+    columns, per group — the robust monotonic-association monitor: fed
+    (time-bucket, metric) it answers "is this metric drifting
+    monotonically over the period?" without assuming linearity
+    (``regression_events`` is its parametric sibling) and without
+    outlier leverage.
+
+    Exact, not approximate, and ONE pass over the fact: rows collapse
+    to a (group, x, y) count cube (one map-side-combined shuffle whose
+    exchange is REUSED by every downstream branch, so the fact scans
+    once); each axis's average ranks derive from the cube's marginal
+    counts as the INTEGER ``2*avg_rank`` (lowest + highest rank of the
+    tie run); the two |group x distinct| rank maps broadcast back onto
+    the cube; and rho folds from count-weighted decimal(38,0) sums via
+    the Pearson-on-ranks identity
+    (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2)) —
+    affine-invariant, so the doubled ranks cancel.  All arithmetic is
+    exact integers until the final sqrt/divide, which both engines
+    evaluate with the identical IEEE tree.  Decimal(38,0) holds
+    n*Sxy ~ 4n^4 exactly up to ~10^9 rows per group; beyond that,
+    pre-bucket the axes (the catalog query buckets time hourly for
+    exactly this reason).  nullif guards a constant axis (zero
+    variance -> NULL rho, not an ANSI divide error)."""
+    d19 = "decimal(19,0)"
+    d38 = "decimal(38,0)"
+    cube = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(group_col, x_col, y_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+
+    def _rank2(axis: str, out: str) -> DataFrame:
+        marg = cube.groupBy(group_col, axis).agg(F.sum("_cnt").alias("_t"))
+        w_prev = (
+            Window.partitionBy(group_col)
+            .orderBy(axis)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return marg.select(
+            F.col(group_col),
+            F.col(axis),
+            (
+                F.lit(2)
+                * (F.coalesce(F.sum("_t").over(w_prev), F.lit(0)) + 1)
+                + F.col("_t")
+                - 1
+            ).alias(out),
+        )
+
+    j = (
+        cube.join(F.broadcast(_rank2(x_col, "_x2")), [group_col, x_col])
+        .join(F.broadcast(_rank2(y_col, "_y2")), [group_col, y_col])
+        .select(
+            F.col(group_col),
+            F.col("_cnt").cast(d19).alias("_c"),
+            F.col("_x2").cast(d19).alias("_x2"),
+            F.col("_y2").cast(d19).alias("_y2"),
+        )
+    )
+    agg = j.groupBy(group_col).agg(
+        F.sum("_c").cast(d38).alias("_n"),
+        F.sum(F.col("_c") * F.col("_x2")).cast(d38).alias("_sx"),
+        F.sum(F.col("_c") * F.col("_y2")).cast(d38).alias("_sy"),
+        F.sum(F.col("_c") * F.col("_x2") * F.col("_y2")).cast(d38).alias("_sxy"),
+        F.sum(F.col("_c") * F.col("_x2") * F.col("_x2")).cast(d38).alias("_sxx"),
+        F.sum(F.col("_c") * F.col("_y2") * F.col("_y2")).cast(d38).alias("_syy"),
+    )
+    num = (
+        F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    ).cast("double")
+    den = F.sqrt(
+        (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+            "double"
+        )
+    ) * F.sqrt(
+        (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(
+            "double"
+        )
+    )
+    return agg.select(
+        F.col(group_col),
+        F.col("_n").cast("long").alias("n_events"),
+        round_half_up(num / F.nullif(den, F.lit(0.0)), scale).alias(
+            "spearman_rho"
+        ),
+    )
+
+
 def gini_concentration(
     df: DataFrame,
     group_col: str,

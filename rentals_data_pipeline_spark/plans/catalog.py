@@ -994,6 +994,84 @@ def stats_gini_revenue_concentration(
     return gini_concentration(rev, "segment", "x", "o_custkey")
 
 
+_SPEARMAN_ORACLE = """
+WITH e AS (
+    SELECT event_type, value,
+           CAST(FLOOR(epoch(date_trunc('hour', ts)) / 3600.0) AS BIGINT)
+               AS hr
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+cube AS (
+    SELECT event_type, hr, value, COUNT(*) AS cnt
+    FROM e GROUP BY 1, 2, 3
+),
+hm AS (
+    SELECT event_type, hr, SUM(cnt) AS t,
+           COALESCE(SUM(SUM(cnt)) OVER (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM cube GROUP BY event_type, hr
+),
+hrk AS (SELECT event_type, hr, 2 * (cb + 1) + t - 1 AS x2 FROM hm),
+vm AS (
+    SELECT event_type, value, SUM(cnt) AS t,
+           COALESCE(SUM(SUM(cnt)) OVER (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM cube GROUP BY event_type, value
+),
+vrk AS (SELECT event_type, value, 2 * (cb + 1) + t - 1 AS y2 FROM vm),
+j AS (
+    SELECT c.event_type, CAST(c.cnt AS HUGEINT) AS cnt,
+           CAST(h.x2 AS HUGEINT) AS x2, CAST(v.y2 AS HUGEINT) AS y2
+    FROM cube c
+    JOIN hrk h ON c.event_type = h.event_type AND c.hr = h.hr
+    JOIN vrk v ON c.event_type = v.event_type AND c.value = v.value
+),
+a AS (
+    SELECT event_type, SUM(cnt) AS n,
+           SUM(cnt * x2) AS sx, SUM(cnt * y2) AS sy,
+           SUM(cnt * x2 * y2) AS sxy,
+           SUM(cnt * x2 * x2) AS sxx, SUM(cnt * y2 * y2) AS syy
+    FROM j GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+    FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+           / NULLIF(SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * SQRT(CAST(n * syy - sy * sy AS DOUBLE)), 0.0))
+          * 1000000.0 + 0.5) / 1000000.0 AS spearman_rho
+FROM a
+"""
+
+
+@query("stats_spearman_value_trend", _SPEARMAN_ORACLE)
+def stats_spearman_value_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation between time (hourly buckets) and
+    event `value`, per event type — the robust monotonic-trend monitor
+    (operators/quality.py::spearman_rank_correlation): rho near 0 =
+    stationary metric, |rho| rising = the value distribution is
+    drifting monotonically over the month, without the outlier
+    leverage of the least-squares slope (stats_regression_events) and
+    without bucket edges (PSI).  Time is bucketed hourly so BOTH rank
+    axes stay bounded (720 hours x 2-dp values) at any fact scale —
+    the fact scans once into the (type, hr, value) count cube, ranks
+    derive from the cube's marginals, and rho folds from exact
+    decimal sums."""
+    from rentals_data_pipeline_spark.operators.quality import (
+        spearman_rank_correlation,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    df = events.where(F.col("ts").isNotNull()).select(
+        "event_type",
+        "value",
+        F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias(
+            "hr"
+        ),
+    )
+    return spearman_rank_correlation(df, "event_type", "hr", "value")
+
+
 # ---------------------------------------------------------------------------
 # Shuffle-key skew diagnostics: the pre-flight salt-factor check.
 # ---------------------------------------------------------------------------

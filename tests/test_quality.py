@@ -267,3 +267,30 @@ def test_gini_concentration_hand_computed(spark):
     assert out["s"]["gini"] == math.floor(1 / 6 * 1e6 + 0.5) / 1e6
     assert out["eq"]["gini"] == 0.0
     assert out["zero"]["gini"] is None
+
+
+def test_spearman_hand_computed(spark):
+    """Hand example: x = [1, 2, 3, 4], y = [1, 3, 2, 4] -> rank
+    displacement d = (0, 1, -1, 0), no ties, rho = 1 - 6*sum(d^2)
+    / (n(n^2-1)) = 1 - 12/60 = 0.8.  A perfectly monotone group is
+    exactly 1.0; a constant-y group has zero variance -> NULL (nullif,
+    not an ANSI divide error); tie handling pinned by the catalog
+    oracle against pandas' average-rank Spearman."""
+    from rentals_data_pipeline_spark.operators.quality import (
+        spearman_rank_correlation,
+    )
+
+    rows = (
+        [("g", 1.0, 1.0), ("g", 2.0, 3.0), ("g", 3.0, 2.0), ("g", 4.0, 4.0)]
+        + [("mono", float(i), float(10 + i)) for i in range(1, 4)]
+        + [("const", 1.0, 5.0), ("const", 2.0, 5.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {
+        r["g"]: r
+        for r in spearman_rank_correlation(df, "g", "x", "y").collect()
+    }
+    assert out["g"]["n_events"] == 4
+    assert out["g"]["spearman_rho"] == 0.8
+    assert out["mono"]["spearman_rho"] == 1.0
+    assert out["const"]["spearman_rho"] is None

@@ -111,6 +111,11 @@ BUDGETS: dict[str, dict[str, float]] = {
     # to the rank window (measured 23 B/rec, fanout 0.18 = customer
     # rows over fact+dim scan rows)
     "stats_gini_revenue_concentration": {"bpr": 60.0, "fanout": 0.6},
+    # r12 Spearman trend: the fact scans ONCE into the (type, hr,
+    # value) count cube whose exchange every branch reuses; shuffles
+    # carry count/rank ints (measured 13 B/rec, fanout 3.49 = cube +
+    # two marginal maps + the rank-joined cube re-agg)
+    "stats_spearman_value_trend": {"bpr": 40.0, "fanout": 8.0},
 }
 
 
