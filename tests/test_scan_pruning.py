@@ -101,3 +101,27 @@ def test_semdedup_persisted_index_probe_is_cluster_pruned(spark, tmp_path):
     assert key(
         semdedup_against_index(batch, cents, pruned, threshold=0.35)
     ) == key(semdedup_against_index(batch, cents, full, threshold=0.35))
+
+
+def test_single_scan_queries_read_input_once(spark):
+    """Runtime pin of the single-scan claims (r12): the Spearman trend
+    cube's exchange must be REUSED by every downstream branch, and the
+    drift monitor's conditional aggregation must not re-expand into
+    per-half branches — in both cases the table's rows enter a scan
+    exactly once (plan-string FileScan counts overcount under reuse,
+    so assert on the driver's real input_records)."""
+    from rentals_data_pipeline_spark import metrics as M
+    from rentals_data_pipeline_spark.plans import catalog
+    from rentals_data_pipeline_spark.plans import similarity_queries  # noqa: F401 — registers sim_* in catalog.QUERIES
+
+    for name, table in [
+        ("stats_spearman_value_trend", "events"),
+        ("sim_centroid_drift", "embeddings"),
+    ]:
+        from rentals_data_pipeline_spark.sources.tables import load_table
+
+        n_rows = load_table(spark, SF_DIR, table).count()
+        _, stats = M.run_measured(
+            spark, lambda: catalog.QUERIES[name](spark, SF_DIR)
+        )
+        assert stats["input_records"] == n_rows, (name, stats)
