@@ -452,6 +452,30 @@ def ks_drift(
     )
 
 
+def _avg_rank2_over_counts(
+    counts: DataFrame, group_col: str, axis: str, count_col: str, out: str
+) -> DataFrame:
+    """INTEGER ``2*avg_rank`` of each (group, axis-value) tie run from
+    pre-aggregated counts: a run starting after ``cb`` preceding rows
+    with ``t`` members spans ranks cb+1 .. cb+t, and twice its average
+    rank is lowest + highest = 2*(cb+1) + t - 1 — so average-tie ranks
+    never touch fp arithmetic.  Shared by ``mann_whitney_drift`` and
+    ``spearman_rank_correlation`` (and spelled identically in both
+    oracles); keeps every other column of ``counts``."""
+    w_prev = (
+        Window.partitionBy(group_col)
+        .orderBy(axis)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return counts.withColumn(
+        out,
+        F.lit(2)
+        * (F.coalesce(F.sum(count_col).over(w_prev), F.lit(0)) + 1)
+        + F.col(count_col)
+        - 1,
+    )
+
+
 def mann_whitney_drift(
     df: DataFrame,
     group_col: str,
@@ -499,27 +523,23 @@ def mann_whitney_drift(
             ).alias("_c1"),
         )
     )
-    w_prev = (
-        Window.partitionBy(group_col)
-        .orderBy(value_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    rk = _avg_rank2_over_counts(
+        counts, group_col, value_col, "_t", "_rank2"
     )
-    rk = counts.select(
-        F.col(group_col),
-        "_t",
-        "_c1",
-        F.coalesce(F.sum("_t").over(w_prev), F.lit(0)).alias("_cb"),
-    )
-    # 2*avg_rank of a tie run starting after _cb rows with _t members:
-    # lowest rank = _cb+1, highest = _cb+_t, sum = 2*_cb + _t + 1.
-    rank2 = F.lit(2) * (F.col("_cb") + 1) + F.col("_t") - 1
+    # rank-sum and tie-term products widen to decimal BEFORE they
+    # multiply: a tie run past ~2.1M rows makes t^3 overflow int64
+    # (silent garbage ANSI-off, an error ANSI-on / in the oracle's
+    # BIGINT) — decimal(38,0) holds both exactly at any claimed scale,
+    # matching spearman_rank_correlation and the oracle's HUGEINT.
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    td = F.col("_t").cast(d19)
     agg = rk.groupBy(group_col).agg(
         F.sum("_c1").cast("long").alias("_n1"),
         (F.sum("_t") - F.sum("_c1")).cast("long").alias("_n2"),
-        F.sum(F.col("_c1") * rank2).cast("long").alias("_r1_2"),
-        F.sum(
-            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
-        ).cast("long").alias("_ties"),
+        F.sum(F.col("_c1").cast(d19) * F.col("_rank2").cast(d19))
+        .cast(d38)
+        .alias("_r1_2"),
+        F.sum(td * td * td - td).cast(d38).alias("_ties"),
     )
     n1d = F.col("_n1").cast("double")
     n2d = F.col("_n2").cast("double")
@@ -588,21 +608,9 @@ def spearman_rank_correlation(
 
     def _rank2(axis: str, out: str) -> DataFrame:
         marg = cube.groupBy(group_col, axis).agg(F.sum("_cnt").alias("_t"))
-        w_prev = (
-            Window.partitionBy(group_col)
-            .orderBy(axis)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        return marg.select(
-            F.col(group_col),
-            F.col(axis),
-            (
-                F.lit(2)
-                * (F.coalesce(F.sum("_t").over(w_prev), F.lit(0)) + 1)
-                + F.col("_t")
-                - 1
-            ).alias(out),
-        )
+        return _avg_rank2_over_counts(
+            marg, group_col, axis, "_t", out
+        ).select(group_col, axis, out)
 
     j = (
         cube.join(F.broadcast(_rank2(x_col, "_x2")), [group_col, x_col])

@@ -872,11 +872,14 @@ rk AS (
     FROM g
 ),
 a AS (
+    -- rank-sum and tie-term products widen to HUGEINT before they
+    -- multiply (t^3 overflows BIGINT past ~2.1M-row tie runs),
+    -- mirroring the Spark side's decimal(38,0) sums
     SELECT event_type,
         CAST(SUM(c1) AS BIGINT) AS n1,
         CAST(SUM(t) - SUM(c1) AS BIGINT) AS n2,
-        CAST(SUM(c1 * (2 * (cb + 1) + t - 1)) AS BIGINT) AS r1_2,
-        CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+        SUM(CAST(c1 AS HUGEINT) * (2 * (cb + 1) + t - 1)) AS r1_2,
+        SUM(CAST(t AS HUGEINT) * t * t - t) AS ties
     FROM rk GROUP BY event_type
 )
 SELECT event_type, n1 AS n_ref, n2 AS n_cur,

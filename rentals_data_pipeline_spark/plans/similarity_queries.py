@@ -1169,9 +1169,13 @@ def dedup_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_centroid_drift",
     """
 WITH e AS (
+    -- label filter mirrors the Spark side (r12 review: a NULL-label
+    -- row survives Spark's conditional agg but vanishes in this
+    -- oracle's half self-join — invisible on null-free fixtures)
     SELECT vec_id, label, vec_id % 2 AS half, i AS dim_idx,
            CAST(embedding[i] AS DOUBLE) AS v
     FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+    WHERE label IS NOT NULL
 ),
 c AS (
     SELECT label, half, dim_idx,
@@ -1200,8 +1204,8 @@ out AS (
     SELECT p.label,
            ne.n_vecs AS n_even, no.n_vecs AS n_odd,
            FLOOR((CAST(p.dot AS DOUBLE)
-                  / (SQRT(CAST(p.n0 AS DOUBLE))
-                     * SQRT(CAST(p.n1 AS DOUBLE))))
+                  / NULLIF(SQRT(CAST(p.n0 AS DOUBLE))
+                           * SQRT(CAST(p.n1 AS DOUBLE)), 0.0))
                  * 1000000.0 + 0.5) / 1000000.0 AS centroid_cosine
     FROM parts p
     JOIN n ne ON ne.label = p.label AND ne.half = 0
@@ -1236,7 +1240,7 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,6)"
     r6 = lambda c: RND(c, 6)  # noqa: E731
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
+    e = emb.where(F.col("label").isNotNull()).select(
         "label",
         (F.col("vec_id") % 2).alias("half"),
         F.posexplode("embedding").alias("pos", "raw"),
@@ -1275,9 +1279,10 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_odd").cast("long").alias("n_odd"),
         r6(
             F.col("dot").cast("double")
-            / (
+            / F.nullif(
                 F.sqrt(F.col("n0").cast("double"))
-                * F.sqrt(F.col("n1").cast("double"))
+                * F.sqrt(F.col("n1").cast("double")),
+                F.lit(0.0),
             )
         ).alias("centroid_cosine"),
     )

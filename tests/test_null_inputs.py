@@ -27,6 +27,13 @@ _NULLED = {
     "embeddings": lambda df: df.withColumn(
         "embedding",
         F.when(F.col("vec_id") % 3 == 0, None).otherwise(F.col("embedding")),
+    ).withColumn(
+        # r12: label nulls too — a NULL-label group survives Spark
+        # conditional aggregation but vanishes in join-shaped oracles,
+        # so label-keyed queries must drop it explicitly (the
+        # sim_centroid_drift review finding)
+        "label",
+        F.when(F.col("vec_id") % 7 == 1, None).otherwise(F.col("label")),
     ),
     "events": lambda df: df.withColumn(
         "props",
