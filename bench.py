@@ -205,6 +205,10 @@ HEADLINE = [
     "stats_mann_whitney_value_drift",
     "stats_gini_revenue_concentration",
     "stats_spearman_value_trend",
+    # round-12 wave 4: soft dedup (reweight-don't-drop over the
+    # near-dup clusters) and the k-anonymity privacy audit
+    "dedup_soft_dedup_weights",
+    "quality_k_anonymity_customers",
 ]
 
 

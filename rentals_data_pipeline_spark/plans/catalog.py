@@ -1075,6 +1075,70 @@ def stats_spearman_value_trend(
     return spearman_rank_correlation(df, "event_type", "hr", "value")
 
 
+_K_ANON_ORACLE = """
+WITH q AS (
+    SELECT c_mktsegment AS segment, c_nationkey,
+           CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+    FROM customer
+),
+g AS (
+    SELECT segment, c_nationkey, bal_band, COUNT(*) AS sz
+    FROM q GROUP BY 1, 2, 3
+)
+SELECT segment,
+    CAST(SUM(sz) AS BIGINT) AS n_rows,
+    COUNT(*) AS n_groups,
+    CAST(MIN(sz) AS BIGINT) AS k_anonymity,
+    CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+        AS at_risk_rows,
+    FLOOR((CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+           / NULLIF(CAST(SUM(sz) AS DOUBLE), 0.0)) * 1000000.0 + 0.5)
+        / 1000000.0 AS at_risk_frac
+FROM g GROUP BY segment
+"""
+
+
+@query("quality_k_anonymity_customers", _K_ANON_ORACLE)
+def quality_k_anonymity_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-anonymity audit of the customer table under the
+    quasi-identifier set (nation, account-balance band) within each
+    market segment — the privacy pre-flight a pipeline runs before
+    customer-derived features enter a training corpus: k = the
+    smallest equivalence-class size (k = 1 means some customer is
+    uniquely re-identifiable from the QI combination alone), plus how
+    many rows sit in classes below the k = 5 release bar.  Two
+    map-side-combined aggregations — QI classes, then per-segment
+    rollup — nothing row-sized ever re-shuffles; the band edges are
+    one IEEE divide + floor, identical in both engines."""
+    customer = load_table(spark, sf_dir, "customer")
+    q = customer.select(
+        F.col("c_mktsegment").alias("segment"),
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("long")
+        .alias("bal_band"),
+    )
+    g = q.groupBy("segment", "c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    at_risk = F.sum(
+        F.when(F.col("sz") < 5, F.col("sz")).otherwise(F.lit(0))
+    )
+    return g.groupBy("segment").agg(
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("sz").cast("long").alias("k_anonymity"),
+        at_risk.cast("long").alias("at_risk_rows"),
+        RND(
+            at_risk.cast("double")
+            / F.nullif(F.sum("sz").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("at_risk_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shuffle-key skew diagnostics: the pre-flight salt-factor check.
 # ---------------------------------------------------------------------------

@@ -323,6 +323,91 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_soft_dedup_weights",
+    f"""
+WITH RECURSIVE {_ORACLE_SHINGLES},
+p AS (
+    SELECT
+        a.doc_id AS id_a,
+        b.doc_id AS id_b
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE FLOOR((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0))
+                * 10000.0 + 0.5) / 10000.0 > 0.5
+),
+e AS (
+    SELECT id_a AS src, id_b AS dst FROM p
+    UNION ALL
+    SELECT id_b, id_a FROM p
+),
+reach(id, label) AS (
+    SELECT DISTINCT src, src FROM e
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id
+),
+cc AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM cc GROUP BY 1),
+dw AS (
+    SELECT doc.source, COALESCE(s.sz, 1) AS sz
+    FROM documents doc
+    LEFT JOIN cc ON cc.id = doc.doc_id
+    LEFT JOIN sizes s ON s.cluster_id = cc.cluster_id
+)
+SELECT source, COUNT(*) AS n_docs,
+    CAST(SUM(CAST(FLOOR((1.0 / sz) * 1000000.0 + 0.5) / 1000000.0
+                  AS DECIMAL(18,6))) AS DOUBLE) AS effective_docs,
+    FLOOR((CAST(COUNT(*) AS DOUBLE)
+           / NULLIF(CAST(SUM(CAST(FLOOR((1.0 / sz) * 1000000.0 + 0.5)
+                                  / 1000000.0 AS DECIMAL(18,6)))
+                         AS DOUBLE), 0.0))
+          * 1000000.0 + 0.5) / 1000000.0 AS dup_inflation
+FROM dw GROUP BY source
+""",
+)
+def dedup_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (reweight, don't drop): every document keeps weight
+    1/|its near-dup cluster| — duplicates dilute instead of vanishing,
+    the loss-reweighting alternative to hard removal (SoftDeDup,
+    arXiv:2407.06654's data-reweighting idea applied at cluster
+    granularity).  Reports per source the raw doc count, the effective
+    (weighted) corpus size, and the inflation ratio — the numbers that
+    decide whether a source needs template removal before it can be
+    mixed.  Composed from the certified near-dup chain (3-gram Jaccard
+    > 0.5 pairs -> connected components); docs outside any cluster are
+    singletons at weight 1 via the left join, so the whole corpus is
+    accounted for.  Weights anchor at 6-dp decimals so the per-source
+    sums are order-invariant; the oracle extends the duplicate-
+    clusters recursive CTE, so one hash certifies pairs, the CC
+    fixpoint, AND the reweighting fold.  Scale shape: only the
+    clustered slice (pair-graph members) joins back — broadcast-sized
+    next to the corpus — and the corpus itself never shuffles: one
+    scan into the left-broadcast join, one map-side-combined agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.transform(DD.minhash_near_dup_pairs(threshold=0.5))
+    cc = DD.connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    member_sz = cc.join(F.broadcast(sizes), "cluster_id").select(
+        F.col("id").alias("doc_id"), "sz"
+    )
+    dw = docs.select("doc_id", "source").join(
+        F.broadcast(member_sz), "doc_id", "left"
+    )
+    wgt = RND(F.lit(1.0) / F.coalesce(F.col("sz"), F.lit(1)), 6).cast(
+        "decimal(18,6)"
+    )
+    eff = F.sum(wgt).cast("double")
+    return dw.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        eff.alias("effective_docs"),
+        RND(
+            F.count(F.lit(1)).cast("double")
+            / F.nullif(eff, F.lit(0.0)),
+            6,
+        ).alias("dup_inflation"),
+    )
+
+
+@query(
     "dedup_decontaminate_train",
     r"""
 WITH d AS (

@@ -562,3 +562,47 @@ def test_span_rewrite_rejects_bad_span_size():
 
     with _pytest.raises(ValueError):
         DD.span_dedup_rewrite(span_words=0)
+
+
+def test_soft_dedup_weights_hand_computed(spark, tmp_path):
+    """Synthetic corpus: two identical docs in source X (one cluster of
+    size 2 -> weight 0.5 each), one unique doc in X (weight 1), one
+    unique doc in Y and one NULL-text doc in Y (both singletons at
+    weight 1).  X: n=3, effective=2.0, inflation=1.5; Y: n=2,
+    effective=2.0, inflation=1.0."""
+    from pyspark.sql import types as T
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "X"),
+        (2, "the quick brown fox jumps over the lazy dog", "X"),
+        (3, "an entirely different document about spark pipelines", "X"),
+        (4, "another unrelated text with its own unique words", "Y"),
+        (5, None, "Y"),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from rentals_data_pipeline_spark.plans import dedup_queries  # noqa: F401
+    from rentals_data_pipeline_spark.plans.catalog import QUERIES
+
+    got = {
+        r["source"]: r
+        for r in QUERIES["dedup_soft_dedup_weights"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["X"]["n_docs"] == 3
+    assert got["X"]["effective_docs"] == 2.0
+    assert got["X"]["dup_inflation"] == 1.5
+    assert got["Y"]["n_docs"] == 2
+    assert got["Y"]["effective_docs"] == 2.0
+    assert got["Y"]["dup_inflation"] == 1.0

@@ -116,6 +116,14 @@ BUDGETS: dict[str, dict[str, float]] = {
     # carry count/rank ints (measured 13 B/rec, fanout 3.49 = cube +
     # two marginal maps + the rank-joined cube re-agg)
     "stats_spearman_value_trend": {"bpr": 40.0, "fanout": 8.0},
+    # r12 soft dedup: the minhash signature rows dominate (64 x int64
+    # per doc, the same by-design payload as dedup_minhash_lsh_pairs);
+    # the corpus itself never shuffles — cluster sizes broadcast back
+    # (measured 324 B/rec, fanout 0.72)
+    "dedup_soft_dedup_weights": {"bpr": 1200.0, "fanout": 2.0},
+    # r12 k-anonymity: QI equivalence classes shuffle as pre-counted
+    # int tuples (measured 20 B/rec, fanout 0.60)
+    "quality_k_anonymity_customers": {"bpr": 60.0, "fanout": 1.5},
 }
 
 
