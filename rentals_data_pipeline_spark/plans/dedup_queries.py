@@ -379,19 +379,21 @@ def dedup_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums are order-invariant; the oracle extends the duplicate-
     clusters recursive CTE, so one hash certifies pairs, the CC
     fixpoint, AND the reweighting fold.  Scale shape: only the
-    clustered slice (pair-graph members) joins back — broadcast-sized
-    next to the corpus — and the corpus itself never shuffles: one
-    scan into the left-broadcast join, one map-side-combined agg."""
+    clustered slice (pair-graph members) joins back, and the join
+    carries NO forced broadcast hint — on a sparse dup graph AQE
+    demotes it to a broadcast at runtime (the corpus never shuffles),
+    while a template-heavy corpus whose clustered slice is
+    corpus-proportional degrades to a shuffle join instead of a driver
+    OOM (r12 review).  CC uses the scale-tiered ``_auto`` variant —
+    bit-identical output, union-find below the pair bound."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = docs.transform(DD.minhash_near_dup_pairs(threshold=0.5))
-    cc = DD.connected_components(pairs)
+    cc = DD.connected_components_auto(pairs)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
-    member_sz = cc.join(F.broadcast(sizes), "cluster_id").select(
+    member_sz = cc.join(sizes, "cluster_id").select(
         F.col("id").alias("doc_id"), "sz"
     )
-    dw = docs.select("doc_id", "source").join(
-        F.broadcast(member_sz), "doc_id", "left"
-    )
+    dw = docs.select("doc_id", "source").join(member_sz, "doc_id", "left")
     wgt = RND(F.lit(1.0) / F.coalesce(F.col("sz"), F.lit(1)), 6).cast(
         "decimal(18,6)"
     )
