@@ -410,6 +410,109 @@ def dedup_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cross_source_overlap",
+    r"""
+WITH d AS (
+    SELECT source, string_split_regex(text, '\s+') AS w FROM documents
+),
+g AS (
+    SELECT DISTINCT source, u.gram
+    FROM d, unnest(CASE WHEN len(w) >= 5
+             THEN list_transform(generate_series(1, len(w) - 4),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       || ' ' || w[i+3] || ' ' || w[i+4])
+             ELSE [] END) AS u(gram)
+),
+per AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+p AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS shared_grams
+    FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b,
+    CAST(p.shared_grams AS BIGINT) AS shared_grams,
+    FLOOR((CAST(p.shared_grams AS DOUBLE)
+           / NULLIF(CAST(LEAST(pa.n, pb.n) AS DOUBLE), 0.0))
+          * 1000000.0 + 0.5) / 1000000.0 AS overlap_coeff
+FROM p JOIN per pa ON pa.source = p.source_a
+       JOIN per pb ON pb.source = p.source_b
+""",
+)
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source redundancy matrix: for every source pair, the
+    count of shared distinct word 5-grams and the overlap coefficient
+    shared / min(|A|, |B|) — the dataset-card statistic that decides
+    whether two sources are near-mirrors (dedup across them BEFORE
+    mixing) or genuinely complementary.  Pairs sharing nothing don't
+    appear (inner join).
+
+    Scale shape: the corpus maps once through the fused in-array
+    gram+digest stage keyed by SOURCE (``shingle_digest_rows`` with
+    id_col='source' — digests, never gram text, on the wire) into ONE
+    shuffle keyed by digest that collects each digest's deduped,
+    sorted source set (<= n_sources elements; collect_set subsumes the
+    incidence distinct, so no second data-sized shuffle exists).
+    There is NO digest self-join at all: pairs generate IN-ROW from
+    the sorted set by an indexed array transform — at most
+    C(n_sources, 2) pair rows per digest by construction, never a
+    join fanout — and per-source gram totals come from exploding the
+    same sets (every downstream branch hangs off the one digest
+    exchange; single scan runtime-pinned).  (A naive digest SELF-JOIN
+    reads the table twice: the pre-join alias renames defeat exchange
+    reuse — measured before this shape replaced it.)  The oracle
+    replays raw grams (digest equality == gram equality, the
+    decontamination family's standing md5 contract), so one hash
+    certifies tokenization, gram construction, the incidence dedup,
+    AND the pair fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.transform(
+        DD.shingle_digest_rows(id_col="source", text_col="text", n=5)
+    )
+    bys = grams.groupBy("d").agg(
+        F.array_sort(F.collect_set("source")).alias("ss")
+    )
+    per = (
+        bys.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        bys.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (a, i) -> "
+                    "transform(slice(ss, i + 2, size(ss) - i - 1), "
+                    "b -> struct(a AS source_a, b AS source_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    pa = per.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    pb = per.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared_grams").cast("long").alias("shared_grams"),
+            RND(
+                F.col("shared_grams").cast("double")
+                / F.nullif(
+                    F.least(F.col("na"), F.col("nb")).cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("overlap_coeff"),
+        )
+    )
+
+
+@query(
     "dedup_decontaminate_train",
     r"""
 WITH d AS (

@@ -163,3 +163,40 @@ def test_span_dedup_rewrite_partition_invariant(spark):
     want = _rows(docs.transform(op))
     for layout in _layouts(docs):
         assert _rows(layout.transform(op)) == want
+
+
+def test_rank_stat_operators_partition_invariant(spark):
+    """r12 wave: the three rank/concentration statistics fold decimal
+    anchors, integer ranks, and one IEEE division — none of which may
+    depend on row order or partition count."""
+    from decimal import Decimal
+
+    from rentals_data_pipeline_spark.operators.quality import (
+        gini_concentration,
+        mann_whitney_drift,
+        spearman_rank_correlation,
+    )
+
+    rows = [
+        (f"g{i % 3}", i % 2, float((i * 7) % 23), float((i * 5) % 17))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, period int, x double, y double"
+    )
+    mw = lambda d: mann_whitney_drift(d, "g", "period", "x")  # noqa: E731
+    sp = lambda d: spearman_rank_correlation(d, "g", "x", "y")  # noqa: E731
+    for op in (mw, sp):
+        want = _rows(op(df))
+        for layout in _layouts(df):
+            assert _rows(op(layout)) == want
+
+    grows = [
+        (f"s{i % 2}", f"id{i}", Decimal(str((i * 13) % 97)) + Decimal("0.25"))
+        for i in range(80)
+    ]
+    gdf = spark.createDataFrame(grows, "g string, id string, x decimal(20,2)")
+    gi = lambda d: gini_concentration(d, "g", "x", "id")  # noqa: E731
+    want = _rows(gi(gdf))
+    for layout in _layouts(gdf):
+        assert _rows(gi(layout)) == want

@@ -114,9 +114,12 @@ def test_single_scan_queries_read_input_once(spark):
     from rentals_data_pipeline_spark.plans import catalog
     from rentals_data_pipeline_spark.plans import similarity_queries  # noqa: F401 — registers sim_* in catalog.QUERIES
 
+    from rentals_data_pipeline_spark.plans import dedup_queries  # noqa: F401 — registers dedup_* in catalog.QUERIES
+
     for name, table in [
         ("stats_spearman_value_trend", "events"),
         ("sim_centroid_drift", "embeddings"),
+        ("dedup_cross_source_overlap", "documents"),
     ]:
         from rentals_data_pipeline_spark.sources.tables import load_table
 
