@@ -209,8 +209,9 @@ HEADLINE = [
     # near-dup clusters) and the k-anonymity privacy audit
     "dedup_soft_dedup_weights",
     "quality_k_anonymity_customers",
-    # round-12 wave 5: inter-source 5-gram redundancy matrix (digest
-    # incidence set, self-join fanout bounded by source count)
+    # round-12 wave 5: inter-source 5-gram redundancy matrix (one
+    # digest-keyed shuffle; pairs generate in-row from each digest's
+    # collected source set — no self-join)
     "dedup_cross_source_overlap",
 ]
 

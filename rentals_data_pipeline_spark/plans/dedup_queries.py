@@ -42,6 +42,23 @@ g AS (
 )
 """
 
+# DuckDB fragment: per-doc DISTINCT word-5-gram sets — the decon
+# family's shared gram contract (one copy; a tokenization or separator
+# change edits exactly one place, the _sql_cos/_ORACLE_SHINGLES rule).
+_ORACLE_SHINGLES5 = r"""d AS (
+    SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+),
+g AS (
+    SELECT doc_id,
+        CASE WHEN len(w) >= 5
+             THEN list_distinct(list_transform(
+                      generate_series(1, len(w) - 4),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           || ' ' || w[i+3] || ' ' || w[i+4]))
+             ELSE [] END AS s
+    FROM d
+)"""
+
 # DuckDB fragment: 64-bit simhash per document (same md5-nibble family
 # as operators/dedup.py::simhash — bits 1-32 from md5(w), bits 33-64
 # from the salted md5('1' || w); md5 is the only hash both engines share).
@@ -514,20 +531,8 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_decontaminate_train",
-    r"""
-WITH d AS (
-    SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
-),
-g AS (
-    SELECT doc_id,
-        CASE WHEN len(w) >= 5
-             THEN list_distinct(list_transform(
-                      generate_series(1, len(w) - 4),
-                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                           || ' ' || w[i+3] || ' ' || w[i+4]))
-             ELSE [] END AS s
-    FROM d
-),
+    f"""
+WITH {_ORACLE_SHINGLES5},
 bm AS (
     SELECT DISTINCT u.gram
     FROM g, unnest(g.s) AS u(gram)
@@ -563,20 +568,8 @@ def dedup_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_decontaminate_bloom",
-    r"""
-WITH d AS (
-    SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
-),
-g AS (
-    SELECT doc_id,
-        CASE WHEN len(w) >= 5
-             THEN list_distinct(list_transform(
-                      generate_series(1, len(w) - 4),
-                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                           || ' ' || w[i+3] || ' ' || w[i+4]))
-             ELSE [] END AS s
-    FROM d
-),
+    f"""
+WITH {_ORACLE_SHINGLES5},
 bm AS (
     SELECT DISTINCT u.gram
     FROM g, unnest(g.s) AS u(gram)
@@ -889,20 +882,8 @@ def dedup_span_rewrite_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_contamination_report",
-    r"""
-WITH d AS (
-    SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
-),
-g AS (
-    SELECT doc_id,
-        CASE WHEN len(w) >= 5
-             THEN list_distinct(list_transform(
-                      generate_series(1, len(w) - 4),
-                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                           || ' ' || w[i+3] || ' ' || w[i+4]))
-             ELSE [] END AS s
-    FROM d
-),
+    f"""
+WITH {_ORACLE_SHINGLES5},
 tr AS (
     SELECT * FROM g
     WHERE doc_id % 83 <> 0 AND doc_id % 89 <> 0 AND doc_id % 97 <> 0

@@ -124,11 +124,11 @@ BUDGETS: dict[str, dict[str, float]] = {
     # r12 k-anonymity: QI equivalence classes shuffle as pre-counted
     # int tuples (measured 20 B/rec, fanout 0.60)
     "quality_k_anonymity_customers": {"bpr": 60.0, "fanout": 1.5},
-    # r12 cross-source overlap: the (source, gram-digest) incidence
-    # set shuffles once as digests (measured 39 B/rec); fanout =
-    # distinct grams per doc (measured 50, bounded by doc length —
-    # same axis as text_duplicated_ngram_fraction), and the digest
-    # self-join adds at most C(n_sources, 2) rows per digest
+    # r12 cross-source overlap: gram rows shuffle once keyed by digest
+    # (measured 44 B/rec); fanout = grams per doc (measured 48,
+    # bounded by doc length — same axis as
+    # text_duplicated_ngram_fraction). No self-join exists: pairs
+    # generate in-row from each digest's collected source set
     "dedup_cross_source_overlap": {"bpr": 120.0, "fanout": 150.0},
 }
 
