@@ -213,6 +213,9 @@ HEADLINE = [
     # digest-keyed shuffle; pairs generate in-row from each digest's
     # collected source set — no self-join)
     "dedup_cross_source_overlap",
+    # round-12 wave 6: MAD robust-outlier census (two selection
+    # medians over the distinct-value frame, one fact scan)
+    "quality_mad_anomaly_events",
 ]
 
 

@@ -651,6 +651,98 @@ def spearman_rank_correlation(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    scale: int = 6,
+) -> DataFrame:
+    """Robust outlier census per group via the median absolute
+    deviation: a row is an outlier when its modified z-score
+    (Iglewicz-Hoaglin: 0.6745 * |x - med| / MAD) exceeds 3.5 — the
+    robust twin of the mean/std z-score (``ts_anomaly_zscore``), immune
+    to the outliers it is hunting inflating the spread estimate.
+
+    Both medians are LOWER medians by SELECTION (first value at half
+    cumulative mass), the repo's standing exact-and-engine-replayable
+    median contract (see ``stats_weighted_median_orders``) — no
+    interpolation, so no fp-arithmetic parity hazard.  ONE pass over
+    the fact: rows collapse to (group, value) counts (map-side
+    combined; the exchange is reused by every downstream branch), the
+    median selects on the cumulative-count window over the bounded
+    distinct-value frame, deviations DERIVE from the same count frame
+    (|v - med| weighted by cnt — the fact is never re-scanned), and the
+    MAD selects the same way over the deviation frame.  The outlier
+    test multiplies instead of divides (0.6745*dev > 3.5*MAD), so a
+    zero-MAD group needs no guard and both engines agree: any nonzero
+    deviation is then an outlier."""
+    c = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+
+    def _lower_median(counts: DataFrame, axis: str, out: str) -> DataFrame:
+        w_cum = (
+            Window.partitionBy(group_col)
+            .orderBy(axis)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy(group_col)
+        cw = counts.select(
+            F.col(group_col),
+            F.col(axis),
+            F.sum("_cnt").over(w_cum).alias("_cum"),
+            F.sum("_cnt").over(w_all).alias("_n"),
+        )
+        return (
+            cw.where(F.col("_cum") >= F.expr("(_n + 1) div 2"))
+            .groupBy(group_col)
+            .agg(
+                F.min(axis).alias(out),
+                F.max("_n").cast("long").alias("_n"),
+            )
+        )
+
+    med = _lower_median(c, value_col, "_med")
+    dev = c.join(F.broadcast(med), group_col).select(
+        F.col(group_col),
+        F.abs(F.col(value_col) - F.col("_med")).alias("_dv"),
+        "_cnt",
+        "_med",
+    )
+    dgrp = dev.groupBy(group_col, "_dv").agg(
+        F.sum("_cnt").alias("_cnt"), F.max("_med").alias("_med")
+    )
+    mad = _lower_median(dgrp, "_dv", "_mad").drop("_n")
+    fin = dgrp.join(F.broadcast(mad), group_col).groupBy(group_col).agg(
+        F.max("_med").alias("_medv"),
+        F.sum("_cnt").cast("long").alias("_nev"),
+        F.max("_mad").alias("_madv"),
+        F.sum(
+            F.when(
+                F.lit(0.6745) * F.col("_dv") > F.lit(3.5) * F.col("_mad"),
+                F.col("_cnt"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("_out"),
+    )
+    return fin.select(
+        F.col(group_col),
+        F.col("_nev").alias("n_events"),
+        F.col("_medv").alias("med_value"),
+        F.col("_madv").alias("mad_value"),
+        F.col("_out").alias("n_outliers"),
+        round_half_up(
+            F.col("_out").cast("double")
+            / F.nullif(F.col("_nev").cast("double"), F.lit(0.0)),
+            scale,
+        ).alias("outlier_frac"),
+    )
+
+
 def gini_concentration(
     df: DataFrame,
     group_col: str,

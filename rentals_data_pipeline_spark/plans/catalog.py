@@ -1075,6 +1075,78 @@ def stats_spearman_value_trend(
     return spearman_rank_correlation(df, "event_type", "hr", "value")
 
 
+_MAD_ORACLE = """
+WITH c AS (
+    SELECT event_type, value, COUNT(*) AS cnt
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+cw AS (
+    SELECT event_type, value, cnt,
+        SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(cnt) OVER (PARTITION BY event_type) AS n
+    FROM c
+),
+med AS (
+    SELECT event_type, MIN(value) AS med
+    FROM cw WHERE cum >= (n + 1) // 2 GROUP BY event_type
+),
+dev AS (
+    SELECT c.event_type, ABS(c.value - m.med) AS dv, c.cnt, m.med
+    FROM c JOIN med m ON m.event_type = c.event_type
+),
+dgrp AS (
+    SELECT event_type, dv, SUM(cnt) AS cnt, MAX(med) AS med
+    FROM dev GROUP BY event_type, dv
+),
+dw AS (
+    SELECT event_type, dv, cnt, med,
+        SUM(cnt) OVER (PARTITION BY event_type ORDER BY dv
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(cnt) OVER (PARTITION BY event_type) AS n
+    FROM dgrp
+),
+mad AS (
+    SELECT event_type, MIN(dv) AS mad FROM dw
+    WHERE cum >= (n + 1) // 2 GROUP BY event_type
+),
+fin AS (
+    SELECT g.event_type, MAX(g.med) AS med, CAST(SUM(g.cnt) AS BIGINT) AS n,
+        MAX(ma.mad) AS mad,
+        CAST(SUM(CASE WHEN 0.6745 * g.dv > 3.5 * ma.mad
+                 THEN g.cnt ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dgrp g JOIN mad ma ON ma.event_type = g.event_type
+    GROUP BY g.event_type
+)
+SELECT event_type, n AS n_events, med AS med_value,
+    mad AS mad_value, n_outliers,
+    FLOOR((CAST(n_outliers AS DOUBLE) / NULLIF(CAST(n AS DOUBLE), 0.0))
+          * 1000000.0 + 0.5) / 1000000.0 AS outlier_frac
+FROM fin
+"""
+
+
+@query("quality_mad_anomaly_events", _MAD_ORACLE)
+def quality_mad_anomaly_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Robust outlier census of event `value` per type via the median
+    absolute deviation (operators/quality.py::mad_outliers): modified
+    z-score (Iglewicz-Hoaglin 0.6745*|x-med|/MAD) above 3.5 — the
+    robust twin of ts_anomaly_zscore, whose mean/std the outliers
+    themselves inflate.  Both medians are exact lower-median
+    SELECTIONS over the bounded distinct-value frame (the repo's
+    standing engine-replayable median contract), the deviations derive
+    from the same count frame (one fact scan), and the outlier test
+    multiplies instead of divides so a zero-MAD group needs no guard."""
+    from rentals_data_pipeline_spark.operators.quality import mad_outliers
+
+    events = load_table(spark, sf_dir, "events")
+    return mad_outliers(
+        events.select("event_type", "value"), "event_type", "value"
+    )
+
+
 _K_ANON_ORACLE = """
 WITH q AS (
     SELECT c_mktsegment AS segment, c_nationkey,

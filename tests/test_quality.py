@@ -294,3 +294,23 @@ def test_spearman_hand_computed(spark):
     assert out["g"]["spearman_rho"] == 0.8
     assert out["mono"]["spearman_rho"] == 1.0
     assert out["const"]["spearman_rho"] is None
+
+
+def test_mad_outliers_hand_computed(spark):
+    """Hand example: values [1..7, 100] -> lower median 4 (n=8, half
+    mass at rank 4), deviations [3,2,1,0,1,2,3,96] -> sorted
+    [0,1,1,2,2,3,3,96], lower MAD = 2; only 100 has modified z
+    0.6745*96/2 = 32.4 > 3.5.  A constant group has MAD 0 and zero
+    outliers (multiplicative test: 0.6745*0 > 0 is false)."""
+    from rentals_data_pipeline_spark.operators.quality import mad_outliers
+
+    rows = [("g", float(v)) for v in [1, 2, 3, 4, 5, 6, 7, 100]] + [
+        ("const", 5.0) for _ in range(4)
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = {r["g"]: r for r in mad_outliers(df, "g", "value").collect()}
+    g = out["g"]
+    assert (g["n_events"], g["med_value"], g["mad_value"]) == (8, 4.0, 2.0)
+    assert g["n_outliers"] == 1
+    c = out["const"]
+    assert (c["mad_value"], c["n_outliers"]) == (0.0, 0)

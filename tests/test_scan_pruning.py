@@ -120,6 +120,7 @@ def test_single_scan_queries_read_input_once(spark):
         ("stats_spearman_value_trend", "events"),
         ("sim_centroid_drift", "embeddings"),
         ("dedup_cross_source_overlap", "documents"),
+        ("quality_mad_anomaly_events", "events"),
     ]:
         from rentals_data_pipeline_spark.sources.tables import load_table
 

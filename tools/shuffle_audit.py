@@ -124,6 +124,10 @@ BUDGETS: dict[str, dict[str, float]] = {
     # r12 k-anonymity: QI equivalence classes shuffle as pre-counted
     # int tuples (measured 20 B/rec, fanout 0.60)
     "quality_k_anonymity_customers": {"bpr": 60.0, "fanout": 1.5},
+    # r12 MAD outliers: the (type, value) count frame shuffles once
+    # (measured 12 B/rec); fanout 4.5 = count frame + two median
+    # windows + the deviation frame — never raw fact rows
+    "quality_mad_anomaly_events": {"bpr": 40.0, "fanout": 10.0},
     # r12 cross-source overlap: gram rows shuffle once keyed by digest
     # (measured 44 B/rec); fanout = grams per doc (measured 48,
     # bounded by doc length — same axis as
