@@ -214,8 +214,10 @@ HEADLINE = [
     # collected source set — no self-join)
     "dedup_cross_source_overlap",
     # round-12 wave 6: MAD robust-outlier census (two selection
-    # medians over the distinct-value frame, one fact scan)
+    # medians over the distinct-value frame, one fact scan) and the
+    # hourly ACF seasonality spectrum (one shuffle to anchored means)
     "quality_mad_anomaly_events",
+    "ts_acf_hourly_lags",
 ]
 
 

@@ -1231,3 +1231,133 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             RND(F.col("dev"), 4).alias("max_cusum_dev"),
         )
     )
+
+
+@query(
+    "ts_acf_hourly_lags",
+    """
+WITH e AS (
+    SELECT event_type,
+        CAST(FLOOR(epoch(date_trunc('hour', ts)) / 3600.0) AS BIGINT) AS hr,
+        value
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+hm AS (
+    SELECT event_type, hr,
+        CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) / 1000000.0
+                      AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS m
+    FROM e GROUP BY 1, 2
+),
+lagged AS (
+    SELECT event_type, hr, m,
+        LAG(m, 1) OVER w AS l1, LAG(m, 6) OVER w AS l6,
+        LAG(m, 12) OVER w AS l12, LAG(m, 24) OVER w AS l24
+    FROM hm WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+),
+pairs AS (
+    SELECT event_type, u.lag, m AS x, u.y
+    FROM lagged,
+    LATERAL (VALUES (1, l1), (6, l6), (12, l12), (24, l24)) AS u(lag, y)
+    WHERE u.y IS NOT NULL
+),
+a AS (
+    SELECT event_type, lag, COUNT(*) AS n,
+        SUM(CAST(FLOOR(x * 1000000.0 + 0.5) / 1000000.0
+                 AS DECIMAL(38,6))) AS sx,
+        SUM(CAST(FLOOR(y * 1000000.0 + 0.5) / 1000000.0
+                 AS DECIMAL(38,6))) AS sy,
+        SUM(CAST(FLOOR(x * y * 1000000.0 + 0.5) / 1000000.0
+                 AS DECIMAL(38,6))) AS sxy,
+        SUM(CAST(FLOOR(x * x * 1000000.0 + 0.5) / 1000000.0
+                 AS DECIMAL(38,6))) AS sxx,
+        SUM(CAST(FLOOR(y * y * 1000000.0 + 0.5) / 1000000.0
+                 AS DECIMAL(38,6))) AS syy
+    FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS INT) AS lag_hours,
+    CAST(n AS BIGINT) AS n_pairs,
+    FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / NULLIF(SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                    0.0))
+          * 1000000.0 + 0.5) / 1000000.0 AS acf
+FROM a
+""",
+)
+def ts_acf_hourly_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly mean-value series at
+    lags 1/6/12/24 hours, per event type — the seasonality spectrum:
+    a spike at lag 24 reveals a daily cycle, at lag 1 short-range
+    stickiness; ``window_rolling_autocorr`` is its moving-window lag-1
+    sibling, this is the fixed-lag diagnostic a monitoring pipeline
+    charts.  Lags step over the OBSERVED hourly series (empty hours
+    are skipped, not zero-filled — gap-fill is its own query).
+
+    Shape: the fact folds once to |types x 720 hours| anchored means
+    (map-side combined — the only data-sized shuffle); all four lags
+    come from ONE window pass over the tiny series; Pearson folds
+    6-dp-anchored decimal products (order-invariant), and the final
+    correlate is one IEEE expression per (type, lag), spelled
+    identically in the oracle."""
+    dec = "decimal(38,6)"
+    r6 = lambda c: RND(c, 6)  # noqa: E731
+    events = load_table(spark, sf_dir, "events")
+    e = events.where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "event_type",
+        F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias(
+            "hr"
+        ),
+        "value",
+    )
+    hm = e.groupBy("event_type", "hr").agg(
+        (
+            F.sum(r6(F.col("value")).cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lagged = hm.select(
+        "event_type",
+        "m",
+        F.lag("m", 1).over(w).alias("l1"),
+        F.lag("m", 6).over(w).alias("l6"),
+        F.lag("m", 12).over(w).alias("l12"),
+        F.lag("m", 24).over(w).alias("l24"),
+    )
+    pairs = lagged.select(
+        "event_type",
+        F.col("m").alias("x"),
+        F.expr(
+            "stack(4, 1, l1, 6, l6, 12, l12, 24, l24) AS (lag, y)"
+        ),
+    ).where(F.col("y").isNotNull())
+    a = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(r6(F.col("x")).cast(dec)).alias("sx"),
+        F.sum(r6(F.col("y")).cast(dec)).alias("sy"),
+        F.sum(r6(F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum(r6(F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum(r6(F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.sqrt(
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        nd * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return a.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag_hours"),
+        F.col("n").cast("long").alias("n_pairs"),
+        r6(num / F.nullif(den, F.lit(0.0))).alias("acf"),
+    )

@@ -124,6 +124,10 @@ BUDGETS: dict[str, dict[str, float]] = {
     # r12 k-anonymity: QI equivalence classes shuffle as pre-counted
     # int tuples (measured 20 B/rec, fanout 0.60)
     "quality_k_anonymity_customers": {"bpr": 60.0, "fanout": 1.5},
+    # r12 ACF: hourly anchored means are the only data-sized shuffle
+    # (measured 18 B/rec, fanout 0.68 = hour rows + lag-pair partials
+    # over input rows)
+    "ts_acf_hourly_lags": {"bpr": 60.0, "fanout": 2.0},
     # r12 MAD outliers: the (type, value) count frame shuffles once
     # (measured 12 B/rec); fanout 4.5 = count frame + two median
     # windows + the deviation frame — never raw fact rows
