@@ -9,14 +9,19 @@ import re
 
 from pyspark.sql import DataFrame
 
-# Shuffle exchanges only — the same pattern tools/plan_audit.py counts.
-# A bare "Exchange" substring would also match BroadcastExchange /
-# ReusedExchange, and a broadcast join over a narrow single-file scan
-# sets NO downstream partitioning: treating it as "derived" would
-# silently reinstate the single-threaded regression this module exists
-# to fix (r12 review pass 2).
+# Shuffle exchanges only — a bare "Exchange" substring would also match
+# BroadcastExchange / ReusedExchange, and a broadcast join over a narrow
+# single-file scan sets NO downstream partitioning: treating it as
+# "derived" would silently reinstate the single-threaded regression this
+# module exists to fix (r12 review pass 2). RoundRobinPartitioning (an
+# upstream repartition()/REBALANCE) IS matched here even though
+# plan_audit excludes it from data-shuffle budgets: for the probe-cost
+# guard the question is "would toRdd() execute a shuffle stage", and a
+# round-robin exchange both executes and already sets the parallelism
+# (r12 ADVICE).
 _SHUFFLE_EXCHANGE = re.compile(
-    r"Exchange (?:hash|range)partitioning|Exchange SinglePartition"
+    r"Exchange (?:hash|range|RoundRobin)[Pp]artitioning"
+    r"|Exchange SinglePartition"
 )
 
 

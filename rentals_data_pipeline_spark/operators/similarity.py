@@ -212,6 +212,13 @@ def _topk_gemm(
                 for j in range(len(pids)):
                     col = sims[:, j]
                     keep = cids != pids[j]  # self-exclusion
+                    # non-finite cosines (a zero-norm vector on either
+                    # side) carry no signal and must not survive to the
+                    # final Spark window, where NaN sorts GREATEST in
+                    # desc order while lexsort ranks it last — the
+                    # asymmetry would let a zero vector displace real
+                    # neighbors (r12 ADVICE)
+                    keep &= np.isfinite(col)
                     if plabs is not None:
                         keep &= clabs != plabs[j]  # same-label mask
                     cand_ids, cand_cos = cids[keep], col[keep]
@@ -305,11 +312,22 @@ def hard_negative_topk(
     different-label frontier survives to the per-anchor window; the
     pair space is never materialized and shuffle volume stays
     n_batches × |anchors| × k. NULL vectors or labels carry no signal
-    and are dropped on both sides (the oracle mirrors the filter).
+    and are dropped on both sides, and so are ZERO-NORM vectors (r12
+    ADVICE): cosine against a zero vector is NaN, which numpy's
+    lexsort ranks last but Spark's desc window ranks FIRST — without
+    the filter a zero vector would diverge from the oracle and could
+    displace a real negative (the oracle mirrors both filters).
     Anchors whose label is the only one in the corpus emit nothing —
     there is no negative to mine."""
+    sq_norm = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0).cast("double"),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
     base = df.where(
-        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+        F.col(vec_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & (sq_norm > 0)
     )
     probes = base.select(
         F.col(id_col).alias("anchor_id"),

@@ -34,9 +34,22 @@ ORACLE_SQL: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a catalog query (and optionally its DuckDB oracle)."""
+    """Register a catalog query (and optionally its DuckDB oracle).
+
+    Raises on a duplicate name: registration is import-time, so a
+    silent last-wins overwrite leaves the earlier definition as dead
+    code with no failing test — exactly what happened when a
+    gaps-and-islands query was re-added under an existing name (r12);
+    the new def shadowed nothing visible and the old one kept serving
+    the bench entry. Collisions must be loud."""
 
     def _reg(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(
+                f"catalog query {name!r} is already registered "
+                f"(by {QUERIES[name].__module__}.{QUERIES[name].__qualname__});"
+                " duplicate registration silently shadows one definition"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle

@@ -95,6 +95,8 @@ WITH p AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
     FROM embeddings
     WHERE embedding IS NOT NULL AND label IS NOT NULL
+      AND COALESCE(list_sum(list_transform(
+              CAST(embedding AS DOUBLE[]), x -> x * x)), 0) > 0
 ),
 scored AS (
     SELECT

@@ -513,12 +513,36 @@ def _band_meta_guard(spark: SparkSession, index_dir: str) -> None:
     ``<index_dir>/bands_meta/n_buckets=<N>`` by init/migrate; this
     guard raises on mismatch and self-heals an absent marker (an
     index created before the marker existed) by adopting the current
-    constant."""
+    constant.
+
+    Also refuses to run over an interrupted migration (r12 ADVICE): if
+    ``migrate_band_index_layout`` crashed between its aside rename and
+    its swap, a batch exists ONLY as hidden ``_mig_``/``_old_`` dirs —
+    Spark's partition discovery skips underscore-prefixed paths, so the
+    gate would read the remaining tree cleanly and silently probe
+    without that batch's index rows (dup docs admitted, no error).
+    Re-running the migration repairs every such window at entry."""
     from rentals_data_pipeline_spark.operators.dedup import N_BAND_BUCKETS
 
     jvm = spark._jvm
     meta = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/bands_meta")
     fs = meta.getFileSystem(spark._jsc.hadoopConfiguration())
+    bands = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/bands")
+    if fs.exists(bands):
+        stray = [
+            st.getPath().getName()
+            for st in fs.listStatus(bands)
+            if st.getPath().getName().startswith(("_mig_", "_old_"))
+        ]
+        if stray:
+            raise ValueError(
+                f"band index at {index_dir} has leftover migration "
+                f"dirs {sorted(stray)} — an interrupted "
+                f"migrate_band_index_layout run; probing now would "
+                f"silently skip those batches' index rows. Re-run "
+                f"migrate_band_index_layout (its entry repair heals "
+                f"every crash window) before starting the gate"
+            )
     if fs.exists(meta):
         vals = [
             st.getPath().getName().split("=", 1)[1]

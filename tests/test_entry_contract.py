@@ -35,6 +35,40 @@ def test_oracle_sql_only_for_catalog_queries():
     assert set(catalog.ORACLE_SQL) <= set(catalog.QUERIES)
 
 
+def test_duplicate_registration_raises():
+    """r12 incident: `query()` was silently last-wins, so re-adding a
+    gaps-and-islands query under an existing name left one definition
+    as dead code with every gate green. Registration must be loud."""
+    import pytest
+
+    existing = next(iter(catalog.QUERIES))
+    with pytest.raises(ValueError, match="already registered"):
+
+        @catalog.query(existing)
+        def _dup(spark, sf_dir):  # pragma: no cover - must not register
+            raise AssertionError
+
+    # the original registration is untouched
+    assert catalog.QUERIES[existing].__name__ != "_dup"
+
+
+def test_decorator_count_matches_registry():
+    """Every `@query(` in the plans tree must survive into QUERIES —
+    with last-wins registration a duplicate decorator silently shrank
+    the registry; with the raise guard this pins the two in lockstep
+    (a direct `QUERIES[name] =` assignment would also break it)."""
+    import pathlib
+
+    plans = pathlib.Path(catalog.__file__).parent
+    n_decorators = sum(
+        p.read_text().count("@query(") for p in plans.glob("*.py")
+    )
+    assert n_decorators == len(catalog.QUERIES), (
+        f"{n_decorators} @query( decorators in plans/*.py but "
+        f"{len(catalog.QUERIES)} registered queries"
+    )
+
+
 def test_queries_and_oracles_align():
     q = entry.queries()
     o = entry.oracle_sql()

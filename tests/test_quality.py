@@ -165,6 +165,12 @@ def test_profile_table_skips_probe_on_derived_input(spark):
     dim = spark.createDataFrame([(0, "a"), (1, "b")], "k long, tag string")
     joined = base.join(broadcast(dim), "k")
     assert not plan_has_shuffle(joined)
+    # r13 (r12 ADVICE): a round-robin exchange (repartition()/REBALANCE)
+    # is a real shuffle for the probe-cost purpose — toRdd() would
+    # execute it — and it already sets the input's parallelism
+    rp = base.repartition(8)
+    assert plan_has_shuffle(rp)
+    assert widen_if_narrow(rp) is rp
     # exchange-bearing input: profiles correctly, no widen repartition
     prof = {r["col_name"]: r for r in profile_table(derived).collect()}
     assert prof["k"]["n_distinct"] == 5

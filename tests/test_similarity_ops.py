@@ -903,3 +903,30 @@ def test_hard_negative_topk_null_and_single_label(spark):
     # 1 and 4 can only pick 5; 5 picks its nearest label-0 vector
     assert out[1] == (5, 1) and out[4] == (5, 1)
     assert out[5][1] == 0
+
+
+def test_hard_negative_topk_drops_zero_norm_vectors(spark):
+    """r13 (r12 ADVICE): a zero-norm vector yields NaN cosines that
+    numpy's lexsort ranks last in the per-batch prune but Spark's
+    final desc window ranks FIRST (NaN sorts greatest) — and the
+    oracle would diverge the same way. Zero vectors carry no signal:
+    they must be dropped alongside NULLs on both sides, so real
+    neighbors keep their ranks and no NaN ever reaches the window."""
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 1),
+            (3, [0.0, 0.0], 1),  # zero-norm: never anchor, never negative
+            (4, [0.1, 0.9], 1),
+        ],
+        "vec_id long, embedding array<double>, label long",
+    )
+    out = {
+        r.anchor_id: (r.neg_id, r.cosine)
+        for r in SIM.hard_negative_topk(df).collect()
+    }
+    assert 3 not in out  # zero vector mines nothing
+    assert out[1][0] == 2  # and is never mined: 2 beats 4, 3 absent
+    assert all(np.isfinite(c) for _, c in out.values())

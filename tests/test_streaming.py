@@ -1222,6 +1222,53 @@ def test_band_meta_guard_rejects_bucket_count_mismatch(spark, tmp_path):
     assert list(meta.glob("n_buckets=*"))
 
 
+def test_band_meta_guard_rejects_interrupted_migration(spark, tmp_path):
+    """r13 (r12 ADVICE): if migrate_band_index_layout crashed between
+    its aside rename and its swap, a batch survives only as hidden
+    _old_/_mig_ dirs that partition discovery skips — the gate would
+    read the remaining tree cleanly and silently admit dups. Startup
+    must refuse until the migration is re-run; re-running heals and
+    restores the batch's rows."""
+    from rentals_data_pipeline_spark.operators.dedup import minhash_index
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"doc{i}w{j}" for j in range(25))) for i in range(3)],
+        "doc_id long, text string",
+    )
+    index_dir = str(tmp_path / "index")
+    SJ.init_dedup_index(spark, index_dir)
+    ob, os_ = minhash_index(corpus)
+    ob.write.parquet(f"{index_dir}/bands/batch=-2")
+    os_.write.parquet(f"{index_dir}/sets/batch=-2")
+    # (read `before` from the build frame: the flat batch=-2 next to
+    # the nested seed is exactly the mixed-depth state discovery
+    # rejects, which is why the migration must run before any read)
+    before = sorted(
+        (r.doc_id, r.band, r.band_key) for r in ob.collect()
+    )
+    # simulate the crash window: batch=-2 renamed aside, swap never ran
+    (tmp_path / "index" / "bands" / "batch=-2").rename(
+        tmp_path / "index" / "bands" / "_old_-2"
+    )
+    with pytest.raises(ValueError, match="migrate_band_index_layout"):
+        SJ._band_meta_guard(spark, index_dir)
+    with pytest.raises(ValueError, match="migrate_band_index_layout"):
+        SJ.streaming_dedup_gate(
+            spark, str(tmp_path / "nowhere"), index_dir,
+            str(tmp_path / "out"), str(tmp_path / "ck"),
+        )
+    # the documented remedy repairs the window and the guard passes
+    SJ.migrate_band_index_layout(spark, index_dir)
+    SJ._band_meta_guard(spark, index_dir)
+    after = sorted(
+        (r.doc_id, r.band, r.band_key)
+        for r in spark.read.parquet(f"{index_dir}/bands")
+        .drop("batch", "kb")
+        .collect()
+    )
+    assert after == before
+
+
 def test_dedup_against_index_probe_broadcast_optout(spark):
     """r12 (ADVICE): broadcast_probe=False removes the force-broadcast
     on the variable-width probe SHINGLE SETS — batch-mode callers with
