@@ -119,6 +119,58 @@ def test_compare_compact_vs_compact_without_local_file(tmp_path):
     assert "normalized shared total" not in proc.stdout
 
 
+def _compare(tmp_path, old_rec, new_rec):
+    import subprocess
+
+    (tmp_path / "OLD.json").write_text(json.dumps(old_rec))
+    (tmp_path / "NEW.json").write_text(json.dumps(new_rec))
+    return subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "tools" / "bench_compare.py"),
+            str(tmp_path / "OLD.json"),
+            str(tmp_path / "NEW.json"),
+        ],
+        capture_output=True,
+        text=True,
+    )
+
+
+def test_spark_normalized_gate_host_drift_does_not_fail(tmp_path):
+    """r13 (verdict #4): a uniformly degraded host (calib 2x) pushes
+    raw ratios past the threshold on unchanged code — the gate must
+    judge the spark-normalized ratio, label the raw exceedance HOST,
+    and exit 0."""
+    old = {"value": 2.0, "queries": {"q": 2.0}, "calib_spark_agg_sec": 0.10}
+    new = {"value": 3.6, "queries": {"q": 3.6}, "calib_spark_agg_sec": 0.20}
+    proc = _compare(tmp_path, old, new)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "HOST" in proc.stdout
+    assert "no regressions" in proc.stdout
+
+
+def test_spark_normalized_gate_catches_masked_regression(tmp_path):
+    """The converse hazard: a FASTER host masks a real engine
+    regression in the raw ratio (1.2x raw on a half-cost host = 2.4x
+    engine). The normalized gate must fail it."""
+    old = {"value": 2.0, "queries": {"q": 2.0}, "calib_spark_agg_sec": 0.20}
+    new = {"value": 2.4, "queries": {"q": 2.4}, "calib_spark_agg_sec": 0.10}
+    proc = _compare(tmp_path, old, new)
+    assert proc.returncode == 1, proc.stdout + proc.stderr
+    assert "FAIL" in proc.stdout
+    assert "normalized" in proc.stdout
+
+
+def test_raw_gate_when_calibration_absent(tmp_path):
+    """Without calibration on both sides the gate falls back to raw
+    ratios — a >threshold raw regression still fails."""
+    old = {"value": 2.0, "queries": {"q": 2.0}}
+    new = {"value": 3.6, "queries": {"q": 3.6}}
+    proc = _compare(tmp_path, old, new)
+    assert proc.returncode == 1, proc.stdout + proc.stderr
+    assert "(raw)" in proc.stdout
+
+
 def test_git_history_recovers_overwritten_local_record():
     """Each round's bench (builder's AND the driver's post-commit run)
     overwrites BENCH_LOCAL.json; any COMMITTED copy must be recoverable
