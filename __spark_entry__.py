@@ -92,56 +92,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # and ts_acf_hourly_lags (BRAND-NEW — hourly-mean ACF at lags
 # 1/6/12/24; anchored-decimal Pearson over one window pass).
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # generated by: python tools/cert_rotation.py --changed sim_centroid_drift quality_benford_first_digit sim_label_centroids sim_centroid_outlier_filter stats_mann_whitney_value_drift stats_gini_revenue_concentration stats_spearman_value_trend dedup_soft_dedup_weights quality_k_anonymity_customers dedup_cross_source_overlap quality_mad_anomaly_events ts_acf_hourly_lags  # history through r11
+    # generated by: python tools/cert_rotation.py --changed sim_hard_negatives dedup_cluster_map_build dedup_duplicate_clusters_probe dedup_cluster_size_histogram_probe dedup_soft_dedup_weights_probe  # history through r12
     # -- group 0: this round's 50 driver checks (changed-this-round
     # first, then oldest driver certification first) ---------------
-    "sim_centroid_drift", "quality_benford_first_digit",
-    "sim_label_centroids", "sim_centroid_outlier_filter",
-    "stats_mann_whitney_value_drift", "stats_gini_revenue_concentration",
-    "stats_spearman_value_trend", "dedup_soft_dedup_weights",
-    "quality_k_anonymity_customers", "dedup_cross_source_overlap",
-    "quality_mad_anomaly_events", "ts_acf_hourly_lags",
-    "sim_hard_negatives", "text_vocab_coverage",
-    "join_asof_tolerance_error", "join_point_in_time_scd2",
-    "join_temporal_validity_intersection", "multimodal_shot_boundaries",
-    "pipeline_media_curation", "pipeline_training_data_prep",
-    "quality_cross_field_violations", "quality_referential_integrity",
-    "reshape_denormalize_star", "reshape_union_schema_evolution",
-    "sample_balanced_labels", "sample_corpus_mixture",
-    "sample_stratified_split_embeddings", "scalar_array_suite",
-    "scalar_bitwise_suite", "scalar_nested_suite", "scalar_try_suite",
-    "scd2_apply_changes_incremental", "sketch_heavy_hitters_event_types",
-    "text_bpe_encode_fixed_vocab", "text_pack_chunks_by_split",
-    "topk_orders_with_ties", "ts_changepoint_cusum",
-    "ts_ewma_hourly_smoothing", "ts_interpolate_linear",
-    "ts_seasonal_naive_backtest", "ts_session_windows_dynamic_gap",
-    "window_rolling_autocorr", "window_share_of_total",
-    "agg_case_bucketing", "agg_distinct_counts",
-    "agg_having_frequent_customers", "agg_percentiles_lineitem",
-    "dedup_cluster_size_histogram", "dedup_decontaminate_bloom",
-    "dedup_duplicate_clusters",
-
-    # -- group 2: oracle-paired, recently driver-certified ----------
-    "dedup_exact_documents", "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_topk", "dedup_simhash_fingerprints",
-    "dedup_simhash_hamming_pairs", "join_asof_last_error",
-    "join_full_outer_user_activity", "join_interval_overlap_orders",
-    "join_range_value_bands", "layout_zorder_cells",
-    "multimodal_audio_energy", "multimodal_byte_histogram",
-    "multimodal_frame_sample", "multimodal_metadata",
-    "multimodal_resize_grid", "pipeline_corpus_curation",
-    "sample_deterministic_documents", "sample_split_documents",
-    "sample_stratified_events", "scalar_date_suite", "scalar_json_extract",
-    "scalar_string_suite", "setops_customer_cohorts",
-    "sketch_distinct_overlap_users_exact", "sketch_histogram_quantiles",
-    "sort_global_top10_orders", "text_fingerprints", "text_language_id",
-    "text_quality_score", "text_token_stats", "tpch_q11_important_stock",
+    "sim_hard_negatives", "dedup_cluster_map_build",
+    "dedup_duplicate_clusters_probe", "dedup_cluster_size_histogram_probe",
+    "dedup_soft_dedup_weights_probe", "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_topk",
+    "dedup_simhash_fingerprints", "dedup_simhash_hamming_pairs",
+    "join_asof_last_error", "join_full_outer_user_activity",
+    "join_interval_overlap_orders", "join_range_value_bands",
+    "layout_zorder_cells", "multimodal_audio_energy",
+    "multimodal_byte_histogram", "multimodal_frame_sample",
+    "multimodal_metadata", "multimodal_resize_grid",
+    "pipeline_corpus_curation", "sample_deterministic_documents",
+    "sample_split_documents", "sample_stratified_events",
+    "scalar_date_suite", "scalar_json_extract", "scalar_string_suite",
+    "setops_customer_cohorts", "sketch_distinct_overlap_users_exact",
+    "sketch_histogram_quantiles", "sort_global_top10_orders",
+    "text_fingerprints", "text_language_id", "text_quality_score",
+    "text_token_stats", "tpch_q11_important_stock",
     "tpch_q12_shipmode_priority", "tpch_q16_supplier_part_counts",
     "tpch_q20_potential_promotion", "tpch_q2_min_cost_supplier",
     "ts_gap_fill_hourly", "agg_cube_lineitem", "agg_grouping_sets_orders",
     "agg_pricing_summary", "agg_rollup_orders", "agg_salted_events_by_type",
     "analytics_copurchase_pairs", "analytics_event_transitions",
     "analytics_funnel_stages", "analytics_retention_cohorts",
+
+    # -- group 2: oracle-paired, recently driver-certified ----------
     "cdc_orders_snapshot_diff", "dedup_first_event",
     "graph_pagerank_copurchase", "graph_triangle_participation",
     "join_anti_no_big_order", "join_asof_next_error",
@@ -202,6 +180,30 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "tpch_q4_priority_checking", "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping", "tpch_q8_market_share",
     "tpch_q9_product_type_profit", "window_range_frame_events",
+    "agg_case_bucketing", "agg_distinct_counts",
+    "agg_having_frequent_customers", "agg_percentiles_lineitem",
+    "dedup_cluster_size_histogram", "dedup_cross_source_overlap",
+    "dedup_decontaminate_bloom", "dedup_duplicate_clusters",
+    "dedup_soft_dedup_weights", "join_asof_tolerance_error",
+    "join_point_in_time_scd2", "join_temporal_validity_intersection",
+    "multimodal_shot_boundaries", "pipeline_media_curation",
+    "pipeline_training_data_prep", "quality_benford_first_digit",
+    "quality_cross_field_violations", "quality_k_anonymity_customers",
+    "quality_mad_anomaly_events", "quality_referential_integrity",
+    "reshape_denormalize_star", "reshape_union_schema_evolution",
+    "sample_balanced_labels", "sample_corpus_mixture",
+    "sample_stratified_split_embeddings", "scalar_array_suite",
+    "scalar_bitwise_suite", "scalar_nested_suite", "scalar_try_suite",
+    "scd2_apply_changes_incremental", "sim_centroid_drift",
+    "sim_centroid_outlier_filter", "sim_label_centroids",
+    "sketch_heavy_hitters_event_types", "stats_gini_revenue_concentration",
+    "stats_mann_whitney_value_drift", "stats_spearman_value_trend",
+    "text_bpe_encode_fixed_vocab", "text_pack_chunks_by_split",
+    "text_vocab_coverage", "topk_orders_with_ties", "ts_acf_hourly_lags",
+    "ts_changepoint_cusum", "ts_ewma_hourly_smoothing",
+    "ts_interpolate_linear", "ts_seasonal_naive_backtest",
+    "ts_session_windows_dynamic_gap", "window_rolling_autocorr",
+    "window_share_of_total",
 
     # -- group 3: rows-only by design --------------------------------
     "multimodal_video_shot_boundaries", "pipeline_video_curation",

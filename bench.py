@@ -218,6 +218,14 @@ HEADLINE = [
     # hourly ACF seasonality spectrum (one shuffle to anchored means)
     "quality_mad_anomaly_events",
     "ts_acf_hourly_lags",
+    # round-13: materialized cluster map — the build pays the LSH+CC
+    # chain ONCE (it always rebuilds, so its number is the honest
+    # chain cost); the three probe reports then read the persisted
+    # map instead of each recomputing the chain (verdict #1)
+    "dedup_cluster_map_build",
+    "dedup_duplicate_clusters_probe",
+    "dedup_cluster_size_histogram_probe",
+    "dedup_soft_dedup_weights_probe",
 ]
 
 

@@ -42,7 +42,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rentals_data_pipeline_spark.functions.rounding import round_half_up
@@ -1352,4 +1352,127 @@ def connected_components_auto(
     rows = sorted((node, label[find(node)]) for node in parent)
     return pairs.sparkSession.createDataFrame(
         rows or [], "id bigint, cluster_id bigint"
+    )
+
+
+# Directory-bucket count for a persisted cluster map (same discipline
+# as N_BAND_BUCKETS: the constant is baked into directory names, so
+# build and probe must agree; recorded by a map_meta marker dir).
+N_CLUSTER_MAP_BUCKETS = 16
+
+CLUSTER_MAP_SCHEMA = "doc_id long, cluster_id long, sz long"
+
+
+def cluster_map(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The near-dup CLUSTER MAP: (doc_id, cluster_id, sz) for every
+    document that belongs to a near-dup cluster (word-``ngram`` Jaccard
+    > ``threshold``, the certified ``minhash_near_dup_pairs`` →
+    ``connected_components_auto`` chain), where ``cluster_id`` is the
+    component's min doc_id and ``sz`` its member count. Docs outside
+    any cluster are absent — consumers left-join and treat absence as
+    a singleton (sz 1), exactly like the soft-dedup weight fold.
+
+    This is the single most expensive artifact of the dedup workload
+    (shingle → minhash → band join → CC fixpoint); every cluster
+    report (duplicate clusters, size histogram, soft-dedup weights)
+    is a cheap aggregation OVER it. Computing it once and persisting
+    it (``write_cluster_map``) converts the workload's dominant
+    repeated cost term into one — the r12 verdict's cross-query analog
+    of the contamination-report single-digest rewrite.
+
+    The size join is hint-free on purpose (the soft-dedup lesson): on
+    a sparse dup graph AQE demotes it to a broadcast at runtime, while
+    a template-heavy corpus whose clustered slice is corpus-
+    proportional degrades to a shuffle join instead of a driver OOM.
+    """
+    pairs = docs.transform(
+        minhash_near_dup_pairs(
+            id_col=id_col, text_col=text_col, ngram=ngram,
+            threshold=threshold,
+        )
+    )
+    cc = connected_components_auto(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return cc.join(sizes, "cluster_id").select(
+        F.col("id").cast("long").alias(id_col),
+        F.col("cluster_id").cast("long"),
+        F.col("sz").cast("long"),
+    )
+
+
+def write_cluster_map(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.5,
+    n_buckets: int = N_CLUSTER_MAP_BUCKETS,
+) -> None:
+    """Materialize the cluster map once under ``path`` (the persisted-
+    index pattern of the decon / LSH-band / SemDeDup indexes): rows
+    land in ``<path>/map/kb=<bucket>`` hive dirs keyed by
+    ``pmod(hash(doc_id), n_buckets)`` so a point-probe ("which cluster
+    is THIS doc in?") directory-prunes to one bucket, while the
+    cluster reports read the whole map (tiny next to the corpus). An
+    empty corpus writes a schema-bearing empty file under ``kb=0`` —
+    the same discovery anchor as ``init_dedup_index`` — and the bucket
+    count is recorded as a ``map_meta/n_buckets=<N>`` marker dir so a
+    build-vs-probe constant drift fails fast instead of silently
+    mis-pruning."""
+    m = cluster_map(docs, id_col, text_col, ngram, threshold)
+    # the CC chain already ran driver-side jobs; checkpoint so the
+    # emptiness probe and the write don't re-run the minhash pass
+    m = m.localCheckpoint(eager=True)
+    if m.isEmpty():
+        # repartition(1) guarantees one write task → one schema-bearing
+        # (footer-only) file, the discovery anchor; a 0-partition empty
+        # frame would write nothing and the read would fail
+        m.repartition(1).write.mode("overwrite").parquet(f"{path}/map/kb=0")
+    else:
+        m.withColumn(
+            "kb", F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets))
+        ).write.partitionBy("kb").mode("overwrite").parquet(f"{path}/map")
+    spark = docs.sparkSession
+    jvm = spark._jvm
+    meta = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/map_meta/n_buckets={n_buckets}"
+    )
+    meta.getFileSystem(spark._jsc.hadoopConfiguration()).mkdirs(meta)
+
+
+def read_cluster_map(
+    spark: SparkSession,
+    path: str,
+    n_buckets: int = N_CLUSTER_MAP_BUCKETS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Read a persisted cluster map back as (doc_id, cluster_id, sz).
+
+    Fails fast when the ``map_meta`` marker disagrees with this
+    build's bucket constant (a point-probe computed under the wrong
+    constant would prune to the wrong directory and silently miss)."""
+    jvm = spark._jvm
+    meta = jvm.org.apache.hadoop.fs.Path(f"{path}/map_meta")
+    fs = meta.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(meta):
+        vals = [
+            st.getPath().getName().split("=", 1)[1]
+            for st in fs.listStatus(meta)
+            if st.getPath().getName().startswith("n_buckets=")
+        ]
+        if vals and vals != [str(n_buckets)]:
+            raise ValueError(
+                f"cluster map at {path} was bucketed with "
+                f"n_buckets={vals} but this build uses {n_buckets}; "
+                f"point-probes would silently miss — rebuild the map"
+            )
+    return spark.read.parquet(f"{path}/map").select(
+        id_col, "cluster_id", "sz"
     )

@@ -18,6 +18,9 @@ candidate-generation recall:
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -238,10 +241,12 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_duplicate_clusters",
-    f"""
-WITH RECURSIVE {_ORACLE_SHINGLES},
+# Shared recursive-CTE chain for the cluster family (one copy, the
+# _ORACLE_SHINGLES rule): exhaustive near-dup pairs -> symmetric edge
+# list -> min-label reachability. Consumers append their own fold;
+# the standalone reports and their _probe twins pass the IDENTICAL
+# final string, so one certified hash covers both paths.
+_ORACLE_CC_REACH = f"""{_ORACLE_SHINGLES},
 p AS (
     SELECT
         a.doc_id AS id_a,
@@ -260,12 +265,17 @@ reach(id, label) AS (
     SELECT DISTINCT src, src FROM e
     UNION
     SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id
-)
+)"""
+
+_DUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_ORACLE_CC_REACH}
 SELECT id AS doc_id, MIN(label) AS cluster_id
 FROM reach
 GROUP BY id
-""",
-)
+"""
+
+
+@query("dedup_duplicate_clusters", _DUP_CLUSTERS_ORACLE)
 def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components of the word-3-gram
     Jaccard > 0.5 near-dup graph, each doc labeled with its component's
@@ -283,29 +293,8 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_cluster_size_histogram",
-    f"""
-WITH RECURSIVE {_ORACLE_SHINGLES},
-p AS (
-    SELECT
-        a.doc_id AS id_a,
-        b.doc_id AS id_b
-    FROM g a JOIN g b ON a.doc_id < b.doc_id
-    WHERE FLOOR((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0))
-                * 10000.0 + 0.5) / 10000.0 > 0.5
-),
-e AS (
-    SELECT id_a AS src, id_b AS dst FROM p
-    UNION ALL
-    SELECT id_b, id_a FROM p
-),
-reach(id, label) AS (
-    SELECT DISTINCT src, src FROM e
-    UNION
-    SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id
-),
+_CLUSTER_HISTOGRAM_ORACLE = f"""
+WITH RECURSIVE {_ORACLE_CC_REACH},
 cc AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
 sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY 1)
 SELECT CAST(cluster_size AS INT) AS cluster_size,
@@ -313,8 +302,10 @@ SELECT CAST(cluster_size AS INT) AS cluster_size,
        CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
 FROM sizes
 GROUP BY cluster_size
-""",
-)
+"""
+
+
+@query("dedup_cluster_size_histogram", _CLUSTER_HISTOGRAM_ORACLE)
 def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster size distribution — the statistic that drives
     dedup POLICY at scale (a corpus dominated by size-2 clusters wants
@@ -339,29 +330,8 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_soft_dedup_weights",
-    f"""
-WITH RECURSIVE {_ORACLE_SHINGLES},
-p AS (
-    SELECT
-        a.doc_id AS id_a,
-        b.doc_id AS id_b
-    FROM g a JOIN g b ON a.doc_id < b.doc_id
-    WHERE FLOOR((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0))
-                * 10000.0 + 0.5) / 10000.0 > 0.5
-),
-e AS (
-    SELECT id_a AS src, id_b AS dst FROM p
-    UNION ALL
-    SELECT id_b, id_a FROM p
-),
-reach(id, label) AS (
-    SELECT DISTINCT src, src FROM e
-    UNION
-    SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id
-),
+_SOFT_DEDUP_ORACLE = f"""
+WITH RECURSIVE {_ORACLE_CC_REACH},
 cc AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
 sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM cc GROUP BY 1),
 dw AS (
@@ -379,8 +349,10 @@ SELECT source, COUNT(*) AS n_docs,
                          AS DOUBLE), 0.0))
           * 1000000.0 + 0.5) / 1000000.0 AS dup_inflation
 FROM dw GROUP BY source
-""",
-)
+"""
+
+
+@query("dedup_soft_dedup_weights", _SOFT_DEDUP_ORACLE)
 def dedup_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft dedup (reweight, don't drop): every document keeps weight
     1/|its near-dup cluster| — duplicates dilute instead of vanishing,
@@ -410,6 +382,127 @@ def dedup_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     member_sz = cc.join(sizes, "cluster_id").select(
         F.col("id").alias("doc_id"), "sz"
     )
+    dw = docs.select("doc_id", "source").join(member_sz, "doc_id", "left")
+    wgt = RND(F.lit(1.0) / F.coalesce(F.col("sz"), F.lit(1)), 6).cast(
+        "decimal(18,6)"
+    )
+    eff = F.sum(wgt).cast("double")
+    return dw.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        eff.alias("effective_docs"),
+        RND(
+            F.count(F.lit(1)).cast("double")
+            / F.nullif(eff, F.lit(0.0)),
+            6,
+        ).alias("dup_inflation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Materialized cluster map (r13, verdict #1): the full LSH chain
+# (shingle -> minhash -> band join -> CC fixpoint) is the dominant cost
+# of the dedup workload, and the three cluster reports above each
+# recomputed it — three chains for three reports over the same corpus.
+# `dedup_cluster_map_build` runs the chain ONCE and persists
+# (doc_id, cluster_id, sz) via the repo's persisted-index pattern
+# (operators/dedup.py::write_cluster_map); the `_probe` twins answer
+# the same three reports by READING the map. The standalone queries
+# stay registered as the oracle-certified twins (the sketch exact-twin
+# policy), and the probes pass the IDENTICAL oracle strings, so the
+# certified hash covers both paths.
+# ---------------------------------------------------------------------------
+
+# Per-process build cache: one materialized map per corpus dir. The
+# map is a session artifact (tempfile) — a production pipeline would
+# write it next to the corpus and refresh on ingest, exactly like the
+# decon / LSH-band / SemDeDup indexes.
+_CLUSTER_MAP_DIRS: dict[str, str] = {}
+
+
+def _cluster_map_frame(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> DataFrame:
+    key = os.path.abspath(sf_dir)
+    path = _CLUSTER_MAP_DIRS.get(key)
+    if rebuild or path is None:
+        path = tempfile.mkdtemp(prefix="ndclustermap-")
+        docs = load_table(spark, sf_dir, "documents")
+        DD.write_cluster_map(docs, path)
+        _CLUSTER_MAP_DIRS[key] = path
+    return DD.read_cluster_map(spark, path)
+
+
+_CLUSTER_MAP_ORACLE = f"""
+WITH RECURSIVE {_ORACLE_CC_REACH},
+cc AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM cc GROUP BY 1)
+SELECT cc.id AS doc_id, cc.cluster_id, CAST(s.sz AS BIGINT) AS sz
+FROM cc JOIN sizes s USING (cluster_id)
+"""
+
+
+@query("dedup_cluster_map_build", _CLUSTER_MAP_ORACLE)
+def dedup_cluster_map_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build + persist the near-dup cluster map, returning its full
+    contents: (doc_id, cluster_id, sz) for every clustered document
+    (operators/dedup.py::cluster_map / write_cluster_map). This entry
+    IS the production pipeline step — it always rebuilds (never serves
+    the cache), so its bench time is the honest cost of the one chain
+    the three probe reports then amortize. The oracle extends the
+    shared recursive-CTE chain with the size join, so one hash
+    certifies pairs, the CC fixpoint, AND the persisted artifact's
+    row-for-row contents as read back from parquet."""
+    return _cluster_map_frame(spark, sf_dir, rebuild=True).select(
+        "doc_id", "cluster_id", F.col("sz").cast("long").alias("sz")
+    )
+
+
+@query("dedup_duplicate_clusters_probe", _DUP_CLUSTERS_ORACLE)
+def dedup_duplicate_clusters_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate clusters served FROM the materialized map — the shape
+    a 100 TB curation run uses (one chain, many reports). Identical
+    output contract (and oracle string) to `dedup_duplicate_clusters`;
+    the plan is a bare parquet scan + projection."""
+    return _cluster_map_frame(spark, sf_dir).select("doc_id", "cluster_id")
+
+
+@query("dedup_cluster_size_histogram_probe", _CLUSTER_HISTOGRAM_ORACLE)
+def dedup_cluster_size_histogram_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-size distribution FROM the materialized map: recount
+    members per cluster_id (two tiny aggregations over map rows — the
+    stored sz is deliberately ignored so the probe certifies the map's
+    membership rows, not a stored aggregate). Identical output
+    contract (and oracle string) to `dedup_cluster_size_histogram`."""
+    sizes = (
+        _cluster_map_frame(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy(F.col("cluster_size").cast("int").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn(
+            "n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("bigint")
+        )
+    )
+
+
+@query("dedup_soft_dedup_weights_probe", _SOFT_DEDUP_ORACLE)
+def dedup_soft_dedup_weights_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Soft-dedup reweighting FROM the materialized map: the corpus
+    scans once for (doc_id, source), left-joins the map's (doc_id, sz)
+    — absence = singleton at weight 1 — and folds the same 6-dp
+    anchored decimal weights. Identical output contract (and oracle
+    string) to `dedup_soft_dedup_weights`; the join stays hint-free so
+    AQE picks broadcast-vs-shuffle from the map's actual size."""
+    docs = load_table(spark, sf_dir, "documents")
+    member_sz = _cluster_map_frame(spark, sf_dir).select("doc_id", "sz")
     dw = docs.select("doc_id", "source").join(member_sz, "doc_id", "left")
     wgt = RND(F.lit(1.0) / F.coalesce(F.col("sz"), F.lit(1)), 6).cast(
         "decimal(18,6)"
