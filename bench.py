@@ -226,6 +226,14 @@ HEADLINE = [
     "dedup_duplicate_clusters_probe",
     "dedup_cluster_size_histogram_probe",
     "dedup_soft_dedup_weights_probe",
+    # round-13 wave 2: kb-pruned point lookup on the persisted map,
+    # the click->purchase lead-lag CCF (one conditional agg, hour-
+    # arithmetic lags), per-source word-concentration HHI (exact
+    # integer sum-of-squares fold), and the Welch A/B revenue readout
+    "dedup_cluster_map_point_probe",
+    "ts_ccf_click_purchase",
+    "text_word_concentration",
+    "stats_ab_welch_value",
 ]
 
 

@@ -1447,15 +1447,10 @@ def write_cluster_map(
     meta.getFileSystem(spark._jsc.hadoopConfiguration()).mkdirs(meta)
 
 
-def read_cluster_map(
-    spark: SparkSession,
-    path: str,
-    n_buckets: int = N_CLUSTER_MAP_BUCKETS,
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Read a persisted cluster map back as (doc_id, cluster_id, sz).
-
-    Fails fast when the ``map_meta`` marker disagrees with this
+def _guard_cluster_map_meta(
+    spark: SparkSession, path: str, n_buckets: int
+) -> None:
+    """Fail fast when the ``map_meta`` marker disagrees with this
     build's bucket constant (a point-probe computed under the wrong
     constant would prune to the wrong directory and silently miss)."""
     jvm = spark._jvm
@@ -1473,6 +1468,64 @@ def read_cluster_map(
                 f"n_buckets={vals} but this build uses {n_buckets}; "
                 f"point-probes would silently miss — rebuild the map"
             )
+
+
+def read_cluster_map(
+    spark: SparkSession,
+    path: str,
+    n_buckets: int = N_CLUSTER_MAP_BUCKETS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Read a persisted cluster map back as (doc_id, cluster_id, sz),
+    after the ``map_meta`` constant guard."""
+    _guard_cluster_map_meta(spark, path, n_buckets)
     return spark.read.parquet(f"{path}/map").select(
         id_col, "cluster_id", "sz"
+    )
+
+
+def probe_cluster_map(
+    spark: SparkSession,
+    path: str,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    n_buckets: int = N_CLUSTER_MAP_BUCKETS,
+) -> DataFrame:
+    """Directory-pruned point lookup against a persisted cluster map:
+    for each probe id, (id, cluster_id, sz) — unclustered ids come
+    back as their own singleton (cluster_id = id, sz = 1), so the
+    output is total over the probe set (the soft-dedup absence
+    convention).
+
+    Scale shape: the probe ids' bucket values are collected (a
+    ≤ ``n_buckets``-row distinct — bounded by the CONSTANT, not the
+    probe count, so the driver materialization can never grow) and
+    pushed as a static ``kb IN (...)`` partition filter, so the map
+    scan reads only the hit ``kb=`` directories — the same
+    directory-pruning discipline as the streaming LSH gate's band
+    probe. A small probe batch touches a fraction of the map's files;
+    a probe set hitting every bucket degrades to the full (still
+    map-sized, corpus-free) scan."""
+    _guard_cluster_map_meta(spark, path, n_buckets)
+    m = spark.read.parquet(f"{path}/map")
+    kbs = [
+        r[0]
+        for r in probes.select(
+            F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("kb")
+        )
+        .distinct()
+        .collect()
+        if r[0] is not None
+    ]
+    pruned = (
+        m.where(F.col("kb").isin(kbs)) if kbs else m.where(F.lit(False))
+    )
+    return (
+        probes.select(id_col)
+        .join(pruned.select(id_col, "cluster_id", "sz"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            F.coalesce(F.col("sz"), F.lit(1)).cast("long").alias("sz"),
+        )
     )

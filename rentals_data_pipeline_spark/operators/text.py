@@ -253,6 +253,49 @@ def vocab_coverage(
     )
 
 
+def word_concentration(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group word-frequency concentration: token count, distinct
+    vocabulary, the Herfindahl–Hirschman index of the group's word
+    distribution (sum over words of (n_w / N)²), the effective
+    vocabulary size 1/HHI, and the hottest token's share — the
+    templating/repetitiveness signal at the SOURCE level (a source
+    whose HHI is far above its peers is boilerplate-dominated and
+    needs template removal before mixing; `text_repetition_filters`
+    is the per-document sibling).
+
+    Exactness shape: HHI = Σ(n_w/N)² folds as the INTEGER sum of
+    squared counts (decimal(38,0) — exact at any corpus size, and
+    order-invariant, unlike summing per-word floating ratios) with
+    ONE IEEE division at the end; effective vocab is its exact
+    reciprocal N²/Σn². Two map-side-combined shuffles: (group, token)
+    counts at vocab size, then the per-group fold."""
+    tok = df.select(
+        F.col(group_col), F.explode(tokens(F.col(text_col))).alias("w")
+    ).where(F.col("w") != "")
+    c = tok.groupBy(group_col, "w").agg(F.count(F.lit(1)).alias("n"))
+    nd = F.col("n").cast("decimal(19,0)")
+    a = c.groupBy(group_col).agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(nd * nd).alias("sumsq"),
+        F.max("n").alias("maxn"),
+    )
+    ntd = F.col("n_tokens").cast("double")
+    sqd = F.col("sumsq").cast("double")
+    return a.select(
+        group_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct_words"),
+        round_half_up(sqd / (ntd * ntd), 8).alias("hhi"),
+        round_half_up((ntd * ntd) / sqd, 4).alias("effective_vocab"),
+        round_half_up(
+            F.col("maxn").cast("double") / ntd, 6
+        ).alias("top_token_share"),
+    )
+
+
 def tf_idf_top_terms(
     df: DataFrame,
     k: int = 3,

@@ -1268,3 +1268,124 @@ def quality_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(
         events, ["user_id", "event_type"], target_rows_per_task=_SKEW_TARGET
     )
+
+
+# DuckDB replay of operators/sampling.py::hash_bucket — the standing
+# deterministic-assignment fragment (same md5-prefix parse the split /
+# mixture samplers certify against).
+_AB_ARM = (
+    "(('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT"
+    " % 10000) < 5000"
+)
+
+_AB_WELCH_ORACLE = f"""
+WITH pu AS (
+    SELECT event_type, user_id,
+        {_AB_ARM} AS in_a,
+        CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) / 1000000.0
+                      AS DECIMAL(38,6))) AS DOUBLE) AS v
+    FROM events
+    WHERE user_id IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1, 2, 3
+),
+a AS (
+    SELECT event_type,
+        COUNT(CASE WHEN in_a THEN 1 END) AS na,
+        COUNT(CASE WHEN NOT in_a THEN 1 END) AS nb,
+        SUM(CASE WHEN in_a THEN CAST(FLOOR(v * 1000000.0 + 0.5)
+                                     / 1000000.0 AS DECIMAL(38,6)) END) AS sa,
+        SUM(CASE WHEN NOT in_a THEN CAST(FLOOR(v * 1000000.0 + 0.5)
+                                         / 1000000.0 AS DECIMAL(38,6)) END)
+            AS sb,
+        SUM(CASE WHEN in_a THEN CAST(FLOOR(v * v * 1000000.0 + 0.5)
+                                     / 1000000.0 AS DECIMAL(38,6)) END) AS qa,
+        SUM(CASE WHEN NOT in_a THEN CAST(FLOOR(v * v * 1000000.0 + 0.5)
+                                         / 1000000.0 AS DECIMAL(38,6)) END)
+            AS qb
+    FROM pu GROUP BY 1
+)
+SELECT event_type,
+    CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+    FLOOR((CAST(sa AS DOUBLE) / na) * 10000.0 + 0.5) / 10000.0 AS mean_a,
+    FLOOR((CAST(sb AS DOUBLE) / nb) * 10000.0 + 0.5) / 10000.0 AS mean_b,
+    FLOOR(((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+           / NULLIF(SQRT(
+               (CAST(qa AS DOUBLE) - na * (CAST(sa AS DOUBLE) / na)
+                                        * (CAST(sa AS DOUBLE) / na))
+               / NULLIF(na - 1, 0) / na
+             + (CAST(qb AS DOUBLE) - nb * (CAST(sb AS DOUBLE) / nb)
+                                        * (CAST(sb AS DOUBLE) / nb))
+               / NULLIF(nb - 1, 0) / nb), 0.0))
+          * 10000.0 + 0.5) / 10000.0 AS t_welch
+FROM a
+"""
+
+
+@query("stats_ab_welch_value", _AB_WELCH_ORACLE)
+def stats_ab_welch_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (r13): users split into two arms by the
+    certified deterministic md5 hash bucket (the samplers' assignment
+    primitive — repeatable across runs, engines, and partitionings),
+    metric = per-user total value, compared per event type with
+    Welch's unequal-variance t statistic — the standard
+    revenue-per-user experiment analysis, run entirely in-engine.
+
+    Shape: one map-side-combined (type, user) shuffle folds the fact
+    to per-user anchored-decimal totals; one conditional aggregate per
+    type folds both arms' count/sum/sum-of-squares (no arm join, no
+    second scan); means, variances (the n·m² form, spelled identically
+    in the oracle), and the t statistic are IEEE expressions over
+    those exact folds, rounded only at the emit boundary. Arms with
+    n<2 yield NULL t (NULLIF guards both variance denominators and a
+    zero pooled spread). ~1.4σ noise on the synthetic fixture — the
+    expected null-experiment band, so the gate is non-vacuous without
+    manufacturing a fake effect."""
+    from rentals_data_pipeline_spark.operators.sampling import hash_bucket
+
+    dec = "decimal(38,6)"
+    r6 = lambda c: RND(c, 6)  # noqa: E731
+    events = load_table(spark, sf_dir, "events")
+    pu = (
+        events.where(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        .groupBy(
+            "event_type",
+            "user_id",
+            (hash_bucket(F.col("user_id"), 10000, "ab") < 5000).alias(
+                "in_a"
+            ),
+        )
+        .agg(F.sum(r6(F.col("value")).cast(dec)).cast("double").alias("v"))
+    )
+    in_a = F.col("in_a")
+    a = pu.groupBy("event_type").agg(
+        F.count(F.when(in_a, F.lit(1))).alias("na"),
+        F.count(F.when(~in_a, F.lit(1))).alias("nb"),
+        F.sum(F.when(in_a, r6(F.col("v")).cast(dec))).alias("sa"),
+        F.sum(F.when(~in_a, r6(F.col("v")).cast(dec))).alias("sb"),
+        F.sum(
+            F.when(in_a, r6(F.col("v") * F.col("v")).cast(dec))
+        ).alias("qa"),
+        F.sum(
+            F.when(~in_a, r6(F.col("v") * F.col("v")).cast(dec))
+        ).alias("qb"),
+    )
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma = F.col("sa").cast("double") / nad
+    mb = F.col("sb").cast("double") / nbd
+    var_a = (F.col("qa").cast("double") - nad * ma * ma) / F.nullif(
+        F.col("na") - 1, F.lit(0)
+    )
+    var_b = (F.col("qb").cast("double") - nbd * mb * mb) / F.nullif(
+        F.col("nb") - 1, F.lit(0)
+    )
+    se = F.sqrt(var_a / nad + var_b / nbd)
+    return a.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        RND(ma, 4).alias("mean_a"),
+        RND(mb, 4).alias("mean_b"),
+        RND((ma - mb) / F.nullif(se, F.lit(0.0)), 4).alias("t_welch"),
+    )

@@ -419,9 +419,9 @@ def dedup_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTER_MAP_DIRS: dict[str, str] = {}
 
 
-def _cluster_map_frame(
+def _cluster_map_path(
     spark: SparkSession, sf_dir: str, rebuild: bool = False
-) -> DataFrame:
+) -> str:
     key = os.path.abspath(sf_dir)
     path = _CLUSTER_MAP_DIRS.get(key)
     if rebuild or path is None:
@@ -429,7 +429,15 @@ def _cluster_map_frame(
         docs = load_table(spark, sf_dir, "documents")
         DD.write_cluster_map(docs, path)
         _CLUSTER_MAP_DIRS[key] = path
-    return DD.read_cluster_map(spark, path)
+    return path
+
+
+def _cluster_map_frame(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> DataFrame:
+    return DD.read_cluster_map(
+        spark, _cluster_map_path(spark, sf_dir, rebuild)
+    )
 
 
 _CLUSTER_MAP_ORACLE = f"""
@@ -516,6 +524,44 @@ def dedup_soft_dedup_weights_probe(
             / F.nullif(eff, F.lit(0.0)),
             6,
         ).alias("dup_inflation"),
+    )
+
+
+@query(
+    "dedup_cluster_map_point_probe",
+    f"""
+WITH RECURSIVE {_ORACLE_CC_REACH},
+cc AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM cc GROUP BY 1)
+SELECT d.doc_id,
+    COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+    CAST(COALESCE(s.sz, 1) AS BIGINT) AS sz
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) d
+LEFT JOIN cc ON cc.id = d.doc_id
+LEFT JOIN sizes s ON s.cluster_id = cc.cluster_id
+""",
+)
+def dedup_cluster_map_point_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point lookup against the persisted cluster map (every 50th doc
+    plays an arriving probe batch): is THIS doc a known near-dup, of
+    which cluster, how big? — the serving-path query an ingest gate
+    asks per batch. The probe ids' hash buckets become a static
+    ``kb IN (...)`` partition filter, so the scan reads only the hit
+    ``kb=`` directories (operators/dedup.py::probe_cluster_map — the
+    LSH band gate's directory-pruning discipline on the map artifact);
+    unclustered probes return as their own singleton (cluster_id =
+    doc_id, sz = 1). The oracle replays the full chain + left joins,
+    so the hash certifies the map contents AND the pruned lookup path
+    end-to-end."""
+    probes = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 50 == 0)
+        .select("doc_id")
+    )
+    return DD.probe_cluster_map(
+        spark, _cluster_map_path(spark, sf_dir), probes
     )
 
 

@@ -909,3 +909,49 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     one comparison."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     return TX.vocab_coverage(docs)
+
+
+@query(
+    "text_word_concentration",
+    r"""
+WITH t AS (
+    SELECT source, u.w
+    FROM documents, unnest(string_split_regex(text, '\s+')) AS u(w)
+    WHERE u.w <> ''
+),
+c AS (SELECT source, w, COUNT(*) AS n FROM t GROUP BY 1, 2),
+a AS (
+    SELECT source,
+        SUM(n) AS n_tokens,
+        COUNT(*) AS n_distinct,
+        SUM(CAST(n AS HUGEINT) * n) AS sumsq,
+        MAX(n) AS maxn
+    FROM c GROUP BY 1
+)
+SELECT source,
+    CAST(n_tokens AS BIGINT) AS n_tokens,
+    CAST(n_distinct AS BIGINT) AS n_distinct_words,
+    FLOOR((CAST(sumsq AS DOUBLE)
+           / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)))
+          * 100000000.0 + 0.5) / 100000000.0 AS hhi,
+    FLOOR(((CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+           / CAST(sumsq AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+        AS effective_vocab,
+    FLOOR((CAST(maxn AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+          * 1000000.0 + 0.5) / 1000000.0 AS top_token_share
+FROM a
+""",
+)
+def text_word_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source word-frequency concentration (r13): HHI of the word
+    distribution, effective vocabulary (1/HHI), hottest-token share —
+    the source-level templating signal (a boilerplate-heavy source
+    shows an HHI far above its peers; `text_repetition_filters` is
+    the per-document sibling, `dedup_soft_dedup_weights` the
+    cluster-level one). HHI folds as the exact integer sum of squared
+    counts (decimal(38,0)/HUGEINT — order-invariant at any scale)
+    with one IEEE division at the end, so the oracle matches
+    bit-for-bit with rounding only at the emit boundary
+    (operators/text.py::word_concentration)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return TX.word_concentration(docs)

@@ -11,7 +11,7 @@ UTC session, so the values agree exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rentals_data_pipeline_spark.functions.rounding import round_half_up as RND
@@ -1360,4 +1360,147 @@ def ts_acf_hourly_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lag").cast("int").alias("lag_hours"),
         F.col("n").cast("long").alias("n_pairs"),
         r6(num / F.nullif(den, F.lit(0.0))).alias("acf"),
+    )
+
+
+_CCF_LAGS = (-24, -6, -1, 0, 1, 6, 24)
+
+
+@query(
+    "ts_ccf_click_purchase",
+    f"""
+WITH e AS (
+    SELECT event_type,
+        CAST(FLOOR(epoch(date_trunc('hour', ts)) / 3600.0) AS BIGINT) AS hr,
+        value
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL
+      AND event_type IN ('click', 'purchase')
+),
+p AS (
+    SELECT hr,
+        CAST(SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(FLOOR(value * 1000000.0 + 0.5) / 1000000.0
+                           AS DECIMAL(38,6)) END) AS DOUBLE)
+            / COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS x,
+        CAST(SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(FLOOR(value * 1000000.0 + 0.5) / 1000000.0
+                           AS DECIMAL(38,6)) END) AS DOUBLE)
+            / COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS y
+    FROM e GROUP BY 1
+),
+s AS (
+    SELECT u.lag, hr - u.lag AS hr, y
+    FROM p, LATERAL (VALUES {", ".join(f"({k})" for k in _CCF_LAGS)})
+        AS u(lag)
+    WHERE y IS NOT NULL
+),
+j AS (
+    SELECT s.lag, p.x, s.y FROM p JOIN s USING (hr) WHERE p.x IS NOT NULL
+),
+a AS (
+    SELECT lag, COUNT(*) AS n,
+        SUM(CAST(FLOOR(x * 1000000.0 + 0.5) / 1000000.0
+                 AS DECIMAL(38,6))) AS sx,
+        SUM(CAST(FLOOR(y * 1000000.0 + 0.5) / 1000000.0
+                 AS DECIMAL(38,6))) AS sy,
+        SUM(CAST(FLOOR(x * y * 1000000.0 + 0.5) / 1000000.0
+                 AS DECIMAL(38,6))) AS sxy,
+        SUM(CAST(FLOOR(x * x * 1000000.0 + 0.5) / 1000000.0
+                 AS DECIMAL(38,6))) AS sxx,
+        SUM(CAST(FLOOR(y * y * 1000000.0 + 0.5) / 1000000.0
+                 AS DECIMAL(38,6))) AS syy
+    FROM j GROUP BY 1
+)
+SELECT CAST(lag AS INT) AS lag_hours,
+    CAST(n AS BIGINT) AS n_pairs,
+    FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / NULLIF(SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                    0.0))
+          * 1000000.0 + 0.5) / 1000000.0 AS ccf
+FROM a
+""",
+)
+def ts_ccf_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the hourly mean click-value
+    and purchase-value series at lags ±1/±6/±24 (and 0) — the lead-lag
+    diagnostic: ccf at positive lag k correlates clicks at hour t with
+    purchases at t+k (does click activity LEAD purchases?), negative
+    lags test the reverse, lag 0 is the contemporaneous baseline.
+    ``ts_acf_hourly_lags`` is the single-series sibling; this is the
+    pair diagnostic a funnel-monitoring pipeline charts.
+
+    Shape: ONE conditional aggregation folds the fact to the shared
+    hourly grid (both series from one map-side-combined shuffle — a
+    per-series groupBy would scan twice); the ≤ |hours| pivot frame is
+    localCheckpoint-ed so the lag self-pairing below it cannot
+    re-resolve the fact scan (the alias-rename exchange-reuse trap),
+    lag shifts are HOUR ARITHMETIC on the checkpointed frame (exact
+    calendar shifts even across empty hours — no dense spine, no
+    global window), and Pearson folds the same 6-dp anchored decimals
+    as the ACF. Hours missing either series drop from that lag's pair
+    set (n_pairs reports coverage)."""
+    dec = "decimal(38,6)"
+    r6 = lambda c: RND(c, 6)  # noqa: E731
+    events = load_table(spark, sf_dir, "events")
+    e = events.where(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    ).select(
+        "event_type",
+        F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias(
+            "hr"
+        ),
+        "value",
+    )
+
+    def _series(etype: str) -> Column:
+        cond = F.col("event_type") == etype
+        return F.sum(F.when(cond, r6(F.col("value")).cast(dec))).cast(
+            "double"
+        ) / F.count(F.when(cond, F.lit(1)))
+
+    p = e.groupBy("hr").agg(
+        _series("click").alias("x"), _series("purchase").alias("y")
+    ).localCheckpoint(eager=True)
+    s = (
+        p.where(F.col("y").isNotNull())
+        .select(
+            F.explode(
+                F.array(*[F.lit(k) for k in _CCF_LAGS])
+            ).alias("lag"),
+            "hr",
+            "y",
+        )
+        .select("lag", (F.col("hr") - F.col("lag")).alias("hr"), "y")
+    )
+    j = p.where(F.col("x").isNotNull()).select("hr", "x").join(s, "hr")
+    a = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(r6(F.col("x")).cast(dec)).alias("sx"),
+        F.sum(r6(F.col("y")).cast(dec)).alias("sy"),
+        F.sum(r6(F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum(r6(F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum(r6(F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.sqrt(
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        nd * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return a.select(
+        F.col("lag").cast("int").alias("lag_hours"),
+        F.col("n").cast("long").alias("n_pairs"),
+        r6(num / F.nullif(den, F.lit(0.0))).alias("ccf"),
     )

@@ -134,6 +134,48 @@ def test_probes_never_reshingle_the_corpus(spark):
         assert stats["input_records"] == want, (name, stats)
 
 
+def test_point_probe_prunes_kb_directories(spark, tmp_path):
+    """The point lookup must push the probe ids' hash buckets as a
+    PARTITION filter (directory pruning, the LSH-band-gate
+    discipline), return singletons for unclustered ids, and equal the
+    unpruned full-map lookup row-for-row."""
+    path = str(tmp_path / "cmap")
+    DD.write_cluster_map(_docs(spark), path)
+    probes = spark.createDataFrame([(1,), (4,), (999,)], "doc_id long")
+    out = DD.probe_cluster_map(spark, path, probes)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "kb" in pf, plan
+    got = sorted((r.doc_id, r.cluster_id, r.sz) for r in out.collect())
+    # clustered probe resolves; unclustered (4) and unknown (999) are
+    # their own singletons — the lookup is total over the probe set
+    assert got[0][0] == 1 and got[0][2] >= 2
+    assert (4, 4, 1) in got and (999, 999, 1) in got
+    # pruned ≡ full: the same lookup joined against the unpruned map
+    full = sorted(
+        (r.doc_id, r.cluster_id, r.sz)
+        for r in probes.join(
+            DD.read_cluster_map(spark, path), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            F.coalesce(F.col("sz"), F.lit(1)).cast("long").alias("sz"),
+        )
+        .collect()
+    )
+    assert got == full
+
+
+def test_point_probe_empty_probe_set(spark, tmp_path):
+    """No probe ids → no kb values → the probe must return empty
+    without scanning anything (the isin([]) guard), not error."""
+    path = str(tmp_path / "cmap")
+    DD.write_cluster_map(_docs(spark), path)
+    empty = spark.createDataFrame([], "doc_id long")
+    assert DD.probe_cluster_map(spark, path, empty).count() == 0
+
+
 def test_build_query_always_rebuilds(spark, tmp_path):
     """dedup_cluster_map_build is the pipeline's refresh step: it must
     not serve a stale cache (an ingest between builds would otherwise

@@ -129,3 +129,39 @@ def test_single_scan_queries_read_input_once(spark):
             spark, lambda: catalog.QUERIES[name](spark, SF_DIR)
         )
         assert stats["input_records"] == n_rows, (name, stats)
+
+
+def test_ccf_scans_events_at_most_once(spark):
+    """r13: ts_ccf_click_purchase derives BOTH hourly series from one
+    conditional aggregation and localCheckpoints the pivot before the
+    lag self-pairing — so the fact scan runs at most once. The
+    checkpoint's RDD reads also report input_records (measured), so
+    the bound is table rows + the two checkpoint-side reads of the
+    <= |hours| pivot; a second FACT scan would add a full table count
+    on top and blow through it."""
+    from rentals_data_pipeline_spark import metrics as M
+    from rentals_data_pipeline_spark.plans import catalog
+    from rentals_data_pipeline_spark.plans import timeseries_queries  # noqa: F401
+    from rentals_data_pipeline_spark.sources.tables import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    n_rows = events.count()
+    p_rows = (
+        events.where(
+            F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select(F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600"))
+        .distinct()
+        .count()
+    )
+    _, stats = M.run_measured(
+        spark,
+        lambda: catalog.QUERIES["ts_ccf_click_purchase"](spark, SF_DIR),
+    )
+    assert 0 < stats["input_records"] <= n_rows + 2 * p_rows, (
+        stats,
+        n_rows,
+        p_rows,
+    )
