@@ -92,14 +92,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # and ts_acf_hourly_lags (BRAND-NEW — hourly-mean ACF at lags
 # 1/6/12/24; anchored-decimal Pearson over one window pass).
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # generated by: python tools/cert_rotation.py --changed sim_hard_negatives dedup_cluster_map_build dedup_duplicate_clusters_probe dedup_cluster_size_histogram_probe dedup_soft_dedup_weights_probe dedup_cluster_map_point_probe ts_ccf_click_purchase text_word_concentration stats_ab_welch_value  # history through r12
+    # generated by: python tools/cert_rotation.py --changed sim_hard_negatives dedup_cluster_map_build dedup_duplicate_clusters_probe dedup_cluster_size_histogram_probe dedup_soft_dedup_weights_probe dedup_cluster_map_point_probe ts_ccf_click_purchase text_word_concentration stats_ab_welch_value ts_ingestion_staleness dedup_token_budget_by_source  # history through r12
     # -- group 0: this round's 50 driver checks (changed-this-round
     # first, then oldest driver certification first) ---------------
     "sim_hard_negatives", "dedup_cluster_map_build",
     "dedup_duplicate_clusters_probe", "dedup_cluster_size_histogram_probe",
     "dedup_soft_dedup_weights_probe", "dedup_cluster_map_point_probe",
     "ts_ccf_click_purchase", "text_word_concentration",
-    "stats_ab_welch_value", "dedup_exact_documents",
+    "stats_ab_welch_value", "ts_ingestion_staleness",
+    "dedup_token_budget_by_source", "dedup_exact_documents",
     "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_topk",
     "dedup_simhash_fingerprints", "dedup_simhash_hamming_pairs",
     "join_asof_last_error", "join_full_outer_user_activity",
@@ -117,9 +118,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "tpch_q12_shipmode_priority", "tpch_q16_supplier_part_counts",
     "tpch_q20_potential_promotion", "tpch_q2_min_cost_supplier",
     "ts_gap_fill_hourly", "agg_cube_lineitem", "agg_grouping_sets_orders",
-    "agg_pricing_summary", "agg_rollup_orders", "agg_salted_events_by_type",
+    "agg_pricing_summary",
 
     # -- group 2: oracle-paired, recently driver-certified ----------
+    "agg_rollup_orders", "agg_salted_events_by_type",
     "analytics_copurchase_pairs", "analytics_event_transitions",
     "analytics_funnel_stages", "analytics_retention_cohorts",
     "cdc_orders_snapshot_diff", "dedup_first_event",

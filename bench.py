@@ -234,6 +234,12 @@ HEADLINE = [
     "ts_ccf_click_purchase",
     "text_word_concentration",
     "stats_ab_welch_value",
+    # round-13 wave 3: ingestion-freshness panel (1-row watermark
+    # carrier, one conditional agg) and the dedup-weighted token
+    # budget (cluster-map probe path — corpus scans once, no
+    # re-shingle)
+    "ts_ingestion_staleness",
+    "dedup_token_budget_by_source",
 ]
 
 

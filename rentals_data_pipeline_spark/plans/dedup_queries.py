@@ -566,6 +566,81 @@ def dedup_cluster_map_point_probe(
 
 
 @query(
+    "dedup_token_budget_by_source",
+    f"""
+WITH RECURSIVE {_ORACLE_CC_REACH},
+cc AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM cc GROUP BY 1),
+tk AS (
+    SELECT doc.source, doc.doc_id,
+        len(list_filter(string_split_regex(doc.text, '\\s+'),
+                        w -> w <> '')) AS n_tokens,
+        COALESCE(s.sz, 1) AS sz
+    FROM documents doc
+    LEFT JOIN cc ON cc.id = doc.doc_id
+    LEFT JOIN sizes s ON s.cluster_id = cc.cluster_id
+)
+SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+    CAST(SUM(CAST(FLOOR((n_tokens * (FLOOR((1.0 / sz) * 1000000.0 + 0.5)
+                                     / 1000000.0))
+                        * 1000000.0 + 0.5) / 1000000.0
+                  AS DECIMAL(38,6))) AS DOUBLE) AS effective_tokens,
+    FLOOR((CAST(SUM(CAST(FLOOR((n_tokens
+                                * (FLOOR((1.0 / sz) * 1000000.0 + 0.5)
+                                   / 1000000.0))
+                               * 1000000.0 + 0.5) / 1000000.0
+                         AS DECIMAL(38,6))) AS DOUBLE)
+           / NULLIF(CAST(SUM(n_tokens) AS DOUBLE), 0.0))
+          * 1000000.0 + 0.5) / 1000000.0 AS dedup_discount
+FROM tk GROUP BY source
+""",
+)
+def dedup_token_budget_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup-weighted token budget (r13): per source, raw token count
+    vs the EFFECTIVE token count after soft-dedup weighting (each
+    doc's tokens × 1/|its near-dup cluster|, the soft-dedup weight) —
+    the number a training-budget plan actually needs: how many unique
+    tokens does this source really contribute, and what fraction of
+    its raw volume survives dedup (dedup_discount). Composes the
+    materialized cluster map (absence = singleton at weight 1) with
+    the token counter; the corpus scans ONCE for (source, tokens),
+    never re-shingles — the map probe path, like the soft-dedup
+    weights probe. Weights and per-doc products anchor at 6-dp
+    decimals so the per-source folds are order-invariant; the oracle
+    replays the chain + the identical anchored fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    )
+    member_sz = _cluster_map_frame(spark, sf_dir).select("doc_id", "sz")
+    tk = (
+        docs.select(
+            "source", "doc_id", n_tokens.alias("n_tokens")
+        )
+        .join(member_sz, "doc_id", "left")
+    )
+    w6 = RND(F.lit(1.0) / F.coalesce(F.col("sz"), F.lit(1)), 6)
+    eff_term = RND(F.col("n_tokens") * w6, 6).cast("decimal(38,6)")
+    eff = F.sum(eff_term).cast("double")
+    return tk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("raw_tokens"),
+        eff.alias("effective_tokens"),
+        RND(
+            eff
+            / F.nullif(
+                F.sum("n_tokens").cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("dedup_discount"),
+    )
+
+
+@query(
     "dedup_cross_source_overlap",
     r"""
 WITH d AS (

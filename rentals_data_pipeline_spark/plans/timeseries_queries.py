@@ -1504,3 +1504,94 @@ def ts_ccf_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_pairs"),
         r6(num / F.nullif(den, F.lit(0.0))).alias("ccf"),
     )
+
+
+@query(
+    "ts_ingestion_staleness",
+    """
+WITH b AS (
+    SELECT MAX(ts) AS wm, MIN(ts) AS t0 FROM events WHERE ts IS NOT NULL
+),
+a AS (
+    SELECT e.event_type,
+        MAX(e.ts) AS last_ts,
+        COUNT(*) AS n_total,
+        COUNT(CASE WHEN e.ts >= b.wm - INTERVAL 24 HOUR THEN 1 END)
+            AS n_last_24h,
+        MAX(b.wm) AS wm, MAX(b.t0) AS t0
+    FROM events e CROSS JOIN b
+    WHERE e.ts IS NOT NULL
+    GROUP BY 1
+)
+SELECT event_type,
+    CAST(last_ts AS TIMESTAMP) AS last_ts,
+    CAST(n_total AS BIGINT) AS n_total,
+    CAST(n_last_24h AS BIGINT) AS n_last_24h,
+    CAST((CAST(FLOOR(epoch(wm)) AS BIGINT)
+          - CAST(FLOOR(epoch(last_ts)) AS BIGINT)) // 60 AS BIGINT)
+        AS staleness_minutes,
+    FLOOR((CAST(n_total AS DOUBLE)
+           / ((CAST(FLOOR(epoch(wm)) AS BIGINT)
+               - CAST(FLOOR(epoch(t0)) AS BIGINT)) // 86400 + 1))
+          * 10000.0 + 0.5) / 10000.0 AS daily_avg,
+    FLOOR((CAST(n_last_24h
+                * ((CAST(FLOOR(epoch(wm)) AS BIGINT)
+                    - CAST(FLOOR(epoch(t0)) AS BIGINT)) // 86400 + 1)
+                AS DOUBLE)
+           / CAST(n_total AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+        AS last24_vs_daily_avg
+FROM a
+""",
+)
+def ts_ingestion_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-freshness monitor (r13): per event type, the last
+    event seen, its staleness in minutes behind the corpus watermark
+    (the global max ts), the trailing-24h volume, and that volume
+    against the type's long-run daily average — the pipeline-health
+    panel that catches a silently-stalled upstream feed (staleness
+    grows) or a collapsed one (last-24h ratio sinks) before any
+    downstream query goes wrong.
+
+    Shape: a 1-row (watermark, min-ts) carrier broadcast-crosses the
+    fact (the whitelisted scalar-carrier BNLJ — map-side, no shuffle)
+    so the trailing-window predicate folds in the same single
+    conditional aggregation as the totals; all time arithmetic is
+    integer epoch math (FLOOR(epoch) on both engines), divisions
+    round only at the emit boundary."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    b = events.agg(F.max("ts").alias("wm"), F.min("ts").alias("t0"))
+    j = events.crossJoin(F.broadcast(b))
+    a = j.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(
+            F.when(
+                F.col("ts") >= F.col("wm") - F.expr("INTERVAL 24 HOURS"),
+                F.lit(1),
+            )
+        ).alias("n_last_24h"),
+        F.max("wm").alias("wm"),
+        F.max("t0").alias("t0"),
+    )
+    days = F.expr(
+        "(unix_timestamp(CAST(wm AS TIMESTAMP))"
+        " - unix_timestamp(CAST(t0 AS TIMESTAMP))) div 86400 + 1"
+    )
+    return a.select(
+        "event_type",
+        F.col("last_ts").cast("timestamp").alias("last_ts"),
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("n_last_24h").cast("long").alias("n_last_24h"),
+        F.expr(
+            "(unix_timestamp(CAST(wm AS TIMESTAMP))"
+            " - unix_timestamp(CAST(last_ts AS TIMESTAMP))) div 60"
+        ).cast("long").alias("staleness_minutes"),
+        RND(F.col("n_total").cast("double") / days, 4).alias("daily_avg"),
+        RND(
+            (F.col("n_last_24h") * days).cast("double")
+            / F.col("n_total").cast("double"),
+            4,
+        ).alias("last24_vs_daily_avg"),
+    )

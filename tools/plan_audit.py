@@ -55,6 +55,7 @@ BNLJ_WHITELIST = {
     "dedup_ngram_jaccard_topk": 1,  # 1-row doc-count bound
     "text_unigram_logprob": 1,  # 1-row token-total for log-probs
     "sample_dsir_importance": 1,  # 1-row (N_target, N_raw) LM totals
+    "ts_ingestion_staleness": 1,  # 1-row (watermark, min-ts) carrier
     # dedup_contamination_report needs no entry since r12: the
     # single-scan rewrite carries counts via stack + equi-join on
     # suite (no 1-row cross joins remain)
