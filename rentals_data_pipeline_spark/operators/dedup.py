@@ -1430,7 +1430,17 @@ def write_cluster_map(
     # the CC chain already ran driver-side jobs; checkpoint so the
     # emptiness probe and the write don't re-run the minhash pass
     m = m.localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
     if m.isEmpty():
+        # a kb=0-only overwrite would leave a PREVIOUS build's
+        # kb=1..N-1 dirs serving stale clusters (review pass 1) —
+        # refresh-to-empty must clear the whole map like the
+        # partitioned overwrite in the non-empty branch does
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/map"), True)
         # repartition(1) guarantees one write task → one schema-bearing
         # (footer-only) file, the discovery anchor; a 0-partition empty
         # frame would write nothing and the read would fail
@@ -1439,12 +1449,15 @@ def write_cluster_map(
         m.withColumn(
             "kb", F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets))
         ).write.partitionBy("kb").mode("overwrite").parquet(f"{path}/map")
-    spark = docs.sparkSession
-    jvm = spark._jvm
-    meta = jvm.org.apache.hadoop.fs.Path(
-        f"{path}/map_meta/n_buckets={n_buckets}"
+    # replace (never accumulate) the bucket-count marker: a rebuild
+    # under a new constant must leave exactly one marker, or the
+    # guard's "rebuild the map" remedy can never succeed (review)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/map_meta"), True)
+    fs.mkdirs(
+        jvm.org.apache.hadoop.fs.Path(
+            f"{path}/map_meta/n_buckets={n_buckets}"
+        )
     )
-    meta.getFileSystem(spark._jsc.hadoopConfiguration()).mkdirs(meta)
 
 
 def _guard_cluster_map_meta(
@@ -1508,10 +1521,16 @@ def probe_cluster_map(
     map-sized, corpus-free) scan."""
     _guard_cluster_map_meta(spark, path, n_buckets)
     m = spark.read.parquet(f"{path}/map")
+    # hash the LONG-cast id: the map's kb was computed on the long ids
+    # cluster_map emits, and Murmur3 hashes int 7 and long 7 to
+    # different values — an un-cast int probe would prune to the wrong
+    # directories and fabricate singletons silently (review pass 1)
     kbs = [
         r[0]
         for r in probes.select(
-            F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("kb")
+            F.pmod(
+                F.hash(F.col(id_col).cast("long")), F.lit(n_buckets)
+            ).alias("kb")
         )
         .distinct()
         .collect()

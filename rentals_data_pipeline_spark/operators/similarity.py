@@ -324,10 +324,17 @@ def hard_negative_topk(
         F.lit(0.0).cast("double"),
         lambda a, x: a + x.cast("double") * x.cast("double"),
     )
+    # (0, inf) keeps exactly the finite non-zero norms: a NULL element
+    # null-propagates the fold (NULL > 0 is false), a NaN element makes
+    # the sum NaN (NaN > 0 is false), an inf element fails the upper
+    # bound — each the degenerate-vector drop the oracle mirrors with
+    # its explicit null-element / isfinite guards (review pass 1: the
+    # bare > 0 diverged from DuckDB's null-skipping list_sum)
     base = df.where(
         F.col(vec_col).isNotNull()
         & F.col(label_col).isNotNull()
         & (sq_norm > 0)
+        & (sq_norm < F.lit(float("inf")))
     )
     probes = base.select(
         F.col(id_col).alias("anchor_id"),

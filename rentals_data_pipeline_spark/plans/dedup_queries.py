@@ -19,6 +19,7 @@ candidate-generation recall:
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -425,6 +426,10 @@ def _cluster_map_path(
     key = os.path.abspath(sf_dir)
     path = _CLUSTER_MAP_DIRS.get(key)
     if rebuild or path is None:
+        if path is not None:
+            # a rebuild replaces the artifact — drop the superseded
+            # copy instead of leaking one tempdir per build (review)
+            shutil.rmtree(path, ignore_errors=True)
         path = tempfile.mkdtemp(prefix="ndclustermap-")
         docs = load_table(spark, sf_dir, "documents")
         DD.write_cluster_map(docs, path)

@@ -95,8 +95,12 @@ WITH p AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
     FROM embeddings
     WHERE embedding IS NOT NULL AND label IS NOT NULL
-      AND COALESCE(list_sum(list_transform(
-              CAST(embedding AS DOUBLE[]), x -> x * x)), 0) > 0
+      AND len(list_filter(CAST(embedding AS DOUBLE[]),
+                          x -> x IS NULL)) = 0
+      AND COALESCE(isfinite(list_sum(list_transform(
+              CAST(embedding AS DOUBLE[]), x -> x * x))), false)
+      AND list_sum(list_transform(
+              CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
 ),
 scored AS (
     SELECT

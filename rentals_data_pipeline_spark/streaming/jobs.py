@@ -529,19 +529,28 @@ def _band_meta_guard(spark: SparkSession, index_dir: str) -> None:
     fs = meta.getFileSystem(spark._jsc.hadoopConfiguration())
     bands = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/bands")
     if fs.exists(bands):
+        # ANY underscore-hidden directory here is index data partition
+        # discovery will skip: _mig_/_old_ from an interrupted
+        # migrate_band_index_layout, _staging_* from an interrupted
+        # consolidate_gate_storage, _temporary from a crashed write.
+        # Each tool's own entry repair heals its windows — the gate
+        # must refuse to probe past them, not silently admit dups.
         stray = [
             st.getPath().getName()
             for st in fs.listStatus(bands)
-            if st.getPath().getName().startswith(("_mig_", "_old_"))
+            if st.isDirectory()
+            and st.getPath().getName().startswith("_")
         ]
         if stray:
             raise ValueError(
-                f"band index at {index_dir} has leftover migration "
-                f"dirs {sorted(stray)} — an interrupted "
-                f"migrate_band_index_layout run; probing now would "
-                f"silently skip those batches' index rows. Re-run "
-                f"migrate_band_index_layout (its entry repair heals "
-                f"every crash window) before starting the gate"
+                f"band index at {index_dir} has leftover hidden dirs "
+                f"{sorted(stray)} — an interrupted migration/"
+                f"consolidation/write; probing now would silently "
+                f"skip those batches' index rows. Re-run the owning "
+                f"tool (migrate_band_index_layout for _mig_/_old_, "
+                f"consolidate_gate_storage for _staging_ — both "
+                f"repair their crash windows at entry) before "
+                f"starting the gate"
             )
     if fs.exists(meta):
         vals = [

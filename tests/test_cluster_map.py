@@ -167,6 +167,33 @@ def test_point_probe_prunes_kb_directories(spark, tmp_path):
     assert got == full
 
 
+def test_point_probe_int_typed_ids_hash_like_longs(spark, tmp_path):
+    """Review pass 1: Murmur3 hashes int 7 and long 7 to DIFFERENT
+    values, so an int-typed probe column must be long-cast before the
+    kb computation — otherwise every clustered probe prunes to the
+    wrong directory and comes back a fabricated singleton."""
+    path = str(tmp_path / "cmap")
+    DD.write_cluster_map(_docs(spark), path)
+    probes_int = spark.createDataFrame([(1,), (5,)], "doc_id int")
+    got = {
+        r.doc_id: (r.cluster_id, r.sz)
+        for r in DD.probe_cluster_map(spark, path, probes_int).collect()
+    }
+    assert got[1][1] >= 2 and got[5] == (5, 2)
+
+
+def test_refresh_to_empty_clears_stale_map(spark, tmp_path):
+    """Review pass 1: refreshing an existing map from a corpus with no
+    clusters must clear ALL old kb dirs — a kb=0-only overwrite would
+    leave up to 15/16 of the previous build serving stale rows."""
+    path = str(tmp_path / "cmap")
+    DD.write_cluster_map(_docs(spark), path)
+    assert DD.read_cluster_map(spark, path).count() > 0
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    DD.write_cluster_map(empty, path)
+    assert DD.read_cluster_map(spark, path).count() == 0
+
+
 def test_point_probe_empty_probe_set(spark, tmp_path):
     """No probe ids → no kb values → the probe must return empty
     without scanning anything (the isin([]) guard), not error."""

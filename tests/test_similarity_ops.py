@@ -920,6 +920,9 @@ def test_hard_negative_topk_drops_zero_norm_vectors(spark):
             (2, [0.9, 0.1], 1),
             (3, [0.0, 0.0], 1),  # zero-norm: never anchor, never negative
             (4, [0.1, 0.9], 1),
+            (5, [None, 2.0], 1),  # NULL element: fold null-propagates
+            (6, [float("nan"), 1.0], 1),  # NaN element: sum is NaN
+            (7, [float("inf"), 1.0], 1),  # inf element: norm not finite
         ],
         "vec_id long, embedding array<double>, label long",
     )
@@ -927,6 +930,7 @@ def test_hard_negative_topk_drops_zero_norm_vectors(spark):
         r.anchor_id: (r.neg_id, r.cosine)
         for r in SIM.hard_negative_topk(df).collect()
     }
-    assert 3 not in out  # zero vector mines nothing
-    assert out[1][0] == 2  # and is never mined: 2 beats 4, 3 absent
+    # degenerate vectors (zero / NULL-element / NaN / inf) mine nothing
+    assert not {3, 5, 6, 7} & set(out)
+    assert out[1][0] == 2  # and are never mined: 2 beats 4, rest absent
     assert all(np.isfinite(c) for _, c in out.values())
