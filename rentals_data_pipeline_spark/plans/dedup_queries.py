@@ -286,10 +286,14 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same components by recursive min-label reachability over the
     exhaustively recomputed pair graph (thresholding the identically
     rounded jaccard), so the hash match certifies pair recall AND the
-    clustering fixpoint."""
+    clustering fixpoint. CC is the scale-tiered ``_auto`` variant
+    (r13): bit-identical output, union-find below the 200k-pair bound
+    where the distributed loop's per-round fixed cost (join + agg +
+    checkpoint + probe job) dwarfs the work, distributed pointer
+    jumping above it."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = docs.transform(DD.minhash_near_dup_pairs(threshold=0.5))
-    return DD.connected_components(pairs).select(
+    return DD.connected_components_auto(pairs).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
 
@@ -314,11 +318,13 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs template removal, not representative-keeping). Two tiny
     aggregations over the connected-components output; the oracle
     extends the duplicate-clusters recursive CTE, so the hash match
-    certifies the full pair→CC→distribution chain."""
+    certifies the full pair→CC→distribution chain. CC is the
+    scale-tiered ``_auto`` (r13, bit-identical — see
+    dedup_duplicate_clusters)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = docs.transform(DD.minhash_near_dup_pairs(threshold=0.5))
     sizes = (
-        DD.connected_components(pairs)
+        DD.connected_components_auto(pairs)
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
     )

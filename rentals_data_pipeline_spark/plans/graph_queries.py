@@ -59,8 +59,17 @@ def _pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to the fact (~1.9k edges at sf0.1), so this is the
     pagerank edge-checkpoint discipline applied one level down."""
     li = load_table(spark, sf_dir, "lineitem")
-    sets = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("parts")
+    # Materialize the per-order sets BEFORE the width routing: both
+    # basket_pairs branches (narrow in-row transform, wide streamed
+    # self-join with its two exploded sides) consume `sets`, and the
+    # differing pushed filters block exchange reuse — unmaterialized,
+    # the fact scan + collect_set shuffle replayed 3x per build (r13
+    # measurement). The checkpointed frame is the fact-REDUCED
+    # per-order distinct-part sets, read thrice in place.
+    sets = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .localCheckpoint(eager=True)
     )
     return (
         basket_pairs(sets, "l_orderkey")

@@ -1664,8 +1664,20 @@ def analytics_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rentals_data_pipeline_spark.operators.graph import basket_pairs
 
     li = load_table(spark, sf_dir, "lineitem")
-    sets = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("parts")
+    # FIVE consumers read the per-order sets (both width-route branches
+    # of basket_pairs, the part_orders explode, both lineages of the
+    # pa/pb joins, and the totals count), and the narrow-route filter
+    # differs from the join branches' pushed isnotnull, so exchange
+    # reuse cannot unify them — the initial r13 plan re-ran the
+    # fact scan + collect_set shuffle 5x (28 Exchanges). Materialize
+    # the sets once (the _pair_graph / pagerank checkpoint discipline):
+    # every consumer then reads the per-order sets — already a
+    # fact-REDUCED frame (distinct parts per order) — instead of
+    # replaying the fact shuffle.
+    sets = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .localCheckpoint(eager=True)
     )
     parts = F.col("parts")
     pairs = (

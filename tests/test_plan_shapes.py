@@ -196,16 +196,20 @@ def test_tpch_q3_topk_orders_on_exact_decimal(spark):
 def test_copurchase_single_fact_shuffle_no_self_join(spark):
     # Pair generation happens inside the per-order part set (codegen
     # array transform), so there is NO fact self-join (no SortMergeJoin
-    # anywhere), no Python stage, and at runtime AQE feeds the
-    # downstream consumers of the order-set aggregate from a REUSED
-    # l_orderkey exchange instead of re-scanning the fact.
+    # anywhere) and no Python stage. r13: the per-order sets are
+    # localCheckpoint-ed once, so the plan's five consumers (both
+    # width-route branches, part_orders, pa/pb, totals) read the
+    # materialized RDD instead of replaying the fact scan +
+    # collect_set exchange (the r12 plan re-ran that subtree 5x —
+    # exchange reuse could not unify it across the differing pushed
+    # filters). The downstream plan must therefore contain ZERO
+    # parquet scans and no fact-sized exchange beyond the pair
+    # aggregation's.
     s = _shape(spark, "analytics_copurchase_pairs")
     assert s["python"] == 0, s["plan"]
     assert s["smj"] == 0, s["plan"]
-    df = entry.queries()["analytics_copurchase_pairs"](spark, SF_DIR)
-    df.collect()
-    final = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in final, final
+    assert "Scan parquet" not in s["plan"], s["plan"]
+    assert s["plan"].count("Scan ExistingRDD") >= 4, s["plan"]
 
 
 def test_psi_drift_single_fact_shuffle(spark):
