@@ -2322,40 +2322,84 @@ def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
     DISTINCT key projection — dimensions broadcast; the fact-keyed
     audits shuffle the child once on the key (at 100 TB run them as
     broadcast-bloom semi joins when the parent key set fits). All
-    statistics are exact integer counts."""
-    specs = [
-        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
-        ("lineitem", "l_partkey", "part", "p_partkey"),
-        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
-        ("orders", "o_custkey", "customer", "c_custkey"),
+    statistics are exact integer counts.
+
+    r13 shape: the three lineitem relationships share ONE fact scan —
+    the three parent key sets left-join onto the same lineitem pass
+    (each against a DISTINCT key projection, so no fanout), and one
+    conditional aggregation folds all three orphan counts; the wide
+    1-row result explodes to the three report rows (the profiler's
+    inline-of-structs shape). The r12 form ran the audit loop
+    per-relationship and scanned the fact three times. The
+    orders→customer audit keeps its own scan (different child)."""
+    li_specs = [
+        ("l_orderkey", "orders", "o_orderkey"),
+        ("l_partkey", "part", "p_partkey"),
+        ("l_suppkey", "supplier", "s_suppkey"),
     ]
-    out = None
     dims = {"part", "supplier", "customer", "nation", "region"}
-    for child, ckey, parent, pkey in specs:
-        c = load_table(spark, sf_dir, child).select(ckey)
+    joined = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    for ckey, parent, pkey in li_specs:
         p = load_table(spark, sf_dir, parent).select(pkey).distinct()
         # only TRUE dimensions get a broadcast hint; a fact-sized parent
         # (orders) must stay AQE-chosen — broadcast at test SF,
         # sort-merge co-partitioned on the key at 100 TB
         p_side = F.broadcast(p) if parent in dims else p
-        joined = c.join(p_side, c[ckey] == p[pkey], "left")
-        orphan = F.sum(
-            F.when(F.col(pkey).isNull(), 1).otherwise(0)
-        ).cast("long")
-        audit = joined.agg(
-            F.count(F.lit(1)).alias("n_child"), orphan.alias("n_orphans")
-        ).select(
-            F.lit(f"{child}.{ckey}->{parent}").alias("relationship"),
-            "n_child",
-            "n_orphans",
-            RND(
-                (F.col("n_child") - F.col("n_orphans")).cast("double")
-                / F.nullif(F.col("n_child"), F.lit(0)),
-                6,
-            ).alias("coverage"),
+        joined = joined.join(p_side, joined[ckey] == p[pkey], "left")
+    wide = joined.agg(
+        F.count(F.lit(1)).alias("n_child"),
+        *[
+            F.sum(F.when(F.col(pkey).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"orph_{pkey}")
+            for _, _, pkey in li_specs
+        ],
+    )
+    cov = lambda orph: RND(  # noqa: E731
+        (F.col("n_child") - orph).cast("double")
+        / F.nullif(F.col("n_child"), F.lit(0)),
+        6,
+    )
+    out = wide.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"lineitem.{ckey}->{parent}").alias(
+                            "relationship"
+                        ),
+                        F.col("n_child").alias("n_child"),
+                        F.col(f"orph_{pkey}").alias("n_orphans"),
+                        cov(F.col(f"orph_{pkey}")).alias("coverage"),
+                    )
+                    for ckey, parent, pkey in li_specs
+                ]
+            )
         )
-        out = audit if out is None else out.unionByName(audit)
-    return out
+    )
+    c = load_table(spark, sf_dir, "orders").select("o_custkey")
+    p = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .distinct()
+    )
+    joined_o = c.join(
+        F.broadcast(p), c["o_custkey"] == p["c_custkey"], "left"
+    )
+    audit_o = joined_o.agg(
+        F.count(F.lit(1)).alias("n_child"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_orphans"),
+    ).select(
+        F.lit("orders.o_custkey->customer").alias("relationship"),
+        "n_child",
+        "n_orphans",
+        cov(F.col("n_orphans")).alias("coverage"),
+    )
+    return out.unionByName(audit_o)
 
 
 # ---------------------------------------------------------------------------

@@ -38,6 +38,19 @@ def create_spark_session(
         builder = builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
 
     conf = {
+        # Size the local JVM to its core count (guide §5): pyspark's
+        # default driver heap is 1 GiB, which on local[32] is ~20 MB of
+        # execution+storage memory per concurrent task — every sort,
+        # hash-aggregate, broadcast and localCheckpoint fights for it
+        # and the whole bench runs GC-bound (A/B numbers in
+        # OPTIMIZATION_r13.md). Env-parameterized for the deploy
+        # target; on a real
+        # cluster executors size via spark.executor.memory and this
+        # only affects the driver process. Applied at JVM launch, so a
+        # pre-existing session keeps its own value (getOrCreate).
+        "spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "8g"
+        ),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -101,12 +101,21 @@ def test_zorder_cells_shape(spark):
 
 
 def test_profile_table_single_scan(spark):
-    """The whole profile (all six columns' stats incl. exact distincts)
-    must read the table once — the Expand-based multi-distinct plan,
-    not six scans."""
+    """The numeric/date/count stats (incl. exact distincts) must read
+    the table once — the Expand-based multi-distinct plan, not six
+    scans. r13: string min/max fold in ONE extra column-pruned pass
+    (their immutable buffers would demote the whole expanded aggregate
+    to SortAggregate), so the bound is two scans total — and the
+    expensive expanded pass must stay hash-aggregated."""
     s = _shape(spark, "profile_orders_columns")
     assert s["python"] == 0, s["plan"]
-    assert s["plan"].count("Scan parquet") == 1, s["plan"]
+    assert s["plan"].count("Scan parquet") == 2, s["plan"]
+    assert "Expand" in s["plan"], s["plan"]
+    # the Expand feeds HashAggregate, never SortAggregate (the string
+    # split's whole point); SortAggregate may appear only in the tiny
+    # string-only side
+    expand_at = s["plan"].index("Expand")
+    assert "SortAggregate" not in s["plan"][:expand_at], s["plan"]
 
 
 def test_cdc_snapshot_diff_shape(spark):
