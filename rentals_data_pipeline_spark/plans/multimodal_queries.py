@@ -844,7 +844,17 @@ def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange across the five branch subtrees — vs 1.3s unwidened;
     header-only probing is too cheap to amortize shuffle+task
     overhead, unlike the real-decode queries the widen exists for)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: the five residue-routed branches each re-scanned the full
+    # table (doc_id % 5 filters after the read — runtime input_records
+    # measured 5x documents). Materialize the two needed columns once;
+    # the branch filters then carve slivers out of the checkpoint.
+    # The widen=False union shape below is unchanged (its measured
+    # rationale stands — this only removes the redundant scans).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
     rid = F.col("doc_id") % 5
     packed = (
         docs.filter(rid == 0).transform(MM.pack_wav(widen=False))

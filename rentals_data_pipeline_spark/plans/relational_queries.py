@@ -120,11 +120,21 @@ SELECT 'except', c_custkey FROM (SELECT * FROM rich EXCEPT SELECT * FROM active)
 def setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    rich = customer.filter(F.col("c_acctbal") > 7000).select("c_custkey")
+    # r13: the two cohort key frames feed four set-op branches each
+    # (union, intersect, and except's two sides) — unmaterialized, the
+    # branches re-ran both scans per consumer (runtime input_records
+    # measured 4x customer + 2x orders). The frames are key-only
+    # projections, far smaller than their tables; checkpoint once.
+    rich = (
+        customer.filter(F.col("c_acctbal") > 7000)
+        .select("c_custkey")
+        .localCheckpoint(eager=True)
+    )
     active = (
         orders.filter(F.col("o_orderstatus") == "O")
         .select(F.col("o_custkey").alias("c_custkey"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     tag = lambda df, t: df.select(F.lit(t).alias("cohort"), "c_custkey")  # noqa: E731
     return (
@@ -719,12 +729,21 @@ def analytics_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("ts").alias(tcol))
         )
 
+    # r13: each stage frame is |users|-sized and consumed twice (the
+    # next stage's join AND its own count branch) — unmaterialized,
+    # the union's three count branches re-ran the whole upstream chain
+    # (runtime input_records measured 5x the events table; with the
+    # checkpoints each stage filter scans the fact once: 3x total,
+    # each scan type-pruned at the reader).
     s1 = (
         events.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=True)
     )
-    s2 = first_at_or_after(s1, "click", "t2", "t1")
+    s2 = first_at_or_after(s1, "click", "t2", "t1").localCheckpoint(
+        eager=True
+    )
     s3 = first_at_or_after(s2, "purchase", "t3", "t2")
     return (
         s1.agg(F.lit(1).alias("stage"), F.count(F.lit(1)).cast("long").alias("n_users"))
@@ -1045,7 +1064,18 @@ def cdc_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
-    old = orders.where(F.col("o_orderkey") % 10 != 0).select(*cols)
+    # r13: old feeds three consumers (base aggregate, the diff join,
+    # the removed semi join) — unmaterialized, each consumer
+    # re-scanned orders (runtime input_records measured ~5.5x the
+    # table). Checkpoint the old snapshot once; in production it IS a
+    # stored table. new stays lazy: its two consumers are cheap
+    # column-pruned scans and materializing it too measured
+    # consistently slower (both A/B rounds) for no plan benefit.
+    old = (
+        orders.where(F.col("o_orderkey") % 10 != 0)
+        .select(*cols)
+        .localCheckpoint(eager=True)
+    )
     new = orders.where(F.col("o_orderkey") % 7 != 0).select(
         "o_orderkey",
         F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 7.5)
@@ -2909,8 +2939,17 @@ def scd2_apply_changes_incremental(
         scd2_apply_changes,
     )
 
-    events = load_table(spark, sf_dir, "events").where(
-        F.col("event_type").isin("signup", "purchase")
+    # r13: the merge consumes history twice (untouched-user anti join,
+    # touched-key rebuild union) and batch twice (key set + rows) —
+    # unmaterialized, every consumer re-scanned the fact (runtime
+    # input_records measured 4x events). Checkpoint the filtered base
+    # once (events scans ONCE) and the windowed history once (the
+    # lead window runs once); in production both are stored tables.
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("signup", "purchase"))
+        .select("user_id", "ts", "event_id", "value", "event_type")
+        .localCheckpoint(eager=True)
     )
     cutoff = F.lit("2024-01-22 00:00:00").cast("timestamp")
     old = events.where(F.col("ts") < cutoff)
@@ -2930,7 +2969,7 @@ def scd2_apply_changes_incremental(
         F.when(F.lead("ts").over(w).isNull(), 1)
         .otherwise(0)
         .alias("is_current"),
-    )
+    ).localCheckpoint(eager=True)
     return scd2_apply_changes(
         history,
         batch,

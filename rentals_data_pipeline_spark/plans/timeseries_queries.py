@@ -417,23 +417,36 @@ def ts_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row aggregate + explode; the join is spine-sized, not
     events-sized."""
     events = load_table(spark, sf_dir, "events")
-    bounds = events.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    # r13 single-scan shape: bounds and the type dimension DERIVE from
+    # the hourly aggregate instead of re-scanning the fact (runtime
+    # input_records measured 3x the events table before). The agg is
+    # the tiny |hours x types| frame; checkpointing it lets its three
+    # consumers (bounds, types, the spine join's probe side) read it
+    # in place. Identical results: min/max over agg hours equal
+    # min/max over row hours (date_trunc is monotone, nulls ignored by
+    # both), the type set is preserved verbatim (a type whose rows all
+    # have null ts still yields a (null, type) agg row), and null
+    # hours never matched the spine join in either shape.
+    agg = (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            RND(F.sum("value"), 4).alias("tv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bounds = agg.agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
     )
     hours = bounds.select(
         F.explode(
             F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
         ).alias("hour")
     )
-    types = events.select("event_type").distinct()
+    types = agg.select("event_type").distinct()
     spine = hours.crossJoin(F.broadcast(types))
-    agg = events.groupBy(
-        F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        RND(F.sum("value"), 4).alias("tv"),
-    )
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour")

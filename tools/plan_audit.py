@@ -75,6 +75,12 @@ BNLJ_WHITELIST = {
     "tpch_q11_important_stock": 3,
     "tpch_q16_supplier_part_counts": 1,
     "tpch_q20_potential_promotion": 1,
+    # r13 — the column profiler's string min/max fold in a second
+    # column-pruned pass whose ONE-row result cross-joins back
+    # (keeping immutable string buffers out of the expanded main
+    # aggregate, which they demoted to SortAggregate)
+    "profile_orders_columns": 1,
+    "profile_orders_columns_approx": 1,
 }
 
 MARKERS = {
