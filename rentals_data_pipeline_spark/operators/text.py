@@ -310,18 +310,29 @@ def tf_idf_top_terms(
     portability stance as quality_score). Ranking is (score desc,
     token asc) on the ROUNDED score — an engine-stable frontier.
 
-    Shape at scale: two token-keyed aggregations (tf per doc·token, df
-    per token) joined on token, N broadcast from a 1-row aggregate,
-    then a per-doc WindowGroupLimit top-k. ``probe`` restricts which
-    documents get ranked (applied on the tf branch only — document
-    frequency and N stay corpus-wide), so scoring cost tracks the probe
-    set, not the corpus."""
-    tok = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    Shape at scale (r13): the corpus tokenizes ONCE into the
+    (doc, token, tf) aggregate; the tf branch filters probe docs out
+    of that frame and the per-token document frequency derives from
+    it too (df = the row count per token, since the frame holds
+    exactly one row per (doc, token) — identical to COUNT(DISTINCT
+    doc) over raw token rows). Both consumers share the one tokenize
+    shuffle via exchange reuse; the r12 form tokenized the corpus for
+    df and the probe slice again for tf. N broadcasts from a 1-row
+    aggregate; a per-doc WindowGroupLimit takes the top-k. ``probe``
+    restricts which documents get ranked — document frequency and N
+    stay corpus-wide — so ranking cost tracks the probe set. The
+    probe predicate must reference only ``id_col`` (it now filters
+    the aggregated frame, where filtering on the group key commutes
+    with the aggregation)."""
+    g = (
+        df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    probe_tok = tok.where(probe) if probe is not None else tok
-    tf = probe_tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
+    tf = g.where(probe) if probe is not None else g
+    dfreq = g.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count(F.lit(1)).alias("n_corpus"))
     scored = (
         tf.join(dfreq, "token")

@@ -722,6 +722,13 @@ def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc feature branches re-join on doc_id (co-partitioned,
     AQE-broadcast at test scale)."""
     docs = load_table(spark, sf_dir, "documents")
+    # r13 examined: the three feature branches each re-scan documents
+    # and re-run the pack map (runtime input_records 3x the table).
+    # Materializing the packed payloads once (localCheckpoint) was
+    # measured SLOWER (2.94s vs 1.94s bench-style A/B) — the pack is
+    # a cheap codegen map over a column-pruned scan, while storing and
+    # re-reading the payload bytes costs more than recomputing them.
+    # Deliberately left as three scans.
     media = docs.transform(MM.pack_media())
 
     chars = F.split(F.decode(F.col("payload"), "utf-8"), "")
