@@ -120,21 +120,22 @@ SELECT 'except', c_custkey FROM (SELECT * FROM rich EXCEPT SELECT * FROM active)
 def setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    # r13: the two cohort key frames feed four set-op branches each
-    # (union, intersect, and except's two sides) — unmaterialized, the
-    # branches re-ran both scans per consumer (runtime input_records
-    # measured 4x customer + 2x orders). The frames are key-only
-    # projections, far smaller than their tables; checkpoint once.
-    rich = (
-        customer.filter(F.col("c_acctbal") > 7000)
-        .select("c_custkey")
-        .localCheckpoint(eager=True)
-    )
+    # r13 examined: the set-op branches re-scan both cohort frames
+    # (runtime input_records 4x customer + 2x orders), but every
+    # re-scan is a cheap column-pruned filtered projection —
+    # materializing the two frames with eager localCheckpoints
+    # measured a consistent bench-context REGRESSION (0.64-0.68s ->
+    # 1.07-1.24s across two full-bench runs): the two extra
+    # materialization jobs cost more than the key-only re-scans they
+    # save. Same lesson as pipeline_media_curation — checkpoint only
+    # when the recomputed subtree contains real work (a shuffle or an
+    # expensive map), never a bare filtered scan. Deliberately left
+    # unmaterialized.
+    rich = customer.filter(F.col("c_acctbal") > 7000).select("c_custkey")
     active = (
         orders.filter(F.col("o_orderstatus") == "O")
         .select(F.col("o_custkey").alias("c_custkey"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     tag = lambda df, t: df.select(F.lit(t).alias("cohort"), "c_custkey")  # noqa: E731
     return (
