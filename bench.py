@@ -418,6 +418,15 @@ def main() -> None:
     }
     compact["n_queries"] = len(timings)
     compact["queries_file"] = "BENCH_LOCAL.json"
+    # Round-14 addition (r13 verdict item 3, additions-only — the
+    # timing loop and harness string above are untouched): the driver's
+    # PERF comparison needs the per-query map IN the printed line
+    # (BENCH_LOCAL.json is overwritten by every run, so the sidecar
+    # alone cannot serve two rounds). The r7 truncation that forced the
+    # compact line was a ~2.2 KB stdout tail buffer; the r13 driver
+    # record captured >3 KB tails, and the current driver contract
+    # explicitly carries "queries" in the one-line JSON.
+    compact["queries"] = timings
     print(json.dumps(compact), flush=True)
     spark.stop()
 
